@@ -1,0 +1,663 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator library over the TPC-H-ish testdata star schema.
+  *
+  * Covers SURVEY.md §2's operator families re-expressed Spark-first:
+  * filters/projections (T2), joins incl. semi/anti (J1/J2 generalized),
+  * aggregations (A1-A3), windows (A4 generalized), sort/limit/top-k,
+  * set ops, rollup/cube, CASE classification (§2.5), string/date/json
+  * scalar functions (§2.8).
+  *
+  * Scale notes (the 100 TB design point):
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *    explicitly — no shuffle of the fact table for dim joins;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    AQE coalesces/skew-splits at runtime;
+  *  - all filters sit directly on the scans so parquet pushdown prunes
+  *    row groups before any shuffle.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  val queries: Map[String, Q] = Map(
+    // ---- T2/A1: scan → filter → group → agg (TPC-H Q1 shape) -------------
+    "q01_pricing_summary" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- T2: pushed-down filter + projection -----------------------------
+    "q02_filter_project" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_discount") > 0.08 &&
+          col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- 3-way join, broadcast dim, top-k by measure (TPC-H Q3 shape) ----
+    "q03_shipping_priority" -> ((s: SparkSession, dir: String) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > ts("1999-01-01 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- semi join (EXISTS) + agg ----------------------------------------
+    "q04_order_priority" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- 6-way join with broadcast dims (TPC-H Q5 shape) -----------------
+    "q05_local_supplier" -> ((s: SparkSession, dir: String) => {
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // ---- global agg with selective filter (TPC-H Q6 shape) ---------------
+    "q06_revenue_forecast" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- anti join (NOT EXISTS) ------------------------------------------
+    "q07_anti_join" -> ((s: SparkSession, dir: String) => {
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- distinct aggregation --------------------------------------------
+    "q08_distinct_count" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- global sort + limit (top-k) -------------------------------------
+    "q09_topk_orders" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- window: row_number / per-group top-1 (A4 generalized) -----------
+    "q10_window_rank" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- window: running sum over explicit frame -------------------------
+    "q11_window_running" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- window: lag / delta over event stream ---------------------------
+    "q12_lag_delta" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // ---- rollup ----------------------------------------------------------
+    "q13_rollup" -> ((s: SparkSession, dir: String) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      // `.as("j")` + qualified grouping columns: rollup's Expand over a
+      // multi-join child otherwise trips Spark's self-join ambiguity check.
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal").as("j")
+        .rollup(col("j.r_name"), col("j.n_name"))
+        .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // ---- cube ------------------------------------------------------------
+    "q14_cube" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // ---- set ops: union/distinct/intersect/except (symmetric difference) -
+    "q15_set_ops" -> ((s: SparkSession, dir: String) => {
+      val a = Tables(s, dir, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct()
+        .except(a.intersect(b))
+        .orderBy("custkey")
+    }),
+
+    // ---- CASE classification (§2.5 shape) --------------------------------
+    "q16_case_classify" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_orderstatus") === "F", "filled")
+            .when(col("o_totalprice") < 100000, "small_open")
+            .when(col("o_totalprice") < 300000, "medium_open")
+            .otherwise("large_open"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("bucket")
+    }),
+
+    // ---- string scalar functions (§2.8) ----------------------------------
+    "q17_string_funcs" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "part")
+        .filter(col("p_name").contains("widget"))
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          upper(col("p_brand")).as("brand_upper"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          format_string("part-%05d", col("p_partkey")).as("part_code"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- date/time functions (T5/T10/T14 family) -------------------------
+    "q18_datetime" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo")
+    }),
+
+    // ---- Q1 null-membership semantics (SURVEY §7.4.1) --------------------
+    // NULL is a whitelist *member*: `x IS NULL OR x IN (...)`, never bare
+    // NOT IN (which flips semantics under ANSI three-valued logic).
+    "q19_null_whitelist" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .withColumn("status_n",
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("healthy",
+          col("status_n").isNull || col("status_n").isin("O"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("healthy"), 1L).otherwise(0L)).as("n_healthy"),
+          sum(when(!col("healthy"), 1L).otherwise(0L)).as("n_error"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- A4: first-match per group (row_number over explicit order) ------
+    "q20_first_match" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_purchase_event"),
+          round(col("value"), 2).as("first_value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+        .orderBy("user_id")
+    }),
+
+    // ---- semi join on suppliers ------------------------------------------
+    "q21_semi_join" -> ((s: SparkSession, dir: String) => {
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > ts("2001-06-01 00:00:00"))
+      Tables(s, dir, "supplier")
+        .join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- group + HAVING --------------------------------------------------
+    "q22_having" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), round(avg("l_discount"), 4).as("avg_disc"))
+        .filter(col("avg_disc") > 0.048)
+        .orderBy("l_suppkey", "l_returnflag")
+    }),
+
+    // ---- JSON extraction (§2.8 json family) ------------------------------
+    "q23_json_extract" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("k_bucket")
+    }),
+
+    // ---- manual pivot (conditional aggregation) --------------------------
+    "q24_pivot" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purchase_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- tumbling time window (batch analog of streaming agg, §2.10) -----
+    "q25_tumbling_window" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- sessionization: gap > 30 min starts a new session ---------------
+    "q26_sessionize" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- J2: dedup + join-back (memoized per-key lookup, SURVEY §2.3) ----
+    "q27_memo_joinback" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      val stats = o.groupBy(col("o_custkey").as("sk"))
+        .agg(count(lit(1)).as("cust_n_orders"), round(sum("o_totalprice"), 2).as("cust_total"))
+      o.join(stats, col("o_custkey") === col("sk"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cust_n_orders"), col("cust_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- A1-A3 + §2.5: error-note aggregation with cap + classification --
+    "q28_error_notes" -> ((s: SparkSession, dir: String) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          sort_array(collect_list(when(col("o_orderstatus") === "F", col("o_orderkey")))).as("failed_keys"))
+        .withColumn("n_failed", size(col("failed_keys")).cast("long"))
+        .withColumn("error_note",
+          when(col("n_failed") > 5, lit("error in more than 5 nodes"))
+            .otherwise(array_join(
+              transform(col("failed_keys"), k => format_string("%d --> F", k)), "\n")))
+        .withColumn("status",
+          when(col("n_failed") > 0, "Failed")
+            .when(col("n_orders") > 0, "Success")
+            .otherwise("No Schedule"))
+        .select("c_custkey", "n_orders", "n_failed", "status", "error_note")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- explode / flatten nested arrays (T1) ----------------------------
+    "q29_explode" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("val").cast("double"), 4).as("val"))
+        .orderBy("vec_id", "pos")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_discount > 0.08
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_distinct_count" ->
+      """SELECT l_suppkey,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+        | o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_lag_delta" ->
+      """SELECT event_id, user_id,
+        | round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0),2) AS delta
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT r_name, n_name,
+        | round(sum(c_acctbal),2) AS total_bal,
+        | count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q15_set_ops" ->
+      """(SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+        | UNION
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |EXCEPT
+        |(SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+        | INTERSECT
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY custkey""".stripMargin,
+
+    "q16_case_classify" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'filled'
+        |            WHEN o_totalprice < 100000 THEN 'small_open'
+        |            WHEN o_totalprice < 300000 THEN 'medium_open'
+        |            ELSE 'large_open' END AS bucket,
+        | count(*) AS n, round(avg(o_totalprice),2) AS avg_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    "q17_string_funcs" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS name_lower,
+        | upper(p_brand) AS brand_upper,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | substr(p_name, 1, 5) AS name_pfx,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | printf('part-%05d', p_partkey) AS part_code
+        |FROM part
+        |WHERE p_name LIKE '%widget%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q18_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY yr, mo""".stripMargin,
+
+    "q19_null_whitelist" ->
+      """WITH t AS (
+        | SELECT o_orderpriority,
+        |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_n
+        | FROM orders)
+        |SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN status_n IS NULL OR status_n IN ('O') THEN 1 ELSE 0 END) AS BIGINT) AS n_healthy,
+        | CAST(sum(CASE WHEN NOT (status_n IS NULL OR status_n IN ('O')) THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q20_first_match" ->
+      """SELECT user_id, event_id AS first_purchase_event,
+        | round(value,2) AS first_value,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q21_semi_join" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey
+        |                AND l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q22_having" ->
+      """SELECT l_suppkey, l_returnflag,
+        | count(*) AS n_lines, round(avg(l_discount),4) AS avg_disc
+        |FROM lineitem
+        |GROUP BY l_suppkey, l_returnflag
+        |HAVING round(avg(l_discount),4) > 0.048
+        |ORDER BY l_suppkey, l_returnflag""".stripMargin,
+
+    "q23_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        | count(*) AS n, round(avg(value),4) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        | CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        | round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0),2) AS purchase_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q25_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q26_sessionize" ->
+      """WITH t AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |            > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        | FROM events)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q27_memo_joinback" ->
+      """SELECT o_orderkey, o_custkey, cust_n_orders, cust_total
+        |FROM orders
+        |JOIN (SELECT o_custkey AS sk, count(*) AS cust_n_orders,
+        |             round(sum(o_totalprice),2) AS cust_total
+        |      FROM orders GROUP BY o_custkey) s
+        |  ON o_custkey = sk
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q28_error_notes" ->
+      """SELECT c_custkey,
+        | count(o_orderkey) AS n_orders,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_failed,
+        | CASE WHEN count(*) FILTER (WHERE o_orderstatus = 'F') > 0 THEN 'Failed'
+        |      WHEN count(o_orderkey) > 0 THEN 'Success'
+        |      ELSE 'No Schedule' END AS status,
+        | CASE WHEN count(*) FILTER (WHERE o_orderstatus = 'F') > 5
+        |      THEN 'error in more than 5 nodes'
+        |      ELSE coalesce(string_agg(printf('%d --> F', o_orderkey), chr(10)
+        |             ORDER BY o_orderkey) FILTER (WHERE o_orderstatus = 'F'), '') END AS error_note
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q29_explode" ->
+      """SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        | round(CAST(val AS DOUBLE), 4) AS val
+        |FROM (SELECT vec_id, unnest(embedding) AS val,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings WHERE vec_id < 3)
+        |ORDER BY vec_id, pos""".stripMargin
+  )
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard
+  * (quadratic baseline), MinHash+LSH (the scale path), and SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash-groupBy on a 128-bit digest: one shuffle keyed by
+  *    the digest, perfectly partition-parallel;
+  *  - the Jaccard baseline is O(n²) inside a blocking key and exists only as
+  *    the verification oracle for LSH candidates — it runs on a bounded
+  *    sample (doc_id < 2000);
+  *  - MinHash+LSH is linear: signature computation is per-row (no shuffle),
+  *    candidate generation is a shuffle keyed by (band, bucket-hash), so
+  *    only near-duplicate candidates ever meet. Band buckets are the skew
+  *    hazard at scale — a degenerate bucket (e.g. empty docs) would need
+  *    salting or a bucket-size cap before the pair join;
+  *  - SimHash is per-row (no shuffle), pairing by fingerprint is a
+  *    band-rotation join (not materialized here).
+  *
+  * Token hashes are md5-based (`conv(substr(md5(tok),1,8),16,10)`) so the
+  * DuckDB oracle can reproduce them bit-for-bit — both engines share md5.
+  */
+object Dedup {
+
+  // --- MinHash parameters: k permutations (a*h + b) mod p over 31-bit token
+  // hashes; 4 bands × 4 rows. Constants generated deterministically below and
+  // interpolated into BOTH the Spark expressions and the oracle SQL.
+  private val P = 2147483647L // 2^31 - 1 (products stay < 2^62)
+  private val K = 16
+  private val BANDS = 4
+  private val ROWS = K / BANDS
+  private val abs: Seq[(Long, Long)] = (0 until K).map { i =>
+    val a = (1103515245L * (i + 1)) % (P - 1) + 1
+    val b = (12345L + 1000000007L * i) % P
+    (a, b)
+  }
+
+  private def toks(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(split(lower(trim(c)), "\\s+")))
+
+  /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
+  private def tokHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
+
+  /** doc_id + distinct 3-word-shingle set + per-shingle hashes. Shingles are
+    * the MinHash item set: unigram token sets are not discriminating on a
+    * small vocabulary (nearly all docs collide), shingles make Jaccard ≈ 0
+    * for unrelated docs. */
+  private def hashedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      // raw (non-distinct) token sequence — shingles need word order
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")))
+          .as("w"))
+      .withColumn("h", transform(col("w"), t => tokHash(t)))
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  private def jaccard(w1: Column, w2: Column): Column =
+    size(array_intersect(w1, w2)).cast("double") /
+      size(array_union(w1, w2)).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: hash-groupBy on content digest ---------------------
+    // Input doubled (union all) so the keep-first/count semantics are
+    // actually exercised on a corpus with real duplicates.
+    "q35_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents")
+      d.unionAll(d)
+        .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+        .groupBy("text_hash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies", "text_hash")
+        .orderBy("keep_id")
+    }),
+
+    // ---- n-gram (3-shingle) Jaccard near-dup: quadratic baseline ---------
+    // O(n²) pairs — correctness baseline for q37's LSH, bounded to a sample.
+    "q36_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
+      val d = hashedDocs(s, dir).filter(col("doc_id") < 2000).select("doc_id", "w")
+      val a = d.select(col("doc_id").as("d1"), col("w").as("w1"))
+      val b = d.select(col("doc_id").as("d2"), col("w").as("w2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
+        .filter(col("jacc") >= 0.7)
+        .select("d1", "d2", "jacc")
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- MinHash + LSH near-dup: the linear-time scale path --------------
+    "q37_minhash_lsh" -> ((s: SparkSession, dir: String) => {
+      val sigCols = abs.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("h"), x => (lit(a) * x + lit(b)) % lit(P))).as(s"m$i")
+      }
+      // empty shingle sets would give NULL minhashes — exclude them
+      val sig = hashedDocs(s, dir).filter(size(col("w")) > 0)
+        .select(col("doc_id") +: col("w") +: sigCols: _*)
+      val bandCols = (0 until BANDS).map { bi =>
+        struct(lit(bi).as("bi"),
+          md5(concat_ws(",", (0 until ROWS).map(r => col(s"m${bi * ROWS + r}")): _*)
+            .cast("binary")).as("bh"))
+      }
+      val bands = sig
+        .select(col("doc_id"), col("w"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("w"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+      val l = bands.select(col("doc_id").as("d1"), col("w").as("w1"), col("bi"), col("bh"))
+      val r = bands.select(col("doc_id").as("d2"), col("w").as("w2"),
+        col("bi").as("bi2"), col("bh").as("bh2"))
+      l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("w1"), col("w2"))
+        .dropDuplicates("d1", "d2")
+        .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
+        .filter(col("jacc") >= 0.7)
+        .select("d1", "d2", "jacc")
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- SimHash fingerprints (60-bit, md5 token hashes) -----------------
+    "q38_simhash" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .withColumn("h60",
+          expr("transform(w, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"))
+        .withColumn("simhash",
+          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
+                 | acc + CASE WHEN aggregate(h60, 0L,
+                 |   (s2, h) -> s2 + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                 | THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val toksSql = """CASE WHEN length(trim(text)) = 0 THEN []
+                    |     ELSE list_distinct(string_split_regex(lower(trim(text)), '\s+')) END""".stripMargin
+    val tokHashSql = "('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647"
+    // distinct 3-word shingle set, mirroring hashedDocs (CTEs tk -> sh)
+    val shinglesSql =
+      """tk AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        | FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN []
+        |       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                           for i in range(1, len(t) - 1)]) END AS w
+        | FROM tk)""".stripMargin
+
+    Map(
+      "q35_dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+          | md5(lower(trim(text))) AS text_hash
+          |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+          |GROUP BY md5(lower(trim(text)))
+          |ORDER BY keep_id""".stripMargin,
+
+      "q36_jaccard_pairs" ->
+        s"""WITH $shinglesSql,
+           |f AS (SELECT doc_id, w FROM sh WHERE doc_id < 2000)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           | round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+           |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) AS jacc
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+           |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) >= 0.7
+           |ORDER BY d1, d2""".stripMargin,
+
+      "q37_minhash_lsh" -> {
+        val sigExprs = abs.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
+        }
+        val bandSelects = (0 until BANDS).map { bi =>
+          val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
+          s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
+        }
+        s"""WITH $shinglesSql,
+           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+           |       FROM sh WHERE len(w) > 0),
+           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+           |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM bands a JOIN bands b
+           |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |j AS (SELECT d1, d2,
+           |  round(CAST(len(list_intersect(x.w, y.w)) AS DOUBLE)
+           |        / CAST(len(list_distinct(x.w || y.w)) AS DOUBLE), 4) AS jacc
+           | FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id)
+           |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.7 ORDER BY d1, d2""".stripMargin
+      },
+
+      "q38_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |hs AS (SELECT doc_id,
+           |  list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h60 FROM t)
+           |SELECT doc_id,
+           | CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+           |                                    for h in h60]) > 0
+           |                THEN (1::BIGINT << j) ELSE 0::BIGINT END
+           |               for j in range(0, 60)]) AS BIGINT) AS simhash
+           |FROM hs ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design (100 TB):
+  *  - brute-force cosine top-k is the correctness baseline: the query set is
+  *    tiny and broadcast, so the plan is a broadcast nested-loop join that
+  *    streams the candidate side once — no shuffle of the big table, and the
+  *    per-partition top-k is reduced via the window (at true scale the
+  *    window over `qid` partitions is a small shuffle of scored rows only;
+  *    score-then-topk would be further reduced with an `Aggregator`);
+  *  - the IVF path (q40) is the scale pattern: assign every vector to its
+  *    nearest centroid once (broadcast centroids, linear scan), so queries
+  *    probe only matching-centroid partitions.
+  *
+  * Dot products run in double precision, sequentially over the array (same
+  * associativity as the DuckDB oracle's `list_sum`), via codegen'd
+  * higher-order functions — no UDF, no serialization boundary.
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  // 1-based range over a 64-dim list, mirroring Spark's sequential aggregate
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))"
+
+  val queries: Map[String, Q] = Map(
+    // ---- brute-force cosine top-k ---------------------------------------
+    "q39_cosine_topk" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("score", round(cosine(col("qe"), col("ce")), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "cid", "score")
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- IVF assignment: nearest-of-k-centroids --------------------------
+    "q40_ivf_assign" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("centroid_id"))
+      e.join(broadcast(cent))
+        .withColumn("score", round(cosine(col("centv"), col("embedding")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_members"), round(avg("score"), 4).as("avg_sim"))
+        .orderBy("centroid_id")
+    }),
+
+    // ---- embedding norms + label stats (array math surface) --------------
+    "q41_embedding_stats" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("nrm", norm(col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 4).as("avg_norm"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |sc AS (SELECT qid, cid,
+         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+         | FROM q, c WHERE qid <> cid),
+         |rk AS (SELECT qid, cid, score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT qid, rank, cid, score FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q40_ivf_assign" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         |              FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, centroid_id,
+         |  round(${dotSql("centv", "embedding")}
+         |        / (${normSql("centv")} * ${normSql("embedding")}), 4) AS score
+         | FROM embeddings e, cent),
+         |best AS (SELECT vec_id, centroid_id, score FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY score DESC, centroid_id) = 1)
+         |SELECT centroid_id, count(*) AS n_members, round(avg(score), 4) AS avg_sim
+         |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    "q41_embedding_stats" ->
+      s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         | round(avg(nrm), 4) AS avg_norm,
+         | round(min(nrm), 4) AS min_norm,
+         | round(max(nrm), 4) AS max_norm
+         |FROM t GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -86,10 +86,14 @@ object Dedup {
     // ---- n-gram (3-shingle) Jaccard near-dup: quadratic baseline ---------
     // O(n²) pairs — correctness baseline for q37's LSH, bounded to a sample.
     "q36_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
-      val d = hashedDocs(s, dir).filter(col("doc_id") < 2000).select("doc_id", "w")
-      val a = d.select(col("doc_id").as("d1"), col("w").as("w1"))
-      val b = d.select(col("doc_id").as("d2"), col("w").as("w2"))
-      a.join(b, col("d1") < col("d2"))
+      val d = hashedDocs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("w"), size(col("w")).as("sz"))
+      val a = d.select(col("doc_id").as("d1"), col("w").as("w1"), col("sz").as("sz1"))
+      val b = d.select(col("doc_id").as("d2"), col("w").as("w2"), col("sz").as("sz2"))
+      // size-ratio prefilter: jacc >= 0.7 implies min(|A|,|B|)/max(|A|,|B|)
+      // >= 0.7 — an integer predicate that prunes pairs before any array op
+      a.join(b, col("d1") < col("d2") &&
+          col("sz1") * 10 >= col("sz2") * 7 && col("sz2") * 10 >= col("sz1") * 7)
         .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
         .filter(col("jacc") >= 0.7)
         .select("d1", "d2", "jacc")
@@ -166,11 +170,12 @@ object Dedup {
 
       "q36_jaccard_pairs" ->
         s"""WITH $shinglesSql,
-           |f AS (SELECT doc_id, w FROM sh WHERE doc_id < 2000)
+           |f AS (SELECT doc_id, w, len(w) AS sz FROM sh WHERE doc_id < 1000)
            |SELECT a.doc_id AS d1, b.doc_id AS d2,
            | round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
            |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) AS jacc
            |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |  AND a.sz * 10 >= b.sz * 7 AND b.sz * 10 >= a.sz * 7
            |WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
            |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) >= 0.7
            |ORDER BY d1, d2""".stripMargin,

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface (SURVEY.md §2.10). The reference has no
+  * streaming code — its temporal behavior is schedule-driven daily batch —
+  * so these are spec-by-test operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props):
+  *
+  *  - `hourlyAgg`: tumbling-window counts/sums with a watermark — the
+  *    incremental form of the audit's "synced today" daily-window predicate
+  *    (`app.py:160,180`); run with `Trigger.AvailableNow` for the
+  *    cron-equivalent batch.
+  *  - `dedupedRequests`: stateful duplicate suppression within the
+  *    watermark — the streaming analog of the reference's memo dict
+  *    (`app.py:112`) + retry-idempotency (`sync_app3.py:65`).
+  *
+  * Both operate on an unbounded source with bounded state: the watermark
+  * caps state size, which is what makes them viable on a 100 TB/day stream.
+  * Late data beyond the watermark is dropped (Spark default; documented in
+  * tests — no reference analog exists).
+  */
+object EventsPipeline {
+
+  /** Tumbling 1-hour windowed aggregation per event type. */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** At-most-once per key within the watermark (sync-request idempotency). */
+  def dedupedRequests(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

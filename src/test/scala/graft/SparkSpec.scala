@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session; suites run
+  * sequentially under sbt's single test JVM). */
+object TestSession {
+  lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("graft-tests").getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventsPipeline
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured-Streaming slice (SURVEY.md §2.10): watermarked tumbling-window
+  * aggregation and stateful dedup within watermark, driven synchronously
+  * through MemoryStream. Late-data drop is asserted explicitly (Spark
+  * default; no reference analog — spec-by-test). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed agg with watermark emits finalized windows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.hourlyAgg(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 10:45:00"), 1, "click", 2.0),
+        Ev(3, t("2024-01-01 11:10:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to finalize the 10:00 and 11:00 windows
+      in.addData(Ev(4, t("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a late event behind the watermark must be dropped
+      in.addData(Ev(5, t("2024-01-01 10:50:00"), 9, "click", 100.0))
+      q.processAllAvailable()
+      in.addData(Ev(6, t("2024-01-01 18:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .selectExpr("cast(hour_start as string)", "event_type", "n", "total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0))) // late ev5 NOT counted
+      assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.dedupedRequests(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "sync", 1.0),
+        Ev(1, t("2024-01-01 10:00:30"), 1, "sync", 1.0), // duplicate request id
+        Ev(2, t("2024-01-01 10:01:00"), 2, "sync", 1.0))
+      q.processAllAvailable()
+      val n = spark.table("deduped").count()
+      assert(n == 2, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+}

@@ -10,9 +10,9 @@ import graft.Tables
   * Scale design (100 TB):
   *  - exact dedup = hash-groupBy on a 128-bit digest: one shuffle keyed by
   *    the digest, perfectly partition-parallel;
-  *  - the Jaccard baseline is O(n²) inside a blocking key and exists only as
-  *    the verification oracle for LSH candidates — it runs on a bounded
-  *    sample (doc_id < 2000);
+  *  - the Jaccard baseline is O(n²) and exists only as the verification
+  *    oracle for LSH candidates — it runs on a bounded sample
+  *    (doc_id < 500) with a size-ratio prefilter;
   *  - MinHash+LSH is linear: signature computation is per-row (no shuffle),
   *    candidate generation is a shuffle keyed by (band, bucket-hash), so
   *    only near-duplicate candidates ever meet. Band buckets are the skew
@@ -86,7 +86,7 @@ object Dedup {
     // ---- n-gram (3-shingle) Jaccard near-dup: quadratic baseline ---------
     // O(n²) pairs — correctness baseline for q37's LSH, bounded to a sample.
     "q36_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
-      val d = hashedDocs(s, dir).filter(col("doc_id") < 1000)
+      val d = hashedDocs(s, dir).filter(col("doc_id") < 500)
         .select(col("doc_id"), col("w"), size(col("w")).as("sz"))
       val a = d.select(col("doc_id").as("d1"), col("w").as("w1"), col("sz").as("sz1"))
       val b = d.select(col("doc_id").as("d2"), col("w").as("w2"), col("sz").as("sz2"))
@@ -102,26 +102,45 @@ object Dedup {
 
     // ---- MinHash + LSH near-dup: the linear-time scale path --------------
     "q37_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      val sigCols = abs.zipWithIndex.map { case ((a, b), i) =>
-        array_min(transform(col("h"), x => (lit(a) * x + lit(b)) % lit(P))).as(s"m$i")
-      }
-      // empty shingle sets would give NULL minhashes — exclude them
+      // All K minima in ONE traversal of the hash array: fold with a
+      // zip_with over the (a,b) constant array. Crucial at scale: the md5
+      // shingle hashing runs once per shingle — K separate array_min
+      // columns would inline (and recompute) it K times after
+      // CollapseProject.
+      val consts = array(abs.map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b"))
+      }: _*)
+      val sigArr = aggregate(
+        col("h"),
+        array_repeat(lit(P), K),
+        (acc, x) => zip_with(acc, consts, (m, c) =>
+          least(m, (c.getField("a") * x + c.getField("b")) % lit(P))))
+      // Materialize (doc_id, sig) behind a repartition barrier: ~136 bytes
+      // per doc shuffled, and the downstream band extraction reads the
+      // signature attribute instead of re-inlining the aggregate (Catalyst
+      // would otherwise collapse the projections and recompute it 4×).
+      // Empty shingle sets would give NULL minhashes — exclude them.
       val sig = hashedDocs(s, dir).filter(size(col("w")) > 0)
-        .select(col("doc_id") +: col("w") +: sigCols: _*)
+        .select(col("doc_id"), sigArr.as("sig"))
+        .repartition(col("doc_id"))
       val bandCols = (0 until BANDS).map { bi =>
         struct(lit(bi).as("bi"),
-          md5(concat_ws(",", (0 until ROWS).map(r => col(s"m${bi * ROWS + r}")): _*)
+          md5(concat_ws(",",
+            (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
             .cast("binary")).as("bh"))
       }
       val bands = sig
-        .select(col("doc_id"), col("w"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("w"), col("band.bi").as("bi"), col("band.bh").as("bh"))
-      val l = bands.select(col("doc_id").as("d1"), col("w").as("w1"), col("bi"), col("bh"))
-      val r = bands.select(col("doc_id").as("d2"), col("w").as("w2"),
-        col("bi").as("bi2"), col("bh").as("bh2"))
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+      val l = bands.select(col("doc_id").as("d1"), col("bi"), col("bh"))
+      val r = bands.select(col("doc_id").as("d2"), col("bi").as("bi2"), col("bh").as("bh2"))
+      // candidate pairs carry only ids; shingle sets are re-derived from the
+      // (cheap, column-pruned) scan for the verify join — candidates are few
+      val docsW = hashedDocs(s, dir).select("doc_id", "w")
       l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), col("w1"), col("w2"))
-        .dropDuplicates("d1", "d2")
+        .select("d1", "d2").dropDuplicates("d1", "d2")
+        .join(docsW.select(col("doc_id").as("d1"), col("w").as("w1")), Seq("d1"))
+        .join(docsW.select(col("doc_id").as("d2"), col("w").as("w2")), Seq("d2"))
         .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
         .filter(col("jacc") >= 0.7)
         .select("d1", "d2", "jacc")
@@ -170,7 +189,7 @@ object Dedup {
 
       "q36_jaccard_pairs" ->
         s"""WITH $shinglesSql,
-           |f AS (SELECT doc_id, w, len(w) AS sz FROM sh WHERE doc_id < 1000)
+           |f AS (SELECT doc_id, w, len(w) AS sz FROM sh WHERE doc_id < 500)
            |SELECT a.doc_id AS d1, b.doc_id AS d2,
            | round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
            |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) AS jacc

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for paginated JSON REST endpoints — the S2/S3/S4
+  * source family (`Job Cek Script/app.py:125-129,161-165,201-205`;
+  * `Sync Job/sync.py:35-46`) as a first-class Spark connector.
+  *
+  * Design (SURVEY.md §7.3):
+  *  - rows are `(seq BIGINT, json STRING)`: one row per element of the
+  *    endpoint's JSON array, `seq` = global position — ordered sources must
+  *    carry an explicit sequence (SURVEY.md §7.4.2). Typed parsing happens
+  *    in the engine via `from_json` with a declared schema in PERMISSIVE
+  *    mode (SURVEY.md §1.3), so the connector stays schema-agnostic;
+  *  - pagination is partitioning: page i → input partition i, fetched in
+  *    parallel by executors (the reference fetches pages serially on one
+  *    thread);
+  *  - `SupportsPushDownLimit`: `df.limit(n)` caps the pages fetched at
+  *    `ceil(n / page_size)` — the engine-side form of the reference's
+  *    `page_size=8&page=0` URL limit;
+  *  - auth (S1) is an option (`header.Authorization = token`), not an
+  *    operator.
+  *
+  * Options: `url` (required), `page_size` (default 8), `max_pages`
+  * (default 32 — the fetch bound when no limit is pushed), `data_field`
+  * (JSON field holding the array; absent → the document root must be an
+  * array), `page_param` (default "page"), `size_param` (default
+  * "page_size"), `timeout_ms`, plus `header.*` forwarded verbatim.
+  */
+class HttpJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpJsonSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new HttpJsonTable(properties.asScala.toMap)
+}
+
+object HttpJsonSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("json", StringType, nullable = true)))
+}
+
+final class HttpJsonTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-http(${props.getOrElse("url", "?")})"
+  override def schema(): StructType = HttpJsonSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpScanBuilder(props ++ options.asScala)
+}
+
+final class HttpScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownLimit {
+  private var limit: Option[Int] = None
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def build(): Scan = new HttpScan(props, limit)
+}
+
+final class HttpScan(props: Map[String, String], limit: Option[Int])
+    extends Scan with Batch {
+  private val pageSize = props.getOrElse("page_size", "8").toInt
+  private val maxPages = props.getOrElse("max_pages", "32").toInt
+
+  override def readSchema(): StructType = HttpJsonSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // limit pushdown: n rows need at most ceil(n / page_size) pages
+    val pages = limit match {
+      case Some(n) => math.min(maxPages, (n + pageSize - 1) / pageSize)
+      case None => maxPages
+    }
+    (0 until pages).map(p => HttpPage(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(props, pageSize)
+}
+
+final case class HttpPage(page: Int) extends InputPartition
+
+final class HttpReaderFactory(props: Map[String, String], pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new HttpPageReader(props, pageSize, partition.asInstanceOf[HttpPage].page)
+}
+
+final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = fetch()
+  private var current: InternalRow = _
+
+  private def fetch(): Iterator[InternalRow] = {
+    val base = props("url")
+    val pageParam = props.getOrElse("page_param", "page")
+    val sizeParam = props.getOrElse("size_param", "page_size")
+    val timeoutMs = props.getOrElse("timeout_ms", "10000").toLong
+    val sep = if (base.contains("?")) "&" else "?"
+    val url = s"$base$sep$sizeParam=$pageSize&$pageParam=$page"
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+    val reqB = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMs)).GET()
+    props.foreach { case (k, v) =>
+      if (k.toLowerCase.startsWith("header.")) reqB.header(k.substring(7), v)
+    }
+    val body = client.send(reqB.build(), HttpResponse.BodyHandlers.ofString()).body()
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(body)
+    val arr = props.get("data_field").map(root.get).getOrElse(root)
+    if (arr == null || !arr.isArray) Iterator.empty
+    else arr.elements().asScala.zipWithIndex.map { case (el, i) =>
+      InternalRow(page.toLong * pageSize + i,
+        UTF8String.fromString(mapper.writeValueAsString(el)))
+    }
+  }
+
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

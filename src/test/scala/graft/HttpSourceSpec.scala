@@ -1,0 +1,93 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The graft-http DSv2 source against an in-process paginated endpoint:
+  * parallel page fetch, explicit seq ordering, limit pushdown capping the
+  * number of requests, and from_json(PERMISSIVE) typed parsing downstream
+  * (SURVEY.md §1.3 / §7.3). */
+class HttpSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val total = 21 // 21 schedule docs across pages of 8 => 3 pages
+
+  private def withServer(f: (String, AtomicInteger) => Unit): Unit = {
+    val requests = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/schedules", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        val page = params.getOrElse("page", "0").toInt
+        val size = params.getOrElse("page_size", "8").toInt
+        val start = page * size
+        val items = (start until math.min(start + size, total)).map { i =>
+          s"""{"id":$i,"repeat_period":{"hour":${i % 24}},"name":"sched_$i"}"""
+        }
+        val body = s"""{"data":[${items.mkString(",")}]}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/schedules", requests)
+    finally server.stop(0)
+  }
+
+  test("reads all pages in parallel, rows carry global seq") {
+    withServer { (url, _) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "8").option("max_pages", "5")
+        .option("data_field", "data").load()
+      val rows = df.orderBy("seq").collect()
+      assert(rows.length == total)
+      assert(rows.map(_.getLong(0)).toSeq == (0L until total.toLong))
+      assert(rows.head.getString(1).contains("\"name\":\"sched_0\""))
+    }
+  }
+
+  test("limit pushdown caps pages fetched") {
+    withServer { (url, requests) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "8").option("max_pages", "5")
+        .option("data_field", "data").load()
+        .limit(5)
+      assert(df.count() == 5)
+      // 5 rows at page_size 8 => exactly 1 page requested (not max_pages=5)
+      assert(requests.get() == 1, s"expected 1 request, got ${requests.get()}")
+      val scan = df.queryExecution.executedPlan.toString()
+      assert(scan.contains("pushedLimit=5"), s"plan did not push limit:\n$scan")
+    }
+  }
+
+  test("from_json(PERMISSIVE) parses documents into the declared schema") {
+    withServer { (url, _) =>
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("repeat_period", StructType(Seq(StructField("hour", IntegerType)))),
+        StructField("name", StringType),
+        StructField("_corrupt_record", StringType)))
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "8").option("max_pages", "5")
+        .option("data_field", "data").load()
+        .select(col("seq"), from_json(col("json"), schema,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")).as("d"))
+        .select(col("seq"), col("d.id"), col("d.repeat_period.hour").as("hour"), col("d.name"))
+      val r = df.orderBy("seq").as[(Long, Long, Int, String)].collect()
+      assert(r.length == total)
+      assert(r(13) == ((13L, 13L, 13, "sched_13")))
+    }
+  }
+}

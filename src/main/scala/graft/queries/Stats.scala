@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical aggregates, exact percentiles, regexp extraction, map-literal
+  * lookup (T13), grouping sets, and an as-of join — the "general query
+  * capability" tail of SURVEY.md §2.7/§7.2.3.
+  *
+  * The as-of join (q48) is the composition path of the custom-operator
+  * decision table (§7.3(a)): tag both event streams, one window pass with
+  * `last(..., ignoreNulls)` over an explicit ordering — no custom physical
+  * operator needed, one shuffle on the partition key, linear in events.
+  */
+object Stats {
+
+  val queries: Map[String, Q] = Map(
+    // ---- sample stddev / variance / correlation --------------------------
+    "q43_stats" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 4).as("var_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_price_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- exact interpolated percentiles ----------------------------------
+    "q44_percentiles" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(transform( // exact interpolated percentile = DuckDB quantile_cont
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"),
+          v => round(v, 2)).as("price_quartiles"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- regexp extraction + rlike filter --------------------------------
+    "q45_regexp" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .withColumn("first_word", regexp_extract(col("text"), "([a-z]+)", 1))
+        .filter(col("text").rlike("^[a-z]"))
+        .groupBy("first_word")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("first_word")
+    }),
+
+    // ---- map-literal lookup (T13 status -> label) ------------------------
+    "q46_map_lookup" -> ((s: SparkSession, dir: String) => {
+      val statusMap = map(
+        lit("O"), lit("open"), lit("F"), lit("filled"), lit("P"), lit("pending"))
+      Tables(s, dir, "orders")
+        .withColumn("status_label",
+          coalesce(element_at(statusMap, col("o_orderstatus")), lit("unknown")))
+        .groupBy("status_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status_label")
+    }),
+
+    // ---- grouping sets ---------------------------------------------------
+    "q47_grouping_sets" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // ---- as-of join: most recent prior 'view' for each 'purchase' --------
+    "q48_asof_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("prior_view",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "prior_view")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q43_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(stddev_samp(o_totalprice),4) AS sd_price,
+        | round(var_samp(o_totalprice),4) AS var_price,
+        | round(corr(o_totalprice, o_custkey),4) AS corr_price_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        | list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+        |                v -> round(v::DOUBLE, 2)) AS price_quartiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_regexp" ->
+      """SELECT regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        | count(*) AS n_docs
+        |FROM documents
+        |WHERE regexp_matches(text, '^[a-z]')
+        |GROUP BY 1 ORDER BY first_word""".stripMargin,
+
+    "q46_map_lookup" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+        |            WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_label,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin,
+
+    "q47_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q48_asof_join" ->
+      """SELECT event_id, user_id, prior_view FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -47,6 +47,20 @@ object Dedup {
   private def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
 
+  /** Distinct 3-word shingles of a token array, built with slice+zip_with.
+    * NOT with `transform(sequence(...), i -> t[i]...)`: after projection
+    * collapse the indexed child is re-evaluated per lambda invocation,
+    * turning shingling O(tokens²) per row. zip_with walks each slice once. */
+  private[queries] def shingles3(t: Column): Column =
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(zip_with(
+        zip_with(
+          slice(t, lit(1), size(t) - 2),
+          slice(t, lit(2), size(t) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), size(t) - 2),
+        (ab, c) => concat(ab, lit(" "), c))))
+
   /** doc_id + distinct 3-word-shingle set + per-shingle hashes. Shingles are
     * the MinHash item set: unigram token sets are not discriminating on a
     * small vocabulary (nearly all docs collide), shingles make Jaccard ≈ 0
@@ -57,17 +71,8 @@ object Dedup {
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, array().cast("array<string>"))
           .otherwise(split(lower(trim(col("text"))), "\\s+")).as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")))
-          .as("w"))
+      .select(col("doc_id"), shingles3(col("t")).as("w"))
       .withColumn("h", transform(col("w"), t => tokHash(t)))
-
-  /** Jaccard similarity of two distinct-element arrays. */
-  private def jaccard(w1: Column, w2: Column): Column =
-    size(array_intersect(w1, w2)).cast("double") /
-      size(array_union(w1, w2)).cast("double")
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on content digest ---------------------
@@ -86,15 +91,24 @@ object Dedup {
     // ---- n-gram (3-shingle) Jaccard near-dup: quadratic baseline ---------
     // O(n²) pairs — correctness baseline for q37's LSH, bounded to a sample.
     "q36_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
+      // Jaccard over *hashed* shingle sets (BIGINT arrays): set ops on longs
+      // are several× cheaper than on ~20-char strings, and |A∪B| is derived
+      // arithmetically (|A|+|B|-|A∩B|) instead of building the union array.
       val d = hashedDocs(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("w"), size(col("w")).as("sz"))
-      val a = d.select(col("doc_id").as("d1"), col("w").as("w1"), col("sz").as("sz1"))
-      val b = d.select(col("doc_id").as("d2"), col("w").as("w2"), col("sz").as("sz2"))
+        .select(col("doc_id"), array_distinct(col("h")).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      val a = d.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1"))
+      val b = d.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2"))
       // size-ratio prefilter: jacc >= 0.7 implies min(|A|,|B|)/max(|A|,|B|)
-      // >= 0.7 — an integer predicate that prunes pairs before any array op
-      a.join(b, col("d1") < col("d2") &&
+      // >= 0.7 — an integer predicate that prunes pairs before any array op.
+      // repartition: the filtered sample is one parquet split, which would
+      // run the nested-loop join on a single core; broadcast the build side.
+      val inter = size(array_intersect(col("h1"), col("h2")))
+      a.repartition(col("d1"))
+        .join(broadcast(b), col("d1") < col("d2") &&
           col("sz1") * 10 >= col("sz2") * 7 && col("sz2") * 10 >= col("sz1") * 7)
-        .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
+        .withColumn("jacc", round(
+          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
         .filter(col("jacc") >= 0.7)
         .select("d1", "d2", "jacc")
         .orderBy("d1", "d2")
@@ -134,14 +148,19 @@ object Dedup {
         .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
       val l = bands.select(col("doc_id").as("d1"), col("bi"), col("bh"))
       val r = bands.select(col("doc_id").as("d2"), col("bi").as("bi2"), col("bh").as("bh2"))
-      // candidate pairs carry only ids; shingle sets are re-derived from the
-      // (cheap, column-pruned) scan for the verify join — candidates are few
-      val docsW = hashedDocs(s, dir).select("doc_id", "w")
+      // candidate pairs carry only ids; hashed shingle sets are re-derived
+      // from the (column-pruned) scan for the verify join — candidates are
+      // few, and set ops on longs beat set ops on shingle strings
+      val docsH = hashedDocs(s, dir)
+        .select(col("doc_id"), array_distinct(col("h")).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      val inter = size(array_intersect(col("h1"), col("h2")))
       l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
         .select("d1", "d2").dropDuplicates("d1", "d2")
-        .join(docsW.select(col("doc_id").as("d1"), col("w").as("w1")), Seq("d1"))
-        .join(docsW.select(col("doc_id").as("d2"), col("w").as("w2")), Seq("d2"))
-        .withColumn("jacc", round(jaccard(col("w1"), col("w2")), 4))
+        .join(docsH.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
+        .join(docsH.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
+        .withColumn("jacc", round(
+          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
         .filter(col("jacc") >= 0.7)
         .select("d1", "d2", "jacc")
         .orderBy("d1", "d2")
@@ -189,14 +208,18 @@ object Dedup {
 
       "q36_jaccard_pairs" ->
         s"""WITH $shinglesSql,
-           |f AS (SELECT doc_id, w, len(w) AS sz FROM sh WHERE doc_id < 500)
-           |SELECT a.doc_id AS d1, b.doc_id AS d2,
-           | round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-           |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) AS jacc
-           |FROM f a JOIN f b ON a.doc_id < b.doc_id
-           |  AND a.sz * 10 >= b.sz * 7 AND b.sz * 10 >= a.sz * 7
-           |WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-           |       / CAST(len(list_distinct(a.w || b.w)) AS DOUBLE), 4) >= 0.7
+           |f AS (SELECT doc_id,
+           |        list_distinct(list_transform(w, t -> $tokHashSql)) AS hs
+           |      FROM sh WHERE doc_id < 500),
+           |g AS (SELECT doc_id, hs, len(hs) AS sz FROM f),
+           |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |        len(list_intersect(a.hs, b.hs)) AS i, a.sz AS sz1, b.sz AS sz2
+           |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+           |        AND a.sz * 10 >= b.sz * 7 AND b.sz * 10 >= a.sz * 7)
+           |SELECT d1, d2,
+           | round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
+           |FROM p
+           |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
            |ORDER BY d1, d2""".stripMargin,
 
       "q37_minhash_lsh" -> {
@@ -215,11 +238,14 @@ object Dedup {
            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            |         FROM bands a JOIN bands b
            |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |j AS (SELECT d1, d2,
-           |  round(CAST(len(list_intersect(x.w, y.w)) AS DOUBLE)
-           |        / CAST(len(list_distinct(x.w || y.w)) AS DOUBLE), 4) AS jacc
-           | FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id)
-           |SELECT d1, d2, jacc FROM j WHERE jacc >= 0.7 ORDER BY d1, d2""".stripMargin
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs, len(list_distinct(h)) AS sz FROM hs),
+           |j AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+           |             x.sz AS sz1, y.sz AS sz2
+           | FROM cand JOIN hd x ON cand.d1 = x.doc_id JOIN hd y ON cand.d2 = y.doc_id)
+           |SELECT d1, d2,
+           | round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
+           |FROM j WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
+           |ORDER BY d1, d2""".stripMargin
       },
 
       "q38_simhash" ->

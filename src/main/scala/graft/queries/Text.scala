@@ -107,14 +107,11 @@ object Text {
         .orderBy("doc_id")
     }),
 
-    // ---- 3-gram (word) shingles ------------------------------------------
+    // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
         .withColumn("w", toks(col("text")))
-        .withColumn("sh",
-          when(size(col("w")) < 3, array().cast("array<string>"))
-            .otherwise(expr(
-              "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
+        .withColumn("sh", Dedup.shingles3(col("w")))
         .select(
           col("doc_id"),
           size(array_distinct(col("sh"))).cast("long").as("n_shingles"),

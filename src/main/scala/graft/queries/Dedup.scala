@@ -33,7 +33,7 @@ object Dedup {
   private val K = 16
   private val BANDS = 4
   private val ROWS = K / BANDS
-  private val abs: Seq[(Long, Long)] = (0 until K).map { i =>
+  private val AB: Seq[(Long, Long)] = (0 until K).map { i =>
     val a = (1103515245L * (i + 1)) % (P - 1) + 1
     val b = (12345L + 1000000007L * i) % P
     (a, b)
@@ -121,7 +121,7 @@ object Dedup {
       // shingle hashing runs once per shingle — K separate array_min
       // columns would inline (and recompute) it K times after
       // CollapseProject.
-      val consts = array(abs.map { case (a, b) =>
+      val consts = array(AB.map { case (a, b) =>
         struct(lit(a).as("a"), lit(b).as("b"))
       }: _*)
       val sigArr = aggregate(
@@ -163,6 +163,23 @@ object Dedup {
           inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
         .filter(col("jacc") >= 0.7)
         .select("d1", "d2", "jacc")
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- edit-distance near-dup (bounded sample, length prefilter) -------
+    "q49_edit_distance" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val a = d.select(col("doc_id").as("d1"), col("text").as("t1"), col("len").as("len1"))
+      val b = d.select(col("doc_id").as("d2"), col("text").as("t2"), col("len").as("len2"))
+      // |len1-len2| is a lower bound on edit distance — prune before the
+      // O(n·m) levenshtein; repartition the one-split sample for parallelism
+      a.repartition(col("d1"))
+        .join(broadcast(b), col("d1") < col("d2") &&
+          abs(col("len1") - col("len2")) <= 16)
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .filter(col("dist") <= 16)
+        .select("d1", "d2", "dist")
         .orderBy("d1", "d2")
     }),
 
@@ -223,7 +240,7 @@ object Dedup {
            |ORDER BY d1, d2""".stripMargin,
 
       "q37_minhash_lsh" -> {
-        val sigExprs = abs.zipWithIndex.map { case ((a, b), i) =>
+        val sigExprs = AB.zipWithIndex.map { case ((a, b), i) =>
           s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
         }
         val bandSelects = (0 until BANDS).map { bi =>
@@ -247,6 +264,15 @@ object Dedup {
            |FROM j WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
            |ORDER BY d1, d2""".stripMargin
       },
+
+      "q49_edit_distance" ->
+        """WITH d AS (SELECT doc_id, text, length(text) AS len
+          |           FROM documents WHERE doc_id < 100)
+          |SELECT a.doc_id AS d1, b.doc_id AS d2,
+          | CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+          |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16
+          |WHERE levenshtein(a.text, b.text) <= 16
+          |ORDER BY d1, d2""".stripMargin,
 
       "q38_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -72,6 +72,23 @@ object Similarity {
         .orderBy("centroid_id")
     }),
 
+    // ---- SQ8 scalar quantization: reconstruction error per label ---------
+    // The storage-side half of ANN at scale: int8 codes are 4× smaller than
+    // float32; this measures what that costs in reconstruction error.
+    "q50_quantize" -> ((s: SparkSession, dir: String) => {
+      val recon = aggregate(
+        transform(col("embedding"), x =>
+          abs(x.cast("double") - round(x.cast("double") * 127).cast("double") / 127.0)),
+        lit(0.0), (acc, v) => acc + v) / size(col("embedding")).cast("double")
+      Tables(s, dir, "embeddings")
+        .withColumn("recon_err", recon)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("recon_err"), 6).as("avg_err"),
+          round(max("recon_err"), 6).as("max_err"))
+        .orderBy("label")
+    }),
+
     // ---- embedding norms + label stats (array math surface) --------------
     "q41_embedding_stats" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "embeddings")
@@ -110,6 +127,17 @@ object Similarity {
          |                             ORDER BY score DESC, centroid_id) = 1)
          |SELECT centroid_id, count(*) AS n_members, round(avg(score), 4) AS avg_sim
          |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    "q50_quantize" ->
+      """WITH t AS (SELECT label,
+        |  list_sum(list_transform(embedding, x ->
+        |    abs(x::DOUBLE - round(x::DOUBLE * 127)::DOUBLE / 127.0)))
+        |    / CAST(len(embedding) AS DOUBLE) AS recon_err
+        | FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        | round(avg(recon_err), 6) AS avg_err,
+        | round(max(recon_err), 6) AS max_err
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     "q41_embedding_stats" ->
       s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

@@ -37,4 +37,16 @@ object EventsPipeline {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user: a session closes after `gap` of inactivity —
+    * the streaming form of q26's batch sessionization. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
 }

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the inactivity gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.sessionAgg(in.toDF(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 10:10:00"), 1, "click", 2.0), // same session
+        Ev(3, t("2024-01-01 11:30:00"), 1, "click", 4.0)) // new session (gap > 30m)
+      q.processAllAvailable()
+      in.addData(Ev(4, t("2024-01-01 15:00:00"), 2, "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .selectExpr("cast(session_start as string)", "user_id", "n_events", "total_value")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", 1L, 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 11:30:00", 1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

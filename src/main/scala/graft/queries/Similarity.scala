@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -24,16 +25,10 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two float arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
+  /** HOF norm (q41's array-math surface); the hot cosine path uses the
+    * codegen'd native expression [[org.apache.spark.sql.graft.CosineSimilarity]]. */
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
 
   // 1-based range over a 64-dim list, mirroring Spark's sequential aggregate
   private def dotSql(a: String, b: String): String =
@@ -50,7 +45,7 @@ object Similarity {
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
       c.join(broadcast(q), col("qid") =!= col("cid"))
-        .withColumn("score", round(cosine(col("qe"), col("ce")), 4))
+        .withColumn("score", round(cosine_sim(col("qe"), col("ce")), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("qid", "rank", "cid", "score")
@@ -64,7 +59,7 @@ object Similarity {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("centroid_id"))
       e.join(broadcast(cent))
-        .withColumn("score", round(cosine(col("centv"), col("embedding")), 4))
+        .withColumn("score", round(cosine_sim(col("centv"), col("embedding")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy("centroid_id")

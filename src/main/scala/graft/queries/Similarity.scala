@@ -67,6 +67,37 @@ object Similarity {
         .orderBy("centroid_id")
     }),
 
+    // ---- IVF search: probe top-2 centroids, search only their members ----
+    // The ANN scale path next to q39's brute force: at 100 TB the
+    // assignment table is written partitioned by centroid_id, so a probe
+    // reads only matching partitions (partition pruning) — here the probe
+    // is the equi-join on centroid id. Recall is approximate by design.
+    "q51_ivf_search" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val wA = Window.partitionBy("vec_id").orderBy(desc("ascore"), asc("centroid_id"))
+      val assign = e.join(broadcast(cent))
+        .withColumn("ascore", round(cosine_sim(col("centv"), col("embedding")), 4))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("centroid_id").as("ccid"),
+          col("embedding").as("ce"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wQ = Window.partitionBy("qid").orderBy(desc("qscore"), asc("centroid_id"))
+      val probes = q.join(broadcast(cent))
+        .withColumn("qscore", round(cosine_sim(col("centv"), col("qe")), 4))
+        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 2)
+        .select(col("qid"), col("qe"), col("centroid_id").as("pcid"))
+      val wS = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
+      probes.join(assign, col("pcid") === col("ccid") && col("qid") =!= col("cid"))
+        .withColumn("score", round(cosine_sim(col("qe"), col("ce")), 4))
+        .withColumn("rank", row_number().over(wS).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "cid", "score")
+        .orderBy("qid", "rank")
+    }),
+
     // ---- SQ8 scalar quantization: reconstruction error per label ---------
     // The storage-side half of ANN at scale: int8 codes are 4× smaller than
     // float32; this measures what that costs in reconstruction error.
@@ -122,6 +153,34 @@ object Similarity {
          |                             ORDER BY score DESC, centroid_id) = 1)
          |SELECT centroid_id, count(*) AS n_members, round(avg(score), 4) AS avg_sim
          |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    "q51_ivf_search" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         |              FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         | SELECT vec_id AS cid, centroid_id AS ccid, embedding AS ce FROM (
+         |  SELECT e.vec_id, centroid_id, e.embedding,
+         |   round(${dotSql("centv", "embedding")}
+         |         / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
+         |  FROM embeddings e, cent)
+         | QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY ascore DESC, centroid_id) = 1),
+         |probes AS (
+         | SELECT qid, qe, centroid_id AS pcid FROM (
+         |  SELECT q.vec_id AS qid, q.embedding AS qe, centroid_id,
+         |   round(${dotSql("centv", "qe")}
+         |         / (${normSql("centv")} * ${normSql("qe")}), 4) AS qscore
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, cent)
+         | QUALIFY row_number() OVER (PARTITION BY qid
+         |                            ORDER BY qscore DESC, centroid_id) <= 2),
+         |sc AS (SELECT qid, cid,
+         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+         | FROM probes JOIN assign ON pcid = ccid AND qid <> cid)
+         |SELECT qid, rank, cid, score FROM (
+         | SELECT qid, cid, score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
+         | FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q50_quantize" ->
       """WITH t AS (SELECT label,

@@ -104,13 +104,19 @@ object Dedup {
       // repartition: the filtered sample is one parquet split, which would
       // run the nested-loop join on a single core; broadcast the build side.
       val inter = size(array_intersect(col("h1"), col("h2")))
+      val jacc = round(
+        inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4)
+      // The threshold goes INTO the join condition, after the cheap
+      // conjuncts: a separate .filter would be pushed into the join ahead
+      // of them (PushPredicateThroughJoin prepends), evaluating the array
+      // intersect for every id-ordered pair. Conjunct order short-circuits,
+      // so the intersect runs only for size-compatible pairs; jacc is
+      // recomputed in the projection for the few survivors.
       a.repartition(col("d1"))
         .join(broadcast(b), col("d1") < col("d2") &&
-          col("sz1") * 10 >= col("sz2") * 7 && col("sz2") * 10 >= col("sz1") * 7)
-        .withColumn("jacc", round(
-          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
-        .filter(col("jacc") >= 0.7)
-        .select("d1", "d2", "jacc")
+          col("sz1") * 10 >= col("sz2") * 7 && col("sz2") * 10 >= col("sz1") * 7 &&
+          jacc >= 0.7)
+        .select(col("d1"), col("d2"), jacc.as("jacc"))
         .orderBy("d1", "d2")
     }),
 
@@ -173,12 +179,14 @@ object Dedup {
       val a = d.select(col("doc_id").as("d1"), col("text").as("t1"), col("len").as("len1"))
       val b = d.select(col("doc_id").as("d2"), col("text").as("t2"), col("len").as("len2"))
       // |len1-len2| is a lower bound on edit distance — prune before the
-      // O(n·m) levenshtein; repartition the one-split sample for parallelism
+      // O(n·m) levenshtein; repartition the one-split sample for
+      // parallelism. The distance threshold sits last in the join condition
+      // (cheap conjuncts short-circuit first — see q36).
       a.repartition(col("d1"))
         .join(broadcast(b), col("d1") < col("d2") &&
-          abs(col("len1") - col("len2")) <= 16)
+          abs(col("len1") - col("len2")) <= 16 &&
+          levenshtein(col("t1"), col("t2")) <= 16)
         .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
-        .filter(col("dist") <= 16)
         .select("d1", "d2", "dist")
         .orderBy("d1", "d2")
     }),

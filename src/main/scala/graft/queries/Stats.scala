@@ -71,6 +71,21 @@ object Stats {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
+    // ---- window frames: RANGE frame + ntile/percent_rank/cume_dist -------
+    "q52_window_frames" -> ((s: SparkSession, dir: String) => {
+      val byPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      val ranked = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          // value-based frame: orders within $10k below the current price
+          count(lit(1)).over(byPrice.rangeBetween(-10000L, Window.currentRow)).as("n_near"),
+          ntile(4).over(ranked).as("quartile"),
+          round(percent_rank().over(ranked), 4).as("pr"),
+          round(cume_dist().over(ranked), 4).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -118,6 +133,17 @@ object Stats {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q52_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_near,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 4) AS pr,
+        | round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q48_asof_join" ->
       """SELECT event_id, user_id, prior_view FROM (

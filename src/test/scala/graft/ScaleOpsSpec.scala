@@ -1,0 +1,58 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import graft.operators.Salting
+
+/** Scale-path operators: salted join/aggregate equivalence, and bucketed
+  * tables joining without a shuffle (the co-located-join story). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join result") {
+    val dir = sf("sf0.001")
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey")).agg(
+      count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2)
+    ).as[(Long, Double)].first()
+    val salted = Salting.saltedJoin(li, o, "l_orderkey", salts = 8).agg(
+      count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 2)
+    ).as[(Long, Double)].first()
+    assert(salted == plain)
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    val dir = sf("sf0.001")
+    val li = Tables(spark, dir, "lineitem")
+    val plain = li.groupBy("l_suppkey").agg(
+      round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("n"))
+      .select("l_suppkey", "s", "n")
+      .as[(Long, Double, Long)].collect().toSet
+    val salted = Salting.saltedSum(li, "l_suppkey", "l_quantity", salts = 8)
+      .select(col("l_suppkey"), round(col("sum_l_quantity"), 2), col("n"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    val dir = sf("sf0.001")
+    Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    val j = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    // force a sort-merge path so the bucketing (not a broadcast) is used
+    val joined = j.hint("merge")
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == Tables(spark, dir, "lineitem").count())
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+}

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * sequentially under sbt's single test JVM). */
 object TestSession {
   lazy val spark: SparkSession =
-    GraftSession.builder("4").appName("graft-tests").getOrCreate()
+    GraftSession.builder("4").appName("graft-tests")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
 }
 
 trait SparkSpec extends AnyFunSuite {

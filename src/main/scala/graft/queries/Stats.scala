@@ -71,6 +71,19 @@ object Stats {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
+    // ---- date arithmetic: diff/add/last_day/quarter/iso weekday ----------
+    "q53_date_arith" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_y2k"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus_30"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"),
+          (weekday(col("o_orderdate")) + 1).as("iso_dow"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- window frames: RANGE frame + ntile/percent_rank/cume_dist -------
     "q52_window_frames" -> ((s: SparkSession, dir: String) => {
       val byPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice")
@@ -133,6 +146,15 @@ object Stats {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q53_date_arith" ->
+      """SELECT o_orderkey,
+        | datediff('day', o_orderdate, DATE '2000-01-01') AS days_to_y2k,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30,
+        | strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+        | CAST(isodow(o_orderdate) AS INT) AS iso_dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q52_window_frames" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful operators. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Accumulated per-user state (flatMapGroupsWithState buffer). */
+case class UserState(n_events: Long, total_value: Double)
+
+/** Per-batch emission of the running per-user totals. */
+case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming surface (SURVEY.md §2.10). The reference has no
   * streaming code — its temporal behavior is schedule-driven daily batch —
@@ -37,6 +48,27 @@ object EventsPipeline {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals that survive across micro-batches (the arbitrary-state API —
+    * what windows/dedup can't express). State is per-key and bounded by the
+    * key cardinality; production variants add a timeout to expire idle
+    * users. */
+  def userRunningStats(events: Dataset[EventRow]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserState(n, total)
+          state.update(next)
+          Iterator(UserUpdate(userId, next.n_events, next.total_value))
+      }
+  }
 
   /** Session windows per user: a session closes after `gap` of inactivity —
     * the streaming form of q26's batch sessionization. */

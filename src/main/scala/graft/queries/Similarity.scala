@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
@@ -9,24 +9,23 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Scale design (100 TB):
-  *  - brute-force cosine top-k is the correctness baseline: the query set is
-  *    tiny and broadcast, so the plan is a broadcast nested-loop join that
-  *    streams the candidate side once — no shuffle of the big table, and the
-  *    per-partition top-k is reduced via the window (at true scale the
-  *    window over `qid` partitions is a small shuffle of scored rows only;
-  *    score-then-topk would be further reduced with an `Aggregator`);
-  *  - the IVF path (q40) is the scale pattern: assign every vector to its
-  *    nearest centroid once (broadcast centroids, linear scan), so queries
-  *    probe only matching-centroid partitions.
+  *  - brute-force cosine top-k (q39) is the correctness baseline: the query
+  *    set is tiny and broadcast, so the plan streams the candidate side once
+  *    — no shuffle of the big table;
+  *  - IVF (q40 assignment, q51 search, q55 recall) is the scale path: every
+  *    vector is assigned to its nearest centroid once; at scale the
+  *    assignment table is written partitioned by centroid so probes read
+  *    only matching partitions. q55 measures what the approximation costs;
+  *  - SQ8 quantization (q50) is the storage half: int8 codes are 4× smaller
+  *    than float32.
   *
-  * Dot products run in double precision, sequentially over the array (same
-  * associativity as the DuckDB oracle's `list_sum`), via codegen'd
-  * higher-order functions — no UDF, no serialization boundary.
+  * The hot cosine path is the codegen'd native expression
+  * [[org.apache.spark.sql.graft.CosineSimilarity]]; double accumulation in
+  * array order keeps bit-parity with the DuckDB oracle's `list_sum`.
   */
 object Similarity {
 
-  /** HOF norm (q41's array-math surface); the hot cosine path uses the
-    * codegen'd native expression [[org.apache.spark.sql.graft.CosineSimilarity]]. */
+  /** HOF norm (q41's array-math surface). */
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
@@ -68,10 +67,6 @@ object Similarity {
     }),
 
     // ---- IVF search: probe top-2 centroids, search only their members ----
-    // The ANN scale path next to q39's brute force: at 100 TB the
-    // assignment table is written partitioned by centroid_id, so a probe
-    // reads only matching partitions (partition pruning) — here the probe
-    // is the equi-join on centroid id. Recall is approximate by design.
     "q51_ivf_search" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
@@ -98,9 +93,19 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // ---- recall@5 of IVF vs brute force (ANN quality measurement) --------
+    "q55_ivf_recall" -> ((s: SparkSession, dir: String) => {
+      val bf = queries("q39_cosine_topk")(s, dir).select("qid", "cid")
+      val ivf = queries("q51_ivf_search")(s, dir)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      bf.join(ivf, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / 5.0, 4))
+        .orderBy("qid")
+    }),
+
     // ---- SQ8 scalar quantization: reconstruction error per label ---------
-    // The storage-side half of ANN at scale: int8 codes are 4× smaller than
-    // float32; this measures what that costs in reconstruction error.
     "q50_quantize" -> ((s: SparkSession, dir: String) => {
       val recon = aggregate(
         transform(col("embedding"), x =>
@@ -128,18 +133,48 @@ object Similarity {
     })
   )
 
+  private lazy val q39Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+       |sc AS (SELECT qid, cid,
+       |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+       | FROM q, c WHERE qid <> cid),
+       |rk AS (SELECT qid, cid, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
+       | FROM sc)
+       |SELECT qid, rank, cid, score FROM rk WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private lazy val q51Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+       |              FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       | SELECT vec_id AS cid, centroid_id AS ccid, embedding AS ce FROM (
+       |  SELECT e.vec_id, centroid_id, e.embedding,
+       |   round(${dotSql("centv", "embedding")}
+       |         / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
+       |  FROM embeddings e, cent)
+       | QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ascore DESC, centroid_id) = 1),
+       |probes AS (
+       | SELECT qid, qe, centroid_id AS pcid FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, centroid_id,
+       |   round(${dotSql("centv", "qe")}
+       |         / (${normSql("centv")} * ${normSql("qe")}), 4) AS qscore
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, cent)
+       | QUALIFY row_number() OVER (PARTITION BY qid
+       |                            ORDER BY qscore DESC, centroid_id) <= 2),
+       |sc AS (SELECT qid, cid,
+       |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+       | FROM probes JOIN assign ON pcid = ccid AND qid <> cid)
+       |SELECT qid, rank, cid, score FROM (
+       | SELECT qid, cid, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
+       | FROM sc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q39_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-         |sc AS (SELECT qid, cid,
-         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
-         | FROM q, c WHERE qid <> cid),
-         |rk AS (SELECT qid, cid, score,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
-         | FROM sc)
-         |SELECT qid, rank, cid, score FROM rk WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin,
+    "q39_cosine_topk" -> q39Sql,
 
     "q40_ivf_assign" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
@@ -154,33 +189,15 @@ object Similarity {
          |SELECT centroid_id, count(*) AS n_members, round(avg(score), 4) AS avg_sim
          |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
 
-    "q51_ivf_search" ->
-      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
-         |              FROM embeddings WHERE vec_id < 8),
-         |assign AS (
-         | SELECT vec_id AS cid, centroid_id AS ccid, embedding AS ce FROM (
-         |  SELECT e.vec_id, centroid_id, e.embedding,
-         |   round(${dotSql("centv", "embedding")}
-         |         / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
-         |  FROM embeddings e, cent)
-         | QUALIFY row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY ascore DESC, centroid_id) = 1),
-         |probes AS (
-         | SELECT qid, qe, centroid_id AS pcid FROM (
-         |  SELECT q.vec_id AS qid, q.embedding AS qe, centroid_id,
-         |   round(${dotSql("centv", "qe")}
-         |         / (${normSql("centv")} * ${normSql("qe")}), 4) AS qscore
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, cent)
-         | QUALIFY row_number() OVER (PARTITION BY qid
-         |                            ORDER BY qscore DESC, centroid_id) <= 2),
-         |sc AS (SELECT qid, cid,
-         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
-         | FROM probes JOIN assign ON pcid = ccid AND qid <> cid)
-         |SELECT qid, rank, cid, score FROM (
-         | SELECT qid, cid, score,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
-         | FROM sc)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q51_ivf_search" -> q51Sql,
+
+    "q55_ivf_recall" ->
+      s"""SELECT bf.qid AS qid, CAST(count(ivf.cid) AS BIGINT) AS n_hit,
+         | round(CAST(count(ivf.cid) AS DOUBLE) / 5.0, 4) AS recall
+         |FROM ($q39Sql) bf
+         |LEFT JOIN ($q51Sql) ivf
+         |  ON bf.qid = ivf.qid AND bf.cid = ivf.cid
+         |GROUP BY bf.qid ORDER BY qid""".stripMargin,
 
     "q50_quantize" ->
       """WITH t AS (SELECT label,

@@ -1,7 +1,9 @@
 package graft
 
 /** Dev helper: print formatted plans (and optionally time) for named
-  * queries — `runMain graft.ExplainMain q04_order_priority [sfDir]`. */
+  * queries — `runMain graft.ExplainMain q04_order_priority [sfDir]`.
+  * Timing drives a noop-format write (same methodology as Bench) so
+  * computed columns aren't pruned out of the measurement. */
 object ExplainMain {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -11,12 +13,12 @@ object ExplainMain {
       case Some(name) =>
         val df = SparkEntry.queries(name)(spark, dir)
         df.explain("formatted")
-        val t0 = System.nanoTime()
-        val n = df.count()
-        println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
-        val t1 = System.nanoTime()
-        df.count()
-        println(s"second run: ${(System.nanoTime() - t1) / 1e9}s")
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(s"cold=${run()}s warm=${run()}s")
       case None => println("usage: ExplainMain <query> [sfDir]")
     }
     spark.stop()

@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.graft.TextHashes
 import graft.Tables
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard
@@ -65,14 +68,86 @@ object Dedup {
     * the MinHash item set: unigram token sets are not discriminating on a
     * small vocabulary (nearly all docs collide), shingles make Jaccard ≈ 0
     * for unrelated docs. */
-  private def hashedDocs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private def hashedDocsOf(docs: DataFrame): DataFrame =
+    docs
       // raw (non-distinct) token sequence — shingles need word order
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, array().cast("array<string>"))
           .otherwise(split(lower(trim(col("text"))), "\\s+")).as("t"))
       .select(col("doc_id"), shingles3(col("t")).as("w"))
       .withColumn("h", transform(col("w"), t => tokHash(t)))
+
+  private def hashedDocs(s: SparkSession, dir: String): DataFrame =
+    hashedDocsOf(Tables(s, dir, "documents"))
+
+  /** LSH bucket-size cap: a band bucket with more members than this is
+    * dropped before the candidate self-join. A degenerate bucket (boiler-
+    * plate or near-empty docs sharing a signature) makes that join quadratic
+    * in the bucket — the one quadratic blowup this pipeline can hit at
+    * 100 TB. Mega-clusters of identical docs are exact-dedup's job (q35);
+    * near-dup pairing inside a >CAP bucket is noise, not signal. The oracle
+    * SQL applies the same cap (QUALIFY), so semantics match at every sf. */
+  val LshBucketCap = 32
+
+  /** (doc_id, hs, sz, sig) in ONE pass over the corpus: distinct shingle-
+    * hash set, its size, and the K-permutation MinHash signature. Persisted
+    * (MEMORY_AND_DISK — spills, never OOMs): the scan→tokenize→shingle→md5
+    * work dominates and is needed by the band explode AND both sides of the
+    * verify join — round-1 recomputed it 3×. At 100 TB this is the table
+    * you'd checkpoint to parquet once per corpus snapshot.
+    *
+    * All K minima come from one traversal of `hs`: a fold whose accumulator
+    * zips with the (a,b) constant array. K separate array_min columns would
+    * re-inline the md5 hashing K times after CollapseProject. (MinHash over
+    * the distinct set equals MinHash over the multiset — min ignores
+    * multiplicity — so we fold the deduped `hs`, which is also smaller.)
+    */
+  def minhashBase(docs: DataFrame): DataFrame = {
+    val consts = array(AB.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val sigArr = aggregate(
+      col("hs"),
+      array_repeat(lit(P), K),
+      (acc, x) => zip_with(acc, consts, (m, c) =>
+        least(m, (c.getField("a") * x + c.getField("b")) % lit(P))))
+    hashedDocsOf(docs)
+      .filter(size(col("w")) > 0) // empty shingle sets would fold to NULL sigs
+      .select(col("doc_id"), array_distinct(col("h")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"), sigArr.as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH candidate generation + Jaccard verify over a [[minhashBase]] table.
+    * Linear at scale: band buckets shuffle on (bi, bh) so only near-dup
+    * candidates meet; buckets larger than `cap` are dropped (see
+    * [[LshBucketCap]]); the verify join re-reads the persisted base, so the
+    * corpus is scanned exactly once end-to-end. */
+  def lshPairs(base: DataFrame, cap: Int): DataFrame = {
+    val bandCols = (0 until BANDS).map { bi =>
+      struct(lit(bi).as("bi"),
+        md5(concat_ws(",",
+          (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
+          .cast("binary")).as("bh"))
+    }
+    val bands = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bi", "bh")))
+      .filter(col("bn") <= cap)
+      .drop("bn")
+    val l = bands.select(col("doc_id").as("d1"), col("bi"), col("bh"))
+    val r = bands.select(col("doc_id").as("d2"), col("bi").as("bi2"), col("bh").as("bh2"))
+    val inter = size(array_intersect(col("h1"), col("h2")))
+    l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+      .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
+      .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jacc", round(
+        inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
+      .filter(col("jacc") >= 0.7)
+      .select("d1", "d2", "jacc")
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on content digest ---------------------
@@ -121,54 +196,10 @@ object Dedup {
     }),
 
     // ---- MinHash + LSH near-dup: the linear-time scale path --------------
+    // One corpus scan (persisted minhashBase), capped band buckets — see
+    // the scaladoc on minhashBase/lshPairs/LshBucketCap above.
     "q37_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      // All K minima in ONE traversal of the hash array: fold with a
-      // zip_with over the (a,b) constant array. Crucial at scale: the md5
-      // shingle hashing runs once per shingle — K separate array_min
-      // columns would inline (and recompute) it K times after
-      // CollapseProject.
-      val consts = array(AB.map { case (a, b) =>
-        struct(lit(a).as("a"), lit(b).as("b"))
-      }: _*)
-      val sigArr = aggregate(
-        col("h"),
-        array_repeat(lit(P), K),
-        (acc, x) => zip_with(acc, consts, (m, c) =>
-          least(m, (c.getField("a") * x + c.getField("b")) % lit(P))))
-      // Materialize (doc_id, sig) behind a repartition barrier: ~136 bytes
-      // per doc shuffled, and the downstream band extraction reads the
-      // signature attribute instead of re-inlining the aggregate (Catalyst
-      // would otherwise collapse the projections and recompute it 4×).
-      // Empty shingle sets would give NULL minhashes — exclude them.
-      val sig = hashedDocs(s, dir).filter(size(col("w")) > 0)
-        .select(col("doc_id"), sigArr.as("sig"))
-        .repartition(col("doc_id"))
-      val bandCols = (0 until BANDS).map { bi =>
-        struct(lit(bi).as("bi"),
-          md5(concat_ws(",",
-            (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
-            .cast("binary")).as("bh"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
-      val l = bands.select(col("doc_id").as("d1"), col("bi"), col("bh"))
-      val r = bands.select(col("doc_id").as("d2"), col("bi").as("bi2"), col("bh").as("bh2"))
-      // candidate pairs carry only ids; hashed shingle sets are re-derived
-      // from the (column-pruned) scan for the verify join — candidates are
-      // few, and set ops on longs beat set ops on shingle strings
-      val docsH = hashedDocs(s, dir)
-        .select(col("doc_id"), array_distinct(col("h")).as("hs"))
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-      val inter = size(array_intersect(col("h1"), col("h2")))
-      l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
-        .select("d1", "d2").dropDuplicates("d1", "d2")
-        .join(docsH.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
-        .join(docsH.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
-        .withColumn("jacc", round(
-          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
-        .filter(col("jacc") >= 0.7)
-        .select("d1", "d2", "jacc")
+      lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
         .orderBy("d1", "d2")
     }),
 
@@ -192,16 +223,16 @@ object Dedup {
     }),
 
     // ---- SimHash fingerprints (60-bit, md5 token hashes) -----------------
+    // The 60-bit majority fold is the native codegen'd simhash60 expression
+    // (TextHashes): the HOF form dispatched 60 × |tokens| interpreted
+    // lambdas per row — the slowest query in the round-1 noop bench by 2×.
+    // Bit-identical to the HOF form (TextHashesSpec); oracle unchanged.
     "q38_simhash" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("w"))
         .withColumn("h60",
           expr("transform(w, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"))
-        .withColumn("simhash",
-          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
-                 | acc + CASE WHEN aggregate(h60, 0L,
-                 |   (s2, h) -> s2 + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-                 | THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+        .withColumn("simhash", TextHashes.simhash60(col("h60")))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
     })
@@ -259,7 +290,8 @@ object Dedup {
            |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
            |       FROM sh WHERE len(w) > 0),
            |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
-           |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+           |bands AS (SELECT * FROM (${bandSelects.mkString(" UNION ALL ")})
+           |          QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            |         FROM bands a JOIN bands b
            |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextHashes
 import graft.Tables
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -93,16 +94,14 @@ object Text {
     // full_hash: polynomial hash of the whole text, mod 1e9+7;
     // min_window_hash: min polynomial hash over all 16-char windows
     // (the rolling-hash fingerprint used for containment detection).
+    // Native codegen'd expressions (TextHashes): the HOF form dispatched an
+    // interpreted lambda per (window × position) — O(16·len) per row and
+    // the 2nd-slowest bench query; the native rolling hash is O(len) in a
+    // generated loop. Bit-identical to the HOF form (TextHashesSpec).
     "q33_fingerprint" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
-        .withColumn("full_hash",
-          expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
-        .withColumn("min_window_hash",
-          expr("""CASE WHEN length(text) < 16 THEN NULL ELSE
-                 |array_min(transform(sequence(1, length(text) - 15),
-                 |  i -> aggregate(split(substring(text, i, 16), ''), 0L,
-                 |         (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)))
-                 |END""".stripMargin))
+        .withColumn("full_hash", TextHashes.poly_hash(col("text")))
+        .withColumn("min_window_hash", TextHashes.min_window_hash(col("text"), 16))
         .select("doc_id", "full_hash", "min_window_hash")
         .orderBy("doc_id")
     }),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Dedup
+
+/** MinHash+LSH pipeline mechanics (q37's engine): one-scan base table and
+  * the degenerate-bucket cap. The oracle gate (check_oracle) covers result
+  * correctness at sf; these tests cover the scale hazards VERDICT r1 named:
+  * a mega-bucket must not reach the quadratic candidate self-join. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 byte-identical docs (one LSH mega-bucket: identical signatures in
+  // every band), plus one true near-dup pair, plus unrelated filler.
+  private lazy val degenerate = {
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val nearA = (1000L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo")
+    val nearB = (1001L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet lima")
+    val filler = (2000 until 2010).map(i =>
+      (i.toLong, s"unique${i} words${i} here${i} nothing${i} shared${i} at${i} all${i}"))
+    (boiler ++ Seq(nearA, nearB) ++ filler).toDF("doc_id", "text")
+  }
+
+  test("degenerate bucket is dropped by the cap; real near-dups survive") {
+    val base = Dedup.minhashBase(degenerate)
+    try {
+      val pairs = Dedup.lshPairs(base, Dedup.LshBucketCap).collect()
+      // the 200-doc identical cluster would contribute 200*199/2 = 19900
+      // pairs without the cap; with it, none of its members reach the join
+      assert(!pairs.exists(r => r.getLong(0) < 1000L))
+      // the genuine near-dup pair (10/12 shared 3-shingles, jacc ≈ 0.818)
+      // lives in a bucket of size 2 and must survive
+      assert(pairs.exists(r => r.getLong(0) == 1000L && r.getLong(1) == 1001L))
+    } finally base.unpersist()
+  }
+
+  test("uncapped join would be quadratic in the bucket (the hazard)") {
+    val base = Dedup.minhashBase(degenerate)
+    try {
+      val uncapped = Dedup.lshPairs(base, Int.MaxValue)
+        .filter(col("d1") < 1000L).count()
+      assert(uncapped == 200L * 199 / 2)
+    } finally base.unpersist()
+  }
+
+  test("minhashBase is one row per non-empty doc with K-length signatures") {
+    val base = Dedup.minhashBase(degenerate)
+    try {
+      val rows = base.select(col("doc_id"), size(col("sig")).as("k")).collect()
+      assert(rows.length == 212) // all docs have >= 3 tokens
+      assert(rows.forall(_.getInt(1) == 16))
+    } finally base.unpersist()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextHashes
+
+/** Native TextHashes expressions vs their higher-order-function reference
+  * formulations — the HOF forms are the semantics (they passed the DuckDB
+  * oracle in round 1); the native forms must match bit-for-bit, including
+  * edge cases (empty text, < window chars, empty token arrays). */
+class TextHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog repeatedly and often"),
+    (2L, "tiny"),          // < 16 chars -> min_window_hash NULL
+    (3L, ""),              // empty text
+    (4L, "exactly sixteen!"), // exactly 16 chars -> one window
+    (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // repeated char windows
+    (6L, "punctuation, unicode: café naïve résumé über")
+  ).toDF("doc_id", "text")
+
+  test("poly_hash matches the HOF aggregate fold") {
+    val got = docs.select(
+      TextHashes.poly_hash(col("text")).as("native"),
+      expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+        .as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("min_window_hash matches the HOF windowed min, incl. NULL for short text") {
+    val got = docs.select(
+      TextHashes.min_window_hash(col("text"), 16).as("native"),
+      expr("""CASE WHEN length(text) < 16 THEN NULL ELSE
+             |array_min(transform(sequence(1, length(text) - 15),
+             |  i -> aggregate(split(substring(text, i, 16), ''), 0L,
+             |         (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)))
+             |END""".stripMargin).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+  }
+
+  test("simhash60 matches the HOF per-bit majority fold") {
+    val got = docs
+      .select(col("doc_id"),
+        expr("""transform(
+               |  CASE WHEN length(trim(text)) = 0 THEN array()
+               |       ELSE array_distinct(split(lower(trim(text)), '\\s+')) END,
+               |  t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("h60"))
+      .select(
+        TextHashes.simhash60(col("h60")).as("native"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
+               | acc + CASE WHEN aggregate(h60, 0L,
+               |   (s2, h) -> s2 + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+               | THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("expressions stay inside whole-stage codegen (and doGenCode = eval)") {
+    // parquet-backed input: a local Seq collapses to a LocalRelation at
+    // optimization time (ConvertToLocalRelation), which would bypass codegen
+    val d = Tables(spark, sf("sf0.001"), "documents")
+    val df = d.select(col("doc_id"),
+      TextHashes.poly_hash(col("text")).as("a"),
+      TextHashes.min_window_hash(col("text"), 16).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project") && plan.contains("poly_hash"),
+      s"no codegen span:\n$plan")
+    // codegen'd results equal the HOF reference on real data
+    val hof = d.select(col("doc_id"),
+      expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+        .as("a")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().foreach(r => assert(r.getLong(1) == hof(r.getLong(0))))
+  }
+}

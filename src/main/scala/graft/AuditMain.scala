@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Audit, ScheduleNormalizer}
+import graft.sinks.ReportSink
+
+/** Entry point C end-to-end (`Job Cek Script/app.py:295-300`): sources →
+  * T9 normalizer → Audit → report sink, as ONE Spark job (VERDICT r1
+  * "What's missing" #3; SURVEY.md §7.1's minimum slice made runnable).
+  *
+  * ```
+  * runMain graft.AuditMain <inDir|baseUrl> <outDir> [asOfUtc]
+  * ```
+  *
+  * Each source is a JSON *document* in the API shapes of SURVEY.md §1.1,
+  * read either from `<inDir>/<name>.json` (the reference's file fallback,
+  * `app.py:103-108`) or — when the first argument starts with `http` —
+  * from `<baseUrl>/<name>` via the graft-http DSv2 source (S2-S4), with
+  * `GRAFT_TOKEN` forwarded as the Authorization header (S1,
+  * `app.py:23-41`). Both paths produce identical `(seq, variant)` rows, so
+  * the pipeline downstream of the source select is one plan:
+  *
+  *  - `projects`:   `{"data":[{id, name, init_name?, loc?}, ...]}` —
+  *    `init_name` defaults to `name` and `loc` to `'Delman'`, the aliasing
+  *    the reference bakes into its SQL (`app.py:72,86`);
+  *  - `schedules`:  `{"data":[{project_id, response: <schedules doc>}]}` —
+  *    the per-project API responses; `response.data[*].repeat_period` is
+  *    the string-or-object union normalized by [[ScheduleNormalizer]];
+  *  - `monitoring`: `{"data":[{project_id, started_at}, ...]}` in API
+  *    order (`started_at` nullable, raw GMT format `app.py:49`);
+  *  - `nodes`:      `{"data":[{project_id, response: {data: {nodes:
+  *    [...]}}}]}` — per-project project-detail documents (`sync.py:51`).
+  *
+  * The reference makes O(projects × 3) serial HTTPS round-trips; here each
+  * source is read once and the audit is set-oriented (SURVEY.md §3.3).
+  */
+object AuditMain {
+
+  /** (seq, e VARIANT) rows of a JSON document's `data` array — from a file
+    * (wholetext + posexplode, seq = array position) or a paginated HTTP
+    * endpoint (DSv2 source supplies seq; one JSON element per row). */
+  private def entries(spark: SparkSession, source: String, name: String): DataFrame =
+    if (source.startsWith("http")) {
+      val reader = spark.read.format("graft-http")
+        .option("url", s"$source/$name")
+        .option("data_field", "data")
+      sys.env.get("GRAFT_TOKEN")
+        .fold(reader)(t => reader.option("header.Authorization", t))
+        .load()
+        .select(col("seq") + 1, try_parse_json(col("json")).as("e"))
+        .toDF("seq", "e")
+    } else {
+      spark.read.option("wholetext", "true").text(s"$source/$name.json")
+        .select(posexplode_outer(
+          try_variant_get(try_parse_json(col("value")), "$.data", "array<variant>"))
+          .as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("seq"), col("e"))
+        .filter(col("e").isNotNull)
+    }
+
+  private def str(path: String) = (e: org.apache.spark.sql.Column) =>
+    try_variant_get(e, path, "string")
+
+  /** Builds the report DataFrame (separated from `main` for the golden
+    * end-to-end spec). */
+  def run(spark: SparkSession, source: String,
+          asOfUtc: org.apache.spark.sql.Column): DataFrame = {
+    val projects = entries(spark, source, "projects").select(
+      col("seq"),
+      str("$.id")(col("e")).as("id"),
+      str("$.name")(col("e")).as("name"),
+      coalesce(str("$.init_name")(col("e")), str("$.name")(col("e"))).as("init_name"),
+      coalesce(str("$.loc")(col("e")), lit("Delman")).as("loc"))
+
+    val schedules = ScheduleNormalizer.normalizeSchedules(
+      entries(spark, source, "schedules").select(
+        str("$.project_id")(col("e")).as("project_id"),
+        to_json(try_variant_get(col("e"), "$.response", "variant")).as("doc")))
+      .drop("corrupt")
+
+    val monitoring = entries(spark, source, "monitoring").select(
+      str("$.project_id")(col("e")).as("project_id"),
+      col("seq"),
+      str("$.started_at")(col("e")).as("started_at_raw"))
+
+    val nodes = entries(spark, source, "nodes")
+      .select(str("$.project_id")(col("e")).as("project_id"),
+        posexplode_outer(try_variant_get(col("e"), "$.response.data.nodes", "array<variant>"))
+          .as(Seq("npos", "n")))
+      .filter(col("n").isNotNull)
+      .select(col("project_id"), (col("npos") + 1).cast("long").as("seq"),
+        str("$.id")(col("n")).as("id"),
+        str("$.name")(col("n")).as("name"),
+        str("$.type")(col("n")).as("type"),
+        str("$.status")(col("n")).as("status"),
+        str("$.export_status")(col("n")).as("export_status"))
+
+    Audit.audit(projects, schedules, monitoring, nodes, asOfUtc)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AuditMain <inDir|baseUrl> <outDir> [asOfUtc]")
+    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val asOf = args.lift(2).map(s => to_timestamp(lit(s))).getOrElse(current_timestamp())
+    val report = run(spark, args(0), asOf)
+    ReportSink.writeCsv(report, args(1))
+    ReportSink.summarize(report).foreach { case (s, n) => println(s"$s: $n") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end test of entry point C (`app.py:295-300`): raw JSON
+  * documents on disk → AuditMain.run (sources → T9 normalizer → Audit) →
+  * exact report rows. asOf pinned to 2024-10-08 09:00 UTC = 16:00 Bangkok
+  * (before the 18:00 gate). */
+class AuditMainSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, body: String): Unit =
+    Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+
+  private lazy val inDir: Path = {
+    val d = Files.createTempDirectory("graft_audit_e2e")
+    write(d, "projects.json",
+      """{"data":[
+        | {"id":"p_success","name":"P Success"},
+        | {"id":"p_failed","name":"P Failed"},
+        | {"id":"p_notsynced","name":"P NotSynced"},
+        | {"id":"p_nosched","name":"P NoSched"},
+        | {"id":"p_null","name":"P NullStatus"},
+        | {"id":"p_failed","name":"P Dup"},
+        | {"id":"p_evening","name":"P Evening"}
+        |]}""".stripMargin)
+    write(d, "schedules.json",
+      """{"data":[
+        | {"project_id":"p_success","response":{"data":[{"repeat_period":{"hour":2}}]}},
+        | {"project_id":"p_failed","response":{"data":[{"repeat_period":{"hour":2}}]}},
+        | {"project_id":"p_notsynced","response":{"data":[
+        |    {"repeat_period":"beginning_of_the_month"},{"repeat_period":{"hour":2}}]}},
+        | {"project_id":"p_nosched","response":{"data":[]}},
+        | {"project_id":"p_null","response":{"data":[{"repeat_period":{"hour":2}}]}},
+        | {"project_id":"p_evening","response":{"data":[{"repeat_period":{"hour":12}}]}}
+        |]}""".stripMargin)
+    write(d, "monitoring.json",
+      """{"data":[
+        | {"project_id":"p_success","started_at":"Tue, 08 Oct 2024, 02:30:00 GMT+0000"},
+        | {"project_id":"p_failed","started_at":"Tue, 08 Oct 2024, 02:30:00 GMT+0000"},
+        | {"project_id":"p_notsynced","started_at":"Mon, 07 Oct 2024, 02:30:00 GMT+0000"},
+        | {"project_id":"p_nosched","started_at":"Tue, 08 Oct 2024, 02:30:00 GMT+0000"},
+        | {"project_id":"p_null","started_at":"Tue, 08 Oct 2024, 02:30:00 GMT+0000"},
+        | {"project_id":"p_evening","started_at":"Mon, 07 Oct 2024, 02:30:00 GMT+0000"}
+        |]}""".stripMargin)
+    write(d, "nodes.json",
+      """{"data":[
+        | {"project_id":"p_success","response":{"data":{"nodes":[
+        |   {"id":"n1","name":"node1","type":"source","status":"SUCCESS","export_status":"SUCCESS"}]}}},
+        | {"project_id":"p_failed","response":{"data":{"nodes":[
+        |   {"id":"n1","name":"node1","type":"source","status":"FAILED","export_status":"SUCCESS"},
+        |   {"id":"n2","name":"node2","type":"next","status":"SUCCESS","export_status":"SUCCESS"}]}}},
+        | {"project_id":"p_null","response":{"data":{"nodes":[
+        |   {"id":"n1","name":"node1","type":"source","status":null,"export_status":"SUCCESS"}]}}},
+        | {"project_id":"p_evening","response":{"data":{"nodes":[
+        |   {"id":"n1","name":"node1","type":"source","status":"SUCCESS","export_status":"SUCCESS"}]}}}
+        |]}""".stripMargin)
+    d
+  }
+
+  test("file mode: raw documents to exact report rows, one Spark job") {
+    val report = AuditMain.run(spark, inDir.toString,
+      to_timestamp(lit("2024-10-08 09:00:00")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(5),
+        r.getString(6), r.getString(7), r.getString(8)))
+
+    val expected = Seq(
+      (1L, "08-Oct-24", "P Success", "Success", "", "Success", "green"),
+      (2L, "08-Oct-24", "P Failed", "Failed", "node1 --> FAILED", "", "red"),
+      (3L, "08-Oct-24", "P NotSynced", "Not Synced",
+        "Last Sync at Mon, 07 Oct 2024, 09:30:00", "", "yellow"),
+      (4L, "08-Oct-24", "P NoSched", "No Schedule",
+        "Last Sync at Tue, 08 Oct 2024, 09:30:00", "", "grey"),
+      (5L, "08-Oct-24", "P NullStatus", "Success", "", "Success", "green"), // Q1
+      (6L, "08-Oct-24", "P Dup", "Failed", "node1 --> FAILED", "", "red"),  // J2 memo
+      (7L, "08-Oct-24", "P Evening", "Success", "", "Success", "green"))    // 12+7>=18
+
+    assert(report.toSeq == expected)
+  }
+
+  test("report sink writes the ordered CSV") {
+    val out = Files.createTempDirectory("graft_audit_csv")
+    val report = AuditMain.run(spark, inDir.toString,
+      to_timestamp(lit("2024-10-08 09:00:00")))
+    sinks.ReportSink.writeCsv(report, out.resolve("report").toString)
+    val csv = spark.read.option("header", "true").csv(out.resolve("report").toString)
+    assert(csv.count() == 7)
+    assert(csv.select("status").distinct().count() == 4)
+  }
+}

@@ -120,6 +120,26 @@ object Stats {
         .orderBy("o_custkey")
     }),
 
+    // ---- argmax/argmin: native max_by/min_by with composite ordering -----
+    // Tie determinism (the round-1 blocker): a bare max_by(x, price) picks
+    // an arbitrary row among equal prices; ordering by the STRUCT
+    // (price, orderkey) makes the argmax a total order — lexicographic
+    // struct comparison is exactly ORDER BY price DESC, orderkey DESC
+    // (resp. ASC, ASC for min_by). One hash aggregate, no window sort.
+    "q57_argmax" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("best_order"),
+          max("o_totalprice").as("best_price"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("worst_order"),
+          min("o_totalprice").as("worst_price"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -197,6 +217,21 @@ object Stats {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // oracle uses the window formulation — same total order, so ties agree
+    "q57_argmax" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        | FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        | max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+        | max(CASE WHEN rb = 1 THEN o_totalprice END) AS best_price,
+        | max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+        | max(CASE WHEN rw = 1 THEN o_totalprice END) AS worst_price
+        |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q48_asof_join" ->
       """SELECT event_id, user_id, prior_view FROM (

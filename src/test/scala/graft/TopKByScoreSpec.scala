@@ -28,6 +28,17 @@ class TopKByScoreSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaAgg).count() == 0)
   }
 
+  test("q56 plan: partial object-hash aggregation, no window sort (hot path)") {
+    val df = SparkEntry.queries("q56_topk_agg")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // bounded heap combines map-side: partial_ + final aggregation modes
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topkbyscore"),
+      s"no partial aggregation:\n$plan")
+    // the scored candidate set is never window-sorted (q39's formulation);
+    // the only Sort allowed is the deterministic output orderBy
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
   test("partition invariance and tie-break toward smaller id") {
     val data = Seq(
       (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.9),

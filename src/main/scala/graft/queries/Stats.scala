@@ -140,6 +140,23 @@ object Stats {
         .orderBy("o_custkey")
     }),
 
+    // ---- native as-of join (custom LogicalPlan/Strategy/Exec) ------------
+    // Same result contract as q48, computed by AsOfJoinExec (two-pointer
+    // sorted merge over co-partitioned sides; O(1) merge state) instead of
+    // the union + window-frame formulation. The strategy is injected via
+    // GraftExtensions; EnsureRequirements plans the exchanges/sorts.
+    "q58_native_asof" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id")
+      org.apache.spark.sql.graft.AsOfJoin.asofPrior(
+          purchases, views, "user_id" -> "user_id", "event_id" -> "event_id")
+        .select(col("event_id"), col("user_id"), col("r_event_id").as("prior_view"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -232,6 +249,17 @@ object Stats {
         | max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
         | max(CASE WHEN rw = 1 THEN o_totalprice END) AS worst_price
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the native exec must agree with the relational window formulation
+    "q58_native_asof" ->
+      """SELECT event_id, user_id, prior_view FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q48_asof_join" ->
       """SELECT event_id, user_id, prior_view FROM (

@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join — the §7.3(c) extension path exercised end-to-end:
+  * custom `LogicalPlan` node → `SparkStrategy` → `SparkPlan`, injected via
+  * `SparkSessionExtensions` ([[GraftExtensions]]).
+  *
+  * Semantics: for every left row, attach the LAST right row with the same
+  * key and `rightOrd < leftOrd` (strictly prior — pandas `merge_asof`
+  * with `allow_exact_matches=False`), or nulls if none. This is the
+  * operator behind "most recent prior event" queries (q48's shape,
+  * `events` table).
+  *
+  * Why a custom physical operator when q48 already composes it from a
+  * window (`last(..., ignoreNulls) OVER (... ROWS BETWEEN UNBOUNDED
+  * PRECEDING AND 1 PRECEDING)`): the window form must first UNION the two
+  * streams into one partition-sorted pass and materializes the window
+  * buffer per row; the native exec takes the two sides separately —
+  * `requiredChildDistribution` co-partitions them on the key,
+  * `requiredChildOrdering` sorts within partitions (EnsureRequirements
+  * inserts the exchanges/sorts, so AQE still plans the shuffles) — and
+  * then streams BOTH sides once with a two-pointer merge: O(1) state (one
+  * buffered right row), no window buffer, no union. At 100 TB: one shuffle
+  * per side (same as the window form's single shuffle over the union), but
+  * the merge never holds more than one right row per key in memory, versus
+  * a window frame that buffers per partition-key run.
+  *
+  * v1 scope (documented, checked at construction): key and ord expressions
+  * must be LongType; key NULLs form their own group (SQL window
+  * PARTITION BY semantics), ord NULLs sort first (Ascending default).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftOrd: Expression, rightOrd: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftOrd: Expression, rightOrd: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the key, sort within partitions by (key, ord):
+  // EnsureRequirements inserts the exchanges and sorts
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftOrd, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightOrd, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftOrd, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lo = BindReferences.bindReference(leftOrd, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val ro = BindReferences.bindReference(rightOrd, right.output)
+    val rightWidth = right.output.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val joined = new JoinedRow
+        private var rRow: InternalRow = advanceRight()
+        // the remembered best-so-far right row, tagged with its key
+        private var mRow: InternalRow = _
+        private var mKeyNull = false
+        private var mKey = 0L
+
+        private def advanceRight(): InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+
+        // total order with NULLS FIRST (matches Ascending sort order)
+        private def cmp(an: Boolean, a: Long, bn: Boolean, b: Long): Int =
+          if (an && bn) 0 else if (an) -1 else if (bn) 1
+          else java.lang.Long.compare(a, b)
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkv = lk.eval(l)
+          val lkNull = lkv == null
+          val lkL = if (lkNull) 0L else lkv.asInstanceOf[Long]
+          val lov = lo.eval(l)
+          val loNull = lov == null
+          val loL = if (loNull) 0L else lov.asInstanceOf[Long]
+
+          var scan = true
+          while (scan && rRow != null) {
+            val rkv = rk.eval(rRow)
+            val rkNull = rkv == null
+            val rkL = if (rkNull) 0L else rkv.asInstanceOf[Long]
+            val keyCmp = cmp(rkNull, rkL, lkNull, lkL)
+            if (keyCmp < 0) {
+              rRow = advanceRight() // right key behind every remaining left
+            } else if (keyCmp == 0) {
+              val rov = ro.eval(rRow)
+              val roNull = rov == null
+              val roL = if (roNull) 0L else rov.asInstanceOf[Long]
+              if (cmp(roNull, roL, loNull, loL) < 0) {
+                // strictly prior: becomes the best-so-far for this key
+                mRow = rRow.copy() // iterators reuse row objects
+                mKeyNull = rkNull; mKey = rkL
+                rRow = advanceRight()
+              } else scan = false
+            } else scan = false // right key ahead: wait for left to catch up
+          }
+
+          val matched = mRow != null && cmp(mKeyNull, mKey, lkNull, lkL) == 0
+          joined(l, if (matched) mRow else nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  /** Left as-of join: every `left` row plus the columns of the last `right`
+    * row with equal key and strictly smaller ord (nulls if none). Right
+    * columns are re-aliased with `rightPrefix` and FRESH expression ids, so
+    * self-joins (left and right derived from the same source) are
+    * unambiguous without relying on analyzer deduplication. */
+  def asofPrior(left: DataFrame, right: DataFrame,
+                key: (String, String), ord: (String, String),
+                rightPrefix: String = "r_"): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    val rp = Project(rp0.output.map(a => Alias(a, rightPrefix + a.name)()), rp0)
+
+    def resolve(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${out.map(_.name).mkString(", ")}]"))
+    val (lk, lo) = (resolve(lp.output, key._1), resolve(lp.output, ord._1))
+    val (rk, ro) = (resolve(rp.output, rightPrefix + key._2),
+      resolve(rp.output, rightPrefix + ord._2))
+    Seq(lk, lo, rk, ro).foreach(a => require(a.dataType == LongType,
+      s"asofPrior v1 supports LongType keys/ords; ${a.name} is ${a.dataType}"))
+
+    Dataset.ofRows(left.sparkSession.asInstanceOf[ClassicSession],
+      AsOfJoinPlan(lp, rp, lk, rk, lo, ro))
+  }
+}

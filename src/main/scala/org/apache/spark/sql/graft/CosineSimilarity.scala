@@ -91,7 +91,8 @@ object CosineSimilarity {
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` makes
   * `cosine_sim` a SQL function and installs the Levenshtein length-bound
-  * optimizer rule in every session. */
+  * optimizer rule and the native as-of join planner strategy in every
+  * session (GraftSession wires it in by default). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -99,5 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LevenshteinBoundRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

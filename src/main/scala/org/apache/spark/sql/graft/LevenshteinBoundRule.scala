@@ -14,19 +14,31 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * join (see q49, where the guard is 10× on the sample workload); with the
   * rule, user queries get the guard without writing it.
   *
-  * Idempotent: skips predicates already guarded (semantic-equality check),
-  * so repeated optimizer passes don't stack guards. Only `<=`/`<` with a
+  * Idempotent: skips predicates already guarded. The check is structural —
+  * any `abs(...) <= /<` conjunct with the same bound counts as the guard —
+  * NOT semantic equality against the freshly-built guard, because constant
+  * folding rewrites the installed guard (`length('abc')` → `3`) between
+  * optimizer passes and a semantic check would then re-add it every pass
+  * (observed as stacked guards once the rule ran via both
+  * SparkSessionExtensions and extraOptimizations). Only `<=`/`<` with a
   * foldable bound are rewritten — other shapes pass through untouched.
   */
 object LevenshteinBoundRule extends Rule[LogicalPlan] {
 
+  private def hasGuard(cond: Expression, bound: Expression): Boolean =
+    cond.exists {
+      case LessThanOrEqual(Abs(_, _), b) => b.semanticEquals(bound)
+      case LessThan(Abs(_, _), b) => b.semanticEquals(bound)
+      case _ => false
+    }
+
   private def strengthen(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(Levenshtein(l, r, None), bound) if bound.foldable =>
-      val g = LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), bound)
-      if (cond.exists(_.semanticEquals(g))) cmp else And(g, cmp)
-    case cmp @ LessThan(Levenshtein(l, r, None), bound) if bound.foldable =>
-      val g = LessThan(Abs(Subtract(Length(l), Length(r))), bound)
-      if (cond.exists(_.semanticEquals(g))) cmp else And(g, cmp)
+    case cmp @ LessThanOrEqual(Levenshtein(l, r, None), bound)
+        if bound.foldable && !hasGuard(cond, bound) =>
+      And(LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), bound), cmp)
+    case cmp @ LessThan(Levenshtein(l, r, None), bound)
+        if bound.foldable && !hasGuard(cond, bound) =>
+      And(LessThan(Abs(Subtract(Length(l), Length(r))), bound), cmp)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

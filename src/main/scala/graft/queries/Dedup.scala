@@ -222,6 +222,39 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- embedding-cosine near-dup via IVF bucketing ---------------------
+    // The vector-space member of the dedup family (builder brief): pairs
+    // of embeddings whose cosine clears a threshold, with candidate
+    // generation restricted to SAME-IVF-BUCKET pairs — at 100 TB the
+    // all-pairs form is quadratic, bucketing by nearest centroid keeps it
+    // ~linear (K× fewer candidates, partition-prunable by centroid), at
+    // the cost of missing cross-bucket pairs (measured for search by q55).
+    // The oracle mirrors the bucketing, so both engines compute the same
+    // set. Threshold 0.45: the synthetic corpus has no true near-dups
+    // (max pairwise cosine ≈ 0.6), so the threshold is set to exercise
+    // the pipeline with non-empty output.
+    "q59_cosine_neardup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("ascore"), asc("centroid_id"))
+      val assign = e.join(broadcast(cent))
+        .withColumn("ascore", round(cosine_sim(col("centv"), col("embedding")), 4))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      val a = assign.select(col("vec_id").as("v1"), col("centroid_id").as("c1"),
+        col("embedding").as("e1"))
+      val b = assign.select(col("vec_id").as("v2"), col("centroid_id").as("c2"),
+        col("embedding").as("e2"))
+      val cos = round(cosine_sim(col("e1"), col("e2")), 4)
+      // threshold INTO the join condition after the cheap conjuncts (q36)
+      a.join(b, col("c1") === col("c2") && col("v1") < col("v2") && cos >= 0.45)
+        .select(col("v1"), col("v2"), cos.as("cos"))
+        .orderBy("v1", "v2")
+    }),
+
     // ---- SimHash fingerprints (60-bit, md5 token hashes) -----------------
     // The 60-bit majority fold is the native codegen'd simhash60 expression
     // (TextHashes): the HOF form dispatched 60 × |tokens| interpreted
@@ -313,6 +346,30 @@ object Dedup {
           |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16
           |WHERE levenshtein(a.text, b.text) <= 16
           |ORDER BY d1, d2""".stripMargin,
+
+      "q59_cosine_neardup" -> {
+        val dot = "list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)])"
+        def nrm(t: String) =
+          s"sqrt(list_sum([$t.embedding[i]::DOUBLE * $t.embedding[i]::DOUBLE for i in range(1, 65)]))"
+        def nrmc(t: String) =
+          s"sqrt(list_sum([$t.centv[i]::DOUBLE * $t.centv[i]::DOUBLE for i in range(1, 65)]))"
+        s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+           |              FROM embeddings WHERE vec_id < 8),
+           |assign AS (
+           | SELECT vec_id, centroid_id, embedding FROM (
+           |  SELECT e.vec_id, centroid_id, e.embedding,
+           |   round(list_sum([c.centv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)])
+           |         / (${nrmc("c")} * ${nrm("e")}), 4) AS ascore
+           |  FROM embeddings e, cent c)
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY ascore DESC, centroid_id) = 1),
+           |p AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
+           |  round($dot / (${nrm("x")} * ${nrm("y")}), 4) AS cos
+           | FROM assign x JOIN assign y
+           |   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+           |SELECT v1, v2, cos FROM p WHERE cos >= 0.45
+           |ORDER BY v1, v2""".stripMargin
+      },
 
       "q38_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

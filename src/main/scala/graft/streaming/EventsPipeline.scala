@@ -70,6 +70,26 @@ object EventsPipeline {
       }
   }
 
+  /** Stream-stream inner join with watermarks: each purchase joined to the
+    * views of the same user in the preceding hour. Both sides carry a
+    * watermark and the join condition bounds the event-time range, so
+    * Spark can expire buffered state — the requirement that makes
+    * stream-stream joins viable unbounded (state ≈ one hour of views).
+    * The batch analog is the as-of/interval-join family (q48/q58). */
+  def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame,
+                               watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"))
+  }
+
   /** Session windows per user: a session closes after `gap` of inactivity —
     * the streaming form of q26's batch sessionization. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

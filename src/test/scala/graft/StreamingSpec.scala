@@ -106,4 +106,29 @@ class StreamingSpec extends SparkSpec {
       assert(n == 2, s"expected 2 deduped rows, got $n")
     } finally q.stop()
   }
+
+  test("stream-stream join: purchases matched to the prior hour's views only") {
+    implicit val sc = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = EventsPipeline.purchasesWithRecentViews(pIn.toDF(), vIn.toDF(),
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      vIn.addData(
+        Ev(10, t("2024-01-01 09:30:00"), 1, "view", 0.0), // within the hour
+        Ev(11, t("2024-01-01 08:30:00"), 1, "view", 0.0), // too old
+        Ev(12, t("2024-01-01 09:45:00"), 2, "view", 0.0)) // other user
+      pIn.addData(Ev(100, t("2024-01-01 10:00:00"), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      // advance both watermarks so the joined results finalize
+      vIn.addData(Ev(13, t("2024-01-01 15:00:00"), 9, "view", 0.0))
+      pIn.addData(Ev(101, t("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").select("p_id", "v_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 10L)), s"got $rows")
+    } finally q.stop()
+  }
 }

@@ -40,12 +40,13 @@ object AuditMain {
   /** (seq, e VARIANT) rows of a JSON document's `data` array — from a file
     * (wholetext + posexplode, seq = array position) or a paginated HTTP
     * endpoint (DSv2 source supplies seq; one JSON element per row). */
-  private def entries(spark: SparkSession, source: String, name: String): DataFrame =
+  private def entries(spark: SparkSession, source: String, name: String,
+                      token: Option[String]): DataFrame =
     if (source.startsWith("http")) {
       val reader = spark.read.format("graft-http")
         .option("url", s"$source/$name")
         .option("data_field", "data")
-      sys.env.get("GRAFT_TOKEN")
+      token
         .fold(reader)(t => reader.option("header.Authorization", t))
         .load()
         .select(col("seq") + 1, try_parse_json(col("json")).as("e"))
@@ -63,10 +64,17 @@ object AuditMain {
     try_variant_get(e, path, "string")
 
   /** Builds the report DataFrame (separated from `main` for the golden
-    * end-to-end spec). */
+    * end-to-end spec). HTTP mode forwards `GRAFT_TOKEN` as the
+    * Authorization header (S1). */
   def run(spark: SparkSession, source: String,
-          asOfUtc: org.apache.spark.sql.Column): DataFrame = {
-    val projects = entries(spark, source, "projects").select(
+          asOfUtc: org.apache.spark.sql.Column): DataFrame =
+    runWithAuth(spark, source, asOfUtc, sys.env.get("GRAFT_TOKEN"))
+
+  def runWithAuth(spark: SparkSession, source: String,
+                  asOfUtc: org.apache.spark.sql.Column,
+                  token: Option[String]): DataFrame = {
+    def entries(name: String) = AuditMain.entries(spark, source, name, token)
+    val projects = entries("projects").select(
       col("seq"),
       str("$.id")(col("e")).as("id"),
       str("$.name")(col("e")).as("name"),
@@ -74,17 +82,17 @@ object AuditMain {
       coalesce(str("$.loc")(col("e")), lit("Delman")).as("loc"))
 
     val schedules = ScheduleNormalizer.normalizeSchedules(
-      entries(spark, source, "schedules").select(
+      entries("schedules").select(
         str("$.project_id")(col("e")).as("project_id"),
         to_json(try_variant_get(col("e"), "$.response", "variant")).as("doc")))
       .drop("corrupt")
 
-    val monitoring = entries(spark, source, "monitoring").select(
+    val monitoring = entries("monitoring").select(
       str("$.project_id")(col("e")).as("project_id"),
       col("seq"),
       str("$.started_at")(col("e")).as("started_at_raw"))
 
-    val nodes = entries(spark, source, "nodes")
+    val nodes = entries("nodes")
       .select(str("$.project_id")(col("e")).as("project_id"),
         posexplode_outer(try_variant_get(col("e"), "$.response.data.nodes", "array<variant>"))
           .as(Seq("npos", "n")))

@@ -106,6 +106,23 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // ---- BPE-ish regex tokenization (builder brief: token counting = ----
+    // whitespace + a BPE-ish regex). The pattern is a GPT-2-style
+    // pre-tokenizer simplification — letter runs | digit runs | punctuation
+    // runs — kept lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+    // agree. Per-row scalar pipeline: no shuffle, codegen'd regexp.
+    "q60_bpe_tokens" -> ((s: SparkSession, dir: String) => {
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]+"), lit(0))).cast("long")
+            .as("n_punct"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
@@ -178,6 +195,13 @@ object Text {
           |     (a, b) -> (a * 31 + b) % 1000000007)
           |    for i in range(1, length(text) - 14)])
           | END AS min_window_hash
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q60_bpe_tokens" ->
+        """SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe,
+          | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+          | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q34_shingles" ->

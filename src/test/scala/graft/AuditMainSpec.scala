@@ -81,6 +81,50 @@ class AuditMainSpec extends SparkSpec {
     assert(report.toSeq == expected)
   }
 
+  test("http mode: same report via the graft-http DSv2 source (S1-S4)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    // serve each fixture document at <base>/<name>; auth header required
+    // (S1): requests without the token get a 401 and an empty body
+    Seq("projects", "schedules", "monitoring", "nodes").foreach { name =>
+      server.createContext(s"/$name", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val authed = Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains("tok123")
+          // the whole fixture fits in page 0; later pages are empty (the
+          // paginated source fetches until max_pages)
+          val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").collectFirst { case kv if kv.startsWith("page=") =>
+              kv.substring(5).toInt }.getOrElse(0)
+          val body =
+            if (!authed) Array.empty[Byte]
+            else if (page > 0) """{"data":[]}""".getBytes(StandardCharsets.UTF_8)
+            else Files.readAllBytes(inDir.resolve(s"$name.json"))
+          ex.sendResponseHeaders(if (authed) 200 else 401, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+      })
+    }
+    server.start()
+    try {
+      // GRAFT_TOKEN can't be injected into sys.env from a test; pass the
+      // header through the same option path AuditMain uses by asserting the
+      // unauthenticated read is empty, then running with the header wired.
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val unauthed = spark.read.format("graft-http")
+        .option("url", s"$base/projects").option("data_field", "data")
+        .load().count()
+      assert(unauthed == 0, "server must reject unauthenticated reads")
+      val viaHttp = AuditMain.runWithAuth(spark, base,
+        to_timestamp(lit("2024-10-08 09:00:00")), Some("tok123")).collect()
+      val viaFile = AuditMain.run(spark, inDir.toString,
+        to_timestamp(lit("2024-10-08 09:00:00"))).collect()
+      assert(viaHttp.toSeq == viaFile.toSeq)
+    } finally server.stop(0)
+  }
+
   test("report sink writes the ordered CSV") {
     val out = Files.createTempDirectory("graft_audit_csv")
     val report = AuditMain.run(spark, inDir.toString,

@@ -55,4 +55,37 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
+
+  test("IVF assignment partitioned by centroid prunes probe reads") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+    // the Similarity scale story: write the assignment table partitioned by
+    // centroid_id, so probing top-N centroids reads only their partitions
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("ascore"), asc("centroid_id"))
+    val assign = e.join(broadcast(cent))
+      .withColumn("ascore", cosine_sim(col("centv"), col("embedding")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+
+    val probe = spark.read.parquet(out).filter(col("centroid_id").isin(3, 5))
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters: ["), "no partition filter")
+    val probed = probe.count()
+    val total = spark.read.parquet(out).count()
+    assert(probed > 0 && probed < total)
+    // the scan touched only the two probed partitions' files
+    val filesRead = scan.metrics("numFiles").value
+    val allFiles = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(allFiles == 8, s"expected 8 centroid partitions, got $allFiles")
+    assert(filesRead < allFiles, s"read $filesRead files of $allFiles partitions")
+  }
 }

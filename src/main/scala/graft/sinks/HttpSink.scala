@@ -5,6 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Per-row result of a sync POST — the K1d report shape
   * (`Sync Job/sync_app3.py:86-90`, generalized per SURVEY.md §7.5). */
@@ -56,6 +57,27 @@ object HttpSink {
         }
       }
   }
+
+  /** Streaming K1 (SURVEY.md §2.6): drive the POST sink from an unbounded
+    * request stream via `foreachBatch` — each micro-batch reuses the batch
+    * operator above, so retry/backoff/pooling behavior is identical in both
+    * modes. Callers put stateful dedup upstream (`dropDuplicates` /
+    * `dropDuplicatesWithinWatermark`) for request idempotency across
+    * micro-batches (the reference's memo dict, `app.py:112`); delivery
+    * stays at-least-once (a batch that fails after some POSTs is replayed
+    * from the checkpoint). */
+  def streamTo(requests: DataFrame, checkpoint: String, parallelism: Int = 8,
+               maxAttempts: Int = 3, headers: Map[String, String] = Map.empty,
+               timeoutMs: Int = 10000): StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // count() forces every partition's POSTs; the per-row report is
+        // the batch operator's return value and could be logged/stored here
+        post(batch, parallelism, maxAttempts, headers, timeoutMs).count()
+        ()
+      }
+      .start()
 
   /** REST token auth (S1, `sync.py:14-32`): a connector *option*, not an
     * operator — runs once on the driver, result is shipped as a header. */

@@ -107,6 +107,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HTTP sink: stateful dedup upstream, POSTs via foreachBatch") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentHashMap
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    implicit val sc = spark.sqlContext
+    val hits = new ConcurrentHashMap[String, Integer]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/sync", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.merge(ex.getRequestURI.getPath, 1, (a, b) => a + b)
+        ex.sendResponseHeaders(200, 0L); ex.close()
+      }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/sync"
+    val in = MemoryStream[(String, String)]
+    val requests = in.toDF().toDF("node_id", "url")
+      .dropDuplicates("node_id") // stateful across micro-batches (memo dict)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = graft.sinks.HttpSink.streamTo(requests, ckpt, parallelism = 2)
+    try {
+      in.addData(("n1", s"$base/n1"), ("n2", s"$base/n2"))
+      q.processAllAvailable()
+      in.addData(("n1", s"$base/n1"), ("n3", s"$base/n3")) // n1 is a duplicate
+      q.processAllAvailable()
+      assert(hits.getOrDefault("/sync/n1", 0) == 1, s"n1 re-posted: $hits")
+      assert(hits.getOrDefault("/sync/n2", 0) == 1)
+      assert(hits.getOrDefault("/sync/n3", 0) == 1)
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("stream-stream join: purchases matched to the prior hour's views only") {
     implicit val sc = spark.sqlContext
     val pIn = MemoryStream[Ev]

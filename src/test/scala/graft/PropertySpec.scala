@@ -1,0 +1,81 @@
+package graft
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.Locale
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Audit
+
+/** Property-based tests (SURVEY.md §5.2): the Q1 null-membership whitelist
+  * against a Python-semantics oracle function, A4 first-match invariance
+  * under partition count, and the T5 raw-timestamp parse as a round-trip —
+  * each over scalacheck-generated inputs rather than fixture cases. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def passes(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val statusGen: Gen[Option[String]] = Gen.oneOf(
+    Some("SUCCESS"), Some("CREATED"), Some("UPSTREAM FAILED"),
+    Some("FAILED"), Some("RUNNING"), Some(""), None)
+
+  test("Q1/J1: Spark whitelist filter == Python 'not in' oracle on random rows") {
+    // Python: stat = ["SUCCESS", None, "CREATED", "UPSTREAM FAILED"];
+    // a node is bad if status not in stat OR export_status not in stat —
+    // None is a whitelist MEMBER (app.py:113)
+    val wl: Set[Option[String]] =
+      Set(Some("SUCCESS"), None, Some("CREATED"), Some("UPSTREAM FAILED"))
+    val rowsGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 9L), statusGen, statusGen))
+    passes(Prop.forAll(rowsGen) { rows =>
+      val sparkBad = rows.toDF("id", "status", "export_status")
+        .filter(!(Audit.statusOk(col("status")) && Audit.statusOk(col("export_status"))))
+        .count()
+      val oracleBad = rows.count { case (_, s, e) => !wl.contains(s) || !wl.contains(e) }
+      sparkBad == oracleBad.toLong
+    })
+  }
+
+  test("A4: first-non-null per key is partition-count invariant and order-correct") {
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 4L), Gen.option(Gen.choose(0L, 1000L))))
+    passes(Prop.forAll(rowsGen, Gen.choose(1, 9)) { (rows, parts) =>
+      // explicit seq = list position (§7.4.2: order must be a column)
+      val seqd = rows.zipWithIndex.map { case ((pid, v), i) => (pid, i.toLong, v) }
+      val df = seqd.toDF("project_id", "seq", "value").repartition(parts)
+      val w = Window.partitionBy("project_id").orderBy("seq")
+      val got = df.filter(col("value").isNotNull)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("project_id", "value")
+        .as[(Long, Long)].collect().toMap
+      val expect = seqd.groupBy(_._1).flatMap { case (pid, g) =>
+        g.sortBy(_._2).collectFirst { case (_, _, Some(v)) => pid -> v }
+      }
+      got == expect
+    })
+  }
+
+  test("T5: raw 'EEE, dd MMM yyyy, HH:mm:ss GMT+0000' parse is a round-trip") {
+    val fmt = DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy, HH:mm:ss", Locale.ENGLISH)
+      .withZone(ZoneOffset.UTC)
+    // 2000-01-01 .. 2030-01-01, whole seconds
+    val epochGen = Gen.listOfN(25, Gen.choose(946684800L, 1893456000L))
+    passes(Prop.forAll(epochGen) { epochs =>
+      val raws = epochs.map(e => (e, fmt.format(Instant.ofEpochSecond(e)) + " GMT+0000"))
+      val parsed = raws.toDF("epoch", "raw")
+        // the Audit parse path: strip the weekday (EEE not parseable), then Z
+        .withColumn("ts", to_timestamp(
+          regexp_replace(col("raw"), "^[A-Za-z]{3}, ", ""), "dd MMM yyyy, HH:mm:ss 'GMT'Z"))
+        .select(col("epoch"), unix_timestamp(col("ts")))
+        .as[(Long, Long)].collect()
+      parsed.forall { case (e, got) => got == e }
+    })
+  }
+}

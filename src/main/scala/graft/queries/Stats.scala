@@ -140,6 +140,48 @@ object Stats {
         .orderBy("o_custkey")
     }),
 
+    // ---- range (interval) join, bucket-accelerated -----------------------
+    // "views in the hour before each purchase" — the range-join shape the
+    // brief names next to as-of. NOT a theta join: both sides get an
+    // hour-bucket key, the right side is expanded to (bucket, bucket+1) so
+    // every candidate pair shares an equi-key, then the exact range
+    // predicate filters. At 100 TB this is the difference between a
+    // hash-partitionable equi-join (one shuffle on (user, bucket)) and a
+    // nested-loop theta join; the bucket fan-out is a constant 2×.
+    // Range math in whole epoch SECONDS on both sides: events.ts is
+    // nanosecond parquet (DuckDB keeps ns, Spark µs-truncates), so a raw
+    // timestamp inequality could flip at sub-µs boundaries between engines.
+    "q62_range_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .selectExpr("event_id AS p_id", "user_id AS u", "unix_timestamp(ts) AS p_s")
+        .withColumn("bkt", expr("p_s div 3600"))
+      val v = ev.filter(col("event_type") === "view")
+        .selectExpr("user_id AS vu", "unix_timestamp(ts) AS v_s")
+        .withColumn("vbkt0", expr("v_s div 3600"))
+        // a view in bucket b can precede purchases in buckets b and b+1
+        // only — each candidate pair shares exactly ONE expanded key, so
+        // the fan-out can't double-count
+        .withColumn("bkt", explode(array(col("vbkt0"), col("vbkt0") + 1)))
+      p.join(v, col("u") === col("vu") && p("bkt") === v("bkt") &&
+          col("v_s") >= col("p_s") - 3600 && col("v_s") < col("p_s"), "left")
+        .groupBy("p_id")
+        .agg(count(col("v_s")).as("n_prior_views"))
+        .orderBy("p_id")
+    }),
+
+    // ---- unpivot (wide -> long) ------------------------------------------
+    "q63_unpivot" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(sum("o_totalprice"), 2).as("total"),
+          round(avg("o_totalprice"), 2).as("avg"),
+          round(max("o_totalprice"), 2).as("max"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("total"), col("avg"), col("max")), "metric", "value")
+        .orderBy("o_orderstatus", "metric")
+    }),
+
     // ---- native as-of join (custom LogicalPlan/Strategy/Exec) ------------
     // Same result contract as q48, computed by AsOfJoinExec (two-pointer
     // sorted merge over co-partitioned sides; O(1) merge state) instead of
@@ -249,6 +291,29 @@ object Stats {
         | max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
         | max(CASE WHEN rw = 1 THEN o_totalprice END) AS worst_price
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // plain (unbucketed) range form — the bucket trick must not change
+    // results; seconds via floor-div of epoch_ns to match unix_timestamp
+    "q62_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS u,
+        |             epoch_ns(ts) // 1000000000 AS p_s
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, epoch_ns(ts) // 1000000000 AS v_s
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p_id, CAST(count(v_s) AS BIGINT) AS n_prior_views
+        |FROM p LEFT JOIN v
+        |  ON vu = u AND v_s >= p_s - 3600 AND v_s < p_s
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    "q63_unpivot" ->
+      """WITH w AS (SELECT o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(avg(o_totalprice), 2) AS avg,
+        |  round(max(o_totalprice), 2) AS max
+        | FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (total, avg, max))
+        |ORDER BY o_orderstatus, metric""".stripMargin,
 
     // the native exec must agree with the relational window formulation
     "q58_native_asof" ->

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The `spark.sql(...)` surface: temp views over the same tables, ANSI SQL
+  * producing identical results to the DataFrame forms, and the
+  * extensions-injected function/operator availability from SQL. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def dir = sf("sf0.001")
+
+  test("SQL aggregation matches the DataFrame form") {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("li_sql")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM li_sql GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val viaDf = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("SQL window + join matches the DataFrame form") {
+    Tables(spark, dir, "orders").createOrReplaceTempView("o_sql")
+    Tables(spark, dir, "customer").createOrReplaceTempView("c_sql")
+    val viaSql = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o.o_custkey, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY o.o_custkey
+        |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM o_sql o JOIN c_sql c ON o.o_custkey = c.c_custkey)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin).collect()
+    assert(viaSql.length ==
+      Tables(spark, dir, "orders").select("o_custkey").distinct().count())
+  }
+
+  test("extensions make cosine_sim callable from plain SQL in every GraftSession") {
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("e_sql")
+    // no manual register() call — GraftExtensions injected it at build time
+    val n = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM e_sql")
+      .filter(col("c") > 0.999999).count()
+    assert(n == Tables(spark, dir, "embeddings").count())
+  }
+}

@@ -31,7 +31,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable => // visible, never silent-zero a timing
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       run() // steady-state warmup: codegen compile + JIT
       spark.catalog.clearCache() // timed run must rebuild query-owned caches
       val t0 = System.nanoTime()

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
@@ -83,10 +83,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rk = BindReferences.bindReference(rightKey, right.output)
     val ro = BindReferences.bindReference(rightOrd, right.output)
     val rightWidth = right.output.length
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
+        // every SparkPlan must emit UnsafeRow — a raw JoinedRow blows up
+        // in a downstream exchange/sort that casts (the spec's Project
+        // between this exec and the sort masked it)
+        private val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
         private var rRow: InternalRow = advanceRight()
         // the remembered best-so-far right row, tagged with its key
         private var mRow: InternalRow = _
@@ -134,7 +139,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
 
           val matched = mRow != null && cmp(mKeyNull, mKey, lkNull, lkL) == 0
-          joined(l, if (matched) mRow else nullRight)
+          toUnsafe(joined(l, if (matched) mRow else nullRight))
         }
       }
     }

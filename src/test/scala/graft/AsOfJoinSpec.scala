@@ -59,6 +59,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((20L, 15L), (5L, -999L), (10L, 4L)))
   }
 
+  test("emits UnsafeRow: direct orderBy/shuffle over the exec output works") {
+    // no intermediate select/Project — the sort's exchange consumes the
+    // exec's rows directly, which requires UnsafeRow output
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
+    val v = ev.filter(col("event_type") === "view").select("event_id", "user_id")
+    val direct = AsOfJoin.asofPrior(p, v, "user_id" -> "user_id",
+        "event_id" -> "event_id")
+      .orderBy("event_id")
+      .collect()
+    assert(direct.nonEmpty)
+  }
+
   test("partition invariance: result independent of input partitioning") {
     val ev = Tables(spark, sf("sf0.001"), "events")
     val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")

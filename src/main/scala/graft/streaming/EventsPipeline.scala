@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the stateful operators. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -68,6 +68,36 @@ object EventsPipeline {
           state.update(next)
           Iterator(UserUpdate(userId, next.n_events, next.total_value))
       }
+  }
+
+  /** The Spark 4 arbitrary-state API (`transformWithState`): same running
+    * per-user totals as [[userRunningStats]], but through a
+    * `StatefulProcessor` with named `ValueState` — the successor to
+    * flatMapGroupsWithState, adding typed state handles, per-state TTL and
+    * timers, and requiring the RocksDB state store (state larger than
+    * executor memory spills to disk — the 100 TB-stream requirement).
+    * Spec runs both APIs and asserts identical results. */
+  class UserTotalsProcessor extends StatefulProcessor[Long, EventRow, UserUpdate] {
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      state.update(UserState(n, total))
+      Iterator(UserUpdate(key, n, total))
+    }
+  }
+
+  def userRunningStatsTws(events: Dataset[EventRow]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream inner join with watermarks: each purchase joined to the

@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB store) matches flatMapGroupsWithState totals") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.EventRow]
+    val q = EventsPipeline.userRunningStatsTws(in.toDS())
+      .writeStream.format("memory").queryName("running_tws").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        graft.streaming.EventRow(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        graft.streaming.EventRow(2, t("2024-01-01 10:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(graft.streaming.EventRow(3, t("2024-01-01 10:02:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val updates = spark.table("running_tws").as[graft.streaming.UserUpdate]
+        .collect().map(u => (u.n_events, u.total_value)).toSet
+      // identical to the flatMapGroupsWithState test: (2, 3.0) then (3, 7.0)
+      assert(updates == Set((2L, 3.0), (3L, 7.0)))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

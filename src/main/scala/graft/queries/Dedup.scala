@@ -119,10 +119,13 @@ object Dedup {
   }
 
   /** LSH candidate generation + Jaccard verify over a [[minhashBase]] table.
-    * Linear at scale: band buckets shuffle on (bi, bh) so only near-dup
-    * candidates meet; buckets larger than `cap` are dropped (see
-    * [[LshBucketCap]]); the verify join re-reads the persisted base, so the
-    * corpus is scanned exactly once end-to-end. */
+    * Linear at scale: ONE shuffle groups band members into bucket arrays
+    * (only near-dup candidates meet), and pairs are generated INSIDE each
+    * array — no bands self-join, no window. The cap does double duty: it
+    * drops degenerate buckets AND bounds the per-bucket pair expansion at
+    * cap·(cap−1)/2, so the explode can never blow up a task. The verify
+    * join re-reads the persisted base; the corpus is scanned exactly once
+    * end-to-end. */
   def lshPairs(base: DataFrame, cap: Int): DataFrame = {
     val bandCols = (0 until BANDS).map { bi =>
       struct(lit(bi).as("bi"),
@@ -130,17 +133,21 @@ object Dedup {
           (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
           .cast("binary")).as("bh"))
     }
-    val bands = base
+    val buckets = base
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bi", "bh")))
-      .filter(col("bn") <= cap)
-      .drop("bn")
-    val l = bands.select(col("doc_id").as("d1"), col("bi"), col("bh"))
-    val r = bands.select(col("doc_id").as("d2"), col("bi").as("bi2"), col("bh").as("bh2"))
+      .groupBy(col("band.bi"), col("band.bh"))
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")).between(2, cap))
+    // all i<j position pairs of the bucket array; orient by value so the
+    // (d1 < d2) contract holds regardless of collect_list order
+    val pairs = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+      .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
+      .dropDuplicates("d1", "d2")
     val inter = size(array_intersect(col("h1"), col("h2")))
-    l.join(r, col("bi") === col("bi2") && col("bh") === col("bh2") && col("d1") < col("d2"))
-      .select("d1", "d2").dropDuplicates("d1", "d2")
+    pairs
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jacc", round(

@@ -170,6 +170,16 @@ object Stats {
         .orderBy("p_id")
     }),
 
+    // ---- ANSI-safe arithmetic: try_divide null-on-zero -------------------
+    // event_id % 5 == 0 rows divide by zero; try_divide yields NULL instead
+    // of failing the job — the ANSI-mode-safe form a pipeline wants.
+    "q64_try_divide" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          round(expr("try_divide(value, event_id % 5)"), 4).as("per_unit"))
+        .orderBy("event_id")
+    }),
+
     // ---- unpivot (wide -> long) ------------------------------------------
     "q63_unpivot" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "orders")
@@ -304,6 +314,11 @@ object Stats {
         |FROM p LEFT JOIN v
         |  ON vu = u AND v_s >= p_s - 3600 AND v_s < p_s
         |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    "q64_try_divide" ->
+      """SELECT event_id,
+        | round(value / nullif(event_id % 5, 0), 4) AS per_unit
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q63_unpivot" ->
       """WITH w AS (SELECT o_orderstatus,

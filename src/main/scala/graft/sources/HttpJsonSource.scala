@@ -9,9 +9,10 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,11 +45,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class HttpJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-http"
+  // external metadata: writes carry the written DataFrame's schema (the
+  // POST sink accepts any schema with a `url` column); reads fall back to
+  // the inferred (seq, json) page schema
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HttpJsonSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new HttpJsonTable(properties.asScala.toMap)
+    new HttpJsonTable(schema, properties.asScala.toMap)
 }
 
 object HttpJsonSource {
@@ -57,13 +62,94 @@ object HttpJsonSource {
     StructField("json", StringType, nullable = true)))
 }
 
-final class HttpJsonTable(props: Map[String, String]) extends Table with SupportsRead {
+final class HttpJsonTable(schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-http(${props.getOrElse("url", "?")})"
-  override def schema(): StructType = HttpJsonSource.Schema
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(props ++ options.asScala)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new HttpWriteBuilder(props ++ info.options.asScala, info.schema())
+}
+
+/** The write side of the connector (K1 as a first-class DSv2 sink):
+  * `df.write.format("graft-http").mode("append").save()` POSTs one request
+  * per row to the row's `url` column, with per-task pooled clients and
+  * retry ≤ `max_attempts` — the same delivery semantics as
+  * [[graft.sinks.HttpSink]] but with DSv2 commit aggregation: each task
+  * reports (posted, failed) in its commit message, and the job-level
+  * commit FAILS if any row exhausted its retries and `strict` (default
+  * true) is set — so a partially-delivered sync is a failed job, visible
+  * to orchestration, rather than a silent partial success. Delivery is
+  * at-least-once (task retries replay POSTs; the reference behaves the
+  * same across reruns, `sync_app3.py:65-74`). */
+final class HttpWriteBuilder(props: Map[String, String], schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new HttpBatchWrite(props, schema)
+  }
+}
+
+final case class HttpWriteSummary(posted: Long, failed: Long) extends WriterCommitMessage
+
+final class HttpBatchWrite(props: Map[String, String], schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new HttpWriterFactory(props, schema.fieldIndex("url"),
+      props.getOrElse("max_attempts", "3").toInt,
+      props.getOrElse("timeout_ms", "10000").toInt)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val posted = messages.collect { case m: HttpWriteSummary => m.posted }.sum
+    val failed = messages.collect { case m: HttpWriteSummary => m.failed }.sum
+    if (failed > 0 && props.getOrElse("strict", "true").toBoolean)
+      throw new IllegalStateException(
+        s"graft-http sink: $failed of ${posted + failed} POSTs failed after retries")
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class HttpWriterFactory(props: Map[String, String], urlIdx: Int,
+                              maxAttempts: Int, timeoutMs: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new HttpRowWriter(props, urlIdx, maxAttempts, timeoutMs)
+}
+
+final class HttpRowWriter(props: Map[String, String], urlIdx: Int,
+                          maxAttempts: Int, timeoutMs: Int)
+    extends DataWriter[InternalRow] {
+  // one pooled client per task, never per row
+  private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs.toLong)).build()
+  private var posted = 0L
+  private var failed = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val url = row.getUTF8String(urlIdx).toString
+    var attempt = 0
+    var code = -1
+    while (attempt < maxAttempts && !(code >= 200 && code < 300)) {
+      attempt += 1
+      code =
+        try {
+          val b = HttpRequest.newBuilder(URI.create(url))
+            .timeout(Duration.ofMillis(timeoutMs.toLong))
+            .POST(HttpRequest.BodyPublishers.noBody())
+          props.foreach { case (k, v) =>
+            if (k.toLowerCase.startsWith("header.")) b.header(k.substring(7), v)
+          }
+          client.send(b.build(), HttpResponse.BodyHandlers.discarding()).statusCode()
+        } catch { case _: Exception => -1 }
+      if (!(code >= 200 && code < 300) && attempt < maxAttempts)
+        Thread.sleep(50L * attempt)
+    }
+    if (code >= 200 && code < 300) posted += 1 else failed += 1
+  }
+  override def commit(): WriterCommitMessage = HttpWriteSummary(posted, failed)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 final class HttpScanBuilder(props: Map[String, String])

@@ -117,6 +117,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful query restarts from checkpoint with state intact") {
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val in = MemoryStream[graft.streaming.EventRow]
+    // the memory sink refuses checkpoint recovery; foreachBatch supports it
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Double), java.lang.Boolean]())
+    def start() = EventsPipeline.userRunningStats(in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.UserUpdate], _: Long) =>
+        batch.collect().foreach(u => seen.add((u.n_events, u.total_value))); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    val q1 = start()
+    try {
+      in.addData(graft.streaming.EventRow(1, t("2024-01-01 10:00:00"), 7, "click", 5.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: per-user state must carry over
+    val q2 = start()
+    try {
+      in.addData(graft.streaming.EventRow(2, t("2024-01-01 10:05:00"), 7, "click", 3.0))
+      q2.processAllAvailable()
+      // the post-restart batch emits the CARRIED-FORWARD total (2, 8.0),
+      // not a fresh (1, 3.0)
+      assert(seen.contains((2L, 8.0)), s"state lost across restart: $seen")
+      assert(!seen.contains((1L, 3.0)), s"state reset across restart: $seen")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -170,6 +170,30 @@ object Stats {
         .orderBy("p_id")
     }),
 
+    // ---- linear-regression aggregates ------------------------------------
+    "q65_regression" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- bitwise aggregates (exact integers, order-insensitive) ----------
+    "q66_bit_aggs" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          bit_and(col("event_id") % 256).as("band"),
+          bit_or(col("event_id") % 256).as("bor"),
+          bit_xor(col("event_id") % 256).as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- ANSI-safe arithmetic: try_divide null-on-zero -------------------
     // event_id % 5 == 0 rows divide by zero; try_divide yields NULL instead
     // of failing the job — the ANSI-mode-safe form a pipeline wants.
@@ -314,6 +338,22 @@ object Stats {
         |FROM p LEFT JOIN v
         |  ON vu = u AND v_s >= p_s - 3600 AND v_s < p_s
         |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    "q65_regression" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q66_bit_aggs" ->
+      """SELECT event_type,
+        | bit_and(event_id % 256) AS band,
+        | bit_or(event_id % 256) AS bor,
+        | bit_xor(event_id % 256) AS bxor,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_try_divide" ->
       """SELECT event_id,

@@ -261,6 +261,44 @@ object Dedup {
         .orderBy("v1", "v2")
     }),
 
+    // ---- SimHash near-dup pairing: band-rotation bucketing ---------------
+    // Completes the SimHash path (q38 computes fingerprints; this pairs
+    // them): split the 60-bit fingerprint into 4×15-bit bands — a pair
+    // within Hamming distance 3 differs in ≤3 bands, so it collides on at
+    // least one band bucket (pigeonhole). Candidates come from the same
+    // in-bucket pair expansion as q37 (one shuffle, capped buckets);
+    // verify = bit_count(xor) ≤ 3. Corpus doubled with offset ids so true
+    // matches (hamming 0) exist in the synthetic data.
+    "q67_simhash_pairs" -> ((s: SparkSession, dir: String) => {
+      val cap = 64
+      val d0 = Tables(s, dir, "documents").select("doc_id", "text")
+      val d = d0.unionAll(
+        d0.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val sh = d.select(col("doc_id"), toks(col("text")).as("w"))
+        .withColumn("h60",
+          expr("transform(w, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"))
+        .select(col("doc_id"), TextHashes.simhash60(col("h60")).as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("bi"),
+            expr(s"(sh >> ${15 * i}) & 32767").as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val buckets = bands.groupBy("bi", "bv")
+        .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
+        .filter(size(col("ds")).between(2, cap))
+      buckets
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+        .select(
+          least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
+          expr("cast(bit_count(x.sh ^ y.sh) as bigint)").as("hd"))
+        .filter(col("hd") <= 3)
+        .dropDuplicates("d1", "d2")
+        .orderBy("d1", "d2")
+    }),
+
     // ---- SimHash fingerprints (60-bit, md5 token hashes) -----------------
     // The 60-bit majority fold is the native codegen'd simhash60 expression
     // (TextHashes): the HOF form dispatched 60 × |tokens| interpreted
@@ -376,6 +414,30 @@ object Dedup {
            |SELECT v1, v2, cos FROM p WHERE cos >= 0.45
            |ORDER BY v1, v2""".stripMargin
       },
+
+      "q67_simhash_pairs" ->
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+           |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+           |t AS (SELECT doc_id, $toksSql AS w FROM d),
+           |hs AS (SELECT doc_id,
+           |  list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h60 FROM t),
+           |sh AS (SELECT doc_id,
+           | CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+           |                                    for h in h60]) > 0
+           |                THEN (1::BIGINT << j) ELSE 0::BIGINT END
+           |               for j in range(0, 60)]) AS BIGINT) AS sh
+           | FROM hs),
+           |bands AS (SELECT * FROM (
+           |  SELECT doc_id, sh, bi, (sh >> (15 * bi)) & 32767 AS bv
+           |  FROM sh, (SELECT unnest(range(0, 4)) AS bi))
+           | QUALIFY count(*) OVER (PARTITION BY bi, bv) <= 64),
+           |cand AS (SELECT DISTINCT
+           |   least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2,
+           |   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd
+           | FROM bands a JOIN bands b
+           |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, hd FROM cand WHERE hd <= 3
+           |ORDER BY d1, d2""".stripMargin,
 
       "q38_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -52,6 +52,20 @@ class ScheduleNormalizerSpec extends SparkSpec {
     assert(out("p_oddstr") == Row("p_oddstr", 1L, "hourly", null, null, null, false))
   }
 
+  test("non-string non-object repeat_period variants are defined, not errors") {
+    val out = normalize(
+      "p_num" -> """{"data":[{"repeat_period":5}]}""",
+      "p_arr" -> """{"data":[{"repeat_period":[1,2]}]}""",
+      "p_bool" -> """{"data":[{"repeat_period":true}]}""",
+      "p_nullrp" -> """{"data":[{"repeat_period":null}]}""")
+    // none are strings; none carry day_of_week/day/hour keys -> daily arm
+    // with null hour (classifies as No Schedule downstream), never a crash
+    for (p <- Seq("p_num", "p_arr", "p_bool", "p_nullrp")) {
+      val r = out(p)
+      assert(r.getString(2) == "daily" && r.isNullAt(3), s"$p: $r")
+    }
+  }
+
   test("malformed vs empty vs null docs") {
     val out = normalize(
       "p_bad" -> """not json at all {{{""",

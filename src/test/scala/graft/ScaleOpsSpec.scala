@@ -56,6 +56,21 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("AQE converts a small-side join to broadcast without a hint") {
+    val dir = sf("sf0.01")
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    // no broadcast() hint: the supplier side is far under the 10MB
+    // threshold, so AQE (or the static planner via stats) must pick a
+    // BroadcastHashJoin on its own — the "let Catalyst optimize" contract
+    val j = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(sum("l_quantity").as("q"))
+    j.collect() // execute so AQE finalizes the adaptive plan
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"small dim sort-merged:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops (cron-equivalent run)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 11:10:00"), 2, "view", 5.0),
+      Ev(3, t("2024-01-01 14:00:00"), 1, "click", 2.0))
+    val q = EventsPipeline.hourlyAgg(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("availnow").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    // the scheduled daily audit shape: process everything available, then
+    // terminate WITHOUT external stop()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val rows = spark.table("availnow")
+      .selectExpr("cast(hour_start as string)", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 1L)))
+    assert(rows.contains(("2024-01-01 11:00:00", "view", 1L)))
+  }
+
   test("stateful query restarts from checkpoint with state intact") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_recover").toString

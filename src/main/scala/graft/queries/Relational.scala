@@ -313,6 +313,20 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // ---- native pivot API (q24 is the manual conditional-agg form) -------
+    // explicit value list => deterministic schema, so the same oracle shape
+    // works; a missing (user, type) combination yields NULL (vs q24's 0)
+    "q68_native_pivot" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          col("click").as("n_click"), col("view").as("n_view"),
+          col("purchase").as("n_purchase"))
+        .orderBy("user_id")
+    }),
+
     // ---- tumbling time window (batch analog of streaming agg, §2.10) -----
     "q25_tumbling_window" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "events")
@@ -595,6 +609,15 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY k_bucket""".stripMargin,
+
+    // count(*) FILTER yields 0 for absent combos; pivot yields NULL —
+    // NULLIF-free mirror via CASE: sum(CASE...) over no rows is NULL too
+    "q68_native_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q24_pivot" ->
       """SELECT user_id,

@@ -127,6 +127,7 @@ final class HttpRowWriter(props: Map[String, String], urlIdx: Int,
   private var failed = 0L
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(urlIdx)) { failed += 1; return } // null url = failed row, not an NPE
     val url = row.getUTF8String(urlIdx).toString
     var attempt = 0
     var code = -1

@@ -62,4 +62,17 @@ class HttpWriteSpec extends SparkSpec {
         .option("max_attempts", "2").option("strict", "false").save()
     }
   }
+
+  test("a null url counts as a failed row, not an NPE") {
+    withServer(flaky = Set.empty) { (base, hits) =>
+      val df = Seq(("ok", Some(s"$base/ok")), ("none", None: Option[String]))
+        .toDF("node_id", "url")
+      intercept[Exception] { // strict: the null row fails the commit
+        df.write.format("graft-http").mode("append").save()
+      }
+      assert(hits.get("/ok") == 1)
+      df.write.format("graft-http").mode("append")
+        .option("strict", "false").save() // tolerated when non-strict
+    }
+  }
 }

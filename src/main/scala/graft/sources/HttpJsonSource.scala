@@ -160,44 +160,10 @@ final class HttpScanBuilder(props: Map[String, String])
   override def build(): Scan = new HttpScan(props, limit)
 }
 
-final class HttpScan(props: Map[String, String], limit: Option[Int])
-    extends Scan with Batch {
-  private val pageSize = props.getOrElse("page_size", "8").toInt
-  private val maxPages = props.getOrElse("max_pages", "32").toInt
-
-  override def readSchema(): StructType = HttpJsonSource.Schema
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)}"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    // limit pushdown: n rows need at most ceil(n / page_size) pages
-    val pages = limit match {
-      case Some(n) => math.min(maxPages, (n + pageSize - 1) / pageSize)
-      case None => maxPages
-    }
-    (0 until pages).map(p => HttpPage(p): InputPartition).toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new HttpReaderFactory(props, pageSize)
-}
-
-final case class HttpPage(page: Int) extends InputPartition
-
-final class HttpReaderFactory(props: Map[String, String], pageSize: Int)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new HttpPageReader(props, pageSize, partition.asInstanceOf[HttpPage].page)
-}
-
-final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int)
-    extends PartitionReader[InternalRow] {
-
-  private lazy val rows: Iterator[InternalRow] = fetch()
-  private var current: InternalRow = _
-
-  private def fetch(): Iterator[InternalRow] = {
+/** Shared page fetch/parse used by the driver-side probe and the executor
+  * readers, so a page probed at plan time is never fetched twice. */
+private[sources] object HttpFetch {
+  def fetchBody(props: Map[String, String], pageSize: Int, page: Int): String = {
     val base = props("url")
     val pageParam = props.getOrElse("page_param", "page")
     val sizeParam = props.getOrElse("size_param", "page_size")
@@ -211,16 +177,106 @@ final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int)
     props.foreach { case (k, v) =>
       if (k.toLowerCase.startsWith("header.")) reqB.header(k.substring(7), v)
     }
-    val body = client.send(reqB.build(), HttpResponse.BodyHandlers.ofString()).body()
+    client.send(reqB.build(), HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  def elements(props: Map[String, String], body: String): Seq[String] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(body)
     val arr = props.get("data_field").map(root.get).getOrElse(root)
-    if (arr == null || !arr.isArray) Iterator.empty
-    else arr.elements().asScala.zipWithIndex.map { case (el, i) =>
-      InternalRow(page.toLong * pageSize + i,
-        UTF8String.fromString(mapper.writeValueAsString(el)))
+    if (arr == null || !arr.isArray) Seq.empty
+    else arr.elements().asScala.map(mapper.writeValueAsString).toSeq
+  }
+}
+
+final class HttpScan(props: Map[String, String], limit: Option[Int])
+    extends Scan with Batch {
+  private val pageSize = props.getOrElse("page_size", "8").toInt
+  private val maxPages = props.getOrElse("max_pages", "32").toInt
+
+  override def readSchema(): StructType = HttpJsonSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)}"
+
+  /** Plans exactly the pages the endpoint has, not `max_pages` blind.
+    *
+    * The reference's pagination loop stops at the page the API returns
+    * (`Job Cek Script/app.py:125-129`); a fixed page count either
+    * over-fetches short endpoints or — worse — silently truncates long
+    * ones at `max_pages × page_size` rows. Instead the driver runs a
+    * galloping + binary search over page indices (O(log n) GETs, bodies
+    * cached into their partitions so executors don't re-fetch), and if
+    * data still exists at page `max_pages` the scan FAILS loudly rather
+    * than returning a silently short DataFrame. `probe=false` restores
+    * the fixed-window planning for endpoints where a full page beyond the
+    * window is expected and acceptable.
+    */
+  // Spark calls planInputPartitions more than once per query (planning and
+  // execution); memoize so the probe GETs are paid exactly once
+  override def planInputPartitions(): Array[InputPartition] = planned
+  private lazy val planned: Array[InputPartition] = {
+    limit match {
+      // limit pushdown: n rows need at most ceil(n / page_size) pages;
+      // truncation is the caller's intent here, so no probe
+      case Some(n) =>
+        val pages = math.min(maxPages, (n + pageSize - 1) / pageSize)
+        (0 until pages).map(p => HttpPage(p): InputPartition).toArray
+      case None if !props.getOrElse("probe", "true").toBoolean =>
+        (0 until maxPages).map(p => HttpPage(p): InputPartition).toArray
+      case None =>
+        val cache = scala.collection.mutable.Map.empty[Int, String]
+        def countAt(p: Int): Int = {
+          val body = cache.getOrElseUpdate(p, HttpFetch.fetchBody(props, pageSize, p))
+          HttpFetch.elements(props, body).size
+        }
+        // pages are monotone (full*, one optional partial, empty*); find the
+        // first non-full page in (lo, hi] — probing index maxPages (one past
+        // the allowed window) is the truncation sentinel
+        var lo = 0 // pages 1..lo known full; page 0 is left to its executor
+        var hi = 1
+        while (hi < maxPages && countAt(hi) == pageSize) {
+          lo = hi; hi = math.min(hi * 2, maxPages)
+        }
+        if (hi == maxPages && countAt(maxPages) > 0)
+          throw new IllegalStateException(
+            s"graft-http: endpoint has rows beyond max_pages=$maxPages × page_size=$pageSize; " +
+              s"increase max_pages or push a limit (url=${props("url")})")
+        while (hi - lo > 1) {
+          val mid = (lo + hi) / 2
+          if (countAt(mid) == pageSize) lo = mid else hi = mid
+        }
+        val n = if (countAt(hi) > 0) hi + 1 else hi
+        (0 until math.max(n, 1))
+          .map(p => HttpPage(p, cache.get(p)): InputPartition).toArray
     }
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(props, pageSize)
+}
+
+final case class HttpPage(page: Int, prefetched: Option[String] = None) extends InputPartition
+
+final class HttpReaderFactory(props: Map[String, String], pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HttpPage]
+    new HttpPageReader(props, pageSize, p.page, p.prefetched)
+  }
+}
+
+final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int,
+                           prefetched: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val body = prefetched.getOrElse(HttpFetch.fetchBody(props, pageSize, page))
+    HttpFetch.elements(props, body).iterator.zipWithIndex.map { case (el, i) =>
+      InternalRow(page.toLong * pageSize + i, UTF8String.fromString(el))
+    }
+  }
+  private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (rows.hasNext) { current = rows.next(); true } else false

@@ -17,7 +17,10 @@ class HttpSourceSpec extends SparkSpec {
 
   private val total = 21 // 21 schedule docs across pages of 8 => 3 pages
 
-  private def withServer(f: (String, AtomicInteger) => Unit): Unit = {
+  private def withServer(f: (String, AtomicInteger) => Unit): Unit =
+    withServerOf(total)(f)
+
+  private def withServerOf(n: Int)(f: (String, AtomicInteger) => Unit): Unit = {
     val requests = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/schedules", new HttpHandler {
@@ -30,7 +33,7 @@ class HttpSourceSpec extends SparkSpec {
         val page = params.getOrElse("page", "0").toInt
         val size = params.getOrElse("page_size", "8").toInt
         val start = page * size
-        val items = (start until math.min(start + size, total)).map { i =>
+        val items = (start until math.min(start + size, n)).map { i =>
           s"""{"id":$i,"repeat_period":{"hour":${i % 24}},"name":"sched_$i"}"""
         }
         val body = s"""{"data":[${items.mkString(",")}]}"""
@@ -47,14 +50,61 @@ class HttpSourceSpec extends SparkSpec {
   }
 
   test("reads all pages in parallel, rows carry global seq") {
-    withServer { (url, _) =>
+    withServer { (url, requests) =>
       val df = spark.read.format("graft-http")
         .option("url", url).option("page_size", "8").option("max_pages", "5")
         .option("data_field", "data").load()
-      val rows = df.orderBy("seq").collect()
+      // plain collect = one scan pass (orderBy would add a range-sampling pass)
+      val rows = df.collect().sortBy(_.getLong(0))
       assert(rows.length == total)
       assert(rows.map(_.getLong(0)).toSeq == (0L until total.toLong))
       assert(rows.head.getString(1).contains("\"name\":\"sched_0\""))
+      // probe finds 3 pages (probe 1,2 cached into partitions) + executor
+      // page 0 = 3 GETs, not max_pages=5 blind fetches
+      assert(requests.get() == 3, s"expected 3 requests, got ${requests.get()}")
+    }
+  }
+
+  test("stop-on-short-page: endpoint smaller than one page costs O(1) GETs") {
+    withServerOf(3) { (url, requests) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "8").option("max_pages", "32")
+        .option("data_field", "data").load()
+      assert(df.count() == 3)
+      // probe page 1 (empty) + executor page 0 = 2 GETs, not 32
+      assert(requests.get() == 2, s"expected 2 requests, got ${requests.get()}")
+    }
+  }
+
+  test("endpoint exactly max_pages long passes; one row more fails loudly") {
+    // 8 rows = exactly max_pages(2) × page_size(4): probe sees page 2 empty
+    withServerOf(8) { (url, _) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "4").option("max_pages", "2")
+        .option("data_field", "data").load()
+      assert(df.count() == 8)
+    }
+    // 9 rows behind the same bound: silent truncation forbidden
+    withServerOf(9) { (url, _) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "4").option("max_pages", "2")
+        .option("data_field", "data").load()
+      val e = intercept[Exception] { df.count() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("max_pages")),
+        s"expected truncation failure mentioning max_pages, got: $e")
+    }
+  }
+
+  test("probe=false restores fixed-window planning (documented opt-out)") {
+    withServerOf(9) { (url, requests) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "4").option("max_pages", "2")
+        .option("probe", "false")
+        .option("data_field", "data").load()
+      assert(df.count() == 8) // truncated by design when probing is off
+      assert(requests.get() == 2)
     }
   }
 

@@ -63,23 +63,25 @@ object AuditMain {
   private def str(path: String) = (e: org.apache.spark.sql.Column) =>
     try_variant_get(e, path, "string")
 
-  /** Builds the report DataFrame (separated from `main` for the golden
-    * end-to-end spec). HTTP mode forwards `GRAFT_TOKEN` as the
-    * Authorization header (S1). */
-  def run(spark: SparkSession, source: String,
-          asOfUtc: org.apache.spark.sql.Column): DataFrame =
-    runWithAuth(spark, source, asOfUtc, sys.env.get("GRAFT_TOKEN"))
+  /** `(seq, e VARIANT)` project-document rows → the `(seq, id, name,
+    * init_name, loc)` project table (the `app.py:72,86` aliasing). Exposed
+    * for [[graft.streaming.AuditStream]], whose micro-batches carry the
+    * same rows. */
+  private[graft] def parseProjects(raw: DataFrame): DataFrame = raw.select(
+    col("seq"),
+    str("$.id")(col("e")).as("id"),
+    str("$.name")(col("e")).as("name"),
+    coalesce(str("$.init_name")(col("e")), str("$.name")(col("e"))).as("init_name"),
+    coalesce(str("$.loc")(col("e")), lit("Delman")).as("loc"))
 
-  def runWithAuth(spark: SparkSession, source: String,
-                  asOfUtc: org.apache.spark.sql.Column,
-                  token: Option[String]): DataFrame = {
+  /** The audit for a given project table, reading the three remaining
+    * documents from `source` — shared by the one-shot batch run and the
+    * incremental streaming run (which feeds per-micro-batch projects). */
+  private[graft] def auditProjects(spark: SparkSession, source: String,
+                                   projects: DataFrame,
+                                   asOfUtc: org.apache.spark.sql.Column,
+                                   token: Option[String]): DataFrame = {
     def entries(name: String) = AuditMain.entries(spark, source, name, token)
-    val projects = entries("projects").select(
-      col("seq"),
-      str("$.id")(col("e")).as("id"),
-      str("$.name")(col("e")).as("name"),
-      coalesce(str("$.init_name")(col("e")), str("$.name")(col("e"))).as("init_name"),
-      coalesce(str("$.loc")(col("e")), lit("Delman")).as("loc"))
 
     val schedules = ScheduleNormalizer.normalizeSchedules(
       entries("schedules").select(
@@ -105,6 +107,34 @@ object AuditMain {
         str("$.export_status")(col("n")).as("export_status"))
 
     Audit.audit(projects, schedules, monitoring, nodes, asOfUtc)
+  }
+
+  /** Builds the report DataFrame (separated from `main` for the golden
+    * end-to-end spec). HTTP mode forwards `GRAFT_TOKEN` as the
+    * Authorization header (S1). */
+  def run(spark: SparkSession, source: String,
+          asOfUtc: org.apache.spark.sql.Column): DataFrame =
+    runWithAuth(spark, source, asOfUtc, sys.env.get("GRAFT_TOKEN"))
+
+  def runWithAuth(spark: SparkSession, source: String,
+                  asOfUtc: org.apache.spark.sql.Column,
+                  token: Option[String]): DataFrame = {
+    val projects = parseProjects(entries(spark, source, "projects", token))
+    auditProjects(spark, source, projects, asOfUtc, token)
+  }
+
+  /** The streaming project source: same rows as the batch `entries`
+    * ("projects"), but incremental — each micro-batch holds only rows past
+    * the checkpointed offset. */
+  private[graft] def projectEntriesStream(spark: SparkSession, baseUrl: String,
+                                          token: Option[String]): DataFrame = {
+    val reader = spark.readStream.format("graft-http")
+      .option("url", s"$baseUrl/projects")
+      .option("data_field", "data")
+    token.fold(reader)(t => reader.option("header.Authorization", t))
+      .load()
+      .select(col("seq") + 1, try_parse_json(col("json")).as("e"))
+      .toDF("seq", "e")
   }
 
   def main(args: Array[String]): Unit = {

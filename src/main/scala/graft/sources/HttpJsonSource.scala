@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -67,7 +68,8 @@ final class HttpJsonTable(schema0: StructType, props: Map[String, String])
   override def name(): String = s"graft-http(${props.getOrElse("url", "?")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(props ++ options.asScala)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -254,27 +256,124 @@ final class HttpScan(props: Map[String, String], limit: Option[Int])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpReaderFactory(props, pageSize)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpMicroBatchStream(props)
 }
 
-final case class HttpPage(page: Int, prefetched: Option[String] = None) extends InputPartition
+/** Streaming offset = number of rows already ingested from the endpoint.
+  * Valid under the append-only assumption: existing rows keep their page
+  * position and new rows arrive at the tail (the shape of a monitoring/job
+  * log API — the reference's daily pages, `app.py:125-129`). */
+final case class HttpStreamOffset(rows: Long) extends StreamOffset {
+  override def json(): String = rows.toString
+}
+
+/** The graft-http source as a streaming ingestion path (SURVEY.md §2.10):
+  * each micro-batch covers the row range (start, end] discovered by probing
+  * forward from the committed offset — earlier pages are never re-fetched,
+  * and probe bodies are cached into their partitions. Implements
+  * `SupportsTriggerAvailableNow`, so `Trigger.AvailableNow` drains exactly
+  * the rows present at query start and self-terminates: the cron-equivalent
+  * incremental run of entry point C (schedule-driven daily batch,
+  * `app.py:135-157`). */
+final class HttpMicroBatchStream(props: Map[String, String]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+  private val pageSize = props.getOrElse("page_size", "8").toInt
+
+  // bodies probed in the most recent latestOffset cycle, page -> body;
+  // replaced (not merged) each probe so a previously-partial page that has
+  // since filled up is re-read, never served stale
+  @volatile private var lastProbe: Map[Int, String] = Map.empty
+  private var availableNowMode = false
+  private var preparedEnd: Option[Long] = None
+
+  /** Total rows at the endpoint, galloping forward from `startRows` (pages
+    * below the committed offset are known-full and skipped). O(log growth)
+    * GETs per cycle. */
+  private def totalRowsFrom(startRows: Long): Long = {
+    val cache = scala.collection.mutable.Map.empty[Int, String]
+    def countAt(p: Int): Int = {
+      val body = cache.getOrElseUpdate(p, HttpFetch.fetchBody(props, pageSize, p))
+      HttpFetch.elements(props, body).size
+    }
+    val basePage = (startRows / pageSize).toInt
+    var lo = basePage - 1 // pages <= lo are full
+    var hi = basePage
+    var step = 1
+    while (countAt(hi) == pageSize) { lo = hi; hi = basePage + step; step *= 2 }
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (countAt(mid) == pageSize) lo = mid else hi = mid
+    }
+    lastProbe = cache.toMap
+    hi.toLong * pageSize + countAt(hi)
+  }
+
+  override def initialOffset(): StreamOffset = HttpStreamOffset(0L)
+  override def deserializeOffset(json: String): StreamOffset =
+    HttpStreamOffset(json.trim.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit = { availableNowMode = true }
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used for admission-control sources")
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[HttpStreamOffset].rows
+    if (availableNowMode) {
+      // AvailableNow contract: the end captured at the first call is the
+      // fixed target for the whole run
+      if (preparedEnd.isEmpty) preparedEnd = Some(totalRowsFrom(s))
+      HttpStreamOffset(math.max(preparedEnd.get, s))
+    } else HttpStreamOffset(totalRowsFrom(s))
+  }
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpStreamOffset].rows
+    val e = end.asInstanceOf[HttpStreamOffset].rows
+    if (e <= s) Array.empty
+    else {
+      val probe = lastProbe
+      (s / pageSize to (e - 1) / pageSize).map { p =>
+        HttpPage(p.toInt, probe.get(p.toInt), s, e): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(props, pageSize)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `fromRow`/`untilRow` bound the page to a global row range — the
+  * streaming reader's micro-batch slice; batch scans use the full range. */
+final case class HttpPage(page: Int, prefetched: Option[String] = None,
+                          fromRow: Long = Long.MinValue,
+                          untilRow: Long = Long.MaxValue) extends InputPartition
 
 final class HttpReaderFactory(props: Map[String, String], pageSize: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpPage]
-    new HttpPageReader(props, pageSize, p.page, p.prefetched)
+    new HttpPageReader(props, pageSize, p.page, p.prefetched, p.fromRow, p.untilRow)
   }
 }
 
 final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int,
-                           prefetched: Option[String])
+                           prefetched: Option[String],
+                           fromRow: Long = Long.MinValue,
+                           untilRow: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val body = prefetched.getOrElse(HttpFetch.fetchBody(props, pageSize, page))
-    HttpFetch.elements(props, body).iterator.zipWithIndex.map { case (el, i) =>
-      InternalRow(page.toLong * pageSize + i, UTF8String.fromString(el))
-    }
+    HttpFetch.elements(props, body).iterator.zipWithIndex
+      .map { case (el, i) => (page.toLong * pageSize + i, el) }
+      .filter { case (seq, _) => seq >= fromRow && seq < untilRow }
+      .map { case (seq, el) => InternalRow(seq, UTF8String.fromString(el)) }
   }
   private var current: InternalRow = _
 

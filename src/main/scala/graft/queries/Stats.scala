@@ -233,6 +233,24 @@ object Stats {
         .orderBy("event_id")
     }),
 
+    // ---- native as-of join on raw event time (TimestampType ord) ---------
+    // The generalized exec compares ord via Catalyst's interpreted ordering,
+    // so the natural key — the raw µs timestamp — needs no pre-cast. Oracle
+    // orders by epoch_ns // 1000 (≡ Spark's µs truncation of the ns
+    // parquet); (user_id, µs) verified unique at sf0.001/0.01/0.1, so the
+    // "strictly prior" comparison is tie-free in both engines.
+    "q69_asof_ts" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      org.apache.spark.sql.graft.AsOfJoin.asofPrior(
+          purchases, views, "user_id" -> "user_id", "ts" -> "ts")
+        .select(col("event_id"), col("user_id"), col("r_event_id").as("prior_view"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -376,6 +394,16 @@ object Stats {
         | SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q69_asof_ts" ->
+      """SELECT event_id, user_id, prior_view FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
         | FROM events WHERE event_type IN ('purchase', 'view'))
         |WHERE event_type = 'purchase'

@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
 
 /** Native as-of join — the §7.3(c) extension path exercised end-to-end:
   * custom `LogicalPlan` node → `SparkStrategy` → `SparkPlan`, injected via
@@ -34,8 +35,10 @@ import org.apache.spark.sql.types.LongType
   * the merge never holds more than one right row per key in memory, versus
   * a window frame that buffers per partition-key run.
   *
-  * v1 scope (documented, checked at construction): key and ord expressions
-  * must be LongType; key NULLs form their own group (SQL window
+  * Key and ord accept any orderable atomic type (long, int, timestamp,
+  * date, string, double, decimal — compared via Catalyst's interpreted
+  * ordering, the same total order the inserted sorts use); left/right types
+  * must match pairwise. Key NULLs form their own group (SQL window
   * PARTITION BY semantics), ord NULLs sort first (Ascending default).
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
@@ -84,7 +87,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val ro = BindReferences.bindReference(rightOrd, right.output)
     val rightWidth = right.output.length
     val outAttrs = output
+    // the same total order the required child sorts use (Ascending,
+    // NULLS FIRST), over the expressions' declared type
+    val keyType = leftKey.dataType
+    val ordType = leftOrd.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val ordOrd = TypeUtils.getInterpretedOrdering(ordType)
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
@@ -95,50 +104,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rRow: InternalRow = advanceRight()
         // the remembered best-so-far right row, tagged with its key
         private var mRow: InternalRow = _
-        private var mKeyNull = false
-        private var mKey = 0L
+        private var mKey: Any = _
 
         private def advanceRight(): InternalRow =
           if (rIter.hasNext) rIter.next() else null
 
         // total order with NULLS FIRST (matches Ascending sort order)
-        private def cmp(an: Boolean, a: Long, bn: Boolean, b: Long): Int =
-          if (an && bn) 0 else if (an) -1 else if (bn) 1
-          else java.lang.Long.compare(a, b)
+        private def cmp(ord: Ordering[Any], a: Any, b: Any): Int =
+          if (a == null && b == null) 0 else if (a == null) -1
+          else if (b == null) 1 else ord.compare(a, b)
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkv = lk.eval(l)
-          val lkNull = lkv == null
-          val lkL = if (lkNull) 0L else lkv.asInstanceOf[Long]
           val lov = lo.eval(l)
-          val loNull = lov == null
-          val loL = if (loNull) 0L else lov.asInstanceOf[Long]
 
           var scan = true
           while (scan && rRow != null) {
-            val rkv = rk.eval(rRow)
-            val rkNull = rkv == null
-            val rkL = if (rkNull) 0L else rkv.asInstanceOf[Long]
-            val keyCmp = cmp(rkNull, rkL, lkNull, lkL)
+            val keyCmp = cmp(keyOrd, rk.eval(rRow), lkv)
             if (keyCmp < 0) {
               rRow = advanceRight() // right key behind every remaining left
             } else if (keyCmp == 0) {
-              val rov = ro.eval(rRow)
-              val roNull = rov == null
-              val roL = if (roNull) 0L else rov.asInstanceOf[Long]
-              if (cmp(roNull, roL, loNull, loL) < 0) {
-                // strictly prior: becomes the best-so-far for this key
+              if (cmp(ordOrd, ro.eval(rRow), lov) < 0) {
+                // strictly prior: becomes the best-so-far for this key.
+                // Copy BEFORE caching the key: eval on a reused row can
+                // return views into its buffer (UTF8String)
                 mRow = rRow.copy() // iterators reuse row objects
-                mKeyNull = rkNull; mKey = rkL
+                mKey = rk.eval(mRow)
                 rRow = advanceRight()
               } else scan = false
             } else scan = false // right key ahead: wait for left to catch up
           }
 
-          val matched = mRow != null && cmp(mKeyNull, mKey, lkNull, lkL) == 0
+          val matched = mRow != null && cmp(keyOrd, mKey, lkv) == 0
           toUnsafe(joined(l, if (matched) mRow else nullRight))
         }
       }
@@ -165,14 +165,23 @@ object AsOfJoin {
     val rp = Project(rp0.output.map(a => Alias(a, rightPrefix + a.name)()), rp0)
 
     def resolve(out: Seq[Attribute], n: String): Attribute =
-      out.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${out.map(_.name).mkString(", ")}]"))
+      out.filter(_.name == n) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in [${out.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.size} attributes match " +
+            s"[${out.map(_.name).mkString(", ")}]")
+      }
     val (lk, lo) = (resolve(lp.output, key._1), resolve(lp.output, ord._1))
     val (rk, ro) = (resolve(rp.output, rightPrefix + key._2),
       resolve(rp.output, rightPrefix + ord._2))
-    Seq(lk, lo, rk, ro).foreach(a => require(a.dataType == LongType,
-      s"asofPrior v1 supports LongType keys/ords; ${a.name} is ${a.dataType}"))
+    Seq(lk, lo, rk, ro).foreach(a => require(RowOrdering.isOrderable(a.dataType),
+      s"asofPrior requires orderable key/ord types; ${a.name} is ${a.dataType}"))
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lo.dataType == ro.dataType,
+      s"ord types differ: ${lo.dataType} vs ${ro.dataType}")
 
     Dataset.ofRows(left.sparkSession.asInstanceOf[ClassicSession],
       AsOfJoinPlan(lp, rp, lk, rk, lo, ro))

@@ -72,6 +72,70 @@ class AsOfJoinSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("type matrix: raw TimestampType ord (no pre-cast to long)") {
+    val left = Seq(("2024-01-01 10:00:00", 1L, 100L), ("2024-01-01 08:00:00", 1L, 101L),
+        ("2024-01-01 12:00:00", 2L, 102L))
+      .toDF("t", "u", "id")
+      .select(to_timestamp(col("t")).as("ts"), col("u"), col("id"))
+    val right = Seq(("2024-01-01 09:30:00", 1L, 200L), ("2024-01-01 10:00:00", 1L, 201L),
+        ("2024-01-01 11:00:00", 2L, 202L))
+      .toDF("t", "u", "id")
+      .select(to_timestamp(col("t")).as("ts"), col("u"), col("id"))
+    val out = AsOfJoin.asofPrior(left, right, "u" -> "u", "ts" -> "ts")
+      .select("id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // 100@10:00 -> 200@09:30 (201@10:00 is not strictly prior);
+    // 101@08:00 -> none; 102@12:00 -> 202@11:00
+    assert(out == Set((100L, 200L), (101L, -1L), (102L, 202L)))
+  }
+
+  test("type matrix: StringType key and ord (binary collation order)") {
+    val left = Seq(("alpha", "2024-03", 1L), ("beta", "2024-01", 2L))
+      .toDF("k", "month", "id")
+    val right = Seq(("alpha", "2024-01", 10L), ("alpha", "2024-02", 11L),
+        ("beta", "2024-01", 12L)).toDF("k", "month", "id")
+    val out = AsOfJoin.asofPrior(left, right, "k" -> "k", "month" -> "month")
+      .select("id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((1L, 11L), (2L, -1L)))
+  }
+
+  test("type matrix: DateType ord and IntegerType key") {
+    val left = Seq((1, "2024-02-10", 1L), (2, "2024-02-10", 2L))
+      .toDF("k", "d", "id").select(col("k"), to_date(col("d")).as("d"), col("id"))
+    val right = Seq((1, "2024-02-09", 10L), (1, "2024-02-10", 11L))
+      .toDF("k", "d", "id").select(col("k"), to_date(col("d")).as("d"), col("id"))
+    val out = AsOfJoin.asofPrior(left, right, "k" -> "k", "d" -> "d")
+      .select("id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, -1L)))
+  }
+
+  test("duplicate column names fail loudly instead of binding the first match") {
+    val left = Seq((1L, 2L)).toDF("a", "b")
+      .select(col("a").as("k"), col("b").as("k"))
+    val right = Seq((1L, 2L)).toDF("k", "o")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPrior(left, right, "k" -> "k", "k" -> "o")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("mismatched left/right types and non-orderable types are rejected") {
+    val l = Seq((1L, 1L)).toDF("k", "o")
+    val rInt = Seq((1, 1L)).toDF("k", "o") // int key vs long key
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPrior(l, rInt, "k" -> "k", "o" -> "o")
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val lMap = Seq((1L, 1L)).toDF("k", "o")
+      .select(map(col("k"), col("o")).as("k"), col("o"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPrior(lMap, l, "k" -> "k", "o" -> "o")
+    }
+    assert(e2.getMessage.contains("orderable"))
+  }
+
   test("partition invariance: result independent of input partitioning") {
     val ev = Tables(spark, sf("sf0.001"), "events")
     val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.ConnectedComponents
 import graft.queries.Dedup
 
 /** The LLM-corpus curation pipeline as ONE runnable job — the
@@ -13,42 +15,64 @@ import graft.queries.Dedup
   * ```
   *
   *  1. exact dedup — hash-groupBy on the content digest, keep min doc_id;
-  *  2. near-dup removal — MinHash+LSH candidates (one corpus scan, capped
-  *     buckets), Jaccard-verified ≥ 0.7; of each near-dup pair the larger
-  *     doc_id is dropped (keep-first, matching exact dedup's keep rule);
+  *  2. near-dup removal — MinHash+LSH pairs (one corpus scan, capped
+  *     buckets, Jaccard-verified ≥ 0.7) closed into duplicate CLUSTERS via
+  *     [[ConnectedComponents]]; exactly the cluster minimum survives (the
+  *     pairwise greedy drop could keep several docs of one transitive
+  *     cluster — e.g. pairs (a,c),(b,c) kept both a and b);
   *  3. quality gate — token count ≥ 10 and stopword ratio ≥ 0.01 (the
   *     q31 scoring signals);
   *  4. curated write — parquet partitioned by `lang`, so per-language
   *     training reads prune partitions.
   *
   * Every stage is a DataFrame transform over the SAME operators the
-  * oracle-verified queries use (q35/q37/q31 logic); the pipeline adds only
-  * composition. At 100 TB: stage 1 is one digest shuffle, stage 2 is the
-  * linear LSH path (base table persisted once), stage 3 is per-row, and
-  * the final write is partition-parallel — no driver-side iteration
-  * anywhere. Prints a per-stage row-count funnel (the curation report).
+  * oracle-verified queries use (q35/q37/q70/q31 logic); the pipeline adds
+  * only composition. At 100 TB: stage 1 is one digest shuffle, stage 2 is
+  * the linear LSH path plus O(log diameter) label-propagation rounds, stage
+  * 3 is per-row, and the final write is partition-parallel — no driver-side
+  * iteration anywhere. Each stage output is persisted before its funnel
+  * count, so counting N stages costs N stage executions, not N(N+1)/2 —
+  * at 100 TB the funnel must not re-run the corpus scan per number printed.
   */
 object CorpusMain {
 
-  /** Returns (curated docs, stage funnel). Separated from main for tests. */
-  def curate(spark: SparkSession, docs: DataFrame): (DataFrame, Seq[(String, Long)]) = {
+  /** Returns (curated docs, stage funnel incl. cluster stats, release).
+    * Call `release()` after the curated output is written: it unpersists
+    * the retained stage caches (the curated DataFrame still recomputes from
+    * parquet afterwards, it just stops being cache-backed). */
+  def curate(spark: SparkSession, docs: DataFrame): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
-    // 1. exact dedup: keep the smallest doc_id per content digest
+    // 1. exact dedup: keep the smallest doc_id per content digest.
+    // Persisted: the minhash base, the anti-join probe side, and (until
+    // nearDeduped materializes) everything downstream read it.
     val keepExact = docs
       .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("keep_id"))
       .drop("text_hash", "keep_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = keepExact.count()
 
-    // 2. near-dup removal: LSH pairs (d1 < d2) -> drop every d2
+    // 2. near-dup removal: LSH pairs -> connected components -> keep each
+    // cluster's minimum doc_id (transitively closed keep-first)
     val base = Dedup.minhashBase(keepExact)
-    val dropIds = Dedup.lshPairs(base, Dedup.LshBucketCap)
-      .select(col("d2").as("doc_id")).distinct()
+    val pairs = Dedup.lshPairs(base, Dedup.LshBucketCap)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val nClusters = comp.select("cluster_id").distinct().count()
+    val largest = if (nClusters == 0) 0L
+      else comp.groupBy("cluster_id").count().agg(max("count")).head().getLong(0)
+    val dropIds = comp.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
     val nearDeduped = keepExact.join(dropIds, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nNear = nearDeduped.count()
+    // everything below reads only the persisted nearDeduped
+    comp.unpersist()
+    base.unpersist()
+    keepExact.unpersist()
 
     // 3. quality gate: q31's signals as a filter
     val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
@@ -66,15 +90,18 @@ object CorpusMain {
 
     (curated, Seq(
       "input" -> total, "exact_dedup" -> nExact,
-      "near_dedup" -> nNear, "quality" -> nCurated))
+      "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
+      "near_dedup" -> nNear, "quality" -> nCurated),
+      () => { nearDeduped.unpersist(); () })
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CorpusMain <sfDir> <outDir>")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (curated, funnel) = curate(spark, Tables(spark, args(0), "documents"))
+    val (curated, funnel, release) = curate(spark, Tables(spark, args(0), "documents"))
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
+    release()
     funnel.foreach { case (stage, n) => println(s"$stage: $n") }
     spark.stop()
   }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge set — the transitive
+  * closure of the near-dup pair relation (VERDICT r2 task 4): pairwise LSH
+  * output (q37) says "a≈b, b≈c", a corpus audit needs the *cluster*
+  * {a, b, c} with a canonical representative and a size.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round, a node's label becomes the minimum over its own and its
+  * neighbors' labels (one shuffle), then labels are contracted one level
+  * (`label ← label(label)`, a second shuffle) — the pointer-jumping step
+  * collapses label chains, giving O(log diameter) rounds instead of
+  * O(diameter), the difference between 6 and 60 shuffles on a long path at
+  * 100 TB. Per round: two equi-join shuffles + one aggregation, all
+  * key-partitioned — no driver-side graph state; the driver sees only the
+  * changed count.
+  *
+  * Lineage is CUT every round (each iteration plans against the previous
+  * round's persisted RDD, not its logical plan): the round plan references
+  * the labels four times, so composing plans would grow 4^rounds and OOM
+  * the driver around round 15 — the classic iterative-DataFrame trap. The
+  * cut costs an InternalRow↔Row conversion per round over the (small)
+  * label table, not the corpus.
+  *
+  * Convergence: labels only decrease and are bounded below by the
+  * component minimum, so the fixpoint (every node labeled with its
+  * component's min id) is reached within maxIter rounds; capped LSH
+  * buckets (Dedup.LshBucketCap) keep real cluster diameters tiny.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two columns (src, dst), undirected (symmetrized internally).
+    * Returns (id, cluster_id) for every node incident to an edge, where
+    * cluster_id = the minimum node id in the component. The result is
+    * persisted (its own cache, all internals released); the caller
+    * unpersists it when done. */
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    // small-plan view of a persisted DF: downstream rounds read its RDD,
+    // not its (growing) logical plan
+    def cut(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    val e = edges.toDF("src", "dst")
+    val sym0 = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = cut(sym0)
+
+    var cur = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var curView = cut(cur)
+
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIter) {
+      // hop: min label over self and neighbors
+      val hop = sym.join(curView, sym("src") === curView("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(curView)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: contract one level of label indirection
+      val next = hop.as("h")
+        .join(hop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+          col("h.label") === col("jid"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.label"), coalesce(col("jlabel"), col("h.label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val changed = next.join(curView.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      cur.unpersist()
+      cur = next
+      curView = cut(next)
+      done = changed == 0
+      iters += 1
+    }
+    // give the result its OWN cache, then release every internal one
+    val result = cut(cur).withColumnRenamed("label", "cluster_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    cur.unpersist()
+    sym0.unpersist()
+    result
+  }
+}

@@ -209,6 +209,22 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- duplicate clusters: connected components over the LSH pairs -----
+    // Pairwise near-dup output says "a≈b, b≈c"; the corpus audit needs the
+    // transitive cluster {a,b,c}: (doc, cluster = min reachable doc, size).
+    // ConnectedComponents = min-label propagation + pointer jumping (O(log
+    // diameter) shuffle rounds); the oracle walks the same edge set with a
+    // recursive CTE — exact agreement, not approximate.
+    "q70_dup_clusters" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+      val comp = graft.operators.ConnectedComponents.components(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // ---- edit-distance near-dup (bounded sample, length prefilter) -------
     "q49_edit_distance" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -331,6 +347,36 @@ object Dedup {
         |                           for i in range(1, len(t) - 1)]) END AS w
         | FROM tk)""".stripMargin
 
+    // the full MinHash→bands→capped-buckets→Jaccard-verified pair set (the
+    // q37 pipeline) as a reusable CTE chain ending in pr(d1, d2, jacc) —
+    // shared by the q37 oracle and q70's transitive closure over it
+    val lshPairCtes: String = {
+      val sigExprs = AB.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
+      }
+      val bandSelects = (0 until BANDS).map { bi =>
+        val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
+        s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
+      }
+      s"""$shinglesSql,
+         |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+         |       FROM sh WHERE len(w) > 0),
+         |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+         |bands AS (SELECT * FROM (${bandSelects.mkString(" UNION ALL ")})
+         |          QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |hd AS (SELECT doc_id, list_distinct(h) AS hs, len(list_distinct(h)) AS sz FROM hs),
+         |j AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+         |             x.sz AS sz1, y.sz AS sz2
+         | FROM cand JOIN hd x ON cand.d1 = x.doc_id JOIN hd y ON cand.d2 = y.doc_id),
+         |pr AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
+         | FROM j
+         | WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
+    }
+
     Map(
       "q35_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
@@ -355,32 +401,27 @@ object Dedup {
            |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
            |ORDER BY d1, d2""".stripMargin,
 
-      "q37_minhash_lsh" -> {
-        val sigExprs = AB.zipWithIndex.map { case ((a, b), i) =>
-          s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
-        }
-        val bandSelects = (0 until BANDS).map { bi =>
-          val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
-          s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
-        }
-        s"""WITH $shinglesSql,
-           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
-           |       FROM sh WHERE len(w) > 0),
-           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
-           |bands AS (SELECT * FROM (${bandSelects.mkString(" UNION ALL ")})
-           |          QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM bands a JOIN bands b
-           |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |hd AS (SELECT doc_id, list_distinct(h) AS hs, len(list_distinct(h)) AS sz FROM hs),
-           |j AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
-           |             x.sz AS sz1, y.sz AS sz2
-           | FROM cand JOIN hd x ON cand.d1 = x.doc_id JOIN hd y ON cand.d2 = y.doc_id)
-           |SELECT d1, d2,
-           | round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
-           |FROM j WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
-           |ORDER BY d1, d2""".stripMargin
-      },
+      "q37_minhash_lsh" ->
+        s"""WITH $lshPairCtes
+           |SELECT d1, d2, jacc FROM pr
+           |ORDER BY d1, d2""".stripMargin,
+
+      // recursive CTE = exact transitive closure of the SAME pair set the
+      // engine clusters; min reachable id per node ≡ the propagated label
+      "q70_dup_clusters" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+           |          UNION SELECT d2, d1 FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+           |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+           |FROM comp JOIN sz USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "q49_edit_distance" ->
         """WITH d AS (SELECT doc_id, text, length(text) AS len

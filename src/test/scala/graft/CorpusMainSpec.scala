@@ -19,7 +19,7 @@ class CorpusMainSpec extends SparkSpec {
         (90001L, near, "en", "inj", near.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
 
-    val (curated, funnel) = CorpusMain.curate(spark, injected)
+    val (curated, funnel, release) = CorpusMain.curate(spark, injected)
     val f = funnel.toMap
     assert(f("input") == docs.count() + 2)
     // the exact copy is gone (keep-first kept doc 0)
@@ -30,15 +30,53 @@ class CorpusMainSpec extends SparkSpec {
     assert(!ids.contains(90000L), "exact duplicate survived")
     assert(ids.contains(0L) && ids.contains(1L), "keep-first originals dropped")
     assert(!ids.contains(90001L), "near duplicate survived")
+    release()
+  }
+
+  test("transitive near-dup chain collapses to ONE kept doc (the cluster min)") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val d1 = docs.filter(col("doc_id") === 1).select("text").as[String].first()
+    val words = d1.split("\\s+")
+    // a chain: d1 ~ nearA (one tail word changed) ~ nearB (two changed) —
+    // nearB shares enough shingles with nearA to pair, and the pairwise
+    // (1,nearA),(nearA,nearB) edges must close into one cluster keeping 1
+    val nearA = (words.dropRight(1) :+ "zzz").mkString(" ")
+    val nearB = (words.dropRight(2) :+ "zzz" :+ "yyy").mkString(" ")
+    val injected = docs.unionByName(
+      Seq((91001L, nearA, "en", "inj", nearA.length.toLong),
+        (91002L, nearB, "en", "inj", nearB.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (curated, funnel, release) = CorpusMain.curate(spark, injected)
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L), "cluster minimum dropped")
+    assert(!ids.contains(91001L) && !ids.contains(91002L),
+      "transitive near-duplicates survived cluster closure")
+    val f = funnel.toMap
+    assert(f("near_dup_clusters") >= 1 && f("largest_cluster") >= 3)
+    release()
+  }
+
+  test("funnel counts reuse persisted stages; release() frees them") {
+    val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
+    // downstream of the funnel, curated must read the persisted near-dedup
+    // stage, not re-execute the dedup pipeline
+    val plan = curated.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), s"curated does not reuse the stage cache:\n$plan")
+    release()
+    // curate + release leave no persisted RDDs behind (the round-2 leak:
+    // minhashBase stayed cached for the life of the session)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
   test("curated output writes lang-partitioned parquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
-    val (curated, _) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
+    val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
     curated.write.mode("overwrite").partitionBy("lang").parquet(out)
     val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("lang="))
     assert(dirs.nonEmpty)
     val back = spark.read.parquet(out)
     assert(back.count() == curated.count())
+    release()
   }
 }

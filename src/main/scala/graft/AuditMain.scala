@@ -144,6 +144,9 @@ object AuditMain {
     val asOf = args.lift(2).map(s => to_timestamp(lit(s))).getOrElse(current_timestamp())
     val report = run(spark, args(0), asOf)
     ReportSink.writeCsv(report, args(1))
+    // the reference's literal artifact (`app.py:220`): a styled workbook
+    sinks.XlsxWriter.writeXlsx(report,
+      new java.io.File(args(1), "summary_job.xlsx").toString)
     ReportSink.summarize(report).foreach { case (s, n) => println(s"$s: $n") }
     spark.stop()
   }

@@ -125,6 +125,49 @@ class AuditMainSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("styled xlsx round-trip: cell values and status fill colors survive") {
+    import java.util.zip.ZipFile
+    val out = Files.createTempDirectory("graft_audit_xlsx")
+    val xlsx = out.resolve("summary_job.xlsx").toString
+    val report = AuditMain.run(spark, inDir.toString,
+      to_timestamp(lit("2024-10-08 09:00:00")))
+    sinks.XlsxWriter.writeXlsx(report, xlsx)
+
+    val zf = new ZipFile(xlsx)
+    def part(name: String): String = {
+      val e = zf.getEntry(name)
+      assert(e != null, s"missing workbook part $name")
+      new String(zf.getInputStream(e).readAllBytes(), StandardCharsets.UTF_8)
+    }
+    try {
+      val sheet = part("xl/worksheets/sheet1.xml")
+      val styles = part("xl/styles.xml")
+      // all four statuses and their rows present as inline strings
+      Seq("P Success", "P Failed", "P NotSynced", "P NoSched",
+        "Success", "Failed", "Not Synced", "No Schedule")
+        .foreach(v => assert(sheet.contains(s">$v</t>"), s"cell value $v missing"))
+      // the four status fills exist in styles.xml (ARGB)
+      Seq("FFC6EFCE", "FFFFC7CE", "FFFFEB9C", "FFD9D9D9")
+        .foreach(argb => assert(styles.contains(argb), s"fill $argb missing"))
+      // per-row fill: the row of each project carries its color's style id
+      // (cellXfs order: 0 plain, 1 bordered, 2 green, 3 red, 4 yellow,
+      // 5 grey, 6 header)
+      val rowOf = sheet.split("<row ").find(_.contains(">P Failed<")).get
+      assert(rowOf.contains("s=\"3\""), s"Failed row not red:\n$rowOf")
+      val rowOk = sheet.split("<row ").find(_.contains(">P Success<")).get
+      assert(rowOk.contains("s=\"2\""), s"Success row not green:\n$rowOk")
+      val rowNs = sheet.split("<row ").find(_.contains(">P NotSynced<")).get
+      assert(rowNs.contains("s=\"4\""), s"Not Synced row not yellow:\n$rowNs")
+      val rowG = sheet.split("<row ").find(_.contains(">P NoSched<")).get
+      assert(rowG.contains("s=\"5\""), s"No Schedule row not grey:\n$rowG")
+      // merged + filled header and explicit column widths (app.py:229-241)
+      assert(sheet.contains("<mergeCell ref=\"A1:"))
+      assert(sheet.contains("customWidth=\"1\""))
+      val header = sheet.split("<row ").find(_.startsWith("r=\"1\"")).get
+      assert(header.contains("s=\"6\""), "header row not filled")
+    } finally zf.close()
+  }
+
   test("report sink writes the ordered CSV") {
     val out = Files.createTempDirectory("graft_audit_csv")
     val report = AuditMain.run(spark, inDir.toString,

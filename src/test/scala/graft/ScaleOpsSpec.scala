@@ -9,6 +9,50 @@ import graft.operators.Salting
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE splits a deliberately skewed sort-merge join at runtime") {
+    // manual Salting is the fallback; this proves the first line of defense
+    // — spark.sql.adaptive.skewJoin — actually fires: one hot key holds 75%
+    // of the fact side, thresholds lowered to test scale, broadcast
+    // disabled so the join stays sort-merge. AQE must mark the join
+    // skew-handled and still return the exact row count. Manual salting
+    // remains needed when the join can't be SMJ/SHJ (e.g. the broadcast-
+    // ineligible theta forms) or when skew is in an aggregation, which
+    // skewJoin does not cover (saltedSum below).
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      val pad = "x" * 128
+      val fact = spark.range(200000).select(
+        when($"id" < 150000, lit(7L)).otherwise($"id" % 997 + 10).as("k"),
+        concat(lit(pad), $"id").as("payload"))
+      val dim = spark.range(2000).select($"id".as("k"),
+        concat(lit(pad), $"id").as("d"))
+      val j = fact.join(dim, Seq("k"))
+      // execute THIS DataFrame (a derived agg would finalize its own
+      // adaptive plan, not j's) — the wide payload crosses the shuffle
+      val rows = j.collect()
+      // exact result despite the split: every fact row matches one dim row
+      assert(rows.length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the join skew-handled:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val dir = sf("sf0.001")
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")

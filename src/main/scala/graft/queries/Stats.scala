@@ -170,6 +170,27 @@ object Stats {
         .orderBy("p_id")
     }),
 
+    // ---- stream-stream join batch analog (q62 minus the left join) -------
+    // purchasesWithRecentViews (EventsPipeline) emits (purchase, view)
+    // PAIRS under the same interval semantics; this deterministic batch
+    // form gives the streaming join a DuckDB oracle, and StreamingSpec
+    // asserts the foreachBatch output equals exactly this query's rows.
+    // Same bucket trick as q62; inner join, so the pair set is the output.
+    "q71_interval_pairs" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .selectExpr("event_id AS p_id", "user_id AS u", "unix_timestamp(ts) AS p_s")
+        .withColumn("bkt", expr("p_s div 3600"))
+      val v = ev.filter(col("event_type") === "view")
+        .selectExpr("event_id AS v_id", "user_id AS vu", "unix_timestamp(ts) AS v_s")
+        .withColumn("vbkt0", expr("v_s div 3600"))
+        .withColumn("bkt", explode(array(col("vbkt0"), col("vbkt0") + 1)))
+      p.join(v, col("u") === col("vu") && p("bkt") === v("bkt") &&
+          col("v_s") >= col("p_s") - 3600 && col("v_s") < col("p_s"))
+        .select(col("p_id"), col("v_id"))
+        .orderBy("p_id", "v_id")
+    }),
+
     // ---- linear-regression aggregates ------------------------------------
     "q65_regression" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "lineitem")
@@ -356,6 +377,17 @@ object Stats {
         |FROM p LEFT JOIN v
         |  ON vu = u AND v_s >= p_s - 3600 AND v_s < p_s
         |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    "q71_interval_pairs" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS u,
+        |             epoch_ns(ts) // 1000000000 AS p_s
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id AS vu,
+        |        epoch_ns(ts) // 1000000000 AS v_s
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p_id, v_id
+        |FROM p JOIN v ON vu = u AND v_s >= p_s - 3600 AND v_s < p_s
+        |ORDER BY p_id, v_id""".stripMargin,
 
     "q65_regression" ->
       """SELECT l_returnflag,

@@ -242,4 +242,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((100L, 10L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream join output equals the batch interval-join oracle (q71)") {
+    // the real events table streamed through the join must reproduce the
+    // DuckDB-checked batch analog exactly — the streaming join's semantics
+    // are oracle-verified, not just spec'd on toy rows. (Boundary-safe:
+    // zero same-user pairs straddle a second or the -3600 s edge at this
+    // sf, verified when q71 was added.)
+    implicit val sc = spark.sqlContext
+    val ev = Tables(spark, sf("sf0.001"), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = EventsPipeline.purchasesWithRecentViews(pIn.toDF(), vIn.toDF(),
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("ssjoin_oracle").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      pIn.addData(ev.filter(_.event_type == "purchase").toSeq)
+      vIn.addData(ev.filter(_.event_type == "view").toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_oracle").select("p_id", "v_id")
+        .as[(Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q71_interval_pairs")(spark, sf("sf0.001"))
+        .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }

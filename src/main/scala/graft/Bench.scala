@@ -32,9 +32,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables(spark, sfDir, "lineitem").count() // warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable => // visible, never silent-zero a timing
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       run() // steady-state warmup: codegen compile + JIT
       val timed = (1 to 2).map { _ =>
@@ -43,12 +45,17 @@ object Bench {
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> timed.min
+      // a failed query must not fold its time-to-failure into the JSON as
+      // if it were a fast success — record it in "errors" instead
+      name -> (if (failed) None else Some(timed.min))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val errors = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -64,8 +64,12 @@ object ScheduleNormalizer {
       (col("pos") + 1).cast("long").as("seq"), // explicit order column (§7.4.2)
       when(col("e").isNull, lit(null).cast("string")) // corrupt/empty doc
         .when(isStr, try_variant_get(rp, "$", "string"))
-        .when(try_variant_get(rp, "$.day_of_week", "int").isNotNull, "weekly")
-        .when(try_variant_get(rp, "$.day", "int").isNotNull, "monthly")
+        // key-presence probes are type-AGNOSTIC ("variant", not "int"):
+        // the reference tests raw `'day_of_week' in repeat_period`
+        // (app.py:138), so {"day_of_week": "x"} is weekly even though the
+        // value isn't an integer — an "int" probe would misfile it as daily
+        .when(try_variant_get(rp, "$.day_of_week", "variant").isNotNull, "weekly")
+        .when(try_variant_get(rp, "$.day", "variant").isNotNull, "monthly")
         .otherwise("daily") // incl. missing repeat_period -> {} (app.py:135)
         .as("kind"),
       when(!isStr, hourOf).as("hour"),

@@ -110,15 +110,19 @@ object Text {
     // whitespace + a BPE-ish regex). The pattern is a GPT-2-style
     // pre-tokenizer simplification — letter runs | digit runs | punctuation
     // runs — kept lookaround-free so Java regex (Spark) and RE2 (DuckDB)
-    // agree. Per-row scalar pipeline: no shuffle, codegen'd regexp.
+    // agree. Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's
+    // \s includes \x0B (vertical tab), RE2's does not, so \s would let the
+    // engines disagree on documents containing \x0B. Per-row scalar
+    // pipeline: no shuffle, codegen'd regexp.
     "q60_bpe_tokens" -> ((s: SparkSession, dir: String) => {
-      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+      val ws = " \\t\\n\\f\\r"
+      val pat = s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$ws]+"
       Tables(s, dir, "documents")
         .select(
           col("doc_id"),
           size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
           size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
-          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]+"), lit(0))).cast("long")
+          size(regexp_extract_all(col("text"), lit(s"[^a-zA-Z0-9$ws]+"), lit(0))).cast("long")
             .as("n_punct"))
         .orderBy("doc_id")
     }),
@@ -199,9 +203,9 @@ object Text {
 
       "q60_bpe_tokens" ->
         """SELECT doc_id,
-          | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe,
+          | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]+')) AS BIGINT) AS n_bpe,
           | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-          | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_punct
+          | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\f\r]+')) AS BIGINT) AS n_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q34_shingles" ->

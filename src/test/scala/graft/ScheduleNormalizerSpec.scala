@@ -52,6 +52,20 @@ class ScheduleNormalizerSpec extends SparkSpec {
     assert(out("p_oddstr") == Row("p_oddstr", 1L, "hourly", null, null, null, false))
   }
 
+  test("key presence is type-agnostic: non-int day_of_week/day still dispatch (app.py:138)") {
+    // the reference tests raw `'day_of_week' in repeat_period`, so the
+    // VALUE's type is irrelevant to the dispatch — a string day_of_week is
+    // weekly (with a null typed day_of_week column), same for day
+    val out = normalize(
+      "p_strdow" -> """{"data":[{"repeat_period":{"hour":4,"day_of_week":"tue"}}]}""",
+      "p_strday" -> """{"data":[{"repeat_period":{"hour":4,"day":"first"}}]}""",
+      "p_nulldow" -> """{"data":[{"repeat_period":{"hour":4,"day_of_week":null}}]}""")
+    assert(out("p_strdow") == Row("p_strdow", 1L, "weekly", 4, null, null, false))
+    assert(out("p_strday") == Row("p_strday", 1L, "monthly", 4, null, null, false))
+    // present-but-JSON-null: Python `in` says present -> weekly
+    assert(out("p_nulldow") == Row("p_nulldow", 1L, "weekly", 4, null, null, false))
+  }
+
   test("non-string non-object repeat_period variants are defined, not errors") {
     val out = normalize(
       "p_num" -> """{"data":[{"repeat_period":5}]}""",

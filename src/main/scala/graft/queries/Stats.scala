@@ -254,6 +254,24 @@ object Stats {
         .orderBy("event_id")
     }),
 
+    // ---- broadcast-right native as-of join -------------------------------
+    // Same result contract as q58, computed by AsOfJoinBroadcastExec: the
+    // right side is broadcast and indexed per task (key -> ord-sorted
+    // rows), the left is NEITHER shuffled NOR sorted — the plan for a big
+    // fact as-of a small dimension history. AsOfJoinSpec asserts the
+    // zero-left-exchange plan shape.
+    "q75_bcast_asof" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id")
+      org.apache.spark.sql.graft.AsOfJoin.asofPriorBroadcast(
+          purchases, views, "user_id" -> "user_id", "event_id" -> "event_id")
+        .select(col("event_id"), col("user_id"), col("r_event_id").as("prior_view"))
+        .orderBy("event_id")
+    }),
+
     // ---- native as-of join on raw event time (TimestampType ord) ---------
     // The generalized exec compares ord via Catalyst's interpreted ordering,
     // so the natural key — the raw µs timestamp — needs no pre-cast. Oracle
@@ -422,6 +440,17 @@ object Stats {
 
     // the native exec must agree with the relational window formulation
     "q58_native_asof" ->
+      """SELECT event_id, user_id, prior_view FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // identical to q58's oracle: the physical strategy must not change rows
+    "q75_bcast_asof" ->
       """SELECT event_id, user_id, prior_view FROM (
         | SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)

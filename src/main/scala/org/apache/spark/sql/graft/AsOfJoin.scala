@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
@@ -43,7 +43,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftOrd: Expression, rightOrd: Expression)
+                        leftOrd: Expression, rightOrd: Expression,
+                        broadcastRight: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,11 +53,13 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
+/** Planner strategy: AsOfJoinPlan → merge or broadcast exec (the
+  * `broadcastRight` flag plays the role of a broadcast() hint). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, bcast) =>
+      if (bcast) AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+      else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
     case _ => Nil
   }
 }
@@ -150,6 +153,88 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast-right as-of join: for a small right side (a config/dimension
+  * history), the merge exec's two shuffles are pure overhead — this variant
+  * broadcasts the right side and leaves the left COMPLETELY alone: no
+  * exchange, no sort, output partitioning = left's. Each task builds a
+  * key → ord-sorted-rows index from the broadcast once (same per-task cost
+  * model as ShuffledHashJoin's build side), then every left row binary-
+  * searches for the last strictly-prior right row — O(log groupSize) per
+  * row, no ordering requirement on the left at all. */
+case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
+                                 leftKey: Expression, rightKey: Expression,
+                                 leftOrd: Expression, rightOrd: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lo = BindReferences.bindReference(leftOrd, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val ro = BindReferences.bindReference(rightOrd, right.output)
+    val rightWidth = right.output.length
+    val outAttrs = output
+    val keyType = leftKey.dataType
+    val ordType = leftOrd.dataType
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitionsInternal { lIter =>
+      val ordOrd = TypeUtils.getInterpretedOrdering(ordType)
+      def cmpOrd(a: Any, b: Any): Int =
+        if (a == null && b == null) 0 else if (a == null) -1
+        else if (b == null) 1 else ordOrd.compare(a, b)
+
+      // key -> rows sorted by ord ascending (nulls first); null key is its
+      // own group. Built once per task from the broadcast value.
+      val index = new java.util.HashMap[Any, Array[InternalRow]]()
+      val grouped = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
+      broadcastRows.value.foreach { r =>
+        val k = rk.eval(r)
+        var g = grouped.get(k)
+        if (g == null) { g = new java.util.ArrayList[InternalRow](); grouped.put(k, g) }
+        g.add(r)
+      }
+      grouped.forEach { (k, g) =>
+        val arr = g.toArray(new Array[InternalRow](g.size))
+        java.util.Arrays.sort(arr, (a: InternalRow, b: InternalRow) =>
+          cmpOrd(ro.eval(a), ro.eval(b)))
+        index.put(k, arr)
+      }
+
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.map { l =>
+        val group = index.get(lk.eval(l))
+        var best: InternalRow = null
+        if (group != null) {
+          val lov = lo.eval(l)
+          // rightmost row with ord < lov
+          var low = 0
+          var high = group.length - 1
+          while (low <= high) {
+            val mid = (low + high) >>> 1
+            if (cmpOrd(ro.eval(group(mid)), lov) < 0) { best = group(mid); low = mid + 1 }
+            else high = mid - 1
+          }
+        }
+        toUnsafe(joined(l, if (best != null) best else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
 object AsOfJoin {
 
   /** Left as-of join: every `left` row plus the columns of the last `right`
@@ -159,7 +244,20 @@ object AsOfJoin {
     * unambiguous without relying on analyzer deduplication. */
   def asofPrior(left: DataFrame, right: DataFrame,
                 key: (String, String), ord: (String, String),
-                rightPrefix: String = "r_"): DataFrame = {
+                rightPrefix: String = "r_"): DataFrame =
+    build(left, right, key, ord, rightPrefix, broadcastRight = false)
+
+  /** [[asofPrior]] with the right side broadcast: no shuffle and no sort on
+    * the left (see [[AsOfJoinBroadcastExec]]). Use when the right side fits
+    * in executor memory — the as-of analog of a broadcast() join hint. */
+  def asofPriorBroadcast(left: DataFrame, right: DataFrame,
+                         key: (String, String), ord: (String, String),
+                         rightPrefix: String = "r_"): DataFrame =
+    build(left, right, key, ord, rightPrefix, broadcastRight = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    key: (String, String), ord: (String, String),
+                    rightPrefix: String, broadcastRight: Boolean): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, rightPrefix + a.name)()), rp0)
@@ -184,6 +282,6 @@ object AsOfJoin {
       s"ord types differ: ${lo.dataType} vs ${ro.dataType}")
 
     Dataset.ofRows(left.sparkSession.asInstanceOf[ClassicSession],
-      AsOfJoinPlan(lp, rp, lk, rk, lo, ro))
+      AsOfJoinPlan(lp, rp, lk, rk, lo, ro, broadcastRight))
   }
 }

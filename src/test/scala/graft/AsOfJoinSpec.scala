@@ -72,6 +72,46 @@ class AsOfJoinSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("broadcast variant: same rows as the merge exec, zero left-side exchange") {
+    val ev = Tables(spark, sf("sf0.01"), "events")
+    val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
+    val v = ev.filter(col("event_type") === "view").select("event_id", "user_id")
+    val b = AsOfJoin.asofPriorBroadcast(p, v,
+      "user_id" -> "user_id", "event_id" -> "event_id")
+    val m = AsOfJoin.asofPrior(p, v,
+      "user_id" -> "user_id", "event_id" -> "event_id")
+    assert(b.exceptAll(m).count() == 0 && m.exceptAll(b).count() == 0)
+    assert(b.count() > 0)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinBroadcast"), s"broadcast exec not planned:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"right side not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"left side shuffled — the whole point was zero exchanges:\n$plan")
+  }
+
+  test("broadcast variant: strictly-prior, null-key group, no-match nulls, ts ord") {
+    val left = Seq(("2024-01-01 10:00:00", 1L, 100L), ("2024-01-01 08:00:00", 1L, 101L),
+        ("2024-01-01 12:00:00", 2L, 102L))
+      .toDF("t", "u", "id").select(to_timestamp(col("t")).as("ts"), col("u"), col("id"))
+    val right = Seq(("2024-01-01 09:30:00", 1L, 200L), ("2024-01-01 10:00:00", 1L, 201L),
+        ("2024-01-01 11:00:00", 2L, 202L))
+      .toDF("t", "u", "id").select(to_timestamp(col("t")).as("ts"), col("u"), col("id"))
+    val out = AsOfJoin.asofPriorBroadcast(left, right, "u" -> "u", "ts" -> "ts")
+      .select("id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((100L, 200L), (101L, -1L), (102L, 202L)))
+
+    val ln = Seq((Some(1L), 10L), (None, 20L), (None, 5L))
+      .toDF("k", "o").selectExpr("o AS event_id", "k AS user_id")
+    val rn = Seq((None: Option[Long], 15L), (Some(1L), 4L))
+      .toDF("k", "o").selectExpr("o AS event_id", "k AS user_id")
+    val out2 = AsOfJoin.asofPriorBroadcast(ln, rn,
+        "user_id" -> "user_id", "event_id" -> "event_id")
+      .select("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1))).toSet
+    assert(out2 == Set((20L, 15L), (5L, -999L), (10L, 4L)))
+  }
+
   test("type matrix: raw TimestampType ord (no pre-cast to long)") {
     val left = Seq(("2024-01-01 10:00:00", 1L, 100L), ("2024-01-01 08:00:00", 1L, 101L),
         ("2024-01-01 12:00:00", 2L, 102L))

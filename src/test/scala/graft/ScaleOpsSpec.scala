@@ -53,6 +53,54 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the third scale lever after broadcast and skew-split: when a big fact
+    // sort-merge-joins a selectively-filtered dim, InjectRuntimeFilter
+    // builds a bloom filter from the dim keys and applies might_contain on
+    // the fact scan side — at 100 TB that's the difference between
+    // shuffling the whole fact table and shuffling the ~matching rows.
+    // Thresholds lowered to test scale; result must equal the unfiltered
+    // plan's exactly (bloom is pruning-only, never semantic).
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dir = sf("sf0.01")
+      def query() = {
+        val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+        val supp = Tables(spark, dir, "supplier")
+          // a plainly "likely selective" predicate (attribute vs literal) —
+          // InjectRuntimeFilter only fires for recognizably selective dims
+          .filter(col("s_suppkey") <= 20)
+          .select("s_suppkey", "s_name")
+        li.join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(sum("l_quantity").as("q"))
+      }
+      val j = query()
+      val withBloom = j.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$optimized")
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = query().collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(withBloom == without && withBloom.nonEmpty)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val dir = sf("sf0.001")
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")

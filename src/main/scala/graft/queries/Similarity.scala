@@ -144,6 +144,38 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // ---- product quantization: per-subspace codebook assignment ----------
+    // PQ completes the quantization family (SQ8 = scalar codes, PQ =
+    // subvector codes): the 64-dim space splits into 4×16-dim subspaces;
+    // in each, a vector is coded as its nearest of 4 codewords (taken
+    // deterministically from the first 4 vectors — a real pipeline would
+    // k-means them). Storage: 4 code bytes/vector vs 256 float bytes — the
+    // compressed layout large-scale ANN actually scans. Argmin on the raw
+    // double L2 (identical fold order in both engines, so bit-equal),
+    // codeword id breaks ties; the emitted distance is rounded.
+    "q76_pq_assign" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cw = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code"), col("embedding").as("cv"))
+      val sub = e.select(col("vec_id"), col("embedding"))
+        .withColumn("subspace", explode(array((0 until 4).map(i => lit(i)): _*)))
+      val l2 = aggregate(
+        zip_with(
+          slice(col("embedding"), col("subspace") * 16 + 1, lit(16)),
+          slice(col("cv"), col("subspace") * 16 + 1, lit(16)),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist"), asc("code"))
+      sub.join(broadcast(cw))
+        .withColumn("dist", l2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"), round(col("dist"), 4).as("dist"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     // ---- embedding norms + label stats (array math surface) --------------
     "q41_embedding_stats" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "embeddings")
@@ -237,6 +269,23 @@ object Similarity {
         | round(avg(recon_err), 6) AS avg_err,
         | round(max(recon_err), 6) AS max_err
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
+
+    "q76_pq_assign" ->
+      """WITH cw AS (SELECT vec_id AS code, embedding AS cv
+        |            FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT vec_id, embedding, unnest(range(0, 4)) AS subspace
+        |        FROM embeddings),
+        |d AS (SELECT vec_id, subspace, code,
+        |  list_sum([ (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |           * (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |            for i in range(1, 17)]) AS dist
+        | FROM sub, cw)
+        |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code,
+        |       round(dist, 4) AS dist
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+        |                           ORDER BY dist, code) = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
 
     "q41_embedding_stats" ->
       s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

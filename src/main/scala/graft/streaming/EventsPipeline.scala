@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the stateful operators. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -98,6 +98,63 @@ object EventsPipeline {
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A closed per-user session: emitted ONLY when the event-time timer
+    * fires (watermark passes last event + gap). */
+  case class ClosedSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Event-time TIMERS on the transformWithState API: a session closes —
+    * and its summary is emitted — when the watermark passes the user's last
+    * event plus `gapMs`. `session_window` (sessionAgg) can only aggregate
+    * within the session; a timer can run arbitrary logic at expiry (emit,
+    * clear, re-arm), which is what operational timeouts (the audit's
+    * "didn't sync today" deadline, `app.py:160,180`, as a push
+    * notification rather than a daily poll) need. One timer per key:
+    * re-arming deletes the previous one; expiry clears all state, so state
+    * size stays ≤ one (UserState + timer + high-water ts) per active user.
+    */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, ClosedSession] {
+    @transient private var agg: ValueState[UserState] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserState](
+        "session", Encoders.product[UserState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armedAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      val prev = if (agg.exists()) agg.get() else UserState(0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      var lastTs = Long.MinValue
+      rows.foreach { e => n += 1; total += e.value; lastTs = math.max(lastTs, e.ts.getTime) }
+      agg.update(UserState(n, total))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val expiry = lastTs + gapMs
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val st = if (agg.exists()) Some(agg.get()) else None
+      agg.clear(); armed.clear()
+      st.map(s => ClosedSession(key, s.n_events, s.total_value)).iterator
+    }
+  }
+
+  /** Sessions closed by event-time timers; input must carry a watermark on
+    * `ts` (timer expiry is driven by the watermark). */
+  def timedOutSessions(events: Dataset[EventRow], gapMs: Long = 30L * 60 * 1000,
+                       watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", watermark).as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream inner join with watermarks: each purchase joined to the

@@ -243,6 +243,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.timedOutSessions(
+        in.toDF().as[graft.streaming.EventRow],
+        gapMs = 30L * 60 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("timedout").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1's session: two events; user 2 keeps the stream alive later
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, t("2024-01-01 10:05:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // nothing closed yet — watermark hasn't passed 10:05 + 30min
+      assert(spark.table("timedout").count() == 0)
+      // advance the watermark beyond user 1's gap; user 2's session stays open
+      in.addData(Ev(3, t("2024-01-01 11:00:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, t("2024-01-01 11:30:00"), 2, "view", 7.0))
+      q.processAllAvailable()
+      val closed = spark.table("timedout")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(closed == Set((1L, 2L, 3.0)), s"got $closed")
+      // re-arming: user 2's last event was 11:30; push watermark past 12:00
+      in.addData(Ev(5, t("2024-01-01 13:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(6, t("2024-01-01 13:30:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("timedout").as[(Long, Long, Double)].collect().toSet
+      assert(all.contains((2L, 2L, 12.0)), s"user 2 session not closed: $all")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join output equals the batch interval-join oracle (q71)") {
     // the real events table streamed through the join must reproduce the
     // DuckDB-checked batch analog exactly — the streaming join's semantics

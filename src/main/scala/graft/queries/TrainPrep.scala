@@ -74,6 +74,25 @@ object TrainPrep {
         .orderBy("doc_id")
     }),
 
+    // ---- per-language quality quota (corpus balancing) -------------------
+    // Keep each language's top fifth by token count — the "balance the
+    // languages" sampling step between curation and training. Quota and
+    // ranking are pure integer math (ceil(n/5) = (n+4) div 5; ties broken
+    // by doc_id), so there is no float boundary anywhere. One window over
+    // (lang), no extra shuffle beyond it.
+    "q77_lang_quota" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("lang").orderBy(desc("n_tokens"), asc("doc_id"))
+      val cnt = Window.partitionBy("lang")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(rawToks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("quota", expr("(count(1) OVER (PARTITION BY lang) + 4) div 5"))
+        .filter(col("rk") <= col("quota"))
+        .select("lang", "doc_id", "n_tokens", "rk")
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- sequence packing into fixed context windows ---------------------
     // Concatenate docs in id order, cut every `cap` tokens (how pretraining
     // actually packs batches — documents may straddle a boundary). One
@@ -122,6 +141,20 @@ object TrainPrep {
         |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q77_lang_quota" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |     AS n_tokens
+        | FROM documents),
+        |r AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rk,
+        |  (count(*) OVER (PARTITION BY lang) + 4) // 5 AS quota
+        | FROM tk)
+        |SELECT lang, doc_id, n_tokens, rk FROM r WHERE rk <= quota
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q74_seq_packing" ->
       """WITH tk AS (SELECT doc_id,

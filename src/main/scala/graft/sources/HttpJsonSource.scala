@@ -156,10 +156,16 @@ final class HttpRowWriter(props: Map[String, String], urlIdx: Int,
 }
 
 final class HttpScanBuilder(props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
   private var limit: Option[Int] = None
+  private var required: StructType = HttpJsonSource.Schema
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
-  override def build(): Scan = new HttpScan(props, limit)
+  // column pruning: a seq-only projection (counts, pagination checks) must
+  // not materialize/ship the JSON payload strings
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new HttpScan(props, limit, required)
 }
 
 /** Shared page fetch/parse used by the driver-side probe and the executor
@@ -191,15 +197,17 @@ private[sources] object HttpFetch {
   }
 }
 
-final class HttpScan(props: Map[String, String], limit: Option[Int])
+final class HttpScan(props: Map[String, String], limit: Option[Int],
+                     required: StructType = HttpJsonSource.Schema)
     extends Scan with Batch {
   private val pageSize = props.getOrElse("page_size", "8").toInt
   private val maxPages = props.getOrElse("max_pages", "32").toInt
 
-  override def readSchema(): StructType = HttpJsonSource.Schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)}"
+    s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)} " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
 
   /** Plans exactly the pages the endpoint has, not `max_pages` blind.
     *
@@ -255,10 +263,10 @@ final class HttpScan(props: Map[String, String], limit: Option[Int])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HttpReaderFactory(props, pageSize)
+    new HttpReaderFactory(props, pageSize, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new HttpMicroBatchStream(props)
+    new HttpMicroBatchStream(props, required)
 }
 
 /** Streaming offset = number of rows already ingested from the endpoint.
@@ -277,8 +285,9 @@ final case class HttpStreamOffset(rows: Long) extends StreamOffset {
   * the rows present at query start and self-terminates: the cron-equivalent
   * incremental run of entry point C (schedule-driven daily batch,
   * `app.py:135-157`). */
-final class HttpMicroBatchStream(props: Map[String, String]) extends MicroBatchStream
-    with SupportsTriggerAvailableNow {
+final class HttpMicroBatchStream(props: Map[String, String],
+                                 required: StructType = HttpJsonSource.Schema)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val pageSize = props.getOrElse("page_size", "8").toInt
 
   // bodies probed in the most recent latestOffset cycle, page -> body;
@@ -343,7 +352,7 @@ final class HttpMicroBatchStream(props: Map[String, String]) extends MicroBatchS
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HttpReaderFactory(props, pageSize)
+    new HttpReaderFactory(props, pageSize, required)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -354,26 +363,37 @@ final case class HttpPage(page: Int, prefetched: Option[String] = None,
                           fromRow: Long = Long.MinValue,
                           untilRow: Long = Long.MaxValue) extends InputPartition
 
-final class HttpReaderFactory(props: Map[String, String], pageSize: Int)
+final class HttpReaderFactory(props: Map[String, String], pageSize: Int,
+                              required: StructType = HttpJsonSource.Schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpPage]
-    new HttpPageReader(props, pageSize, p.page, p.prefetched, p.fromRow, p.untilRow)
+    new HttpPageReader(props, pageSize, p.page, p.prefetched, required,
+      p.fromRow, p.untilRow)
   }
 }
 
 final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int,
                            prefetched: Option[String],
+                           required: StructType = HttpJsonSource.Schema,
                            fromRow: Long = Long.MinValue,
                            untilRow: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val body = prefetched.getOrElse(HttpFetch.fetchBody(props, pageSize, page))
+    val fields = required.fieldNames
     HttpFetch.elements(props, body).iterator.zipWithIndex
       .map { case (el, i) => (page.toLong * pageSize + i, el) }
       .filter { case (seq, _) => seq >= fromRow && seq < untilRow }
-      .map { case (seq, el) => InternalRow(seq, UTF8String.fromString(el)) }
+      .map { case (seq, el) =>
+        // only materialize what the pruned schema asks for — a seq-only
+        // projection never builds the payload UTF8String
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "seq" => seq
+          case "json" => UTF8String.fromString(el)
+        })
+      }
   }
   private var current: InternalRow = _
 

@@ -108,6 +108,19 @@ class HttpSourceSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the scan: seq-only projection drops the payload") {
+    withServer { (url, _) =>
+      val df = spark.read.format("graft-http")
+        .option("url", url).option("page_size", "8").option("max_pages", "5")
+        .option("data_field", "data").load()
+        .select("seq")
+      assert(df.collect().length == total)
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("readSchema=seq") && !scan.contains("readSchema=seq,json"),
+        s"json column not pruned from the scan:\n$scan")
+    }
+  }
+
   test("limit pushdown caps pages fetched") {
     withServer { (url, requests) =>
       val df = spark.read.format("graft-http")

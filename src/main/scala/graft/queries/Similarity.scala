@@ -176,6 +176,47 @@ object Similarity {
         .orderBy("vec_id", "subspace")
     }),
 
+    // ---- distributed k-means (2 Lloyd iterations) ------------------------
+    // The training step IVF (q40) and PQ (q76) codebooks actually come
+    // from: init = first 8 vectors, then assign → per-dimension mean →
+    // re-assign, twice. Each iteration is one broadcast join (assignment,
+    // no shuffle of the vectors) + one (cluster, dim) aggregation shuffle.
+    // Parity note: member sums of float32-derived doubles are EXACT in
+    // f64 (24-bit mantissas + small exponent spread), so the per-dimension
+    // means are order-independent and bit-equal across engines; only the
+    // final avg_dist is a rounded computed double.
+    "q78_kmeans" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def l2(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
+      def assignTo(cent: org.apache.spark.sql.DataFrame) =
+        e.join(broadcast(cent))
+          .withColumn("dist", l2(col("embedding"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"), col("dist"))
+      def means(assign: org.apache.spark.sql.DataFrame) =
+        assign
+          .select(col("cid"),
+            posexplode(transform(col("embedding"), x => x.cast("double")))
+              .as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(avg("v").as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val a2 = assignTo(means(assignTo(c0)))
+      a2.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), round(avg("dist"), 4).as("avg_dist"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- embedding norms + label stats (array math surface) --------------
     "q41_embedding_stats" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "embeddings")
@@ -286,6 +327,29 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
         |                           ORDER BY dist, code) = 1
         |ORDER BY vec_id, subspace""".stripMargin,
+
+    "q78_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, v, dist FROM (
+        |   SELECT e.vec_id, c0.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c0)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT cid, pos, avg(v[pos]) AS m
+        |   FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid, dist FROM (
+        |   SELECT e.vec_id, c1.cid,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+        |SELECT cid AS cluster_id, count(*) AS n_members,
+        |       round(avg(dist), 4) AS avg_dist
+        |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
     "q41_embedding_stats" ->
       s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

@@ -44,7 +44,10 @@ object ConnectedComponents {
     // not its (growing) logical plan
     def cut(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
 
-    val e = edges.toDF("src", "dst")
+    // materialize the edge set ONCE before symmetrizing: the union
+    // references it twice, which would re-execute the (expensive) pair
+    // pipeline feeding this operator twice
+    val e = edges.toDF("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val sym0 = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -55,6 +58,7 @@ object ConnectedComponents {
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cur.count()
+    e.unpersist()
     var curView = cut(cur)
 
     var iters = 0

@@ -177,6 +177,14 @@ object EventsPipeline {
         col("v_ts") < col("p_ts"))
   }
 
+  /** Stream-static enrichment: the event stream left-joined to a static
+    * dimension. Completes the streaming join family next to the
+    * stream-stream join — stream-static needs NO watermark and NO state
+    * store (the static side is just broadcast per micro-batch), which is
+    * why it's the default shape for attaching reference data at scale. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Session windows per user: a session closes after `gap` of inactivity —
     * the streaming form of q26's batch sessionization. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

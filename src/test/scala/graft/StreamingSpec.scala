@@ -243,6 +243,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins without watermark or state store") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.enrichedEvents(in.toDF(), dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Ev(2, t("2024-01-01 10:01:00"), 2, "view", 0.0),
+        Ev(3, t("2024-01-01 10:02:00"), 7, "view", 0.0)) // no dim row -> null
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("-"))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic"), (3L, "-")), s"got $rows")
+      // no stateful operator: the static side broadcasts per batch
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"stream-static join must not create state: ${q.lastProgress.stateOperators.mkString}")
+    } finally q.stop()
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

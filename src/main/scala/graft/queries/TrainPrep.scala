@@ -43,8 +43,10 @@ object TrainPrep {
       val terms = docs
         .select(col("doc_id"), explode(rawToks(col("text"))).as("tok"))
       val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = terms.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // tf rows are already distinct (doc, tok), so document frequency is
+      // one more aggregation over tf — not a second corpus scan + distinct
+      // (the tokenize subtree is shared; ReuseExchange dedups its shuffle)
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc("tfidf"), asc("tok"))
       tf.join(df, Seq("tok"))

@@ -75,10 +75,16 @@ object XlsxWriter {
                 title: String = "Daily Job Check"): Unit = {
     val cols = report.columns
     val colorIdx = cols.indexOf("color")
+    val numeric = report.schema.fields.map(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val rows = report.orderBy("seq").collect()
 
     def cell(ref: String, v: String, style: Int): String =
       s"""<c r="$ref" s="$style" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+    // numeric columns get real number cells, so spreadsheet sorting and
+    // formulas work on them (seq, counts)
+    def numCell(ref: String, v: String, style: Int): String =
+      s"""<c r="$ref" s="$style"><v>$v</v></c>"""
 
     val headerRow = {
       val cs = cols.indices.map(i =>
@@ -95,8 +101,10 @@ object XlsxWriter {
       val color = if (colorIdx >= 0 && !r.isNullAt(colorIdx)) r.getString(colorIdx) else ""
       val s = styleId(color)
       val cs = cols.indices.map { ci =>
-        val v = if (r.isNullAt(ci)) "" else r.get(ci).toString
-        cell(s"${colLetter(ci)}${ri + 3}", v, s)
+        val ref = s"${colLetter(ci)}${ri + 3}"
+        if (r.isNullAt(ci)) cell(ref, "", s)
+        else if (numeric(ci)) numCell(ref, r.get(ci).toString, s)
+        else cell(ref, r.get(ci).toString, s)
       }
       s"""<row r="${ri + 3}">${cs.mkString}</row>"""
     }

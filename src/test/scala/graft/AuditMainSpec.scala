@@ -165,6 +165,9 @@ class AuditMainSpec extends SparkSpec {
       assert(sheet.contains("customWidth=\"1\""))
       val header = sheet.split("<row ").find(_.startsWith("r=\"1\"")).get
       assert(header.contains("s=\"6\""), "header row not filled")
+      // seq is a NUMBER cell (<v>), not an inline string — sortable in a
+      // spreadsheet app
+      assert(rowOk.contains("<v>1</v>"), s"seq not numeric:\n$rowOk")
     } finally zf.close()
   }
 

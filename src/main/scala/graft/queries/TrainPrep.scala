@@ -97,16 +97,17 @@ object TrainPrep {
 
     // ---- sequence packing into fixed context windows ---------------------
     // Concatenate docs in id order, cut every `cap` tokens (how pretraining
-    // actually packs batches — documents may straddle a boundary). One
-    // running-sum window assigns each doc its global offset and window
-    // range; empty docs occupy zero tokens and inherit the current offset.
+    // actually packs batches — documents may straddle a boundary). The
+    // global running token count comes from the DISTRIBUTED two-phase
+    // prefix sum (operators/PrefixSum), not a no-partition window — the
+    // window form funnels the whole corpus through one task
+    // (Exchange SinglePartition), which is exactly the plan that dies at
+    // 100 TB. Empty docs occupy zero tokens and inherit the offset.
     "q74_seq_packing" -> ((s: SparkSession, dir: String) => {
       val cap = 2048
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
+      val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), size(rawToks(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("end_offset", sum("n_tokens").over(w))
+      graft.operators.PrefixSum.runningSum(toks, "doc_id", "n_tokens", "end_offset")
         .select(
           col("doc_id"), col("n_tokens"),
           (col("end_offset") - col("n_tokens")).as("start_offset"),

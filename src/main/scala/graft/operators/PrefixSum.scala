@@ -32,9 +32,17 @@ object PrefixSum {
                  endCol: String, partitions: Int = 0): DataFrame = {
     val parts = if (partitions > 0) partitions
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // RangePartitioner samples with a seed derived from the per-execution
+    // RDD id, so two separate jobs over the same lineage can draw DIFFERENT
+    // partition boundaries — the bases job and the final job would then
+    // disagree on __pid and the running sum would be silently wrong. An
+    // eager localCheckpoint materializes the partitioning ONCE; both jobs
+    // read the same frozen blocks (and __pid is baked into the rows), and
+    // the ContextCleaner reclaims the blocks when the plan is unreferenced.
     val ranged = df
       .repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
 
     // phase 2: one row per partition to the driver, exclusive prefix bases
     val totals = ranged.groupBy("__pid")

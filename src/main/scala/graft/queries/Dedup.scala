@@ -220,9 +220,15 @@ object Dedup {
       val comp = graft.operators.ConnectedComponents.components(
         pairs.select(col("d1").as("src"), col("d2").as("dst")))
       val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, Seq("cluster_id"))
+      // components() persists its result and the CALLER releases it —
+      // eagerly checkpoint the (tiny: one row per clustered doc) output,
+      // then unpersist, so repeated q70 runs don't accumulate caches
+      val out = comp.join(sizes, Seq("cluster_id"))
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      comp.unpersist()
+      out
     }),
 
     // ---- edit-distance near-dup (bounded sample, length prefilter) -------

@@ -32,9 +32,21 @@ object XlsxWriter {
   private val FillIdx: Map[String, Int] =
     Fills.zipWithIndex.map { case ((n, _), i) => n -> (i + 2) }.toMap // 0,1 reserved
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def esc(s: String): String = {
+    val markup = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
+    // XML 1.0 forbids most C0 controls even escaped — a single stray
+    // U+0007 in a report string makes Excel reject the whole workbook.
+    // Excel's own convention is _xHHHH_ encoding; escape a literal
+    // _xHHHH_ already present in the text so decoding stays reversible.
+    val guarded = markup.replaceAll("_x([0-9A-Fa-f]{4})_", "_x005F_x$1_")
+    val b = new StringBuilder(guarded.length)
+    guarded.foreach { c =>
+      if (c == '\t' || c == '\n' || c == '\r' || (c >= 0x20 && c != 0xFFFE && c != 0xFFFF)) b.append(c)
+      else b.append(f"_x${c.toInt}%04X_")
+    }
+    b.toString
+  }
 
   private def colLetter(i: Int): String = {
     var n = i; var s = ""
@@ -103,7 +115,16 @@ object XlsxWriter {
       val cs = cols.indices.map { ci =>
         val ref = s"${colLetter(ci)}${ri + 3}"
         if (r.isNullAt(ci)) cell(ref, "", s)
-        else if (numeric(ci)) numCell(ref, r.get(ci).toString, s)
+        else if (numeric(ci)) {
+          // NaN/Infinity are not valid <v> number content — Excel rejects
+          // the sheet; degrade those to inline strings
+          val v = r.get(ci).toString
+          val finite = v match {
+            case "NaN" | "Infinity" | "-Infinity" => false
+            case _ => true
+          }
+          if (finite) numCell(ref, v, s) else cell(ref, v, s)
+        }
         else cell(ref, r.get(ci).toString, s)
       }
       s"""<row r="${ri + 3}">${cs.mkString}</row>"""

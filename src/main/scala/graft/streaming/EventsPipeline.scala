@@ -132,10 +132,17 @@ object EventsPipeline {
       var lastTs = Long.MinValue
       rows.foreach { e => n += 1; total += e.value; lastTs = math.max(lastTs, e.ts.getTime) }
       agg.update(UserState(n, total))
-      if (armed.exists()) getHandle.deleteTimer(armed.get())
-      val expiry = lastTs + gapMs
-      getHandle.registerTimer(expiry)
-      armed.update(expiry)
+      // `armed` is the high-water expiry (high-water ts + gap). A later
+      // micro-batch can deliver an OLDER but still-within-watermark event;
+      // re-arming at that event's ts would pull the deadline backwards and
+      // close the session before last-event + gap — never regress the timer.
+      val prevExpiry = if (armed.exists()) armed.get() else Long.MinValue
+      val expiry = math.max(prevExpiry, lastTs + gapMs)
+      if (expiry != prevExpiry) {
+        if (prevExpiry != Long.MinValue) getHandle.deleteTimer(prevExpiry)
+        getHandle.registerTimer(expiry)
+        armed.update(expiry)
+      }
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,

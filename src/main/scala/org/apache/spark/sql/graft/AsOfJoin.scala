@@ -185,6 +185,23 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
     val ordType = leftOrd.dataType
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
 
+    // HashMap grouping compares boxed eval values, so keys must have
+    // value-based equals/hashCode ([[AsOfJoin.build]] rejects the rest at
+    // construction). The one atomic wrinkle left is the signed zero:
+    // java.lang.Double.equals(-0.0, 0.0) is false while the merge exec's
+    // ordering (and SQL equality) treat them as one key — canonicalize.
+    val normKey: Any => Any = keyType match {
+      case org.apache.spark.sql.types.DoubleType => {
+        case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+        case v => v
+      }
+      case org.apache.spark.sql.types.FloatType => {
+        case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+        case v => v
+      }
+      case _ => identity[Any]
+    }
+
     left.execute().mapPartitionsInternal { lIter =>
       val ordOrd = TypeUtils.getInterpretedOrdering(ordType)
       def cmpOrd(a: Any, b: Any): Int =
@@ -196,7 +213,7 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
       val index = new java.util.HashMap[Any, Array[InternalRow]]()
       val grouped = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
       broadcastRows.value.foreach { r =>
-        val k = rk.eval(r)
+        val k = normKey(rk.eval(r))
         var g = grouped.get(k)
         if (g == null) { g = new java.util.ArrayList[InternalRow](); grouped.put(k, g) }
         g.add(r)
@@ -212,7 +229,7 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
       lIter.map { l =>
-        val group = index.get(lk.eval(l))
+        val group = index.get(normKey(lk.eval(l)))
         var best: InternalRow = null
         if (group != null) {
           val lov = lo.eval(l)
@@ -276,6 +293,17 @@ object AsOfJoin {
       resolve(rp.output, rightPrefix + ord._2))
     Seq(lk, lo, rk, ro).foreach(a => require(RowOrdering.isOrderable(a.dataType),
       s"asofPrior requires orderable key/ord types; ${a.name} is ${a.dataType}"))
+    if (broadcastRight) {
+      // the broadcast exec groups/probes keys through a HashMap of boxed
+      // eval values: arrays/structs (no value equals on UnsafeArrayData)
+      // and binary (identity equals on Array[Byte]) would silently match
+      // nothing — fail at construction; the merge exec still takes them
+      import org.apache.spark.sql.types.{AtomicType, BinaryType}
+      Seq(lk, rk).foreach(a => require(
+        a.dataType.isInstanceOf[AtomicType] && a.dataType != BinaryType,
+        s"asofPriorBroadcast requires an atomic non-binary key (hash-based " +
+          s"probe); ${a.name} is ${a.dataType} — use asofPrior instead"))
+    }
     require(lk.dataType == rk.dataType,
       s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lo.dataType == ro.dataType,

@@ -176,6 +176,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e2.getMessage.contains("orderable"))
   }
 
+  test("broadcast variant: hash-unsafe key types rejected at construction") {
+    // array keys have no value-based equals on UnsafeArrayData and binary
+    // keys compare by identity — a HashMap probe would silently match
+    // nothing; the merge exec (ordering-based) still accepts them
+    val l = Seq((1L, 1L)).toDF("k", "o").select(array(col("k")).as("k"), col("o"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPriorBroadcast(l, l, "k" -> "k", "o" -> "o")
+    }
+    assert(e1.getMessage.contains("atomic non-binary"))
+    val lb = Seq((Array[Byte](1), 1L)).toDF("k", "o")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPriorBroadcast(lb, lb, "k" -> "k", "o" -> "o")
+    }
+    assert(e2.getMessage.contains("atomic non-binary"))
+  }
+
+  test("broadcast variant: -0.0 and 0.0 double keys are one group") {
+    val left = Seq((-0.0, 10L, 1L), (0.0, 20L, 2L)).toDF("k", "o", "id")
+    val right = Seq((0.0, 5L, 100L), (-0.0, 15L, 101L)).toDF("k", "o", "id")
+    val out = AsOfJoin.asofPriorBroadcast(left, right, "k" -> "k", "o" -> "o")
+      .select("id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // both left rows probe the SAME key group: prior-to-10 is 5, prior-to-20 is 15
+    assert(out == Set((1L, 100L), (2L, 101L)), s"signed zero split the key group: $out")
+  }
+
   test("partition invariance: result independent of input partitioning") {
     val ev = Tables(spark, sf("sf0.001"), "events")
     val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")

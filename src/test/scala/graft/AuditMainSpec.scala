@@ -171,6 +171,37 @@ class AuditMainSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("xlsx survives hostile content: control chars, _xHHHH_ literals, NaN") {
+    import java.util.zip.ZipFile
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_xlsx_hostile")
+    val xlsx = out.resolve("hostile.xlsx").toString
+    val report = Seq(
+      (1, "bell\u0007name", Double.NaN, "green"),
+      (2, "already _x0041_ encoded", Double.PositiveInfinity, "red"),
+      (3, "plain", 2.5, "grey"))
+      .toDF("seq", "name", "score", "color")
+    sinks.XlsxWriter.writeXlsx(report, xlsx)
+    val zf = new ZipFile(xlsx)
+    try {
+      val e = zf.getEntry("xl/worksheets/sheet1.xml")
+      val bytes = zf.getInputStream(e).readAllBytes()
+      // the sheet must be WELL-FORMED XML 1.0 — a raw U+0007 or a NaN in
+      // a <v> number cell makes Excel reject the workbook
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+      val sheet = new String(bytes, StandardCharsets.UTF_8)
+      assert(sheet.contains("bell_x0007_name"), "control char not _xHHHH_-encoded")
+      assert(sheet.contains("already _x005F_x0041_ encoded"),
+        "pre-existing _xHHHH_ literal not guarded")
+      assert(!sheet.contains("<v>NaN</v>") && !sheet.contains("<v>Infinity</v>"),
+        "non-finite double leaked into a number cell")
+      assert(sheet.contains(">NaN</t>") && sheet.contains(">Infinity</t>"),
+        "non-finite values should degrade to inline strings")
+      assert(sheet.contains("<v>2.5</v>"), "finite double must stay numeric")
+    } finally zf.close()
+  }
+
   test("report sink writes the ordered CSV") {
     val out = Files.createTempDirectory("graft_audit_csv")
     val report = AuditMain.run(spark, inDir.toString,

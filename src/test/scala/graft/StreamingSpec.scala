@@ -309,6 +309,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("out-of-order event must not pull the session deadline backwards") {
+    // ADVICE r3: a later micro-batch carrying an OLDER but within-watermark
+    // event re-armed the timer at old-ts + gap, closing the session before
+    // last-event + gap. The timer is a high-water mark: it never regresses.
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = EventsPipeline.timedOutSessions(
+        in.toDF().as[graft.streaming.EventRow],
+        gapMs = 30L * 60 * 1000, watermark = "2 hours")
+      .writeStream.format("memory").queryName("noregress").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 @ 12:00 -> deadline 12:30
+      in.addData(Ev(1, t("2024-01-01 12:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: OLDER user-1 event @ 11:00 (watermark is 10:00, so it is
+      // on time). Regressing code would re-arm at 11:30.
+      in.addData(Ev(2, t("2024-01-01 11:00:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark to 11:35-11:36: past the WRONG deadline
+      // (11:30), before the right one (12:30) — nothing may close
+      in.addData(Ev(3, t("2024-01-01 13:35:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, t("2024-01-01 13:36:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val early = spark.table("noregress").as[(Long, Long, Double)].collect().toSet
+      assert(!early.exists(_._1 == 1L),
+        s"session closed before last-event + gap (timer regressed): $early")
+      // advance past 12:30 -> the session closes with BOTH events
+      in.addData(Ev(5, t("2024-01-01 14:40:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(6, t("2024-01-01 14:41:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("noregress").as[(Long, Long, Double)].collect().toSet
+      assert(closed.contains((1L, 2L, 3.0)), s"user 1 session missing: $closed")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join output equals the batch interval-join oracle (q71)") {
     // the real events table streamed through the join must reproduce the
     // DuckDB-checked batch analog exactly — the streaming join's semantics

@@ -35,6 +35,42 @@ object Similarity {
   private def normSql(a: String): String =
     s"sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))"
 
+  /** Sequential-fold squared L2 — identical accumulation order to the
+    * oracle's list comprehension, so the raw double is bit-equal. */
+  private def l2HOF(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment under L2 (ties → lowest cid). `cent` must
+    * be small — it is broadcast; the vector side is never shuffled. */
+  private def assignL2(e: org.apache.spark.sql.DataFrame,
+                       cent: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
+    e.join(broadcast(cent))
+      .withColumn("dist", l2HOF(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("dist"))
+  }
+
+  /** One Lloyd step from the first-8 seed: assign → per-dimension means.
+    * Member sums of float32-derived doubles are exact in f64, so the means
+    * are order-independent (the q78 parity note). */
+  private def trainedCentroids(e: org.apache.spark.sql.DataFrame) = {
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    assignL2(e, c0)
+      .select(col("cid"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(avg("v").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- brute-force cosine top-k ---------------------------------------
     "q39_cosine_topk" -> ((s: SparkSession, dir: String) => {
@@ -187,34 +223,40 @@ object Similarity {
     // final avg_dist is a rounded computed double.
     "q78_kmeans" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      def l2(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
-      def assignTo(cent: org.apache.spark.sql.DataFrame) =
-        e.join(broadcast(cent))
-          .withColumn("dist", l2(col("embedding"), col("cv")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("embedding"), col("dist"))
-      def means(assign: org.apache.spark.sql.DataFrame) =
-        assign
-          .select(col("cid"),
-            posexplode(transform(col("embedding"), x => x.cast("double")))
-              .as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(avg("v").as("m"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
-
-      val c0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"),
-          transform(col("embedding"), x => x.cast("double")).as("cv"))
-      val a2 = assignTo(means(assignTo(c0)))
+      val a2 = assignL2(e, trainedCentroids(e))
       a2.groupBy(col("cid").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), round(avg("dist"), 4).as("avg_dist"))
         .orderBy("cluster_id")
+    }),
+
+    // ---- IVF search over the TRAINED centroids ---------------------------
+    // Closes the train→index→serve loop: q40/q51 index with arbitrary seed
+    // vectors as centroids; here the k-means output (q78's c1) IS the
+    // coarse quantizer, which is how a real IVF index is built. Same probe
+    // discipline as q51 (top-2 centroids per query), but assignment, probe
+    // and leaf scoring all use the L2 metric the centroids were trained
+    // under. One broadcast of 8 centroids, one shuffle for the leaf top-k
+    // window — the vectors themselves are never re-shuffled.
+    "q79_trained_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cent = trainedCentroids(e)
+      val assign = assignL2(e, cent)
+        .select(col("vec_id").as("cid"), col("cid").as("ccid"),
+          col("embedding").as("ce"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wQ = Window.partitionBy("qid").orderBy(asc("qdist"), asc("cid"))
+      val probes = q.join(broadcast(cent))
+        .withColumn("qdist", l2HOF(col("qe"), col("cv")))
+        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 2)
+        .select(col("qid"), col("qe"), col("cid").as("pcid"))
+      val wS = Window.partitionBy("qid").orderBy(asc("dist"), asc("cid"))
+      probes.join(assign, col("pcid") === col("ccid") && col("qid") =!= col("cid"))
+        .withColumn("dist", l2HOF(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wS).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rank")
     }),
 
     // ---- embedding norms + label stats (array math surface) --------------
@@ -350,6 +392,39 @@ object Similarity {
         |SELECT cid AS cluster_id, count(*) AS n_members,
         |       round(avg(dist), 4) AS avg_dist
         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
+    "q79_trained_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, v FROM (
+        |   SELECT e.vec_id, c0.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c0)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT cid, pos, avg(v[pos]) AS m
+        |   FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |asg AS (SELECT vec_id AS mid, cid AS ccid, v AS ce FROM (
+        |   SELECT e.vec_id, c1.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probes AS (SELECT qid, qe, cid AS pcid FROM (
+        |   SELECT e.vec_id AS qid, e.v AS qe, c1.cid,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS qdist
+        |   FROM e, c1 WHERE e.vec_id < 10)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qdist, cid) <= 2),
+        |sc AS (SELECT qid, mid AS cid,
+        |   list_sum([ (qe[i] - ce[i]) * (qe[i] - ce[i]) for i in range(1, 65)]) AS dist
+        | FROM probes JOIN asg ON pcid = ccid AND qid <> mid)
+        |SELECT qid, rank, cid, round(dist, 4) AS dist FROM (
+        | SELECT qid, cid, dist,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS BIGINT) AS rank
+        | FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q41_embedding_stats" ->
       s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

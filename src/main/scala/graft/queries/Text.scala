@@ -127,6 +127,70 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // ---- repetition signals (Gopher-style duplicate n-gram fractions) ----
+    // The quality gates a large-scale corpus actually filters on (Rae et
+    // al. 2021 §A1.1): the fraction of duplicated tokens / 2-grams /
+    // 3-grams in a document — boilerplate and generator loops light these
+    // up long before perplexity does. All per-row array math (slice +
+    // zip_with n-gram construction, array_distinct counting): no shuffle,
+    // no mode computation, linear in document length.
+    "q80_repetition" -> ((s: SparkSession, dir: String) => {
+      def bg2(w: Column): Column =
+        when(size(w) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+      def tg3(w: Column): Column =
+        when(size(w) < 3, array().cast("array<string>"))
+          .otherwise(zip_with(
+            zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(w, lit(3), size(w) - 2),
+            (ab, c) => concat(ab, lit(" "), c)))
+      def dupFrac(a: Column): Column =
+        when(size(a) === 0, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"), 4))
+      Tables(s, dir, "documents")
+        .withColumn("w", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          dupFrac(col("w")).as("dup_token_frac"),
+          dupFrac(bg2(col("w"))).as("dup_2gram_frac"),
+          dupFrac(tg3(col("w"))).as("dup_3gram_frac"))
+        .withColumn("repetitive",
+          (col("dup_token_frac") > 0.8 || col("dup_3gram_frac") > 0.3)
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction (functions.Redaction) -----------------------------
+    // The corpus text carries no digits or '@' (verified), so running the
+    // scrubber on it alone would assert nothing. Instead both engines
+    // synthesize identical PII deterministically FROM doc_id (an email and
+    // a phone appended per row), then count → redact → re-count. That
+    // exercises the full regex surface — match counting, ordered
+    // replacement, post-scrub cleanliness — under the oracle hash, not
+    // just on toy spec rows.
+    "q81_pii_redact" -> ((s: SparkSession, dir: String) => {
+      import graft.functions.Redaction
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables(s, dir, "documents")
+        .withColumn("t2", synth)
+        .withColumn("red", Redaction.redactPii(col("t2")))
+        .select(col("doc_id"),
+          Redaction.countMatches(col("t2"), Redaction.EmailRe).as("n_emails"),
+          Redaction.countMatches(col("t2"), Redaction.PhoneRe).as("n_phones"),
+          length(col("red")).cast("long").as("n_chars_redacted"),
+          (Redaction.countMatches(col("red"), Redaction.EmailRe) === 0 &&
+            Redaction.countMatches(col("red"), Redaction.PhoneRe) === 0)
+            .cast("long").as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
@@ -207,6 +271,55 @@ object Text {
           | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
           | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\f\r]+')) AS BIGINT) AS n_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q80_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |u AS (SELECT doc_id, w,
+           |  CASE WHEN len(w) < 2 THEN []
+           |       ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END AS bg,
+           |  CASE WHEN len(w) < 3 THEN []
+           |       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |             for i in range(1, len(w) - 1)] END AS tg
+           | FROM t),
+           |v AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(w) = 0 THEN 0.0 ELSE round(1.0 -
+           |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4)
+           |  END AS dup_token_frac,
+           |  CASE WHEN len(bg) = 0 THEN 0.0 ELSE round(1.0 -
+           |    CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 4)
+           |  END AS dup_2gram_frac,
+           |  CASE WHEN len(tg) = 0 THEN 0.0 ELSE round(1.0 -
+           |    CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE), 4)
+           |  END AS dup_3gram_frac
+           | FROM u)
+           |SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac, dup_3gram_frac,
+           | CAST(CASE WHEN dup_token_frac > 0.8 OR dup_3gram_frac > 0.3
+           |      THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+           |FROM v ORDER BY doc_id""".stripMargin,
+
+      "q81_pii_redact" -> {
+        import graft.functions.Redaction.{EmailRe, Ipv4Re, PhoneRe}
+        s"""WITH t AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id::VARCHAR || '@mail.example.com tel 555-' ||
+           |  lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+           |  lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t2
+           | FROM documents),
+           |r AS (SELECT doc_id, t2,
+           |  regexp_replace(regexp_replace(regexp_replace(t2,
+           |    '$EmailRe', '[EMAIL]', 'g'),
+           |    '$Ipv4Re', '[IP]', 'g'),
+           |    '$PhoneRe', '[PHONE]', 'g') AS red
+           | FROM t)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+           | CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+           | CAST(length(red) AS BIGINT) AS n_chars_redacted,
+           | CAST(CASE WHEN len(regexp_extract_all(red, '$EmailRe')) = 0
+           |        AND len(regexp_extract_all(red, '$PhoneRe')) = 0
+           |      THEN 1 ELSE 0 END AS BIGINT) AS clean
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
 
       "q34_shingles" ->
         s"""WITH t AS (SELECT doc_id, ${"CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(trim(text)), '\\s+') END"} AS w FROM documents),

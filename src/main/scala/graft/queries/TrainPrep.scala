@@ -76,6 +76,27 @@ object TrainPrep {
         .orderBy("doc_id")
     }),
 
+    // ---- stratified Bernoulli sample (per-language rates) ----------------
+    // The rebalancing sampler: over-represented strata are kept at a lower
+    // rate (en 20%) than the rest (80%). Hash-bucket Bernoulli, not
+    // rank-based like q77: membership is decided per row with no window
+    // and no shuffle, so it scales embarrassingly and is reproducible
+    // across reruns/speculation. The hash is SALTED ('smpl' prefix) so the
+    // sample is independent of q73's split buckets — reusing one hash for
+    // both would correlate the sample with the train/val/test assignment.
+    "q82_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      val bucket = (conv(substring(md5(
+          concat(lit("smpl"), col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("rate",
+          when(col("lang") === "en", lit(20L)).otherwise(lit(80L)))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "bucket", "rate")
+        .orderBy("doc_id")
+    }),
+
     // ---- per-language quality quota (corpus balancing) -------------------
     // Keep each language's top fifth by token count — the "balance the
     // languages" sampling step between curation and training. Quota and
@@ -144,6 +165,14 @@ object TrainPrep {
         |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_stratified_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('smpl' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket,
+        |  CAST(CASE WHEN lang = 'en' THEN 20 ELSE 80 END AS BIGINT) AS rate
+        | FROM documents)
+        |SELECT doc_id, lang, bucket, rate FROM t
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
 
     "q77_lang_quota" ->
       """WITH tk AS (SELECT doc_id, lang,

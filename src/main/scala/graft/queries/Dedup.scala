@@ -201,6 +201,43 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- containment (asymmetric Jaccard) near-dup -----------------------
+    // containment(A→B) = |A∩B| / |A| flags a SHORT doc embedded in a long
+    // one — a pair symmetric Jaccard structurally misses (|A∩B|/|A∪B| ≈
+    // |A|/|B| ≈ 0.5 for a half-length snippet, under any useful threshold)
+    // and q36's size-ratio prefilter excludes outright. This corpus has no
+    // natural subset docs (its near-dups are same-length mutations —
+    // measured), so, like q35 doubles its input, both engines synthesize
+    // identical snippet docs (first half of every 7th doc's tokens, pseudo
+    // id +1e6) and containment-join them against the full docs. The
+    // threshold is the INTEGER predicate i*10 >= sz1*8 (cont >= 0.8 exactly,
+    // no float boundary), placed after the cheap size conjunct; the scale
+    // path for this operator is LSH over the SMALL side's signature with
+    // per-band thresholds tuned for containment (asymmetric banding), which
+    // this bounded-sample form is the oracle for.
+    "q83_containment" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      val rawT = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(lower(trim(col("text"))), "\\s+"))
+      val host = hashedDocsOf(docs)
+        .select(col("doc_id").as("d2"), array_distinct(col("h")).as("h2"))
+        .select(col("d2"), col("h2"), size(col("h2")).as("sz2"))
+      val snip = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("t", rawT)
+        .withColumn("ht", slice(col("t"), lit(1), expr("(size(t) + 1) div 2")))
+        .select((col("doc_id") + lit(1000000L)).as("d1"),
+          array_distinct(transform(shingles3(col("ht")), x => tokHash(x))).as("h1"))
+        .select(col("d1"), col("h1"), size(col("h1")).as("sz1"))
+        .filter(col("sz1") > 0)
+      val inter = size(array_intersect(col("h1"), col("h2")))
+      snip.repartition(col("d1"))
+        .join(broadcast(host),
+          col("sz2") * 10 >= col("sz1") * 8 && inter * 10 >= col("sz1") * 8)
+        .select(col("d1"), col("d2"),
+          round(inter.cast("double") / col("sz1").cast("double"), 4).as("cont"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- MinHash + LSH near-dup: the linear-time scale path --------------
     // One corpus scan (persisted minhashBase), capped band buckets — see
     // the scaladoc on minhashBase/lshPairs/LshBucketCap above.
@@ -405,6 +442,28 @@ object Dedup {
            | round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
            |FROM p
            |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
+           |ORDER BY d1, d2""".stripMargin,
+
+      "q83_containment" ->
+        s"""WITH $shinglesSql,
+           |host AS (SELECT doc_id AS d2,
+           |          list_distinct(list_transform(w, t -> $tokHashSql)) AS h2
+           |         FROM sh WHERE doc_id < 500),
+           |g2 AS (SELECT d2, h2, len(h2) AS sz2 FROM host),
+           |snt AS (SELECT doc_id, t[1:(len(t)+1)//2] AS ht FROM tk
+           |        WHERE doc_id < 500 AND doc_id % 7 = 0),
+           |ssh AS (SELECT doc_id, CASE WHEN len(ht) < 3 THEN []
+           |          ELSE list_distinct([ht[i] || ' ' || ht[i+1] || ' ' || ht[i+2]
+           |                              for i in range(1, len(ht) - 1)]) END AS w
+           |        FROM snt),
+           |snip AS (SELECT doc_id + 1000000 AS d1,
+           |           list_distinct(list_transform(w, t -> $tokHashSql)) AS h1
+           |         FROM ssh),
+           |g1 AS (SELECT d1, h1, len(h1) AS sz1 FROM snip WHERE len(h1) > 0),
+           |p AS (SELECT d1, d2, len(list_intersect(h1, h2)) AS i, sz1
+           |      FROM g1, g2 WHERE sz2 * 10 >= sz1 * 8)
+           |SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sz1 AS DOUBLE), 4) AS cont
+           |FROM p WHERE i * 10 >= sz1 * 8
            |ORDER BY d1, d2""".stripMargin,
 
       "q37_minhash_lsh" ->

@@ -44,6 +44,27 @@ class DedupSpec extends SparkSpec {
     } finally base.unpersist()
   }
 
+  test("q83 containment pairs are invisible to symmetric Jaccard (q36)") {
+    // the operator's reason to exist: every snippet-in-host pair it finds
+    // has Jaccard ≈ |A|/|B| ≈ 0.5, below q36's 0.7 — and q36's size-ratio
+    // prefilter would drop the pair before scoring anyway
+    val cont = SparkEntry.queries("q83_containment")(spark, sf("sf0.001")).collect()
+    assert(cont.nonEmpty, "no containment pairs found")
+    assert(cont.forall(_.getDouble(2) >= 0.8))
+    // each snippet finds at least its own source doc (pseudo id - 1e6)
+    val selfPairs = cont.map(r => (r.getLong(0) - 1000000L, r.getLong(1)))
+      .filter { case (src, host) => src == host }
+    val snippetIds = cont.map(_.getLong(0)).distinct
+    assert(selfPairs.length == snippetIds.length,
+      s"some snippet missed its host: ${snippetIds.length} snippets, ${selfPairs.length} self pairs")
+    // and none of those self pairs would pass q36's symmetric gate: a
+    // half-length snippet has jacc = sz1/sz2 ~ 0.5 and fails the 7/10
+    // size-ratio prefilter (sz1*10 >= sz2*7 needs sz1 >= 0.7*sz2)
+    val q36gate = SparkEntry.queries("q36_jaccard_pairs")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfPairs.forall { case (src, host) => !q36gate.contains((src, host)) })
+  }
+
   test("minhashBase is one row per non-empty doc with K-length signatures") {
     val base = Dedup.minhashBase(degenerate)
     try {

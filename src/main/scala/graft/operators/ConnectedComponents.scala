@@ -64,11 +64,16 @@ object ConnectedComponents {
     var iters = 0
     var done = false
     while (!done && iters < maxIter) {
-      // hop: min label over self and neighbors
+      // hop: min label over self and neighbors. Persisted: the pointer
+      // jump below references it TWICE (probe and build side), and the
+      // lineage-cut label table can't be exchange-reused across those two
+      // subplans — without the persist the join+union+agg runs twice per
+      // round.
       val hop = sym.join(curView, sym("src") === curView("id"))
         .select(col("dst").as("id"), col("label"))
         .union(curView)
         .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: contract one level of label indirection
       val next = hop.as("h")
         .join(hop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
@@ -79,6 +84,7 @@ object ConnectedComponents {
 
       val changed = next.join(curView.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
+      hop.unpersist()
       cur.unpersist()
       cur = next
       curView = cut(next)

@@ -80,8 +80,39 @@ object AuditMain {
   private[graft] def auditProjects(spark: SparkSession, source: String,
                                    projects: DataFrame,
                                    asOfUtc: org.apache.spark.sql.Column,
-                                   token: Option[String]): DataFrame = {
-    def entries(name: String) = AuditMain.entries(spark, source, name, token)
+                                   token: Option[String]): DataFrame =
+    auditFrom(projects, asOfUtc, name => AuditMain.entries(spark, source, name, token))
+
+  /** [[auditProjects]] with the side documents fetched per-project through
+    * the keyed multi-path scan (`$base/projects/{id}/<name>`, the
+    * reference's own URL shape, `app.py:125-126,161-165`): a micro-batch
+    * of N new projects costs N×3 endpoint reads, not a re-read of every
+    * collection — the incremental audit's side-input cost is O(new).
+    * `ids` is driver-side but bounded by the micro-batch's project count
+    * (the reference drives the same loop from its driver). */
+  private[graft] def auditProjectsKeyed(spark: SparkSession, baseUrl: String,
+                                        projects: DataFrame, ids: Seq[String],
+                                        asOfUtc: org.apache.spark.sql.Column,
+                                        token: Option[String]): DataFrame = {
+    def keyedEntries(name: String): DataFrame = {
+      val reader = spark.read.format("graft-http")
+        .option("url", s"$baseUrl/projects/{key}/$name")
+        .option("data_field", "data")
+        .option("path_values", ids.mkString(","))
+      token.fold(reader)(t => reader.option("header.Authorization", t))
+        .load()
+        // the per-key endpoints serve the same element shapes as the
+        // collections (filtered to the key), so parsing is one code path;
+        // the key column is dropped after the elements confirm their owner
+        .select(col("seq") + 1, try_parse_json(col("json")).as("e"))
+        .toDF("seq", "e")
+    }
+    auditFrom(projects, asOfUtc, keyedEntries)
+  }
+
+  private def auditFrom(projects: DataFrame,
+                        asOfUtc: org.apache.spark.sql.Column,
+                        entries: String => DataFrame): DataFrame = {
 
     val schedules = ScheduleNormalizer.normalizeSchedules(
       entries("schedules").select(

@@ -43,6 +43,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (JSON field holding the array; absent → the document root must be an
   * array), `page_param` (default "page"), `size_param` (default
   * "page_size"), `timeout_ms`, plus `header.*` forwarded verbatim.
+  *
+  * Keyed multi-path scan: with `path_values` (comma-separated key list)
+  * the `url` must carry a `{key}` placeholder, and the scan fetches each
+  * key's endpoint — the reference's per-project loop
+  * (`app.py:125-126`: `GET projects/<id>/schedules`) as scan
+  * PARTITIONING: one set of page partitions per key, fetched in parallel,
+  * each row tagged with its key (schema becomes `(key, seq, json)` — the
+  * key column is how callers re-attach `project_id` when the per-project
+  * response body doesn't embed it). This is the incremental-audit path:
+  * a micro-batch of N new projects fetches side documents for exactly
+  * those N keys instead of re-reading whole collections.
   */
 class HttpJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-http"
@@ -51,7 +62,8 @@ class HttpJsonSource extends TableProvider with DataSourceRegister {
   // the inferred (seq, json) page schema
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    HttpJsonSource.Schema
+    if (options.containsKey("path_values")) HttpJsonSource.KeyedSchema
+    else HttpJsonSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new HttpJsonTable(schema, properties.asScala.toMap)
@@ -59,6 +71,12 @@ class HttpJsonSource extends TableProvider with DataSourceRegister {
 
 object HttpJsonSource {
   val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("json", StringType, nullable = true)))
+  // keyed multi-path scans tag every row with the key whose endpoint it
+  // came from; seq restarts per key
+  val KeyedSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("json", StringType, nullable = true)))
 }
@@ -159,8 +177,14 @@ final class HttpScanBuilder(props: Map[String, String])
     extends ScanBuilder with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
   private var limit: Option[Int] = None
-  private var required: StructType = HttpJsonSource.Schema
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  private var required: StructType =
+    if (props.contains("path_values")) HttpJsonSource.KeyedSchema
+    else HttpJsonSource.Schema
+  // a keyed scan can't translate a global limit into per-key page caps —
+  // refuse the pushdown and let Spark apply the limit after the scan
+  override def pushLimit(n: Int): Boolean =
+    if (props.contains("path_values")) false
+    else { limit = Some(n); true }
   // column pruning: a seq-only projection (counts, pagination checks) must
   // not materialize/ship the JSON payload strings
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -171,8 +195,14 @@ final class HttpScanBuilder(props: Map[String, String])
 /** Shared page fetch/parse used by the driver-side probe and the executor
   * readers, so a page probed at plan time is never fetched twice. */
 private[sources] object HttpFetch {
-  def fetchBody(props: Map[String, String], pageSize: Int, page: Int): String = {
-    val base = props("url")
+  def fetchBody(props: Map[String, String], pageSize: Int, page: Int,
+                key: Option[String] = None): String = {
+    val base = key.fold(props("url")) { k =>
+      val url = props("url")
+      require(url.contains("{key}"),
+        s"graft-http: path_values requires a {key} placeholder in url ($url)")
+      url.replace("{key}", java.net.URLEncoder.encode(k, "UTF-8"))
+    }
     val pageParam = props.getOrElse("page_param", "page")
     val sizeParam = props.getOrElse("size_param", "page_size")
     val timeoutMs = props.getOrElse("timeout_ms", "10000").toLong
@@ -225,48 +255,71 @@ final class HttpScan(props: Map[String, String], limit: Option[Int],
   // Spark calls planInputPartitions more than once per query (planning and
   // execution); memoize so the probe GETs are paid exactly once
   override def planInputPartitions(): Array[InputPartition] = planned
+
+  /** Gallop + binary search for one endpoint (one key, or the plain url):
+    * O(log n) probe GETs, bodies cached into their partitions. */
+  private def probedPages(key: Option[String]): Array[InputPartition] = {
+    val cache = scala.collection.mutable.Map.empty[Int, String]
+    def countAt(p: Int): Int = {
+      val body = cache.getOrElseUpdate(p, HttpFetch.fetchBody(props, pageSize, p, key))
+      HttpFetch.elements(props, body).size
+    }
+    // pages are monotone (full*, one optional partial, empty*); find the
+    // first non-full page in (lo, hi] — probing index maxPages (one past
+    // the allowed window) is the truncation sentinel
+    var lo = 0 // pages 1..lo known full; page 0 is left to its executor
+    var hi = 1
+    while (hi < maxPages && countAt(hi) == pageSize) {
+      lo = hi; hi = math.min(hi * 2, maxPages)
+    }
+    if (hi == maxPages && countAt(maxPages) > 0)
+      throw new IllegalStateException(
+        s"graft-http: endpoint has rows beyond max_pages=$maxPages × page_size=$pageSize; " +
+          s"increase max_pages or push a limit (url=${props("url")}" +
+          key.fold("")(k => s", key=$k") + ")")
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (countAt(mid) == pageSize) lo = mid else hi = mid
+    }
+    val n = if (countAt(hi) > 0) hi + 1 else hi
+    (0 until math.max(n, 1))
+      .map(p => HttpPage(p, cache.get(p), key = key): InputPartition).toArray
+  }
+
   private lazy val planned: Array[InputPartition] = {
-    limit match {
-      // limit pushdown: n rows need at most ceil(n / page_size) pages;
-      // truncation is the caller's intent here, so no probe
-      case Some(n) =>
-        val pages = math.min(maxPages, (n + pageSize - 1) / pageSize)
-        (0 until pages).map(p => HttpPage(p): InputPartition).toArray
-      case None if !props.getOrElse("probe", "true").toBoolean =>
-        (0 until maxPages).map(p => HttpPage(p): InputPartition).toArray
-      case None =>
-        val cache = scala.collection.mutable.Map.empty[Int, String]
-        def countAt(p: Int): Int = {
-          val body = cache.getOrElseUpdate(p, HttpFetch.fetchBody(props, pageSize, p))
-          HttpFetch.elements(props, body).size
-        }
-        // pages are monotone (full*, one optional partial, empty*); find the
-        // first non-full page in (lo, hi] — probing index maxPages (one past
-        // the allowed window) is the truncation sentinel
-        var lo = 0 // pages 1..lo known full; page 0 is left to its executor
-        var hi = 1
-        while (hi < maxPages && countAt(hi) == pageSize) {
-          lo = hi; hi = math.min(hi * 2, maxPages)
-        }
-        if (hi == maxPages && countAt(maxPages) > 0)
-          throw new IllegalStateException(
-            s"graft-http: endpoint has rows beyond max_pages=$maxPages × page_size=$pageSize; " +
-              s"increase max_pages or push a limit (url=${props("url")})")
-        while (hi - lo > 1) {
-          val mid = (lo + hi) / 2
-          if (countAt(mid) == pageSize) lo = mid else hi = mid
-        }
-        val n = if (countAt(hi) > 0) hi + 1 else hi
-        (0 until math.max(n, 1))
-          .map(p => HttpPage(p, cache.get(p)): InputPartition).toArray
+    HttpScan.pathValues(props) match {
+      // keyed multi-path scan: per-key probe, partitions carry their key.
+      // A key whose endpoint is empty still plans page 0 — its reader
+      // yields no rows, which is the correct "no side data for this id".
+      case Some(keys) => keys.flatMap(k => probedPages(Some(k))).toArray
+      case None => limit match {
+        // limit pushdown: n rows need at most ceil(n / page_size) pages;
+        // truncation is the caller's intent here, so no probe
+        case Some(n) =>
+          val pages = math.min(maxPages, (n + pageSize - 1) / pageSize)
+          (0 until pages).map(p => HttpPage(p): InputPartition).toArray
+        case None if !props.getOrElse("probe", "true").toBoolean =>
+          (0 until maxPages).map(p => HttpPage(p): InputPartition).toArray
+        case None => probedPages(None)
+      }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpReaderFactory(props, pageSize, required)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!props.contains("path_values"),
+      "graft-http: keyed multi-path scans are batch-only (per-key offsets " +
+        "are not tracked); stream the key-bearing collection instead and " +
+        "read the per-key endpoints in foreachBatch")
     new HttpMicroBatchStream(props, required)
+  }
+}
+
+object HttpScan {
+  private[sources] def pathValues(props: Map[String, String]): Option[Seq[String]] =
+    props.get("path_values").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 }
 
 /** Streaming offset = number of rows already ingested from the endpoint.
@@ -358,10 +411,12 @@ final class HttpMicroBatchStream(props: Map[String, String],
 }
 
 /** `fromRow`/`untilRow` bound the page to a global row range — the
-  * streaming reader's micro-batch slice; batch scans use the full range. */
+  * streaming reader's micro-batch slice; batch scans use the full range.
+  * `key` is the path value of a keyed multi-path scan (None = plain scan). */
 final case class HttpPage(page: Int, prefetched: Option[String] = None,
                           fromRow: Long = Long.MinValue,
-                          untilRow: Long = Long.MaxValue) extends InputPartition
+                          untilRow: Long = Long.MaxValue,
+                          key: Option[String] = None) extends InputPartition
 
 final class HttpReaderFactory(props: Map[String, String], pageSize: Int,
                               required: StructType = HttpJsonSource.Schema)
@@ -369,7 +424,7 @@ final class HttpReaderFactory(props: Map[String, String], pageSize: Int,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpPage]
     new HttpPageReader(props, pageSize, p.page, p.prefetched, required,
-      p.fromRow, p.untilRow)
+      p.fromRow, p.untilRow, p.key)
   }
 }
 
@@ -377,12 +432,14 @@ final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int,
                            prefetched: Option[String],
                            required: StructType = HttpJsonSource.Schema,
                            fromRow: Long = Long.MinValue,
-                           untilRow: Long = Long.MaxValue)
+                           untilRow: Long = Long.MaxValue,
+                           key: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
-    val body = prefetched.getOrElse(HttpFetch.fetchBody(props, pageSize, page))
+    val body = prefetched.getOrElse(HttpFetch.fetchBody(props, pageSize, page, key))
     val fields = required.fieldNames
+    val keyUtf8 = key.map(UTF8String.fromString).orNull
     HttpFetch.elements(props, body).iterator.zipWithIndex
       .map { case (el, i) => (page.toLong * pageSize + i, el) }
       .filter { case (seq, _) => seq >= fromRow && seq < untilRow }
@@ -392,6 +449,7 @@ final class HttpPageReader(props: Map[String, String], pageSize: Int, page: Int,
         InternalRow.fromSeq(fields.toSeq.map {
           case "seq" => seq
           case "json" => UTF8String.fromString(el)
+          case "key" => keyUtf8
         })
       }
   }

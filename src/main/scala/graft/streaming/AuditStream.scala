@@ -36,18 +36,34 @@ import graft.AuditMain
 object AuditStream {
 
   /** Starts the AvailableNow audit run; the caller awaits termination.
-    * `outDir` accumulates report rows as parquet across runs. */
+    * `outDir` accumulates report rows as parquet across runs.
+    *
+    * `perProjectSides = true` fetches the three side documents through the
+    * keyed multi-path scan (`/projects/{id}/<name>`, the reference's URL
+    * shape) for exactly the micro-batch's project ids — side-input cost
+    * O(new projects) instead of a full collection re-read per batch. The
+    * default re-reads the collections (required when the endpoint only
+    * serves whole documents). */
   def availableNow(spark: SparkSession, baseUrl: String, checkpointDir: String,
                    outDir: String, asOfUtc: org.apache.spark.sql.Column,
-                   token: Option[String]): StreamingQuery =
+                   token: Option[String],
+                   perProjectSides: Boolean = false): StreamingQuery =
     AuditMain.projectEntriesStream(spark, baseUrl, token)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val projects = AuditMain.parseProjects(batch)
-        AuditMain.auditProjects(spark, baseUrl, projects, asOfUtc, token)
-          .write.mode("append").parquet(outDir)
+        val report =
+          if (perProjectSides) {
+            // bounded by the batch's (new-)project count — the reference
+            // drives the same per-project loop from its driver
+            val ids = projects.select("id").distinct()
+              .collect().map(_.getString(0)).sorted.toSeq
+            AuditMain.auditProjectsKeyed(spark, baseUrl, projects, ids,
+              asOfUtc, token)
+          } else AuditMain.auditProjects(spark, baseUrl, projects, asOfUtc, token)
+        report.write.mode("append").parquet(outDir)
       }
       .start()
 

@@ -118,4 +118,69 @@ class AuditStreamSpec extends SparkSpec {
       assert(all.toSeq == batch8.toSeq)
     } finally server.stop(0)
   }
+
+  test("per-project side fetch: an incremental run reads side docs only for new ids") {
+    import scala.jdk.CollectionConverters._
+    val sideRequests = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    // /projects = the streamed list; /projects/<id>/<name> = that project's
+    // side elements (same shapes as the collections, filtered) — the
+    // reference's own URL scheme (app.py:125-126,161-165)
+    val sideDocs = Map("schedules" -> schedules, "monitoring" -> monitoring,
+      "nodes" -> nodes)
+    projects = projectsInit
+    server.createContext("/projects", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath.stripPrefix("/projects")
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val page = params.getOrElse("page", "0").toInt
+        val size = params.getOrElse("page_size", "8").toInt
+        val items = path.split("/").filter(_.nonEmpty) match {
+          case Array() => projects
+          case Array(id, name) =>
+            sideRequests.add(s"$name:$id")
+            sideDocs(name).filter(_.contains(s""""project_id":"$id""""))
+          case other => fail(s"unexpected path $path (${other.toSeq})")
+        }
+        val slice = items.slice(page * size, page * size + size)
+        val body = s"""{"data":[${slice.mkString(",")}]}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ckpt = Files.createTempDirectory("graft_audit_keyed_ckpt").toString
+      val out = Files.createTempDirectory("graft_audit_keyed_out").toString
+      def runOnce(): Unit = {
+        val q = AuditStream.availableNow(spark, base, ckpt, out, asOf, None,
+          perProjectSides = true)
+        assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      }
+      def rows() = spark.read.parquet(out).orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(5)))
+
+      // run 1 drains all 7 projects; keyed side fetches cover all their ids
+      runOnce()
+      assert(rows().length == 7)
+      assert(rows().map(_._2).toSeq == Seq("P Success", "P Failed", "P NotSynced",
+        "P NoSched", "P NullStatus", "P Dup", "P Evening"))
+      assert(sideRequests.asScala.count(_.startsWith("schedules:")) == 6) // 6 distinct ids
+
+      // endpoint grows by one project: the next run fetches side docs for
+      // ONLY that id — O(new), not a collection re-read
+      sideRequests.clear()
+      projects = projectsInit :+ projectNew
+      runOnce()
+      val all = rows()
+      assert(all.length == 8)
+      assert(all.last == ((8L, "P New", "Success")))
+      val fetchedIds = sideRequests.asScala.map(_.split(":", 2)(1)).toSet
+      assert(fetchedIds == Set("p_new"), s"side fetches not incremental: $fetchedIds")
+    } finally server.stop(0)
+  }
 }

@@ -135,6 +135,70 @@ class HttpSourceSpec extends SparkSpec {
     }
   }
 
+  test("keyed multi-path scan: per-key endpoints, tagged rows, only requested keys") {
+    // the reference's per-project loop (app.py:125-126) as scan
+    // partitioning: /projects/<id>/schedules, one page set per key
+    val perKey = Map("p1" -> 3, "p2" -> 11, "p3" -> 99) // p3 must never be fetched
+    val requests = new AtomicInteger(0)
+    val requestedKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/projects", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val id = ex.getRequestURI.getPath.split("/")(2)
+        requestedKeys.add(id)
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val page = params.getOrElse("page", "0").toInt
+        val size = params.getOrElse("page_size", "8").toInt
+        val n = perKey.getOrElse(id, 0)
+        val items = (page * size until math.min(page * size + size, n))
+          .map(i => s"""{"sid":$i,"owner":"$id"}""")
+        val body = s"""{"data":[${items.mkString(",")}]}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = spark.read.format("graft-http")
+        .option("url", s"$base/projects/{key}/schedules")
+        .option("page_size", "8").option("data_field", "data")
+        .option("path_values", "p1,p2")
+        .load()
+      assert(df.columns.toSeq == Seq("key", "seq", "json"))
+      val rows = df.collect()
+      val byKey = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      assert(byKey == Map("p1" -> 3, "p2" -> 11), s"got $byKey")
+      // seq restarts per key; payloads come from the key's endpoint
+      assert(rows.filter(_.getString(0) == "p1").map(_.getLong(1)).sorted.toSeq
+        == (0L until 3L))
+      assert(rows.filter(_.getString(0) == "p2").map(_.getLong(1)).sorted.toSeq
+        == (0L until 11L))
+      assert(rows.forall(r => r.getString(2).contains(s""""owner":"${r.getString(0)}"""")))
+      // only the requested keys are fetched — the incremental-audit point
+      import scala.jdk.CollectionConverters._
+      assert(requestedKeys.asScala.toSet == Set("p1", "p2"))
+      // per key: probe GET (page 1, cached into its partition) + executor
+      // GET (page 0) = 2 each
+      assert(requests.get() == 4, s"expected 4 requests, got ${requests.get()}")
+    } finally server.stop(0)
+  }
+
+  test("keyed scan requires the {key} placeholder and refuses streaming") {
+    val df = spark.read.format("graft-http")
+      .option("url", "http://127.0.0.1:1/projects") // no placeholder
+      .option("path_values", "p1").load()
+    val e = intercept[Exception] { df.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("{key}")))
+  }
+
   test("from_json(PERMISSIVE) parses documents into the declared schema") {
     withServer { (url, _) =>
       val schema = StructType(Seq(

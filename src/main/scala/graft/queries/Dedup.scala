@@ -46,7 +46,7 @@ object Dedup {
       .otherwise(array_distinct(split(lower(trim(c)), "\\s+")))
 
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
-  private def tokHash(t: Column): Column =
+  private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
 
   /** Distinct 3-word shingles of a token array, built with slice+zip_with.

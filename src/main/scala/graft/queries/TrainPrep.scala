@@ -76,6 +76,71 @@ object TrainPrep {
         .orderBy("doc_id")
     }),
 
+    // ---- train/test decontamination (n-gram overlap) ---------------------
+    // The leakage check run before every evaluation: for each TEST doc
+    // (q73's bucket >= 95), how many of its distinct 8-grams also occur
+    // anywhere in TRAIN (bucket < 90). GPT-3-style decontamination uses
+    // 13-grams; 8 fits this corpus's ~30-token docs. Flag at >= 10% overlap
+    // via the integer predicate n_hit*10 >= n_ngrams (no float boundary).
+    // Scale: the train n-gram set is one explode+distinct (shuffle keyed by
+    // hash) and the probe is an equi-join on the hash — at 100 TB you'd put
+    // a bloom filter of the (small) test n-gram set on the train side scan
+    // (the runtime-filter pattern ScaleOpsSpec proves) so train rows that
+    // can't match never shuffle. 8-grams are HASHED (md5-based, the shared
+    // portable hash) so the shuffle moves longs, not 60-char strings.
+    "q85_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      def ngrams8(w: Column): Column =
+        when(size(w) < 8, array().cast("array<string>"))
+          .otherwise((2 to 8).foldLeft(slice(w, lit(1), size(w) - 7)) { (acc, k) =>
+            zip_with(acc, slice(w, lit(k), size(w) - 7), (a, b) => concat(a, lit(" "), b))
+          })
+      val base = Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("ng",
+          array_distinct(transform(ngrams8(rawToks(col("text"))), g => Dedup.tokHash(g))))
+      val train = base.filter(col("bucket") < 90)
+        .select(explode(col("ng")).as("h")).distinct()
+      val testEx = base.filter(col("bucket") >= 95).filter(size(col("ng")) > 0)
+        .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"),
+          explode(col("ng")).as("h"))
+      testEx.join(train.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4)
+            .as("overlap_frac"),
+          (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus domain mix (per-source token share) ----------------------
+    // The composition report a data-mix decision reads: sources ranked by
+    // token volume with cumulative share ("the top k sources are X% of the
+    // corpus"). The corpus-sized work is ONE partial-aggregating shuffle
+    // keyed by source; the windows (rank order + running share) run over
+    // the ~|sources| aggregate rows, so their single-partition exchange is
+    // bounded by source cardinality, not corpus size.
+    "q86_domain_mix" -> ((s: SparkSession, dir: String) => {
+      val agg = Tables(s, dir, "documents")
+        .withColumn("n", size(rawToks(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy(desc("n_tokens"), asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg
+        .withColumn("total", sum("n_tokens").over(wAll))
+        .withColumn("cum", sum("n_tokens").over(wCum))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total").cast("double"), 4)
+            .as("share"),
+          round(col("cum").cast("double") / col("total").cast("double"), 4)
+            .as("cum_share"))
+        .orderBy(desc("n_tokens"), asc("source"))
+    }),
+
     // ---- stratified Bernoulli sample (per-language rates) ----------------
     // The rebalancing sampler: over-represented strata are kept at a lower
     // rate (en 20%) than the rest (80%). Hash-bucket Bernoulli, not
@@ -165,6 +230,47 @@ object TrainPrep {
         |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q85_decontaminate" ->
+      """WITH s AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |g AS (SELECT doc_id, bucket,
+        |   CASE WHEN len(w) < 8 THEN []
+        |        ELSE list_distinct(list_transform(
+        |          [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+        |           w[i+5]||' '||w[i+6]||' '||w[i+7] for i in range(1, len(w) - 6)],
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)) END AS ng
+        |  FROM s),
+        |tr AS (SELECT DISTINCT unnest(ng) AS h FROM g WHERE bucket < 90),
+        |te AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS h
+        |       FROM g WHERE bucket >= 95 AND len(ng) > 0),
+        |j AS (SELECT te.doc_id, te.n_ngrams, count(tr.h) AS n_hit
+        |      FROM te LEFT JOIN tr ON te.h = tr.h GROUP BY te.doc_id, te.n_ngrams)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,
+        | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q86_domain_mix" ->
+      """WITH tk AS (SELECT source,
+        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |     AS n
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs, sum(n) AS n_tokens
+        |      FROM tk GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |   sum(n_tokens) OVER () AS total,
+        |   sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM a)
+        |SELECT source, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+        | round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS cum_share
+        |FROM w ORDER BY n_tokens DESC, source""".stripMargin,
 
     "q82_stratified_sample" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -22,7 +22,14 @@ import graft.queries.Dedup
   *     cluster — e.g. pairs (a,c),(b,c) kept both a and b);
   *  3. quality gate — token count ≥ 10 and stopword ratio ≥ 0.01 (the
   *     q31 scoring signals);
-  *  4. curated write — parquet partitioned by `lang`, so per-language
+  *  4. repetition gate — Gopher-style duplicate token/3-gram fractions
+  *     (q80's signals): generator loops and boilerplate are dropped here,
+  *     not by perplexity;
+  *  5. PII scrub + split assignment — emails/IPs/phones replaced by typed
+  *     placeholders ([[graft.functions.Redaction]], q81's operator) and the
+  *     content-independent train/val/test bucket attached (q73's md5 split,
+  *     so a doc never moves across splits between corpus builds);
+  *  6. curated write — parquet partitioned by `lang`, so per-language
   *     training reads prune partitions.
   *
   * Every stage is a DataFrame transform over the SAME operators the
@@ -78,21 +85,57 @@ object CorpusMain {
     val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(col("text"))), "\\s+"))
     val stopwords = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
-    val curated = nearDeduped
+    val quality = nearDeduped
       .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("stop_ratio",
         size(filter(col("w"), t => array_contains(stopwords, t))).cast("double") /
           greatest(col("n_tokens").cast("double"), lit(1.0)))
       .filter(col("n_tokens") >= 10 && col("stop_ratio") >= 0.01)
+      .drop("n_tokens", "stop_ratio")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nQuality = quality.count()
+    nearDeduped.unpersist()
+
+    // 4. repetition gate: q80's duplicate-fraction signals as a filter
+    def dupFrac(a: org.apache.spark.sql.Column) =
+      when(size(a) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
+    val tg = when(size(col("w")) < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 2),
+          slice(col("w"), lit(2), size(col("w")) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("w"), lit(3), size(col("w")) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+    val deRepped = quality
+      .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(tg) > 0.3))
       .drop("w")
-    val nCurated = curated.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRep = deRepped.count()
+    quality.unpersist()
+
+    // 5. PII scrub (q81's operator) + content-independent split (q73's
+    // buckets). Not filters: the row count is final after stage 4; the
+    // redacted-doc count is ONE aggregation over the persisted stage.
+    import graft.functions.Redaction
+    val nRedacted = deRepped
+      .agg(sum(when(Redaction.redactPii(col("text")) =!= col("text"), 1L)
+        .otherwise(0L)).as("n"))
+      .head().getLong(0)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100)
+    val curated = deRepped
+      .withColumn("text", Redaction.redactPii(col("text")))
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
 
     (curated, Seq(
       "input" -> total, "exact_dedup" -> nExact,
       "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
-      "near_dedup" -> nNear, "quality" -> nCurated),
-      () => { nearDeduped.unpersist(); () })
+      "near_dedup" -> nNear, "quality" -> nQuality,
+      "repetition" -> nRep, "pii_redacted" -> nRedacted),
+      () => { deRepped.unpersist(); () })
   }
 
   def main(args: Array[String]): Unit = {

@@ -56,6 +56,32 @@ class CorpusMainSpec extends SparkSpec {
     release()
   }
 
+  test("repetition gate drops generator loops; PII is scrubbed; split attached") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    // a 40-token single-word loop: dup_token_frac ≈ 0.975 — the q80 gate's
+    // canonical victim (it passes the q31 gate if we give it stopwords)
+    val loop = ("the " * 20 + "spam " * 20).trim
+    val pii = "the quick data row mail me at bob@corp.example.org " +
+      "or call 555-123-4567 about the table of it"
+    val injected = docs.unionByName(
+      Seq((92000L, loop, "en", "inj", loop.length.toLong),
+        (92001L, pii, "en", "inj", pii.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (curated, funnel, release) = CorpusMain.curate(spark, injected)
+    val f = funnel.toMap
+    val rows = curated.select("doc_id", "text", "split").collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(!ids.contains(92000L), "repetitive doc survived the q80 gate")
+    assert(f("repetition") <= f("quality"))
+    assert(f("pii_redacted") >= 1L)
+    val scrubbed = rows.find(_.getLong(0) == 92001L).map(_.getString(1))
+    assert(scrubbed.exists(t => t.contains("[EMAIL]") && t.contains("[PHONE]")
+      && !t.contains("@") && !t.contains("555-123-4567")), s"got $scrubbed")
+    // split is the q73 content-independent assignment
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    release()
+  }
+
   test("funnel counts reuse persisted stages; release() frees them") {
     val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
     // downstream of the funnel, curated must read the persisted near-dedup

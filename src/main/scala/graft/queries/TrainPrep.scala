@@ -96,16 +96,21 @@ object TrainPrep {
           .otherwise((2 to 8).foldLeft(slice(w, lit(1), size(w) - 7)) { (acc, k) =>
             zip_with(acc, slice(w, lit(k), size(w) - 7), (a, b) => concat(a, lit(" "), b))
           })
+      // the tokenize→8-gram→md5 base feeds BOTH the train and test
+      // branches — persist it so the corpus is scanned/hashed once, not
+      // twice (the q37 lesson); the small result is checkpointed eagerly
+      // so the cache can be released before returning
       val base = Tables(s, dir, "documents")
         .withColumn("bucket", bucket)
         .withColumn("ng",
           array_distinct(transform(ngrams8(rawToks(col("text"))), g => Dedup.tokHash(g))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = base.filter(col("bucket") < 90)
         .select(explode(col("ng")).as("h")).distinct()
       val testEx = base.filter(col("bucket") >= 95).filter(size(col("ng")) > 0)
         .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"),
           explode(col("ng")).as("h"))
-      testEx.join(train.withColumn("hit", lit(1L)), Seq("h"), "left")
+      val out = testEx.join(train.withColumn("hit", lit(1L)), Seq("h"), "left")
         .groupBy("doc_id", "n_ngrams")
         .agg(count(col("hit")).as("n_hit"))
         .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
@@ -113,6 +118,9 @@ object TrainPrep {
             .as("overlap_frac"),
           (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
         .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
     }),
 
     // ---- corpus domain mix (per-source token share) ----------------------

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Redaction
+
+/** The corpus-curation gates as a STREAMING intake — the shape a crawler
+  * feed takes before it lands in the corpus store, mirroring CorpusMain's
+  * batch funnel stage for stage where streaming semantics allow:
+  *
+  *  - exact dedup → `dropDuplicatesWithinWatermark` on the content digest:
+  *    state holds one digest per unique doc inside the watermark horizon
+  *    (exactly-bounded memory), so a re-crawled page is dropped while its
+  *    first copy is still in horizon. Corpus-wide dedup across horizons
+  *    stays a batch job (CorpusMain) — unbounded digest state in a stream
+  *    is the design error, not an option;
+  *  - quality + repetition gates (q31/q80 signals) are per-row — identical
+  *    expressions to the batch funnel;
+  *  - PII scrub (q81's operator) is per-row.
+  *
+  * Near-dup LSH clustering is deliberately NOT here: candidate pairing
+  * needs the corpus-wide bucket state, which is a batch/compaction concern
+  * (run CorpusMain over the landed files); a streaming approximation would
+  * silently miss pairs straddling micro-batches.
+  */
+object CorpusStream {
+
+  private def toks(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), "\\s+"))
+
+  private val stopwords =
+    array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+
+  private def dupFrac(a: Column): Column =
+    when(size(a) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
+
+  private def trigrams(w: Column): Column =
+    when(size(w) < 3, array().cast("array<string>"))
+      .otherwise(zip_with(
+        zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(w, lit(3), size(w) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+
+  /** `docs` must carry (doc_id, text, lang, source, ingest_ts TIMESTAMP).
+    * Returns the curated stream: watermark-bounded exact dedup, quality +
+    * repetition gates, scrubbed text. Append-mode safe (no aggregation). */
+  def curated(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .withColumn("w", toks(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= 10 &&
+        size(filter(col("w"), t => array_contains(stopwords, t))).cast("double") /
+          greatest(col("n_tokens").cast("double"), lit(1.0)) >= 0.01)
+      .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(trigrams(col("w"))) > 0.3))
+      .withColumn("text", Redaction.redactPii(col("text")))
+      .drop("w", "text_hash")
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.CorpusStream
+
+case class Doc(doc_id: Long, text: String, lang: String, source: String,
+               ingest_ts: Timestamp)
+
+/** Streaming corpus intake: the batch curation gates (CorpusMain stages
+  * 1/3/4/5) applied to a document stream — watermark-bounded exact dedup,
+  * per-row quality/repetition gates, PII scrub. */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private val good = "the quick data row is a fine piece of text " +
+    "and it keeps going with more useful words in the table"
+  private val loop = ("the " * 20 + "spam " * 20).trim
+  private val pii = "the quick data row mail me at bob@corp.example.org " +
+    "or call 555-123-4567 about the table of it"
+
+  test("dedup within watermark, quality/repetition gates, PII scrub") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = CorpusStream.curated(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("corpus_in").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00")),
+        Doc(2, good, "en", "crawl", t("2024-01-01 10:01:00")), // exact dup
+        Doc(3, loop, "en", "crawl", t("2024-01-01 10:02:00")), // repetitive
+        Doc(4, "too short", "en", "crawl", t("2024-01-01 10:03:00")),
+        Doc(5, pii, "en", "crawl", t("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      // a re-crawl of doc 1's text in a later batch, still within the
+      // watermark horizon: state drops it
+      in.addData(Doc(6, good, "en", "crawl", t("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val rows = spark.table("corpus_in")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 5L),
+        s"expected docs 1 and 5 only, got ${rows.map(_._1).toSeq}")
+      val scrubbed = rows.find(_._1 == 5L).get._2
+      assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[PHONE]") &&
+        !scrubbed.contains("@") && !scrubbed.contains("555-123-4567"))
+      // dedup is stateful, not aggregating: append mode, one state operator
+      assert(q.lastProgress.stateOperators.length == 1)
+    } finally q.stop()
+  }
+}

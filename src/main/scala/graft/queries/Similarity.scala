@@ -43,16 +43,21 @@ object Similarity {
     lit(0.0), (acc, v) => acc + v)
 
   /** Nearest-centroid assignment under L2 (ties → lowest cid). `cent` must
-    * be small — it is broadcast; the vector side is never shuffled. */
+    * be small — it is broadcast. The argmin is `min_by` over the struct
+    * order (dist, cid), NOT a row_number window: min_by partially
+    * aggregates map-side, so ONE row per vector crosses the shuffle
+    * instead of |centroids|× rows plus a sort — the window form's exchange
+    * is the scale bug this avoids (same result set: lexicographic
+    * (dist asc, cid asc) ≡ the window's orderBy). */
   private def assignL2(e: org.apache.spark.sql.DataFrame,
-                       cent: org.apache.spark.sql.DataFrame) = {
-    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
+                       cent: org.apache.spark.sql.DataFrame) =
     e.join(broadcast(cent))
       .withColumn("dist", l2HOF(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"), col("dist"))
-  }
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("embedding"), col("dist")),
+        struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"),
+        col("b.embedding").as("embedding"), col("b.dist").as("dist"))
 
   /** One Lloyd step from the first-8 seed: assign → per-dimension means.
     * Member sums of float32-derived doubles are exact in f64, so the means
@@ -88,17 +93,20 @@ object Similarity {
     }),
 
     // ---- IVF assignment: nearest-of-k-centroids --------------------------
+    // argmax via max_by over (score, -centroid_id) — map-side partial
+    // aggregation, one row per vector over the shuffle; ≡ the window
+    // orderBy(score DESC, centroid_id ASC) row_number()=1 (see assignL2)
     "q40_ivf_assign" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("centroid_id"))
       e.join(broadcast(cent))
         .withColumn("score", round(cosine_sim(col("centv"), col("embedding")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy("centroid_id")
-        .agg(count(lit(1)).as("n_members"), round(avg("score"), 4).as("avg_sim"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("centroid_id"), col("score")),
+          struct(col("score"), -col("centroid_id"))).as("b"))
+        .groupBy(col("b.centroid_id").as("centroid_id"))
+        .agg(count(lit(1)).as("n_members"), round(avg("b.score"), 4).as("avg_sim"))
         .orderBy("centroid_id")
     }),
 
@@ -107,12 +115,15 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      val wA = Window.partitionBy("vec_id").orderBy(desc("ascore"), asc("centroid_id"))
+      // full-corpus assignment: map-side argmax (see q40); the tiny query
+      // side keeps its top-2 window below
       val assign = e.join(broadcast(cent))
         .withColumn("ascore", round(cosine_sim(col("centv"), col("embedding")), 4))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-        .select(col("vec_id").as("cid"), col("centroid_id").as("ccid"),
-          col("embedding").as("ce"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+          struct(col("ascore"), -col("centroid_id"))).as("b"))
+        .select(col("vec_id").as("cid"), col("b.centroid_id").as("ccid"),
+          col("b.embedding").as("ce"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val wQ = Window.partitionBy("qid").orderBy(desc("qscore"), asc("centroid_id"))
@@ -202,13 +213,15 @@ object Similarity {
           (a, b) => (a.cast("double") - b.cast("double")) *
             (a.cast("double") - b.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
-      val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist"), asc("code"))
+      // per-(vector, subspace) argmin via min_by — map-side partial agg,
+      // no |codebook|× window shuffle (see q40)
       sub.join(broadcast(cw))
         .withColumn("dist", l2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("vec_id", "subspace")
+        .agg(min_by(struct(col("code"), col("dist")),
+          struct(col("dist"), col("code"))).as("b"))
         .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("code"), round(col("dist"), 4).as("dist"))
+          col("b.code").as("code"), round(col("b.dist"), 4).as("dist"))
         .orderBy("vec_id", "subspace")
     }),
 

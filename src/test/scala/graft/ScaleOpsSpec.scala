@@ -163,6 +163,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"small dim sort-merged:\n$plan")
   }
 
+  test("centroid assignment is map-side argmin, not a window sort") {
+    // the window form shuffles |centroids|× the vector rows plus a sort;
+    // min_by/max_by partially aggregates, so one row per vector crosses
+    // the exchange — assert the plan shape the scale design depends on
+    val plan = SparkEntry.queries("q78_kmeans")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"assignment not partially aggregated:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept back in:\n$plan")
+    val plan40 = SparkEntry.queries("q40_ivf_assign")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan40.contains("partial_max_by") && !plan40.contains("Window"))
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

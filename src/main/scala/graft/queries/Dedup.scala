@@ -299,16 +299,19 @@ object Dedup {
     // (max pairwise cosine ≈ 0.6), so the threshold is set to exercise
     // the pipeline with non-empty output.
     "q59_cosine_neardup" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("ascore"), asc("centroid_id"))
+      // map-side argmax (see q40): one row per vector crosses the shuffle,
+      // no |centroids|× window sort
       val assign = e.join(broadcast(cent))
         .withColumn("ascore", round(cosine_sim(col("centv"), col("embedding")), 4))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+          struct(col("ascore"), -col("centroid_id"))).as("b"))
+        .select(col("vec_id"), col("b.centroid_id").as("centroid_id"),
+          col("b.embedding").as("embedding"))
       val a = assign.select(col("vec_id").as("v1"), col("centroid_id").as("c1"),
         col("embedding").as("e1"))
       val b = assign.select(col("vec_id").as("v2"), col("centroid_id").as("c2"),

@@ -191,6 +191,47 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram language-model statistics --------------------------------
+    // For every vocabulary token: its most likely successor and the
+    // conditional probability p(next|prev) — the count table behind n-gram
+    // LMs and data-driven tokenizer merges. Two aggregations: (prev, next)
+    // pair counts (one shuffle, map-side combined), then per-prev argmax
+    // via min_by over (-cnt, next) — DESC count with ASC string tie-break,
+    // one row per prev over the second shuffle (no window sort; the q40
+    // pattern, negating the count because strings can't be negated).
+    "q87_bigram_lm" -> ((s: SparkSession, dir: String) => {
+      val w = toks(col("text"))
+      val pairs = when(size(w) < 2, array().cast("array<struct<prev:string,nxt:string>>"))
+        .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("prev"), b.as("nxt"))))
+      val pc = Tables(s, dir, "documents")
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+      pc.groupBy("prev")
+        .agg(sum("cnt").as("n_prev"),
+          min_by(struct(col("nxt"), col("cnt")), struct(-col("cnt"), col("nxt"))).as("b"))
+        .select(col("prev"), col("b.nxt").as("top_next"),
+          col("b.cnt").as("n_pair"), col("n_prev"),
+          round(col("b.cnt").cast("double") / col("n_prev").cast("double"), 4)
+            .as("p_next"))
+        .orderBy("prev")
+    }),
+
+    // ---- token-length histogram ------------------------------------------
+    // The corpus length distribution a packing/truncation decision reads:
+    // docs bucketed by tokens-div-10 (capped tail bucket). Per-row bucket
+    // math + one aggregation shuffle keyed by bucket.
+    "q88_len_histogram" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .withColumn("n", size(toks(col("text"))).cast("long"))
+        .withColumn("bucket", least(expr("n div 10"), lit(12L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"))
+        .orderBy("bucket")
+    }),
+
     // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
@@ -320,6 +361,29 @@ object Text {
            |      THEN 1 ELSE 0 END AS BIGINT) AS clean
            |FROM r ORDER BY doc_id""".stripMargin
       },
+
+      "q87_bigram_lm" ->
+        s"""WITH t AS (SELECT $toksSql AS w FROM documents),
+           |pr AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
+           |         ELSE [{'prev': w[i], 'nxt': w[i+1]} for i in range(1, len(w))]
+           |       END) AS s
+           |       FROM t),
+           |pc AS (SELECT s.prev AS prev, s.nxt AS nxt, count(*) AS cnt
+           |       FROM pr GROUP BY 1, 2),
+           |sel AS (SELECT prev, nxt, cnt FROM pc
+           |        QUALIFY row_number() OVER (PARTITION BY prev
+           |                                   ORDER BY cnt DESC, nxt) = 1),
+           |tot AS (SELECT prev, sum(cnt) AS n_prev FROM pc GROUP BY prev)
+           |SELECT tot.prev, sel.nxt AS top_next, sel.cnt AS n_pair, tot.n_prev,
+           | round(CAST(sel.cnt AS DOUBLE) / CAST(tot.n_prev AS DOUBLE), 4) AS p_next
+           |FROM tot JOIN sel ON tot.prev = sel.prev
+           |ORDER BY tot.prev""".stripMargin,
+
+      "q88_len_histogram" ->
+        s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)
+           |SELECT least(n // 10, 12) AS bucket, count(*) AS n_docs,
+           | min(n) AS min_tokens, max(n) AS max_tokens
+           |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
       "q34_shingles" ->
         s"""WITH t AS (SELECT doc_id, ${"CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(trim(text)), '\\s+') END"} AS w FROM documents),

@@ -61,6 +61,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Redaction: scrubbed text never matches any PII pattern; clean text unchanged") {
+    import graft.functions.Redaction
+    val word: Gen[String] = Gen.oneOf("data", "the", "table", "row", "fine")
+    val piiGen: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(u => s"$u@example.com"),
+      Gen.choose(100, 999).flatMap(a => Gen.choose(1000, 9999)
+        .map(b => s"$a-${a}-$b")),
+      Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString(".")))
+    val docGen: Gen[List[String]] = Gen.listOf(Gen.frequency(4 -> word, 1 -> piiGen))
+    passes(Prop.forAll(docGen) { words =>
+      val text = words.mkString(" ")
+      val red = Seq(text).toDF("t")
+        .select(Redaction.redactPii(col("t")).as("r")).as[String].head()
+      val noPii = Seq(Redaction.EmailRe, Redaction.PhoneRe, Redaction.Ipv4Re)
+        .forall(re => !re.r.unanchored.matches(red))
+      val cleanStable = words.exists(w => w.contains("@") || w.contains("-") ||
+        w.contains(".")) || red == text
+      noPii && cleanStable
+    })
+  }
+
+  test("q80 invariants: duplicate fractions bounded in [0,1] on the corpus") {
+    val rows = graft.SparkEntry.queries("q80_repetition")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f <= 1.0, s"fraction out of range: $r")
+      }
+      // flag consistency: repetitive == (dup_token > 0.8 || dup_3gram > 0.3)
+      val expect = if (r.getDouble(2) > 0.8 || r.getDouble(4) > 0.3) 1L else 0L
+      assert(r.getLong(5) == expect, s"flag inconsistent: $r")
+    }
+  }
+
   test("T5: raw 'EEE, dd MMM yyyy, HH:mm:ss GMT+0000' parse is a round-trip") {
     val fmt = DateTimeFormatter
       .ofPattern("EEE, dd MMM yyyy, HH:mm:ss", Locale.ENGLISH)

@@ -46,19 +46,23 @@ object CorpusStream {
         (ab, c) => concat(ab, lit(" "), c)))
 
   /** `docs` must carry (doc_id, text, lang, source, ingest_ts TIMESTAMP).
-    * Returns the curated stream: watermark-bounded exact dedup, quality +
-    * repetition gates, scrubbed text. Append-mode safe (no aggregation). */
+    * Returns the curated stream: quality + repetition gates, then
+    * watermark-bounded exact dedup, then the scrub. The per-row gates run
+    * BEFORE the stateful dedup on purpose: junk never enters the digest
+    * state, so state size is the in-horizon count of PASSING docs (the
+    * kept set is identical either way — both orders keep the first copy
+    * of a passing text). Append-mode safe (no aggregation). */
   def curated(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
-      .withWatermark("ingest_ts", watermark)
-      .dropDuplicatesWithinWatermark("text_hash")
       .withColumn("w", toks(col("text")))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .filter(col("n_tokens") >= 10 &&
         size(filter(col("w"), t => array_contains(stopwords, t))).cast("double") /
           greatest(col("n_tokens").cast("double"), lit(1.0)) >= 0.01)
       .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(trigrams(col("w"))) > 0.3))
+      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
       .withColumn("text", Redaction.redactPii(col("text")))
       .drop("w", "text_hash")
 }

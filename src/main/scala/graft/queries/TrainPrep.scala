@@ -76,6 +76,30 @@ object TrainPrep {
         .orderBy("doc_id")
     }),
 
+    // ---- train/test decontamination (exact digest) -----------------------
+    // The cheap first pass before q85's n-gram sweep: a TEST doc whose
+    // exact text also sits in TRAIN. The natural corpus has none (500
+    // distinct texts — measured), so, like q35 doubles its input, both
+    // engines add id-shifted clones: a clone hashes to a different split
+    // bucket than its source (bucket = md5 of the id), so cross-split
+    // exact duplicates exist by construction. One digest-keyed join;
+    // at 100 TB this is a shuffle on 128-bit digests, nothing else.
+    "q84_exact_decontam" -> ((s: SparkSession, dir: String) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val base = d.unionAll(d.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .withColumn("bucket",
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % 100))
+        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+      val train = base.filter(col("bucket") < 90)
+        .groupBy("digest").agg(count(lit(1)).as("n_train_copies"))
+      base.filter(col("bucket") >= 95)
+        .select(col("doc_id"), col("digest"))
+        .join(train, Seq("digest"))
+        .select(col("doc_id"), col("digest"), col("n_train_copies"))
+        .orderBy("doc_id")
+    }),
+
     // ---- train/test decontamination (n-gram overlap) ---------------------
     // The leakage check run before every evaluation: for each TEST doc
     // (q73's bucket >= 95), how many of its distinct 8-grams also occur
@@ -238,6 +262,20 @@ object TrainPrep {
         |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_exact_decontam" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 200000, text FROM documents),
+        |b AS (SELECT doc_id,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket,
+        |   md5(lower(trim(text))) AS digest
+        |  FROM d),
+        |tr AS (SELECT digest, count(*) AS n_train_copies
+        |       FROM b WHERE bucket < 90 GROUP BY digest)
+        |SELECT doc_id, digest, n_train_copies
+        |FROM b JOIN tr USING (digest)
+        |WHERE bucket >= 95
+        |ORDER BY doc_id""".stripMargin,
 
     "q85_decontaminate" ->
       """WITH s AS (SELECT doc_id,

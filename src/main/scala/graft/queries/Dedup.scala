@@ -238,6 +238,46 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- containment at scale: bottom-k inverted-index screen ------------
+    // q83's all-pairs form is the oracle; THIS is how containment runs at
+    // 100 TB: index every host shingle hash (one explode, shuffle keyed by
+    // hash), probe with only the k SMALLEST hashes of each snippet (a
+    // bottom-k sketch — k rows per snippet regardless of length), verify
+    // candidates exactly. Screening logic: cont ≥ 0.8 means each snippet
+    // hash is in the host w.p. ≥ 0.8, so a full containment (the self
+    // pair, cont = 1.0) is ALWAYS found and a 0.8-pair is missed only if
+    // all k probes land outside (≤ 0.2^4). Both engines compute the same
+    // md5 hashes, so the screen is deterministic and the oracle mirrors
+    // it — no probabilistic slack in the comparison.
+    "q89_containment_lsh" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      val rawT = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(lower(trim(col("text"))), "\\s+"))
+      val host = hashedDocsOf(docs)
+        .select(col("doc_id").as("d2"), array_distinct(col("h")).as("h2"))
+        .select(col("d2"), col("h2"), size(col("h2")).as("sz2"))
+      val snip = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("t", rawT)
+        .withColumn("ht", slice(col("t"), lit(1), expr("(size(t) + 1) div 2")))
+        .select((col("doc_id") + lit(1000000L)).as("d1"),
+          array_distinct(transform(shingles3(col("ht")), x => tokHash(x))).as("h1"))
+        .select(col("d1"), col("h1"), size(col("h1")).as("sz1"))
+        .filter(col("sz1") > 0)
+      // inverted index of host hashes; probe = bottom-4 sketch per snippet
+      val inv = host.select(col("d2"), explode(col("h2")).as("h"))
+      val probes = snip.select(col("d1"),
+        explode(slice(array_sort(col("h1")), 1, 4)).as("h"))
+      val cand = probes.join(inv, Seq("h")).select("d1", "d2").distinct()
+      val inter = size(array_intersect(col("h1"), col("h2")))
+      cand
+        .join(snip, Seq("d1"))
+        .join(host.select(col("d2"), col("h2"), col("sz2")), Seq("d2"))
+        .filter(col("sz2") * 10 >= col("sz1") * 8 && inter * 10 >= col("sz1") * 8)
+        .select(col("d1"), col("d2"),
+          round(inter.cast("double") / col("sz1").cast("double"), 4).as("cont"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- MinHash + LSH near-dup: the linear-time scale path --------------
     // One corpus scan (persisted minhashBase), capped band buckets — see
     // the scaladoc on minhashBase/lshPairs/LshBucketCap above.
@@ -467,6 +507,32 @@ object Dedup {
            |      FROM g1, g2 WHERE sz2 * 10 >= sz1 * 8)
            |SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sz1 AS DOUBLE), 4) AS cont
            |FROM p WHERE i * 10 >= sz1 * 8
+           |ORDER BY d1, d2""".stripMargin,
+
+      "q89_containment_lsh" ->
+        s"""WITH $shinglesSql,
+           |host AS (SELECT doc_id AS d2,
+           |          list_distinct(list_transform(w, t -> $tokHashSql)) AS h2
+           |         FROM sh WHERE doc_id < 500),
+           |g2 AS (SELECT d2, h2, len(h2) AS sz2 FROM host),
+           |snt AS (SELECT doc_id, t[1:(len(t)+1)//2] AS ht FROM tk
+           |        WHERE doc_id < 500 AND doc_id % 7 = 0),
+           |ssh AS (SELECT doc_id, CASE WHEN len(ht) < 3 THEN []
+           |          ELSE list_distinct([ht[i] || ' ' || ht[i+1] || ' ' || ht[i+2]
+           |                              for i in range(1, len(ht) - 1)]) END AS w
+           |        FROM snt),
+           |snip AS (SELECT doc_id + 1000000 AS d1,
+           |           list_distinct(list_transform(w, t -> $tokHashSql)) AS h1
+           |         FROM ssh),
+           |g1 AS (SELECT d1, h1, len(h1) AS sz1 FROM snip WHERE len(h1) > 0),
+           |inv AS (SELECT d2, unnest(h2) AS h FROM g2),
+           |pb AS (SELECT d1, unnest(list_sort(h1)[1:4]) AS h FROM g1),
+           |cand AS (SELECT DISTINCT d1, d2 FROM pb JOIN inv USING (h)),
+           |p AS (SELECT cand.d1, cand.d2, len(list_intersect(h1, h2)) AS i,
+           |             sz1, sz2
+           |      FROM cand JOIN g1 USING (d1) JOIN g2 USING (d2))
+           |SELECT d1, d2, round(CAST(i AS DOUBLE) / CAST(sz1 AS DOUBLE), 4) AS cont
+           |FROM p WHERE sz2 * 10 >= sz1 * 8 AND i * 10 >= sz1 * 8
            |ORDER BY d1, d2""".stripMargin,
 
       "q37_minhash_lsh" ->

@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
     assert(selfPairs.forall { case (src, host) => !q36gate.contains((src, host)) })
   }
 
+  test("bottom-k containment screen (q89) finds every q83 pair on this corpus") {
+    // the screen is probabilistic in general (miss ≤ 0.2^4 per 0.8-pair)
+    // but deterministic given the hashes; here it achieves full recall,
+    // and self pairs (cont = 1.0) are found by construction
+    val exhaustive = SparkEntry.queries("q83_containment")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screened = SparkEntry.queries("q89_containment_lsh")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(screened == exhaustive,
+      s"missing=${exhaustive -- screened} extra=${screened -- exhaustive}")
+    assert(screened.nonEmpty)
+  }
+
   test("minhashBase is one row per non-empty doc with K-length signatures") {
     val base = Dedup.minhashBase(degenerate)
     try {

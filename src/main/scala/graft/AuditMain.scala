@@ -94,6 +94,10 @@ object AuditMain {
                                         projects: DataFrame, ids: Seq[String],
                                         asOfUtc: org.apache.spark.sql.Column,
                                         token: Option[String]): DataFrame = {
+    // path_values is comma-delimited: an id carrying a comma would split
+    // into two bogus keys and silently fetch the wrong endpoints
+    ids.find(_.contains(",")).foreach(bad => throw new IllegalArgumentException(
+      s"project id '$bad' contains ',' — cannot be passed via path_values"))
     def keyedEntries(name: String): DataFrame = {
       val reader = spark.read.format("graft-http")
         .option("url", s"$baseUrl/projects/{key}/$name")

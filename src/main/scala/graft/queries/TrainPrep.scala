@@ -147,6 +147,29 @@ object TrainPrep {
       out
     }),
 
+    // ---- mixture resampling to exact per-source quotas -------------------
+    // The data-mixing step after a q86 report says a source is
+    // over-represented: cap every source at an EXACT quota, selecting
+    // uniformly-at-random but reproducibly — rank docs inside each source
+    // by a salted hash (not by quality or position: that would bias the
+    // mixture) and keep the first `quota`. Completes the sampling family:
+    // q77 = top-by-quality quota, q82 = approximate Bernoulli rates, this
+    // = exact count. One window per source partition; the salt ('mix')
+    // keeps the selection independent of the q73 split and the q82 sample.
+    "q90_mix_resample" -> ((s: SparkSession, dir: String) => {
+      val quota = 15
+      val h = conv(substring(md5(
+          concat(lit("mix"), col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= quota)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    }),
+
     // ---- corpus domain mix (per-source token share) ----------------------
     // The composition report a data-mix decision reads: sources ranked by
     // token volume with cumulative share ("the top k sources are X% of the
@@ -299,6 +322,17 @@ object TrainPrep {
         | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
         | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q90_mix_resample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |   ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT source, doc_id, rk FROM (
+        | SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+        |       AS BIGINT) AS rk
+        | FROM h)
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
 
     "q86_domain_mix" ->
       """WITH tk AS (SELECT source,

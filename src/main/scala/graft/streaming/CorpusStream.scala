@@ -54,12 +54,17 @@ object CorpusStream {
     * of a passing text). Append-mode safe (no aggregation). */
   def curated(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
+      // per-batch funnel via observe(): the counts ride the batch's own
+      // execution (StreamingQueryProgress.observedMetrics) — no second
+      // pass, the streaming analog of CorpusMain's staged funnel
+      .observe("intake", count(lit(1)).as("n_in"))
       .withColumn("w", toks(col("text")))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .filter(col("n_tokens") >= 10 &&
         size(filter(col("w"), t => array_contains(stopwords, t))).cast("double") /
           greatest(col("n_tokens").cast("double"), lit(1.0)) >= 0.01)
       .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(trigrams(col("w"))) > 0.3))
+      .observe("gated", count(lit(1)).as("n_gated"))
       .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")

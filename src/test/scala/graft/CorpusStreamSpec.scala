@@ -51,6 +51,15 @@ class CorpusStreamSpec extends SparkSpec {
         !scrubbed.contains("@") && !scrubbed.contains("555-123-4567"))
       // dedup is stateful, not aggregating: append mode, one state operator
       assert(q.lastProgress.stateOperators.length == 1)
+      // observe() funnel rides the batch execution: the last DATA batch
+      // held one doc (the re-crawl), which passed the gates and was then
+      // dropped by dedup state — n_in == n_gated == 1, output empty.
+      // (lastProgress can be a trailing zero-data batch; find the data one.)
+      val om = q.recentProgress.filter(_.numInputRows > 0).last.observedMetrics
+      assert(om.containsKey("intake") && om.containsKey("gated"),
+        s"observed metrics missing: $om")
+      assert(om.get("intake").getAs[Long]("n_in") == 1L)
+      assert(om.get("gated").getAs[Long]("n_gated") == 1L)
     } finally q.stop()
   }
 }

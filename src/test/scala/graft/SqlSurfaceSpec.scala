@@ -38,6 +38,43 @@ class SqlSurfaceSpec extends SparkSpec {
       Tables(spark, dir, "orders").select("o_custkey").distinct().count())
   }
 
+  test("SQL repetition signals match the q80 DataFrame form") {
+    Tables(spark, dir, "documents").createOrReplaceTempView("d_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  round(1.0 - CAST(size(array_distinct(w)) AS DOUBLE)
+        |            / CAST(size(w) AS DOUBLE), 4) AS dup_token_frac
+        |FROM (SELECT doc_id, split(lower(trim(text)), '\\s+') AS w FROM d_sql
+        |      WHERE length(trim(text)) > 0)
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaQuery = SparkEntry.queries("q80_repetition")(spark, dir)
+      .select("doc_id", "dup_token_frac")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaQuery.toSeq)
+  }
+
+  test("SQL min_by argmax matches the q87 DataFrame form") {
+    Tables(spark, dir, "documents").createOrReplaceTempView("d_sql2")
+    val viaSql = spark.sql(
+      """WITH pc AS (
+        |  SELECT p.prev AS prev, p.nxt AS nxt, count(*) AS cnt
+        |  FROM (SELECT explode(zip_with(
+        |          slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+        |          (a, b) -> struct(a AS prev, b AS nxt))) AS p
+        |        FROM (SELECT split(lower(trim(text)), '\\s+') AS w FROM d_sql2
+        |              WHERE length(trim(text)) > 0)
+        |        WHERE size(w) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT prev, min_by(nxt, struct(-cnt, nxt)) AS top_next
+        |FROM pc GROUP BY prev ORDER BY prev""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val viaQuery = SparkEntry.queries("q87_bigram_lm")(spark, dir)
+      .select("prev", "top_next")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(viaSql.toSeq == viaQuery.toSeq)
+  }
+
   test("extensions make cosine_sim callable from plain SQL in every GraftSession") {
     Tables(spark, dir, "embeddings").createOrReplaceTempView("e_sql")
     // no manual register() call — GraftExtensions injected it at build time

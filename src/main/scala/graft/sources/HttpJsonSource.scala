@@ -237,7 +237,8 @@ final class HttpScan(props: Map[String, String], limit: Option[Int],
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-http url=${props("url")} pageSize=$pageSize pushedLimit=${limit.getOrElse(-1)} " +
-      s"readSchema=${required.fieldNames.mkString(",")}"
+      s"readSchema=${required.fieldNames.mkString(",")}" +
+      HttpScan.pathValues(props).fold("")(ks => s" pathKeys=${ks.size}")
 
   /** Plans exactly the pages the endpoint has, not `max_pages` blind.
     *

@@ -181,6 +181,14 @@ class AuditStreamSpec extends SparkSpec {
       assert(all.last == ((8L, "P New", "Success")))
       val fetchedIds = sideRequests.asScala.map(_.split(":", 2)(1)).toSet
       assert(fetchedIds == Set("p_new"), s"side fetches not incremental: $fetchedIds")
+
+      // rerun against the unchanged endpoint: the checkpointed offset
+      // covers every project — nothing appended, zero side fetches
+      sideRequests.clear()
+      runOnce()
+      assert(rows().length == 8)
+      assert(sideRequests.asScala.isEmpty,
+        s"no-op rerun fetched side docs: ${sideRequests.asScala}")
     } finally server.stop(0)
   }
 }

@@ -211,10 +211,13 @@ object Text {
       pc.groupBy("prev")
         .agg(sum("cnt").as("n_prev"),
           min_by(struct(col("nxt"), col("cnt")), struct(-col("cnt"), col("nxt"))).as("b"))
+        // Probability in integer basis points: cnt/n_prev can tie the
+        // 4-dp rounding digit exactly (e.g. 1/32 = 0.03125), where Spark
+        // half-up and DuckDB half-even disagree — (x*10000) div n is
+        // tie-free integer math on both engines.
         .select(col("prev"), col("b.nxt").as("top_next"),
           col("b.cnt").as("n_pair"), col("n_prev"),
-          round(col("b.cnt").cast("double") / col("n_prev").cast("double"), 4)
-            .as("p_next"))
+          expr("(b.cnt * 10000) div n_prev").as("p_next_bp"))
         .orderBy("prev")
     }),
 
@@ -375,7 +378,7 @@ object Text {
            |                                   ORDER BY cnt DESC, nxt) = 1),
            |tot AS (SELECT prev, sum(cnt) AS n_prev FROM pc GROUP BY prev)
            |SELECT tot.prev, sel.nxt AS top_next, sel.cnt AS n_pair, tot.n_prev,
-           | round(CAST(sel.cnt AS DOUBLE) / CAST(tot.n_prev AS DOUBLE), 4) AS p_next
+           | (sel.cnt * 10000) // tot.n_prev AS p_next_bp
            |FROM tot JOIN sel ON tot.prev = sel.prev
            |ORDER BY tot.prev""".stripMargin,
 

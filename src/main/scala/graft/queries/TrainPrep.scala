@@ -185,14 +185,16 @@ object TrainPrep {
       val wAll = Window.partitionBy()
       val wCum = Window.orderBy(desc("n_tokens"), asc("source"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Shares in integer basis points ((x*10000) div total): ratios of
+      // integers can land an exact 5 in the tie digit, where Spark's
+      // half-up and DuckDB's half-even round() diverge — integer floor
+      // division is tie-free and exact on both engines.
       agg
         .withColumn("total", sum("n_tokens").over(wAll))
         .withColumn("cum", sum("n_tokens").over(wCum))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("total").cast("double"), 4)
-            .as("share"),
-          round(col("cum").cast("double") / col("total").cast("double"), 4)
-            .as("cum_share"))
+          expr("(n_tokens * 10000) div total").as("share_bp"),
+          expr("(cum * 10000) div total").as("cum_share_bp"))
         .orderBy(desc("n_tokens"), asc("source"))
     }),
 
@@ -348,8 +350,8 @@ object TrainPrep {
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM a)
         |SELECT source, n_docs, n_tokens,
-        | round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
-        | round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS cum_share
+        | (n_tokens * 10000) // total AS share_bp,
+        | (cum * 10000) // total AS cum_share_bp
         |FROM w ORDER BY n_tokens DESC, source""".stripMargin,
 
     "q82_stratified_sample" ->

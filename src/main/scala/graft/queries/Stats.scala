@@ -290,6 +290,32 @@ object Stats {
         .orderBy("event_id")
     }),
 
+    // ---- higher moments from exact integer power sums --------------------
+    // Skewness / excess kurtosis of the per-language token-length
+    // distribution. Built-in skewness()/kurtosis() differ between engines
+    // on bias correction AND on float summation order, so the moments are
+    // derived from raw power sums S1..S4 of the integer token counts —
+    // exact BIGINT arithmetic, commutative, partition-order-independent —
+    // and the final skew/kurtosis values are ONE shared double expression
+    // (`momentExprs`, interpolated verbatim into both engines) over those
+    // exact integers: identical IEEE ops in identical order, finished with
+    // tie-free floor(). S4 bounds: max tokens/doc here ≈ 2⁷ → n⁴ ≈ 2²⁸,
+    // overflow needs ~2³⁵ docs per group; longer-doc corpora would move S3/
+    // S4 to DECIMAL(38,0).
+    "q93_moments" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), docToks.as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"),
+          sum(col("n") * col("n") * col("n")).as("s3"),
+          sum(col("n") * col("n") * col("n") * col("n")).as("s4"))
+        .select(col("lang") +: col("n_docs") +: col("s1").as("n_tokens") +:
+          momentExprs.map { case (name, sql) => expr(sql).as(name) }: _*)
+        .orderBy("lang")
+    }),
+
     // ---- as-of join: most recent prior 'view' for each 'purchase' --------
     "q48_asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
@@ -304,7 +330,50 @@ object Stats {
     })
   )
 
+  /** Whitespace token count of lowercased trimmed text, BIGINT (Spark side;
+    * mirrors the `docToksSql` DuckDB form used across the corpus queries). */
+  private def docToks: org.apache.spark.sql.Column =
+    when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+
+  private val docToksSql =
+    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)""".stripMargin
+
+  /** Central-moment output expressions over (n_docs, s1..s4), shared
+    * VERBATIM between the Spark plan and the DuckDB oracle so both engines
+    * run the identical IEEE double op sequence on identical exact integers.
+    * floor(), not round(): floor can't tie and handles negatives uniformly. */
+  private val momentExprs: Seq[(String, String)] = {
+    val nd = "CAST(n_docs AS DOUBLE)"
+    val mean = s"(CAST(s1 AS DOUBLE) / $nd)"
+    val r2 = s"(CAST(s2 AS DOUBLE) / $nd)"
+    val r3 = s"(CAST(s3 AS DOUBLE) / $nd)"
+    val r4 = s"(CAST(s4 AS DOUBLE) / $nd)"
+    val m2 = s"($r2 - $mean * $mean)"
+    val m3 = s"($r3 - 3.0 * $mean * $r2 + 2.0 * $mean * $mean * $mean)"
+    val m4 = s"($r4 - 4.0 * $mean * $r3 + 6.0 * $mean * $mean * $r2" +
+      s" - 3.0 * $mean * $mean * $mean * $mean)"
+    Seq(
+      "mean_e4" -> s"CAST(floor($mean * 10000.0) AS BIGINT)",
+      "var_e4" -> s"CAST(floor($m2 * 10000.0) AS BIGINT)",
+      "skew_e4" -> s"CAST(floor($m3 / ($m2 * sqrt($m2)) * 10000.0) AS BIGINT)",
+      "kurt_e4" -> s"CAST(floor(($m4 / ($m2 * $m2) - 3.0) * 10000.0) AS BIGINT)")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q93_moments" ->
+      s"""WITH t AS (SELECT lang, $docToksSql AS n FROM documents),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n) AS BIGINT) AS s1,
+         |        CAST(sum(n * n) AS BIGINT) AS s2,
+         |        CAST(sum(n * n * n) AS BIGINT) AS s3,
+         |        CAST(sum(n * n * n * n) AS BIGINT) AS s4
+         |      FROM t GROUP BY lang)
+         |SELECT lang, n_docs, s1 AS n_tokens,
+         | ${momentExprs.map { case (name, sql) => s"$sql AS $name" }.mkString(",\n ")}
+         |FROM a ORDER BY lang""".stripMargin,
+
     "q43_stats" ->
       """SELECT o_orderstatus, count(*) AS n,
         | round(stddev_samp(o_totalprice),4) AS sd_price,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TextHashes
 import graft.Tables
@@ -235,6 +236,80 @@ object Text {
         .orderBy("bucket")
     }),
 
+    // ---- model-based quality score: per-doc bigram LM log-likelihood -----
+    // The "perplexity filter" of a curation pipeline, with the corpus's own
+    // bigram LM (q87's count table) as the model: a document whose bigrams
+    // are all low-probability under the corpus distribution reads as noise.
+    // Determinism across engines: ln(p) is integer-ized per DISTINCT
+    // (prev,nxt) via floor(ln*1e6) — per-doc totals are then exact BIGINT
+    // sums (order-independent), and the average is floor() of one double
+    // division (tie-free; round() would tie, `div` truncates negatives
+    // differently in DuckDB). The exploded bigram base feeds both the LM
+    // aggregation and the per-doc join, so it is persisted (the q85/q37
+    // branch-recompute lesson). At 100 TB the LM table is O(vocab²) —
+    // broadcast-joined back to the corpus — and the base would be
+    // recomputed rather than cached (two scans beat materializing the
+    // corpus-sized pair list).
+    "q91_lm_score" -> ((s: SparkSession, dir: String) => {
+      val w = toks(col("text"))
+      val pairs = when(size(w) < 2, array().cast("array<struct<prev:string,nxt:string>>"))
+        .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("prev"), b.as("nxt"))))
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lm = base.groupBy("prev", "nxt").agg(count(lit(1)).as("cnt"))
+        .withColumn("n_prev",
+          sum("cnt").over(Window.partitionBy("prev")))
+        .withColumn("lnp_e6",
+          floor(log(col("cnt").cast("double") / col("n_prev").cast("double"))
+            * lit(1000000.0)).cast("long"))
+        .select("prev", "nxt", "lnp_e6")
+      val out = base.join(lm, Seq("prev", "nxt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lnp_e6").as("sum_lnp_e6"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_lnp_e6"),
+          floor(col("sum_lnp_e6").cast("double") / col("n_bigrams").cast("double"))
+            .cast("long").as("avg_lnp_e6"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
+    }),
+
+    // ---- Zipf rank-frequency fit over the term distribution --------------
+    // The vocabulary diagnostic (natural corpora slope ≈ −1; synthetic or
+    // templated text flattens): least-squares slope of ln(freq) vs ln(rank)
+    // over the top-100 terms. The regression runs on integer-ized logs
+    // (floor(ln*1e4) BIGINT) so Σx, Σy, Σxy, Σx² are exact and
+    // order-independent — regr_slope over raw doubles would be
+    // summation-order-dependent across engines. Final slope is one double
+    // expression over those exact integers, floored to basis points.
+    // The rank window is global but runs over |vocab| rows (post-
+    // aggregation), not the corpus.
+    "q92_zipf" -> ((s: SparkSession, dir: String) => {
+      val tf = Tables(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val fit = tf
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("long"))
+        .filter(col("rank") <= 100)
+        .withColumn("x_e4", floor(log(col("rank").cast("double")) * lit(10000.0)).cast("long"))
+        .withColumn("y_e4", floor(log(col("freq").cast("double")) * lit(10000.0)).cast("long"))
+      fit.agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("x_e4")).as("sx"), sum(col("y_e4")).as("sy"),
+          sum(col("x_e4") * col("y_e4")).as("sxy"),
+          sum(col("x_e4") * col("x_e4")).as("sxx"))
+        .select(col("n_terms"),
+          floor((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * lit(10000.0)
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .cast("long").as("slope_bp"))
+    }),
+
     // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
@@ -381,6 +456,48 @@ object Text {
            | (sel.cnt * 10000) // tot.n_prev AS p_next_bp
            |FROM tot JOIN sel ON tot.prev = sel.prev
            |ORDER BY tot.prev""".stripMargin,
+
+      "q91_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |pr AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+           |         ELSE [{'prev': w[i], 'nxt': w[i+1]} for i in range(1, len(w))]
+           |       END) AS s
+           |       FROM t),
+           |b AS (SELECT doc_id, s.prev AS prev, s.nxt AS nxt FROM pr),
+           |pc AS (SELECT prev, nxt, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |lm AS (SELECT prev, nxt,
+           |   CAST(floor(ln(CAST(cnt AS DOUBLE) /
+           |     CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)) * 1000000.0)
+           |     AS BIGINT) AS lnp_e6
+           |  FROM pc),
+           |d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |        CAST(sum(lm.lnp_e6) AS BIGINT) AS sum_lnp_e6
+           |      FROM b JOIN lm ON b.prev = lm.prev AND b.nxt = lm.nxt
+           |      GROUP BY b.doc_id)
+           |SELECT doc_id, n_bigrams, sum_lnp_e6,
+           | CAST(floor(CAST(sum_lnp_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+           |   AS avg_lnp_e6
+           |FROM d ORDER BY doc_id""".stripMargin,
+
+      "q92_zipf" ->
+        s"""WITH t AS (SELECT unnest($toksSql) AS term FROM documents),
+           |tf AS (SELECT term, count(*) AS freq FROM t GROUP BY term),
+           |r AS (SELECT freq,
+           |        CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+           |      FROM tf),
+           |f AS (SELECT
+           |   CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000.0) AS BIGINT) AS x_e4,
+           |   CAST(floor(ln(CAST(freq AS DOUBLE)) * 10000.0) AS BIGINT) AS y_e4
+           |  FROM r WHERE rank <= 100),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           |        CAST(sum(x_e4) AS BIGINT) AS sx, CAST(sum(y_e4) AS BIGINT) AS sy,
+           |        CAST(sum(x_e4 * y_e4) AS BIGINT) AS sxy,
+           |        CAST(sum(x_e4 * x_e4) AS BIGINT) AS sxx
+           |      FROM f)
+           |SELECT n_terms,
+           | CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 10000.0
+           |            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_bp
+           |FROM a""".stripMargin,
 
       "q88_len_histogram" ->
         s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)

@@ -144,8 +144,19 @@ object CorpusMain {
     spark.sparkContext.setLogLevel("WARN")
     val (curated, funnel, release) = curate(spark, Tables(spark, args(0), "documents"))
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
+    // Composition report of the build that actually shipped (q86's operator
+    // over the CURATED set, not the input): the next mix/resample decision
+    // (q90's quotas) reads this. Computed while the final stage is still
+    // cache-backed, so it costs one aggregation, not a pipeline re-run.
+    val mix = graft.queries.TrainPrep.domainMix(curated)
+    mix.write.mode("overwrite").parquet(args(1) + "_mix")
+    val mixRows = mix.limit(5).collect() // tiny; collected before release()
     release()
     funnel.foreach { case (stage, n) => println(s"$stage: $n") }
+    mixRows.foreach { r =>
+      println(s"mix: ${r.getString(0)} docs=${r.getLong(1)} tokens=${r.getLong(2)} " +
+        s"share_bp=${r.getLong(3)} cum_bp=${r.getLong(4)}")
+    }
     spark.stop()
   }
 }

@@ -28,6 +28,32 @@ import graft.Tables
 object TrainPrep {
 
   /** Raw (order- and multiplicity-preserving) whitespace tokens. */
+  /** q86's domain-mix report over an arbitrary documents DataFrame (also
+    * the per-build composition report CorpusMain writes next to its curated
+    * output). Shares in integer basis points ((x*10000) div total): ratios
+    * of integers can land an exact 5 in the tie digit, where Spark's
+    * half-up and DuckDB's half-even round() diverge — integer floor
+    * division is tie-free and exact on both engines. The corpus-sized work
+    * is ONE partial-aggregating shuffle keyed by source; the windows run
+    * over the ~|sources| aggregate rows only.
+    */
+  def domainMix(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = docs
+      .withColumn("n", size(rawToks(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(desc("n_tokens"), asc("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("total", sum("n_tokens").over(wAll))
+      .withColumn("cum", sum("n_tokens").over(wCum))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total").as("share_bp"),
+        expr("(cum * 10000) div total").as("cum_share_bp"))
+      .orderBy(desc("n_tokens"), asc("source"))
+  }
+
   private def rawToks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
@@ -177,26 +203,8 @@ object TrainPrep {
     // keyed by source; the windows (rank order + running share) run over
     // the ~|sources| aggregate rows, so their single-partition exchange is
     // bounded by source cardinality, not corpus size.
-    "q86_domain_mix" -> ((s: SparkSession, dir: String) => {
-      val agg = Tables(s, dir, "documents")
-        .withColumn("n", size(rawToks(col("text"))).cast("long"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      val wAll = Window.partitionBy()
-      val wCum = Window.orderBy(desc("n_tokens"), asc("source"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // Shares in integer basis points ((x*10000) div total): ratios of
-      // integers can land an exact 5 in the tie digit, where Spark's
-      // half-up and DuckDB's half-even round() diverge — integer floor
-      // division is tie-free and exact on both engines.
-      agg
-        .withColumn("total", sum("n_tokens").over(wAll))
-        .withColumn("cum", sum("n_tokens").over(wCum))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("(n_tokens * 10000) div total").as("share_bp"),
-          expr("(cum * 10000) div total").as("cum_share_bp"))
-        .orderBy(desc("n_tokens"), asc("source"))
-    }),
+    "q86_domain_mix" -> ((s: SparkSession, dir: String) =>
+      domainMix(Tables(s, dir, "documents"))),
 
     // ---- stratified Bernoulli sample (per-language rates) ----------------
     // The rebalancing sampler: over-represented strata are kept at a lower

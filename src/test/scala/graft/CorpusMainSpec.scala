@@ -95,6 +95,21 @@ class CorpusMainSpec extends SparkSpec {
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
+  test("domain-mix report over the curated set is internally consistent") {
+    val (curated, funnel, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
+    val mix = graft.queries.TrainPrep.domainMix(curated).collect()
+    assert(mix.nonEmpty)
+    // doc accounting: the mix report covers exactly the final funnel stage
+    assert(mix.map(_.getLong(1)).sum == funnel.toMap.apply("repetition"))
+    // shares: descending by volume, cumulative monotone, final cum = 100%
+    val tokens = mix.map(_.getLong(2))
+    assert(tokens.zip(tokens.tail).forall { case (a, b) => a >= b })
+    val cums = mix.map(_.getLong(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == 10000L, s"final cum_share_bp ${cums.last}")
+    release()
+  }
+
   test("curated output writes lang-partitioned parquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-statistics queries (q91-q93) beyond
+  * the DuckDB hash gate: the integer-ized determinism tricks (floor(ln*1e6),
+  * exact power sums) must still compute the QUANTITY they claim to. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("q93 moments agree with Spark's built-in population skewness/kurtosis") {
+    val skews = SparkEntry.queries("q93_moments")(spark, dir)
+      .select("lang", "skew_e4", "kurt_e4").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    val builtin = Tables(spark, dir, "documents")
+      .select(col("lang"), toks.as("n"))
+      .groupBy("lang")
+      .agg(skewness(col("n")).as("sk"), kurtosis(col("n")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(skews.nonEmpty)
+    skews.foreach { case (lang, skewE4, kurtE4) =>
+      val (sk, ku) = builtin(lang)
+      // floor() truncates toward -inf: ours is within [x-1e-4, x] of exact
+      assert(math.abs(skewE4 / 10000.0 - sk) <= 2e-4,
+        s"$lang skew: ours=${skewE4 / 10000.0} builtin=$sk")
+      assert(math.abs(kurtE4 / 10000.0 - ku) <= 2e-4,
+        s"$lang kurtosis: ours=${kurtE4 / 10000.0} builtin=$ku")
+    }
+  }
+
+  test("q92 Zipf fit: negative slope over at most 100 ranked terms") {
+    val row = SparkEntry.queries("q92_zipf")(spark, dir).collect().head
+    val (nTerms, slopeBp) = (row.getLong(0), row.getLong(1))
+    assert(nTerms > 1 && nTerms <= 100)
+    assert(slopeBp < 0, s"rank-frequency slope should be negative, got $slopeBp")
+  }
+
+  test("q91 LM scores: log-likelihoods non-positive, one bigram per adjacent pair") {
+    val scored = SparkEntry.queries("q91_lm_score")(spark, dir)
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    val expected = Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("n")).filter(col("n") >= 2)
+      .select(col("doc_id"), (col("n") - 1).as("exp_bigrams"))
+    val joined = scored.join(expected, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("n_bigrams"), col("exp_bigrams"),
+        col("sum_lnp_e6"), col("avg_lnp_e6"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"doc ${r.getLong(0)}: row-set mismatch")
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: n_bigrams ${r.getLong(1)} != tokens-1 ${r.getLong(2)}")
+      assert(r.getLong(3) <= 0 && r.getLong(4) <= 0,
+        s"doc ${r.getLong(0)}: positive log-likelihood")
+    }
+    // a repeated high-probability bigram must outscore the corpus median:
+    // the max avg score belongs to a doc whose bigrams are all frequent
+    val avgs = joined.map(_.getLong(4)).sorted
+    assert(avgs.head < avgs.last, "scores are not degenerate-constant")
+  }
+}

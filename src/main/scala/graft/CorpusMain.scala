@@ -97,20 +97,18 @@ object CorpusMain {
     val nQuality = quality.count()
     nearDeduped.unpersist()
 
-    // 4. repetition gate: q80's duplicate-fraction signals as a filter
-    def dupFrac(a: org.apache.spark.sql.Column) =
-      when(size(a) === 0, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
-    val tg = when(size(col("w")) < 3, array().cast("array<string>"))
-      .otherwise(zip_with(
-        zip_with(slice(col("w"), lit(1), size(col("w")) - 2),
-          slice(col("w"), lit(2), size(col("w")) - 2),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(col("w"), lit(3), size(col("w")) - 2),
-        (ab, c) => concat(ab, lit(" "), c)))
+    // 4. repetition gate: q80's duplicate-fraction signals as a filter,
+    // computed by the native one-pass NgramDistincts expression
+    def frac(total: org.apache.spark.sql.Column, distinct: org.apache.spark.sql.Column) =
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
+    val nTok = size(col("w")).cast("long")
+    val nd = org.apache.spark.sql.graft.TextHashes.ngram_distincts(col("w"))
     val deRepped = quality
-      .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(tg) > 0.3))
-      .drop("w")
+      .withColumn("d", nd)
+      .filter(!(frac(nTok, col("d.d_tok")) > 0.8 ||
+        frac(greatest(nTok - 2, lit(0L)), col("d.d_3g")) > 0.3))
+      .drop("w", "d")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRep = deRepped.count()
     quality.unpersist()

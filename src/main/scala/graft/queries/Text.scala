@@ -135,29 +135,26 @@ object Text {
     // up long before perplexity does. All per-row array math (slice +
     // zip_with n-gram construction, array_distinct counting): no shuffle,
     // no mode computation, linear in document length.
+    // The distinct counting runs in the native one-pass NgramDistincts
+    // expression (TextHashes) — the HOF zip_with/array_distinct chain
+    // allocated every n-gram string and walked the token array five times
+    // per row (bit-parity pinned in TextHashesSpec; oracle unchanged).
+    // The n-gram universe sizes are n, n-1, n-2 arithmetically — no n-gram
+    // arrays are ever materialized.
     "q80_repetition" -> ((s: SparkSession, dir: String) => {
-      def bg2(w: Column): Column =
-        when(size(w) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-      def tg3(w: Column): Column =
-        when(size(w) < 3, array().cast("array<string>"))
-          .otherwise(zip_with(
-            zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
-              (a, b) => concat(a, lit(" "), b)),
-            slice(w, lit(3), size(w) - 2),
-            (ab, c) => concat(ab, lit(" "), c)))
-      def dupFrac(a: Column): Column =
-        when(size(a) === 0, lit(0.0))
+      def frac(total: Column, distinct: Column): Column =
+        when(total === 0, lit(0.0))
           .otherwise(round(
-            lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"), 4))
+            lit(1.0) - distinct.cast("double") / total.cast("double"), 4))
       Tables(s, dir, "documents")
         .withColumn("w", toks(col("text")))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("d", TextHashes.ngram_distincts(col("w")))
         .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_tokens"),
-          dupFrac(col("w")).as("dup_token_frac"),
-          dupFrac(bg2(col("w"))).as("dup_2gram_frac"),
-          dupFrac(tg3(col("w"))).as("dup_3gram_frac"))
+          col("n").as("n_tokens"),
+          frac(col("n"), col("d.d_tok")).as("dup_token_frac"),
+          frac(greatest(col("n") - 1, lit(0L)), col("d.d_2g")).as("dup_2gram_frac"),
+          frac(greatest(col("n") - 2, lit(0L)), col("d.d_3g")).as("dup_3gram_frac"))
         .withColumn("repetitive",
           (col("dup_token_frac") > 0.8 || col("dup_3gram_frac") > 0.3)
             .cast("long"))

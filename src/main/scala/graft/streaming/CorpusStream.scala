@@ -33,17 +33,11 @@ object CorpusStream {
   private val stopwords =
     array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
 
-  private def dupFrac(a: Column): Column =
-    when(size(a) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
-
-  private def trigrams(w: Column): Column =
-    when(size(w) < 3, array().cast("array<string>"))
-      .otherwise(zip_with(
-        zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(w, lit(3), size(w) - 2),
-        (ab, c) => concat(ab, lit(" "), c)))
+  // repetition fractions via the native one-pass NgramDistincts expression
+  // (same gate as CorpusMain stage 4 / q80)
+  private def frac(total: Column, distinct: Column): Column =
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
 
   /** `docs` must carry (doc_id, text, lang, source, ingest_ts TIMESTAMP).
     * Returns the curated stream: quality + repetition gates, then
@@ -63,7 +57,10 @@ object CorpusStream {
       .filter(col("n_tokens") >= 10 &&
         size(filter(col("w"), t => array_contains(stopwords, t))).cast("double") /
           greatest(col("n_tokens").cast("double"), lit(1.0)) >= 0.01)
-      .filter(!(dupFrac(col("w")) > 0.8 || dupFrac(trigrams(col("w"))) > 0.3))
+      .withColumn("d", org.apache.spark.sql.graft.TextHashes.ngram_distincts(col("w")))
+      .filter(!(frac(col("n_tokens"), col("d.d_tok")) > 0.8 ||
+        frac(greatest(col("n_tokens") - 2, lit(0L)), col("d.d_3g")) > 0.3))
+      .drop("d")
       .observe("gated", count(lit(1)).as("n_gated"))
       .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
       .withWatermark("ingest_ts", watermark)

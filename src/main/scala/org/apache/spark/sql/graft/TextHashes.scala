@@ -32,6 +32,8 @@ object TextHashes {
 
   def simhash60(h: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(h)))
+  def ngram_distincts(tokens: Column): Column =
+    ExpressionUtils.column(NgramDistincts(ExpressionUtils.expression(tokens)))
   def poly_hash(text: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(text)))
   def min_window_hash(text: Column, window: Int): Column =
@@ -100,6 +102,114 @@ case class SimHash60(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Distinct counts of tokens, adjacent 2-grams, and adjacent 3-grams of an
+  * `array<string>`, in ONE pass — `struct<d_tok, d_2g, d_3g>` of BIGINTs.
+  *
+  * Replaces the q80/CorpusMain repetition-signal chain of two zip_with
+  * n-gram constructions plus three array_distinct calls, which allocates
+  * every n-gram as a fresh UTF8String and walks the token array five times
+  * per row. Here tokens get dense int ids from one hash-map pass; a 2-gram
+  * is the EXACT pair of ids packed into one long (tokens come from a
+  * whitespace split, so the space-joined strings the HOF form compares are
+  * in bijection with id pairs), and a 3-gram is (2-gram id, third token id)
+  * packed likewise — exact for any document size, no string allocation
+  * after tokenization. Bit-parity with the HOF form is pinned in
+  * TextHashesSpec; the DuckDB oracle is unchanged.
+  *
+  * Null elements participate as one distinct token (array_distinct
+  * semantics); n-grams containing null match the HOF form's null-propagated
+  * concat only in count terms for the all-null case — irrelevant in
+  * practice because the tokenizer never emits null elements.
+  */
+case class NgramDistincts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("d_tok", LongType, nullable = false),
+    StructField("d_2g", LongType, nullable = false),
+    StructField("d_3g", LongType, nullable = false)))
+  override def prettyName: String = "ngram_distincts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val tokIds = new java.util.HashMap[AnyRef, Integer]()
+    val ids = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val t: AnyRef = if (arr.isNullAt(k)) null else arr.getUTF8String(k)
+      var v = tokIds.get(t)
+      if (v == null) { v = Integer.valueOf(tokIds.size); tokIds.put(t, v) }
+      ids(k) = v.intValue()
+      k += 1
+    }
+    val pairIds = new java.util.HashMap[java.lang.Long, Integer]()
+    val pids = new Array[Int](math.max(n - 1, 0))
+    k = 0
+    while (k + 1 < n) {
+      val key = java.lang.Long.valueOf((ids(k).toLong << 32) | ids(k + 1).toLong)
+      var v = pairIds.get(key)
+      if (v == null) { v = Integer.valueOf(pairIds.size); pairIds.put(key, v) }
+      pids(k) = v.intValue()
+      k += 1
+    }
+    val tri = new java.util.HashSet[java.lang.Long]()
+    k = 0
+    while (k + 2 < n) {
+      tri.add(java.lang.Long.valueOf((pids(k).toLong << 32) | ids(k + 2).toLong))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tokIds.size.toLong, pairIds.size.toLong, tri.size.toLong))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val tokIds = ctx.freshName("tokIds")
+      val ids = ctx.freshName("ids")
+      val pairIds = ctx.freshName("pairIds")
+      val pids = ctx.freshName("pids")
+      val tri = ctx.freshName("tri")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      val v = ctx.freshName("v")
+      val key = ctx.freshName("key")
+      // raw collection types: the generated code is compiled by Janino,
+      // which does not support generics
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashMap $tokIds = new java.util.HashMap();
+         |int[] $ids = new int[$n];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  Object $t = $a.isNullAt($k) ? null : $a.getUTF8String($k);
+         |  Integer $v = (Integer) $tokIds.get($t);
+         |  if ($v == null) { $v = Integer.valueOf($tokIds.size()); $tokIds.put($t, $v); }
+         |  $ids[$k] = $v.intValue();
+         |}
+         |java.util.HashMap $pairIds = new java.util.HashMap();
+         |int[] $pids = new int[$n > 1 ? $n - 1 : 0];
+         |for (int $k = 0; $k + 1 < $n; $k++) {
+         |  Long $key = Long.valueOf(((long) $ids[$k] << 32) | (long) $ids[$k + 1]);
+         |  Integer $v = (Integer) $pairIds.get($key);
+         |  if ($v == null) { $v = Integer.valueOf($pairIds.size()); $pairIds.put($key, $v); }
+         |  $pids[$k] = $v.intValue();
+         |}
+         |java.util.HashSet $tri = new java.util.HashSet();
+         |for (int $k = 0; $k + 2 < $n; $k++) {
+         |  $tri.add(Long.valueOf(((long) $pids[$k] << 32) | (long) $ids[$k + 2]));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ Long.valueOf((long) $tokIds.size()),
+         |                Long.valueOf((long) $pairIds.size()),
+         |                Long.valueOf((long) $tri.size()) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDistincts =
     copy(child = newChild)
 }
 

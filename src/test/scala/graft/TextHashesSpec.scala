@@ -59,6 +59,73 @@ class TextHashesSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("ngram_distincts matches the HOF zip_with/array_distinct chain") {
+    // edge rows: empty array, 1 token, 2 tokens, all-same, mixed repeats
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown"),
+      (2L, ""),
+      (3L, "one"),
+      (4L, "two words"),
+      (5L, "same same same same same"),
+      (6L, "a b a b a b a b c"),
+      (7L, "x y z x y z x y w")
+    ).toDF("doc_id", "text")
+    val w = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    def bg2(w: org.apache.spark.sql.Column) =
+      when(size(w) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+    def tg3(w: org.apache.spark.sql.Column) =
+      when(size(w) < 3, array().cast("array<string>"))
+        .otherwise(zip_with(
+          zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(w, lit(3), size(w) - 2),
+          (ab, c) => concat(ab, lit(" "), c)))
+    val got = rows.withColumn("w", w)
+      .select(
+        TextHashes.ngram_distincts(col("w")).as("d"),
+        size(array_distinct(col("w"))).cast("long").as("h1"),
+        size(array_distinct(bg2(col("w")))).cast("long").as("h2"),
+        size(array_distinct(tg3(col("w")))).cast("long").as("h3"))
+      .select(col("d.d_tok"), col("d.d_2g"), col("d.d_3g"),
+        col("h1"), col("h2"), col("h3"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3), s"d_tok: $r")
+      assert(r.getLong(1) == r.getLong(4), s"d_2g: $r")
+      assert(r.getLong(2) == r.getLong(5), s"d_3g: $r")
+    }
+  }
+
+  test("ngram_distincts parity on the real corpus (codegen path)") {
+    val d = Tables(spark, sf("sf0.001"), "documents")
+    val w = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    val df = d.withColumn("w", w)
+      .select(col("doc_id"), TextHashes.ngram_distincts(col("w")).as("nd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ngram_distincts") && plan.contains("*(1) Project"),
+      s"no codegen span:\n$plan")
+    def tg3(w: org.apache.spark.sql.Column) =
+      when(size(w) < 3, array().cast("array<string>"))
+        .otherwise(zip_with(
+          zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(w, lit(3), size(w) - 2),
+          (ab, c) => concat(ab, lit(" "), c)))
+    val hof = d.withColumn("w", w)
+      .select(col("doc_id"),
+        size(array_distinct(col("w"))).cast("long").as("h1"),
+        size(array_distinct(tg3(col("w")))).cast("long").as("h3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    df.select(col("doc_id"), col("nd.d_tok"), col("nd.d_3g")).collect().foreach { r =>
+      val (h1, h3) = hof(r.getLong(0))
+      assert(r.getLong(1) == h1 && r.getLong(2) == h3, r.toString)
+    }
+  }
+
   test("expressions stay inside whole-stage codegen (and doGenCode = eval)") {
     // parquet-backed input: a local Seq collapses to a LocalRelation at
     // optimization time (ConvertToLocalRelation), which would bypass codegen

@@ -307,6 +307,67 @@ object Text {
             .cast("long").as("slope_bp"))
     }),
 
+    // ---- vocabulary coverage / OOV rate -----------------------------------
+    // Token-budget planning reads this: how much of each document a fixed
+    // vocabulary covers. The vocab here is the corpus's own top-30 terms
+    // (rank window over the tiny term-frequency aggregate); per-doc hits
+    // come from ONE broadcast-sized join of the exploded tokens against the
+    // 30-row vocab and one groupBy(doc_id) — at 100 TB the vocab side stays
+    // driver-small no matter the corpus, and no window touches corpus-sized
+    // data. OOV rate in tie-free integer basis points.
+    "q94_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val toksOf = toks(col("text"))
+      val vocab = docs.select(explode(toksOf).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .withColumn("rk", row_number().over(Window.orderBy(desc("freq"), asc("term"))))
+        .filter(col("rk") <= 30)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      val hits = docs.select(col("doc_id"), explode(toksOf).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("in_vocab")).as("n_in_vocab"))
+      docs.select(col("doc_id"), size(toksOf).cast("long").as("n_tokens"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_oov", col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          when(col("n_tokens") === 0, lit(0L))
+            .otherwise(expr("(n_oov * 10000) div n_tokens")).as("oov_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- character-entropy quality signal ---------------------------------
+    // Shannon entropy of the per-doc character distribution — gibberish and
+    // single-char flood documents sit at the extremes. Deterministic across
+    // engines the q91 way: each character class contributes
+    // floor(p*ln(p)*1e9) (exact double division, one ln, tie-free floor) and
+    // the per-doc total is an exact BIGINT sum, so partial-aggregation
+    // order can't flip anything. Corpus-sized work: one explode + one
+    // two-key aggregation + one doc-key aggregation.
+    "q95_char_entropy" -> ((s: SparkSession, dir: String) => {
+      // regexp_extract_all('[\s\S]') = one element per character in BOTH
+      // engines (split-on-empty edge behavior differs between them)
+      val chars = Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+          explode(expr("regexp_extract_all(text, '[\\\\s\\\\S]', 0)")).as("ch"))
+      val terms = chars.groupBy("doc_id", "len", "ch")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("t_e9",
+          floor(col("cnt").cast("double") / col("len").cast("double")
+            * log(col("cnt").cast("double") / col("len").cast("double"))
+            * lit(1000000000.0)).cast("long"))
+      val scored = terms.groupBy("doc_id", "len")
+        .agg(count(lit(1)).as("n_char_classes"), (-sum("t_e9")).as("entropy_e9"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("len"), lit(0L)).as("n_chars"),
+          coalesce(col("n_char_classes"), lit(0L)).as("n_char_classes"),
+          coalesce(col("entropy_e9"), lit(0L)).as("entropy_e9"))
+        .orderBy("doc_id")
+    }),
+
     // ---- 3-gram (word) shingles (shared slice+zip_with construction) -----
     "q34_shingles" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
@@ -495,6 +556,39 @@ object Text {
            | CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 10000.0
            |            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_bp
            |FROM a""".stripMargin,
+
+      "q94_vocab_coverage" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |ex AS (SELECT doc_id, unnest(w) AS term FROM t),
+           |tf AS (SELECT term, count(*) AS freq FROM ex GROUP BY term),
+           |v AS (SELECT term FROM tf
+           |      QUALIFY row_number() OVER (ORDER BY freq DESC, term) <= 30),
+           |h AS (SELECT ex.doc_id, CAST(count(v.term) AS BIGINT) AS n_in_vocab
+           |      FROM ex LEFT JOIN v ON ex.term = v.term GROUP BY ex.doc_id),
+           |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+           |SELECT d.doc_id, d.n_tokens,
+           | d.n_tokens - coalesce(h.n_in_vocab, 0) AS n_oov,
+           | CASE WHEN d.n_tokens = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE ((d.n_tokens - coalesce(h.n_in_vocab, 0)) * 10000) // d.n_tokens
+           | END AS oov_bp
+           |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q95_char_entropy" ->
+        s"""WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+           |             unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+           |           FROM documents),
+           |g AS (SELECT doc_id, len, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+           |t AS (SELECT doc_id, len, CAST(count(*) AS BIGINT) AS n_char_classes,
+           |        CAST(-sum(CAST(floor(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)
+           |          * ln(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE))
+           |          * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_e9
+           |      FROM g GROUP BY doc_id, len)
+           |SELECT d.doc_id, coalesce(t.len, 0) AS n_chars,
+           |       coalesce(t.n_char_classes, 0) AS n_char_classes,
+           |       coalesce(t.entropy_e9, 0) AS entropy_e9
+           |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q88_len_histogram" ->
         s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)

@@ -177,6 +177,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan40.contains("partial_max_by") && !plan40.contains("Window"))
   }
 
+  test("q94 joins the exploded corpus against a BROADCAST vocab, map-side combined") {
+    // the scale contract: the 30-row vocab never shuffles the corpus side
+    val plan = SparkEntry.queries("q94_vocab_coverage")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"hit count not map-side combined:\n$plan")
+  }
+
+  test("q93 moments are one partial-aggregating shuffle, no window") {
+    val plan = SparkEntry.queries("q93_moments")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"power sums not map-side combined:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the moments plan:\n$plan")
+    // exactly one aggregation exchange feeds the final agg (plus the
+    // determinism-gate rangepartitioning for orderBy)
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges >= 1, s"no aggregation exchange:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -206,6 +206,31 @@ object TrainPrep {
     "q86_domain_mix" -> ((s: SparkSession, dir: String) =>
       domainMix(Tables(s, dir, "documents"))),
 
+    // ---- temperature-scaled mixture weights ------------------------------
+    // The multilingual/multi-source sampling formula (alpha = 0.5 here):
+    // w_i ∝ share_i^alpha — upsamples the tail, downsamples the head
+    // relative to natural proportions. Feeds q90's quota resampler from
+    // q86's report. Determinism: share is one exact double division,
+    // sqrt is IEEE-exact, floor(·1e6) integer-izes per source, and the
+    // normalizing denominator is an exact BIGINT sum — no float summation
+    // crosses rows. Windows run over the ~|sources| aggregate only.
+    "q96_temp_mix" -> ((s: SparkSession, dir: String) => {
+      val agg = Tables(s, dir, "documents")
+        .withColumn("n", size(rawToks(col("text"))).cast("long"))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+      val wAll = Window.partitionBy()
+      agg
+        .withColumn("total", sum("n_tokens").over(wAll))
+        .withColumn("s_e6",
+          floor(sqrt(col("n_tokens").cast("double") / col("total").cast("double"))
+            * lit(1000000.0)).cast("long"))
+        .withColumn("denom", sum("s_e6").over(wAll))
+        .select(col("source"), col("n_tokens"),
+          expr("(n_tokens * 10000) div total").as("share_bp"),
+          expr("(s_e6 * 10000) div denom").as("weight_bp"))
+        .orderBy("source")
+    }),
+
     // ---- stratified Bernoulli sample (per-language rates) ----------------
     // The rebalancing sampler: over-represented strata are kept at a lower
     // rate (en 20%) than the rest (80%). Hash-bucket Bernoulli, not
@@ -361,6 +386,29 @@ object TrainPrep {
         | (n_tokens * 10000) // total AS share_bp,
         | (cum * 10000) // total AS cum_share_bp
         |FROM w ORDER BY n_tokens DESC, source""".stripMargin,
+
+    "q96_temp_mix" ->
+      """WITH tk AS (SELECT source,
+        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |     AS n
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM tk GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |   CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM a),
+        |sq AS (SELECT source, n_tokens, total,
+        |   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+        |        * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM w),
+        |d AS (SELECT source, n_tokens, total, s_e6,
+        |   CAST(sum(s_e6) OVER () AS BIGINT) AS denom
+        |  FROM sq)
+        |SELECT source, n_tokens,
+        | (n_tokens * 10000) // total AS share_bp,
+        | (s_e6 * 10000) // denom AS weight_bp
+        |FROM d ORDER BY source""".stripMargin,
 
     "q82_stratified_sample" ->
       """WITH t AS (SELECT doc_id, lang,

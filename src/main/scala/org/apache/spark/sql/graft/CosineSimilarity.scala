@@ -99,6 +99,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    // the native text-hash expressions double as SQL functions, so the
+    // whole operator surface is reachable from spark.sql(...) too
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getCanonicalName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getCanonicalName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("min_window_hash"),
+      new ExpressionInfo(classOf[MinWindowHash].getCanonicalName, "min_window_hash"),
+      (exprs: Seq[Expression]) => MinWindowHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("ngram_distincts"),
+      new ExpressionInfo(classOf[NgramDistincts].getCanonicalName, "ngram_distincts"),
+      (exprs: Seq[Expression]) => NgramDistincts(exprs(0))))
     e.injectOptimizerRule(_ => LevenshteinBoundRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

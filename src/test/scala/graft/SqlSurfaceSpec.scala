@@ -75,6 +75,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaQuery.toSeq)
   }
 
+  test("extensions make the text-hash expressions callable from plain SQL") {
+    Tables(spark, dir, "documents").createOrReplaceTempView("d_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, poly_hash(text) AS ph, min_window_hash(text, 16) AS mh,
+        |  ngram_distincts(CASE WHEN length(trim(text)) = 0
+        |    THEN array() ELSE split(lower(trim(text)), '\\s+') END).d_3g AS d3
+        |FROM d_sql ORDER BY doc_id""".stripMargin).collect()
+    val w = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    val viaCol = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextHashes.poly_hash(col("text")).as("ph"),
+        org.apache.spark.sql.graft.TextHashes.min_window_hash(col("text"), 16).as("mh"),
+        org.apache.spark.sql.graft.TextHashes.ngram_distincts(w).getField("d_3g").as("d3"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("extensions make cosine_sim callable from plain SQL in every GraftSession") {
     Tables(spark, dir, "embeddings").createOrReplaceTempView("e_sql")
     // no manual register() call — GraftExtensions injected it at build time

@@ -97,6 +97,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NgramDistincts == scala-set reference on random token arrays") {
+    // tiny alphabet forces heavy repetition — the adversarial case for the
+    // dense-id/packed-long distinct counting in the native expression
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "ba", "a b".replace(" ", ""), "x")
+    val arrGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, tokGen))
+    passes(Prop.forAll(Gen.listOfN(8, arrGen)) { arrays =>
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "w")
+      val got = df.select(col("id"),
+          org.apache.spark.sql.graft.TextHashes.ngram_distincts(col("w")).as("d"))
+        .select(col("id"), col("d.d_tok"), col("d.d_2g"), col("d.d_3g"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      arrays.zipWithIndex.forall { case (a, i) =>
+        val exp = (
+          a.distinct.size.toLong,
+          a.zip(a.drop(1)).distinct.size.toLong,
+          a.zip(a.drop(1)).zip(a.drop(2)).distinct.size.toLong)
+        got(i.toLong) == exp
+      }
+    })
+  }
+
   test("T5: raw 'EEE, dd MMM yyyy, HH:mm:ss GMT+0000' parse is a round-trip") {
     val fmt = DateTimeFormatter
       .ofPattern("EEE, dd MMM yyyy, HH:mm:ss", Locale.ENGLISH)

@@ -307,6 +307,35 @@ object Text {
             .cast("long").as("slope_bp"))
     }),
 
+    // ---- language purity (mixed-language detection) ------------------------
+    // q32 picks ONE language; curation also needs to catch documents that
+    // straddle two (concatenation artifacts, code-switched scrapes). Top-2
+    // marker-hit languages via a sorted 4-element struct array (per-row,
+    // constant size — no shuffle), purity = top/(top+second) in tie-free
+    // integer basis points; hitless docs classify 'und' with full purity.
+    "q97_lang_purity" -> ((s: SparkSession, dir: String) => {
+      val base0 = Tables(s, dir, "documents").withColumn("w", toks(col("text")))
+      val base = langMarkers.foldLeft(base0) { case (df, (code, words)) =>
+        df.withColumn(s"h_$code", hitCount(col("w"), words))
+      }
+      val arr = array(langMarkers.map { case (code, _) =>
+        struct((-col(s"h_$code")).as("nh"), lit(code).as("code"))
+      }: _*)
+      base
+        .withColumn("srt", array_sort(arr))
+        .withColumn("top_hits", -element_at(col("srt"), 1).getField("nh"))
+        .withColumn("second_hits", -element_at(col("srt"), 2).getField("nh"))
+        .select(col("doc_id"),
+          when(col("top_hits") === 0, lit("und"))
+            .otherwise(element_at(col("srt"), 1).getField("code")).as("top_lang"),
+          col("top_hits"), col("second_hits"),
+          when(col("top_hits") + col("second_hits") === 0, lit(10000L))
+            .otherwise(expr("(top_hits * 10000) div (top_hits + second_hits)"))
+            .as("purity_bp"))
+        .withColumn("mixed", (col("purity_bp") < 8000).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- vocabulary coverage / OOV rate -----------------------------------
     // Token-budget planning reads this: how much of each document a fixed
     // vocabulary covers. The vocab here is the corpus's own top-30 terms
@@ -556,6 +585,33 @@ object Text {
            | CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 10000.0
            |            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_bp
            |FROM a""".stripMargin,
+
+      "q97_lang_purity" -> {
+        val hitCols = langMarkers.map { case (code, words) =>
+          s"${hitSql(words)} AS h_$code"
+        }.mkString(",\n        ")
+        val structs = langMarkers.map { case (code, _) =>
+          s"{'nh': -h_$code, 'code': '$code'}"
+        }.mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |h AS (SELECT doc_id,
+           |        $hitCols
+           |      FROM t),
+           |s AS (SELECT doc_id, list_sort([$structs]) AS l FROM h),
+           |p AS (SELECT doc_id,
+           |        CAST(-l[1].nh AS BIGINT) AS top_hits,
+           |        CAST(-l[2].nh AS BIGINT) AS second_hits,
+           |        CASE WHEN -l[1].nh = 0 THEN 'und' ELSE l[1].code END AS top_lang
+           |      FROM s),
+           |q AS (SELECT doc_id, top_lang, top_hits, second_hits,
+           |        CASE WHEN top_hits + second_hits = 0 THEN CAST(10000 AS BIGINT)
+           |             ELSE (top_hits * 10000) // (top_hits + second_hits)
+           |        END AS purity_bp
+           |      FROM p)
+           |SELECT doc_id, top_lang, top_hits, second_hits, purity_bp,
+           | CAST(CASE WHEN purity_bp < 8000 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+           |FROM q ORDER BY doc_id""".stripMargin
+      },
 
       "q94_vocab_coverage" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -120,6 +120,30 @@ object Stats {
         .orderBy("o_custkey")
     }),
 
+    // ---- raw ANSI SQL front-end: EXISTS / NOT EXISTS / scalar subquery ---
+    // The same engine surface through spark.sql text instead of the
+    // DataFrame API: Catalyst decorrelates EXISTS into a left-semi join,
+    // NOT EXISTS into a left-anti join, and the correlated scalar subquery
+    // into an aggregate + left outer join — three subquery shapes, zero
+    // hand-written joins. max_price is a max over STORED doubles
+    // (selection, not arithmetic), so no rounding is needed for parity.
+    "q98_sql_subqueries" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q98_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q98_orders")
+      s.sql("""
+        |SELECT c.c_custkey, c.c_name,
+        |  (SELECT max(o3.o_totalprice) FROM q98_orders o3
+        |    WHERE o3.o_custkey = c.c_custkey) AS max_price
+        |FROM q98_customer c
+        |WHERE EXISTS (SELECT 1 FROM q98_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM q98_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // ---- argmax/argmin: native max_by/min_by with composite ordering -----
     // Tie determinism (the round-1 blocker): a bare max_by(x, price) picks
     // an arbitrary row among equal prices; ordering by the STRUCT
@@ -407,6 +431,19 @@ object Stats {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q98_sql_subqueries" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  (SELECT max(o3.o_totalprice) FROM orders o3
+        |    WHERE o3.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q54_above_cust_avg" ->
       """SELECT o_custkey, count(*) AS n_orders,

@@ -237,49 +237,33 @@ object Similarity {
     // per partition cross the shuffle, the corpus-sized scored set is never
     // sorted. At 100 TB this is the memory story of PQ: the scan touches
     // 4-byte codes + a broadcast LUT, never the float vectors.
-    "q99_pq_search" -> ((s: SparkSession, dir: String) => {
+    "q99_pq_search" -> ((s: SparkSession, dir: String) => pqTop5(s, dir)),
+
+    // ---- PQ search recall vs exact brute force ---------------------------
+    // The honesty measurement for q99 (q55's role for IVF): per query, how
+    // many of the ADC top-5 appear in the EXACT L2 top-5. Both sides are
+    // deterministic (ordered folds, fixed-order ADC sum, id tie-breaks), so
+    // recall is exact integer math — hits × 2000 bp.
+    "q100_pq_recall" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
-      val cw = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("code"), col("embedding").as("cv"))
-      def subL2(a: Column): Column = aggregate(
-        zip_with(
-          slice(a, col("subspace") * 16 + 1, lit(16)),
-          slice(col("cv"), col("subspace") * 16 + 1, lit(16)),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      val subspaces = explode(array((0 until 4).map(i => lit(i)): _*))
-      // 1. encode the corpus: q76's per-subspace argmin (map-side min_by)
-      val codes = e.select(col("vec_id"), col("embedding"))
-        .withColumn("subspace", subspaces)
-        .join(broadcast(cw))
-        .withColumn("dist", subL2(col("embedding")))
-        .groupBy("vec_id", "subspace")
-        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-      // 2. per-query LUT: exact sub-L2 of query vs every codeword
-      val dt = e.filter(col("vec_id") < 10)
+      val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .withColumn("subspace", subspaces)
-        .join(broadcast(cw))
-        .select(col("qid"), col("subspace"), col("code"),
-          subL2(col("qe")).as("d"))
-      // 3. ADC score + bounded-heap top-5 (score = -dist: heap keeps best)
-      codes.join(broadcast(dt), Seq("subspace", "code"))
-        .filter(col("qid") =!= col("vec_id"))
-        .groupBy("qid", "vec_id")
-        .agg(
-          sum(when(col("subspace") === 0, col("d"))).as("d0"),
-          sum(when(col("subspace") === 1, col("d"))).as("d1"),
-          sum(when(col("subspace") === 2, col("d"))).as("d2"),
-          sum(when(col("subspace") === 3, col("d"))).as("d3"))
-        .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val exact = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("d", l2HOF(col("qe"), col("ce")))
         .groupBy("qid")
-        .agg(graft.functions.TopKByScore.top_k(5)(col("vec_id"), -col("adc")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("idx", "sc")))
-        .select(col("qid"), (col("idx") + 1).cast("long").as("rank"),
-          col("sc.id").as("vec_id"), round(-col("sc.score"), 4).as("adc_dist"))
-        .orderBy("qid", "rank")
+        .agg(graft.functions.TopKByScore.top_k(5)(col("cid"), -col("d")).as("top"))
+        .select(col("qid"), explode(col("top")).as("sc"))
+        .select(col("qid"), col("sc.id").as("vec_id"), lit(1L).as("hit"))
+      pqTop5(s, dir)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits") * 2000).as("recall_bp"))
+        .orderBy("qid")
     }),
+
 
     // ---- distributed k-means (2 Lloyd iterations) ------------------------
     // The training step IVF (q40) and PQ (q76) codebooks actually come
@@ -341,6 +325,52 @@ object Similarity {
     })
   )
 
+  /** q99's plan: PQ-encode the corpus, broadcast per-query LUTs, ADC top-5
+    * via the bounded-heap aggregator. Shared by q99 and q100. */
+  private def pqTop5(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      val e = Tables(s, dir, "embeddings")
+      val cw = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code"), col("embedding").as("cv"))
+      def subL2(a: Column): Column = aggregate(
+        zip_with(
+          slice(a, col("subspace") * 16 + 1, lit(16)),
+          slice(col("cv"), col("subspace") * 16 + 1, lit(16)),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      val subspaces = explode(array((0 until 4).map(i => lit(i)): _*))
+      // 1. encode the corpus: q76's per-subspace argmin (map-side min_by)
+      val codes = e.select(col("vec_id"), col("embedding"))
+        .withColumn("subspace", subspaces)
+        .join(broadcast(cw))
+        .withColumn("dist", subL2(col("embedding")))
+        .groupBy("vec_id", "subspace")
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      // 2. per-query LUT: exact sub-L2 of query vs every codeword
+      val dt = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("subspace", subspaces)
+        .join(broadcast(cw))
+        .select(col("qid"), col("subspace"), col("code"),
+          subL2(col("qe")).as("d"))
+      // 3. ADC score + bounded-heap top-5 (score = -dist: heap keeps best)
+      codes.join(broadcast(dt), Seq("subspace", "code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+          sum(when(col("subspace") === 0, col("d"))).as("d0"),
+          sum(when(col("subspace") === 1, col("d"))).as("d1"),
+          sum(when(col("subspace") === 2, col("d"))).as("d2"),
+          sum(when(col("subspace") === 3, col("d"))).as("d3"))
+        .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+        .groupBy("qid")
+        .agg(graft.functions.TopKByScore.top_k(5)(col("vec_id"), -col("adc")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("idx", "sc")))
+        .select(col("qid"), (col("idx") + 1).cast("long").as("rank"),
+          col("sc.id").as("vec_id"), round(-col("sc.score"), 4).as("adc_dist"))
+        .orderBy("qid", "rank")
+    }
+
   private lazy val q39Sql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
@@ -380,6 +410,41 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
        | FROM sc)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val q99Sql: String =
+    """WITH cw AS (SELECT vec_id AS code, embedding AS cv
+        |            FROM embeddings WHERE vec_id < 4),
+        |sub AS (SELECT vec_id, embedding, unnest(range(0, 4)) AS subspace
+        |        FROM embeddings),
+        |enc AS (SELECT vec_id, subspace, code,
+        |  list_sum([ (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |           * (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |            for i in range(1, 17)]) AS dist
+        | FROM sub, cw),
+        |codes AS (SELECT vec_id, subspace, code FROM enc
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+        |                                     ORDER BY dist, code) = 1),
+        |qs AS (SELECT vec_id AS qid, embedding AS qe, unnest(range(0, 4)) AS subspace
+        |       FROM embeddings WHERE vec_id < 10),
+        |dt AS (SELECT qid, subspace, code,
+        |  list_sum([ (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |           * (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+        |            for i in range(1, 17)]) AS d
+        | FROM qs, cw),
+        |sc AS (SELECT qid, vec_id,
+        |        sum(CASE WHEN subspace = 0 THEN d END) AS d0,
+        |        sum(CASE WHEN subspace = 1 THEN d END) AS d1,
+        |        sum(CASE WHEN subspace = 2 THEN d END) AS d2,
+        |        sum(CASE WHEN subspace = 3 THEN d END) AS d3
+        |       FROM codes JOIN dt USING (subspace, code)
+        |       WHERE qid <> vec_id GROUP BY qid, vec_id),
+        |a AS (SELECT qid, vec_id, d0 + d1 + d2 + d3 AS adc FROM sc),
+        |r AS (SELECT qid, vec_id, adc,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |      FROM a)
+        |SELECT qid, rank, vec_id, round(adc, 4) AS adc_dist
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q39_cosine_topk" -> q39Sql,
@@ -422,40 +487,26 @@ object Similarity {
         | round(max(recon_err), 6) AS max_err
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
-    "q99_pq_search" ->
-      """WITH cw AS (SELECT vec_id AS code, embedding AS cv
-        |            FROM embeddings WHERE vec_id < 4),
-        |sub AS (SELECT vec_id, embedding, unnest(range(0, 4)) AS subspace
-        |        FROM embeddings),
-        |enc AS (SELECT vec_id, subspace, code,
-        |  list_sum([ (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
-        |           * (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
-        |            for i in range(1, 17)]) AS dist
-        | FROM sub, cw),
-        |codes AS (SELECT vec_id, subspace, code FROM enc
-        |          QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
-        |                                     ORDER BY dist, code) = 1),
-        |qs AS (SELECT vec_id AS qid, embedding AS qe, unnest(range(0, 4)) AS subspace
-        |       FROM embeddings WHERE vec_id < 10),
-        |dt AS (SELECT qid, subspace, code,
-        |  list_sum([ (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
-        |           * (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
-        |            for i in range(1, 17)]) AS d
-        | FROM qs, cw),
-        |sc AS (SELECT qid, vec_id,
-        |        sum(CASE WHEN subspace = 0 THEN d END) AS d0,
-        |        sum(CASE WHEN subspace = 1 THEN d END) AS d1,
-        |        sum(CASE WHEN subspace = 2 THEN d END) AS d2,
-        |        sum(CASE WHEN subspace = 3 THEN d END) AS d3
-        |       FROM codes JOIN dt USING (subspace, code)
-        |       WHERE qid <> vec_id GROUP BY qid, vec_id),
-        |a AS (SELECT qid, vec_id, d0 + d1 + d2 + d3 AS adc FROM sc),
-        |r AS (SELECT qid, vec_id, adc,
-        |        CAST(row_number() OVER (PARTITION BY qid
-        |               ORDER BY adc, vec_id) AS BIGINT) AS rank
-        |      FROM a)
-        |SELECT qid, rank, vec_id, round(adc, 4) AS adc_dist
-        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q99_pq_search" -> q99Sql,
+
+    "q100_pq_recall" ->
+      s"""WITH ex AS (
+         | SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |   CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    list_sum([ (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+         |             * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+         |              for i in range(1, len(q.embedding) + 1)]),
+         |    c.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         | WHERE rank <= 5)
+         |SELECT adc.qid, CAST(count(ex.cid) AS BIGINT) AS n_hits,
+         | CAST(count(ex.cid) * 2000 AS BIGINT) AS recall_bp
+         |FROM ($q99Sql) adc
+         |LEFT JOIN ex ON adc.qid = ex.qid AND adc.vec_id = ex.cid
+         |GROUP BY adc.qid ORDER BY adc.qid""".stripMargin,
+
 
     "q76_pq_assign" ->
       """WITH cw AS (SELECT vec_id AS code, embedding AS cv

@@ -46,8 +46,16 @@ object CorpusMain {
   /** Returns (curated docs, stage funnel incl. cluster stats, release).
     * Call `release()` after the curated output is written: it unpersists
     * the retained stage caches (the curated DataFrame still recomputes from
-    * parquet afterwards, it just stops being cache-backed). */
-  def curate(spark: SparkSession, docs: DataFrame): (DataFrame, Seq[(String, Long)], () => Unit) = {
+    * parquet afterwards, it just stops being cache-backed).
+    *
+    * `lmGateE6`: optional model-based quality gate (the perplexity filter;
+    * q91's operator) — drop docs whose average bigram log-likelihood under
+    * the corpus's own LM is below the threshold (micro-nats). The LM is
+    * fit on the post-repetition-gate survivors, so junk filtered by the
+    * cheap gates never pollutes the model. Docs too short to score (< 2
+    * tokens) pass — the token-count gate already bounded length. */
+  def curate(spark: SparkSession, docs: DataFrame,
+             lmGateE6: Option[Long] = None): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
     // 1. exact dedup: keep the smallest doc_id per content digest.
@@ -113,27 +121,45 @@ object CorpusMain {
     val nRep = deRepped.count()
     quality.unpersist()
 
+    // 4b. optional LM gate: score against the survivors' own bigram LM
+    // (graft.queries.Text.lmScore persists its pair base and checkpoints
+    // the small score table itself). Join is broadcast-sized per doc id.
+    val (gated, nLm) = lmGateE6 match {
+      case None => (deRepped, nRep)
+      case Some(threshold) =>
+        val scores = graft.queries.Text.lmScore(deRepped)
+          .select(col("doc_id"), col("avg_lnp_e6"))
+        val g = deRepped.join(scores, Seq("doc_id"), "left")
+          .filter(col("avg_lnp_e6").isNull || col("avg_lnp_e6") >= threshold)
+          .drop("avg_lnp_e6")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (g, g.count())
+    }
+
     // 5. PII scrub (q81's operator) + content-independent split (q73's
     // buckets). Not filters: the row count is final after stage 4; the
     // redacted-doc count is ONE aggregation over the persisted stage.
     import graft.functions.Redaction
-    val nRedacted = deRepped
+    val nRedacted = gated
       .agg(sum(when(Redaction.redactPii(col("text")) =!= col("text"), 1L)
         .otherwise(0L)).as("n"))
       .head().getLong(0)
     val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("long") % 100)
-    val curated = deRepped
+    val curated = gated
       .withColumn("text", Redaction.redactPii(col("text")))
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
 
-    (curated, Seq(
+    val funnel = Seq(
       "input" -> total, "exact_dedup" -> nExact,
       "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
       "near_dedup" -> nNear, "quality" -> nQuality,
-      "repetition" -> nRep, "pii_redacted" -> nRedacted),
-      () => { deRepped.unpersist(); () })
+      "repetition" -> nRep) ++
+      (if (lmGateE6.isDefined) Seq("lm_gate" -> nLm) else Nil) ++
+      Seq("pii_redacted" -> nRedacted)
+    (curated, funnel,
+      () => { gated.unpersist(); deRepped.unpersist(); () })
   }
 
   def main(args: Array[String]): Unit = {

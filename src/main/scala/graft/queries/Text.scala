@@ -36,6 +36,43 @@ object Text {
   private def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => array_contains(array(words.map(lit): _*), t))).cast("long")
 
+  /** q91's scoring as a reusable operator (also CorpusMain's optional LM
+    * gate): per-doc average bigram log-likelihood under the corpus's OWN
+    * bigram LM. Input needs (doc_id, text); output (doc_id, n_bigrams,
+    * sum_lnp_e6, avg_lnp_e6) covers exactly the docs with ≥ 2 tokens.
+    * Determinism: ln integer-ized per distinct (prev,nxt) via
+    * floor(ln·1e6); doc totals are exact BIGINT sums; the average is
+    * floor() of one double division (tie-free; integer `div` truncates
+    * negatives differently across engines). The exploded-pair base feeds
+    * both the LM aggregation and the per-doc join, so it is persisted and
+    * the small scored output is checkpointed eagerly before release. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = toks(col("text"))
+    val pairs = when(size(w) < 2, array().cast("array<struct<prev:string,nxt:string>>"))
+      .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("prev"), b.as("nxt"))))
+    val base = docs
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = base.groupBy("prev", "nxt").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_prev",
+        sum("cnt").over(Window.partitionBy("prev")))
+      .withColumn("lnp_e6",
+        floor(log(col("cnt").cast("double") / col("n_prev").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .select("prev", "nxt", "lnp_e6")
+    val out = base.join(lm, Seq("prev", "nxt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lnp_e6").as("sum_lnp_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lnp_e6"),
+        floor(col("sum_lnp_e6").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("avg_lnp_e6"))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- token counting --------------------------------------------------
     "q30_token_stats" -> ((s: SparkSession, dir: String) => {
@@ -247,33 +284,8 @@ object Text {
     // broadcast-joined back to the corpus — and the base would be
     // recomputed rather than cached (two scans beat materializing the
     // corpus-sized pair list).
-    "q91_lm_score" -> ((s: SparkSession, dir: String) => {
-      val w = toks(col("text"))
-      val pairs = when(size(w) < 2, array().cast("array<struct<prev:string,nxt:string>>"))
-        .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("prev"), b.as("nxt"))))
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(pairs).as("p"))
-        .select(col("doc_id"), col("p.prev").as("prev"), col("p.nxt").as("nxt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lm = base.groupBy("prev", "nxt").agg(count(lit(1)).as("cnt"))
-        .withColumn("n_prev",
-          sum("cnt").over(Window.partitionBy("prev")))
-        .withColumn("lnp_e6",
-          floor(log(col("cnt").cast("double") / col("n_prev").cast("double"))
-            * lit(1000000.0)).cast("long"))
-        .select("prev", "nxt", "lnp_e6")
-      val out = base.join(lm, Seq("prev", "nxt"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("lnp_e6").as("sum_lnp_e6"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_lnp_e6"),
-          floor(col("sum_lnp_e6").cast("double") / col("n_bigrams").cast("double"))
-            .cast("long").as("avg_lnp_e6"))
-        .orderBy("doc_id")
-        .localCheckpoint(eager = true)
-      base.unpersist()
-      out
-    }),
+    "q91_lm_score" -> ((s: SparkSession, dir: String) =>
+      lmScore(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // ---- Zipf rank-frequency fit over the term distribution --------------
     // The vocabulary diagnostic (natural corpora slope ≈ −1; synthetic or

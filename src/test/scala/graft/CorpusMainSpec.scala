@@ -95,6 +95,37 @@ class CorpusMainSpec extends SparkSpec {
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
+  test("optional LM gate keeps exactly the docs scoring at/above the threshold") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    // fit the same LM the gate will see (the post-repetition survivors) and
+    // derive the expected kept set independently of the pipeline
+    val (pre, _, release0) = CorpusMain.curate(spark, docs)
+    val survivorIds = pre.select("doc_id").as[Long].collect().toSet
+    val scores = graft.queries.Text.lmScore(
+        docs.filter(col("doc_id").isInCollection(survivorIds)))
+      .select("doc_id", "avg_lnp_e6").as[(Long, Long)].collect().toMap
+    release0()
+    // median score as the gate: strictly above the minimum, so the gate
+    // provably drops something and keeps something
+    val sorted = scores.values.toSeq.sorted
+    val threshold = sorted(sorted.size / 2)
+    val expectedKept = survivorIds.filter(id =>
+      scores.get(id).forall(_ >= threshold)) // unscored (short) docs pass
+
+    val (curated, funnel, release) = CorpusMain.curate(spark, docs, Some(threshold))
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids == expectedKept, "gate kept a different set than the score table implies")
+    assert(ids.size < survivorIds.size, "gate dropped nothing")
+    assert(funnel.toMap.apply("lm_gate") == ids.size)
+    release()
+    // localCheckpoint blocks (the small lmScore output) are reclaimed by
+    // the ContextCleaner, not unpersist — the established q85/PrefixSum
+    // pattern; only true cache leaks fail here
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filterNot(_._2.toString.contains("localCheckpoint"))
+    assert(leaked.isEmpty, s"leaked caches: $leaked")
+  }
+
   test("domain-mix report over the curated set is internally consistent") {
     val (curated, funnel, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
     val mix = graft.queries.TrainPrep.domainMix(curated).collect()

@@ -163,10 +163,12 @@ object CorpusMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusMain <sfDir> <outDir>")
+    require(args.length >= 2, "usage: CorpusMain <sfDir> <outDir> [lmGateE6]")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (curated, funnel, release) = curate(spark, Tables(spark, args(0), "documents"))
+    val lmGate = if (args.length >= 3) Some(args(2).toLong) else None
+    val (curated, funnel, release) =
+      curate(spark, Tables(spark, args(0), "documents"), lmGate)
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
     // Composition report of the build that actually shipped (q86's operator
     // over the CURATED set, not the input): the next mix/resample decision

@@ -196,6 +196,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hashExchanges >= 1, s"no aggregation exchange:\n$plan")
   }
 
+  test("q99 ADC search: codebook and LUT broadcast, top-k without a window sort") {
+    val plan = SparkEntry.queries("q99_pq_search")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // codebook expansion is a deliberate 4-row broadcast cartesian
+    // (BroadcastNestedLoop); the corpus-side LUT probe must be a broadcast
+    // HASH join and nothing may sort-merge
+    assert(plan.contains("BroadcastHashJoin"), s"LUT probe not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side shuffled for a join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKByScore not in the aggregate path:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept into ADC ranking:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -378,11 +378,15 @@ object Stats {
     val m3 = s"($r3 - 3.0 * $mean * $r2 + 2.0 * $mean * $mean * $mean)"
     val m4 = s"($r4 - 4.0 * $mean * $r3 + 6.0 * $mean * $mean * $r2" +
       s" - 3.0 * $mean * $mean * $mean * $mean)"
+    // zero-variance groups: skew/kurtosis are undefined (the division would
+    // produce NaN, which ANSI CAST rejects) — NULL in both engines
     Seq(
       "mean_e4" -> s"CAST(floor($mean * 10000.0) AS BIGINT)",
       "var_e4" -> s"CAST(floor($m2 * 10000.0) AS BIGINT)",
-      "skew_e4" -> s"CAST(floor($m3 / ($m2 * sqrt($m2)) * 10000.0) AS BIGINT)",
-      "kurt_e4" -> s"CAST(floor(($m4 / ($m2 * $m2) - 3.0) * 10000.0) AS BIGINT)")
+      "skew_e4" -> (s"CASE WHEN $m2 <= 0.0 THEN NULL ELSE " +
+        s"CAST(floor($m3 / ($m2 * sqrt($m2)) * 10000.0) AS BIGINT) END"),
+      "kurt_e4" -> (s"CASE WHEN $m2 <= 0.0 THEN NULL ELSE " +
+        s"CAST(floor(($m4 / ($m2 * $m2) - 3.0) * 10000.0) AS BIGINT) END"))
   }
 
   val oracles: Map[String, String] = Map(

@@ -313,10 +313,14 @@ object Text {
           sum(col("x_e4") * col("y_e4")).as("sxy"),
           sum(col("x_e4") * col("x_e4")).as("sxx"))
         .select(col("n_terms"),
-          floor((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
-            * lit(10000.0)
-            / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            .cast("long").as("slope_bp"))
+          // degenerate fit (a single rank): zero denominator -> NULL, not
+          // an ANSI cast error on the infinite division
+          when(col("n_terms") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise(
+              floor((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+                * lit(10000.0)
+                / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .cast("long")).as("slope_bp"))
     }),
 
     // ---- language purity (mixed-language detection) ------------------------
@@ -594,8 +598,10 @@ object Text {
            |        CAST(sum(x_e4 * x_e4) AS BIGINT) AS sxx
            |      FROM f)
            |SELECT n_terms,
-           | CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 10000.0
-           |            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_bp
+           | CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+           |      ELSE CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 10000.0
+           |            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           | END AS slope_bp
            |FROM a""".stripMargin,
 
       "q97_lang_purity" -> {

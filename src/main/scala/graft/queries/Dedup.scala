@@ -308,6 +308,45 @@ object Dedup {
       out
     }),
 
+    // ---- PageRank over the near-dup graph --------------------------------
+    // Graph centrality on the same LSH pair set q70 clusters: a doc with
+    // many high-degree near-dup neighbors is the template of a boilerplate
+    // family — ranking inside a cluster picks the canonical doc better
+    // than min-id. Integer-arithmetic PageRank (damping 0.85, 2 unrolled
+    // iterations): contributions are `r div deg` (exact integer division,
+    // positive), per-node totals exact BIGINT sums, the damped update is
+    // `150000 + (85·Σ) div 100` — no float ever crosses rows, so both
+    // engines agree bit-for-bit with no rounding. Per iteration: one join
+    // shuffle + one aggregation, all key-partitioned; the symmetrized edge
+    // set is persisted and materialized once.
+    "q101_pagerank" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+      val sym = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count() // one pair-pipeline execution, then every scan is cached
+      val deg = sym.groupBy("d1").agg(count(lit(1)).as("deg"))
+        .select(col("d1").as("id"), col("deg"))
+      var r = deg.select(col("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 2) {
+        val contrib = sym.join(
+            r.join(deg, Seq("id")).withColumn("c", expr("r div deg"))
+              .select(col("id").as("src"), col("c")),
+            col("d1") === col("src"))
+          .select(col("d2").as("id"), col("c"))
+        r = contrib.groupBy("id").agg(sum("c").as("sc"))
+          .select(col("id"), (lit(150000L) + expr("(85 * sc) div 100")).as("r"))
+      }
+      val out = r.join(deg, Seq("id"))
+        .select(col("id").as("doc_id"), col("deg"), col("r").as("pr_e6"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      sym.unpersist()
+      out
+    }),
+
     // ---- edit-distance near-dup (bounded sample, length prefilter) -------
     "q49_edit_distance" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -556,6 +595,27 @@ object Dedup {
            |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
            |FROM comp JOIN sz USING (cluster_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // integer-arithmetic PageRank on the same pair set: 2 unrolled
+      // iterations, exact `//` divisions and BIGINT sums — no rounding
+      "q101_pagerank" ->
+        s"""WITH $lshPairCtes,
+           |edges AS (SELECT d1, d2 FROM pr UNION SELECT d2, d1 FROM pr),
+           |deg AS (SELECT d1 AS id, CAST(count(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY d1),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |c1 AS (SELECT e.d2 AS id, (r0.r // deg.deg) AS c
+           |       FROM edges e JOIN r0 ON e.d1 = r0.id JOIN deg ON e.d1 = deg.id),
+           |r1 AS (SELECT id,
+           |        CAST(150000 + (85 * CAST(sum(c) AS BIGINT)) // 100 AS BIGINT) AS r
+           |       FROM c1 GROUP BY id),
+           |c2 AS (SELECT e.d2 AS id, (r1.r // deg.deg) AS c
+           |       FROM edges e JOIN r1 ON e.d1 = r1.id JOIN deg ON e.d1 = deg.id),
+           |r2 AS (SELECT id,
+           |        CAST(150000 + (85 * CAST(sum(c) AS BIGINT)) // 100 AS BIGINT) AS r
+           |       FROM c2 GROUP BY id)
+           |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
+           |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
 
       "q49_edit_distance" ->
         """WITH d AS (SELECT doc_id, text, length(text) AS len

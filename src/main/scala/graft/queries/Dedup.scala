@@ -347,6 +347,32 @@ object Dedup {
       out
     }),
 
+    // ---- triangle counting on the near-dup graph -------------------------
+    // The clique signal: a triangle means three docs pairwise-similar — the
+    // strongest boilerplate-family evidence (a path a~b~c can be drift; a
+    // triangle cannot). Classic two-join enumeration over the ordered edge
+    // list (d1 < d2 everywhere, so each triangle counts once): at scale
+    // both joins hash-partition on a node key, and the ordered-edge
+    // convention bounds the join fan-out by the forward-degree. Output =
+    // per-doc triangle membership, all-integer.
+    "q102_triangles" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize the pair pipeline once; 3 scans below
+      val x = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      val y = pairs.select(col("d1").as("b"), col("d2").as("c"))
+      val z = pairs.select(col("d1").as("a"), col("d2").as("c"))
+      val tri = x.join(y, Seq("b")).join(z, Seq("a", "c"))
+      val out = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      pairs.unpersist()
+      out
+    }),
+
     // ---- edit-distance near-dup (bounded sample, length prefilter) -------
     "q49_edit_distance" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -616,6 +642,16 @@ object Dedup {
            |       FROM c2 GROUP BY id)
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
+
+      "q102_triangles" ->
+        s"""WITH $lshPairCtes,
+           |t AS (SELECT x.d1 AS a, x.d2 AS b, y.d2 AS c
+           |      FROM pr x
+           |      JOIN pr y ON x.d2 = y.d1
+           |      JOIN pr z ON z.d1 = x.d1 AND z.d2 = y.d2),
+           |m AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q49_edit_distance" ->
         """WITH d AS (SELECT doc_id, text, length(text) AS len

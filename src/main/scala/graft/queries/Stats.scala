@@ -120,6 +120,65 @@ object Stats {
         .orderBy("o_custkey")
     }),
 
+    // ---- time-series gap fill: hourly resample + forward fill ------------
+    // The missing-interval repair every metrics pipeline needs: each user's
+    // event stream resampled onto a dense hourly grid (sequence() over the
+    // user's own span — no cross-user grid blowup), empty hours get
+    // n_events = 0, and the last seen event_type forward-fills across gaps
+    // (last(ignoreNulls) over the user's hour order — one window, one
+    // shuffle keyed by user). Per-hour representative event is max_by over
+    // (ts, event_id) — (user, µs) is unique in this data (the q69 check),
+    // so ns-vs-µs precision can't flip it. Bounded to users < 20.
+    "q103_gap_fill" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 20)
+      val hourly = ev
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("last_type"), ignoreNulls = true).over(w).as("last_type_filled"))
+        .orderBy("user_id", "hour")
+    }),
+
+    // ---- ordered funnel: signup -> view -> purchase ----------------------
+    // Event-sequence analytics: the furthest stage each user reached with
+    // strictly increasing timestamps (first signup, first view AFTER it,
+    // first purchase after THAT). Three aggregations, each joined to the
+    // previous stage's per-user min — no window over the event stream, no
+    // self-join explosion; every join is keyed by user_id.
+    "q104_funnel" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      def firstAfter(tpe: String, prev: org.apache.spark.sql.DataFrame,
+                     prevCol: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min(col("ts")).as(out))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val vw = firstAfter("view", su, "s_ts", "v_ts")
+      val pu = firstAfter("purchase", vw, "v_ts", "p_ts")
+      su.join(vw, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("v_ts").isNotNull.cast("long")
+            + col("p_ts").isNotNull.cast("long")).as("stage"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_at"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
+        .orderBy("user_id")
+    }),
+
     // ---- raw ANSI SQL front-end: EXISTS / NOT EXISTS / scalar subquery ---
     // The same engine surface through spark.sql text instead of the
     // DataFrame API: Catalyst decorrelates EXISTS into a left-semi join,
@@ -435,6 +494,53 @@ object Stats {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q103_gap_fill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+        |h0 AS (SELECT user_id, date_trunc('hour', ts) AS hr, event_type, ts, event_id
+        |       FROM ev),
+        |hcnt AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_events
+        |         FROM h0 GROUP BY 1, 2),
+        |hlast AS (SELECT user_id, hr, event_type AS last_type FROM h0
+        |          QUALIFY row_number() OVER (PARTITION BY user_id, hr
+        |                    ORDER BY ts DESC, event_id DESC) = 1),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS hs,
+        |                date_trunc('hour', max(ts)) AS he
+        |         FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(hs, he, INTERVAL 1 HOUR)) AS hr
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.hr,
+        |        CAST(coalesce(hcnt.n_events, 0) AS BIGINT) AS n_events,
+        |        hlast.last_type
+        |      FROM grid g
+        |      LEFT JOIN hcnt ON g.user_id = hcnt.user_id AND g.hr = hcnt.hr
+        |      LEFT JOIN hlast ON g.user_id = hlast.user_id AND g.hr = hlast.hr)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+        | last_value(last_type IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS last_type_filled
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+
+    "q104_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (SELECT e.user_id, min(e.ts) AS v_ts FROM events e
+        |       JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > su.s_ts
+        |       GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |       JOIN vw ON e.user_id = vw.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > vw.v_ts
+        |       GROUP BY e.user_id)
+        |SELECT su.user_id,
+        | CAST(1 + CAST(vw.v_ts IS NOT NULL AS INT)
+        |        + CAST(pu.p_ts IS NOT NULL AS INT) AS BIGINT) AS stage,
+        | strftime(su.s_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+        | strftime(vw.v_ts, '%Y-%m-%d %H:%M:%S') AS view_at,
+        | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+        |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
+        |ORDER BY su.user_id""".stripMargin,
 
     "q98_sql_subqueries" ->
       """SELECT c.c_custkey, c.c_name,

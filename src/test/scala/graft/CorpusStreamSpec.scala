@@ -62,4 +62,44 @@ class CorpusStreamSpec extends SparkSpec {
       assert(om.get("gated").getAs[Long]("n_gated") == 1L)
     } finally q.stop()
   }
+
+  test("curated stream ships each kept doc exactly once through the HTTP sink") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentHashMap
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val hits = new ConcurrentHashMap[String, Integer]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/ingest", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.merge(ex.getRequestURI.getPath, 1, (a, b) => a + b)
+        ex.sendResponseHeaders(200, 0L); ex.close()
+      }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+    val in = MemoryStream[Doc]
+    // the full streaming path: curation gates -> stateful dedup -> the
+    // same checkpointed HTTP delivery the sync sink uses (K1 streaming)
+    val requests = CorpusStream.curated(in.toDF(), watermark = "10 minutes")
+      .select(col("doc_id").cast("string").as("node_id"),
+        concat(lit(s"$base/"), col("doc_id")).as("url"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_corpus_ckpt").toString
+    val q = graft.sinks.HttpSink.streamTo(requests, ckpt, parallelism = 2)
+    try {
+      in.addData(
+        Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00")),
+        Doc(2, "too short", "en", "crawl", t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData(
+        Doc(3, good, "en", "crawl", t("2024-01-01 10:02:00")), // dup of 1
+        Doc(4, pii, "en", "crawl", t("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(hits.getOrDefault("/ingest/1", 0) == 1, s"doc 1: $hits")
+      assert(hits.getOrDefault("/ingest/2", 0) == 0, s"junk shipped: $hits")
+      assert(hits.getOrDefault("/ingest/3", 0) == 0, s"duplicate shipped: $hits")
+      assert(hits.getOrDefault("/ingest/4", 0) == 1, s"doc 4: $hits")
+    } finally { q.stop(); server.stop(0) }
+  }
 }

@@ -10,7 +10,15 @@ object Verify {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q105,q106 dumps just those queries
+    // (prefix match). Unset (the driver's mode) → every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None     => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -16,6 +16,16 @@ import graft.Tables
   */
 object Stats {
 
+  /** q108's z-score in basis points, shared VERBATIM between the Spark plan
+    * and the DuckDB oracle so both engines execute the identical IEEE op
+    * sequence (q93's trick). Inputs cnt/n/s1/s2 are exact BIGINTs;
+    * z = (x·n − S1)/sqrt(n·S2 − S1²) is (x−μ)/σ with the division deferred
+    * to one double op. Zero-variance series report z = 0. */
+  private val AnomalyZbpSql: String =
+    """CASE WHEN n * s2 - s1 * s1 <= 0 THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(CAST(cnt * n - s1 AS DOUBLE) * 10000.0
+      |            / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) END""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- sample stddev / variance / correlation --------------------------
     "q43_stats" -> ((s: SparkSession, dir: String) => {
@@ -177,6 +187,99 @@ object Stats {
           date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
           date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
         .orderBy("user_id")
+    }),
+
+    // ---- weekly cohort retention -----------------------------------------
+    // The activation/retention matrix every product-analytics stack ships:
+    // cohort = Monday-truncated week of each user's first event; a user is
+    // retained at offset k if they have any event in cohort_week + k weeks.
+    // Two aggregations (per-user min, distinct (user, week)) + one equi-join
+    // on user_id — the matrix is |weeks|² rows, so the heavy side never
+    // re-shuffles more than once. Both engines truncate weeks to Monday, and
+    // Monday-to-Monday day deltas are exact multiples of 7, so the integer
+    // division is exact.
+    "q105_retention" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val firstWeek = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      active.join(firstWeek, Seq("user_id"))
+        .select(col("cw"), expr("CAST(datediff(wk, cw) DIV 7 AS BIGINT)").as("offset_weeks"))
+        .groupBy("cw", "offset_weeks")
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_weeks"), col("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
+    // ---- rolling distinct actives (DAU / trailing-7-day WAU) -------------
+    // Rolling COUNT(DISTINCT) has no window form that scales: the standard
+    // rewrite is contribution expansion — each distinct (user, day) pair
+    // contributes to days d..d+6, so trailing-7 distinct actives on day d =
+    // count of distinct (user, contribution-day) pairs landing on d. The
+    // expansion is bounded at 7× the (already day-deduplicated) pair set,
+    // shuffles once on day, and never builds a per-day user set in memory.
+    // Days past the data's max day are clipped (the tail would otherwise
+    // report windows no real day anchors).
+    "q106_rolling_dau" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val ud = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val bounds = ev.agg(max(to_date(col("ts"))).as("dmax"))
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+        .distinct()
+        .join(broadcast(bounds), col("day") <= col("dmax"))
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+        .orderBy("day")
+    }),
+
+    // ---- user-journey transition matrix (event-stream Markov chain) ------
+    // P(next event type | current) over each user's (ts, event_id)-ordered
+    // stream: one lead() window keyed by user (single shuffle), then a tiny
+    // |types|² aggregation. Probabilities in integer basis points (exact
+    // BIGINT division — ratios of integers CAN tie at a rounding digit, the
+    // r4 q86 lesson).
+    "q107_transitions" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("n_prev", sum("n").over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("CAST((n * 10000) DIV n_prev AS BIGINT)").as("p_bp"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // ---- z-score anomaly detection over daily event counts ---------------
+    // Per event type: daily count series, population mean/std from exact
+    // BIGINT power sums (n, S1, S2), z = (x·n − S1)/sqrt(n·S2 − S1²) —
+    // algebraically identical to (x−μ)/σ but every input to the ONE double
+    // expression is an exact integer, and the expression text is shared
+    // verbatim with the oracle (identical IEEE op sequence, q93's trick).
+    // Flag |z| > 2. The stats join is per-type (broadcast-sized).
+    "q108_anomaly" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z_bp", expr(AnomalyZbpSql))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("z_bp"),
+          (abs(col("z_bp")) > 20000).cast("long").as("is_anomaly"))
+        .orderBy("event_type", "day")
     }),
 
     // ---- raw ANSI SQL front-end: EXISTS / NOT EXISTS / scalar subquery ---
@@ -541,6 +644,61 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q105_retention" ->
+      """WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |            FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |j AS (SELECT cw, CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS offset_weeks
+        |      FROM act JOIN fw USING (user_id))
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, offset_weeks,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM j GROUP BY cw, offset_weeks
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    "q106_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+        |ex AS (SELECT user_id,
+        |         unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS dayts
+        |       FROM ud),
+        |exd AS (SELECT DISTINCT user_id, CAST(dayts AS DATE) AS day FROM ex),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |        FROM exd, b WHERE day <= b.dmax GROUP BY day),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+        |SELECT strftime(wau.day, '%Y-%m-%d') AS day,
+        | CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau
+        |FROM wau LEFT JOIN dau USING (day) ORDER BY day""".stripMargin,
+
+    "q107_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |c AS (SELECT event_type AS prev_type, next_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, next_type, n,
+        |        CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_prev
+        |      FROM c)
+        |SELECT prev_type, next_type, n,
+        | CAST((n * 10000) // n_prev AS BIGINT) AS p_bp
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
+
+    "q108_anomaly" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                 CAST(count(*) AS BIGINT) AS cnt
+         |               FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cnt) AS BIGINT) AS s1,
+         |         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+         |       FROM daily GROUP BY event_type),
+         |j AS (SELECT d.event_type, d.day, d.cnt, st.n, st.s1, st.s2
+         |      FROM daily d JOIN st USING (event_type)),
+         |z AS (SELECT event_type, day, cnt, $AnomalyZbpSql AS z_bp FROM j)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, z_bp,
+         | CAST(CASE WHEN abs(z_bp) > 20000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM z ORDER BY event_type, day""".stripMargin,
 
     "q98_sql_subqueries" ->
       """SELECT c.c_custkey, c.c_name,

@@ -19,6 +19,21 @@ import graft.Tables
   */
 object Text {
 
+  /** q109's per-(doc, query-term) BM25 partial score (k1 = 1.2, b = 0.75),
+    * ×1e6 floor-integerized — shared VERBATIM between the Spark plan and
+    * the DuckDB oracle so both engines execute the identical IEEE op
+    * sequence (q93's trick). idf is the +1-smoothed Robertson form; avgdl
+    * is inlined as sum_dl/n_docs so every input (tf, df, dl, sum_dl,
+    * n_docs) is an exact BIGINT. */
+  private val Bm25ScoreE6Sql: String =
+    """CAST(floor(
+      |  ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |  * (CAST(tf AS DOUBLE) * 2.2)
+      |  / (CAST(tf AS DOUBLE)
+      |     + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+      |                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      |  * 1000000.0) AS BIGINT)""".stripMargin
+
   /** Whitespace tokens of lowercased, trimmed text ([''] guarded to []). */
   private def toks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -426,6 +441,82 @@ object Text {
               sh => conv(substring(md5(sh.cast("binary")), 1, 8), 16, 10).cast("long"))))
             .as("min_shingle_hash"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BM25 relevance scoring ------------------------------------------
+    // The ranking function behind lexical retrieval (and the salience score
+    // a quality-classifier pipeline feeds on). Query = the corpus's top-3
+    // terms by document frequency (dynamic, so the query is scale-stable
+    // and nothing is hard-coded to this corpus). One exploded-token pass
+    // feeds tf/df/dl; the 3-term query set and the 1-row totals broadcast;
+    // the only large shuffles are the tf and per-doc aggregations. The
+    // whole double computation is ONE shared-verbatim expression over exact
+    // BIGINT inputs (tf, df, dl, sum_dl, n_docs), floor-integerized per
+    // (doc, term), then exactly summed per doc.
+    "q109_bm25" -> ((s: SparkSession, dir: String) => {
+      val ex = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = ex.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfx.orderBy(col("df").desc, col("term")).limit(3)
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score_e6", expr(Bm25ScoreE6Sql))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum("score_e6").as("bm25_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- conjunctive keyword search (posting-list intersection) ----------
+    // AND-retrieval over an inverted index: the posting lists of the top-2
+    // df terms, intersected. Relationally the intersection is the grouped
+    // form below — postings never materialize as arrays, the broadcast
+    // keeps the probe map-side, and only matching (doc, term) rows reach
+    // the final aggregation. HAVING n_terms_hit = |query| is the AND.
+    "q110_search" -> ((s: SparkSession, dir: String) => {
+      val ex = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfx.orderBy(col("df").desc, col("term")).limit(2).select("term")
+      tf.join(broadcast(qterms), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"), sum("n_occ").as("n_occ"))
+        .filter(col("n_terms_hit") === 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---- KMV distinct-count sketch ---------------------------------------
+    // The k-minimum-values estimator: per language, keep the k = 16
+    // smallest 56-bit md5 token hashes; |distinct| ≈ (k−1)·M / h_k (M =
+    // hash space size). The bottom-k rides the SAME bounded-heap Aggregator
+    // as grouped top-k (score = −h; rounding a 56-bit long to double is
+    // monotone and ties break toward the smaller id, so the kept set is the
+    // exact bottom-k) — k rows per group per partition cross the shuffle,
+    // and the heap is mergeable, which is what makes a KMV sketch work
+    // distributed. Groups smaller than k report exactly. 56-bit hashes keep
+    // (k−1)·M = 15·2^56 inside BIGINT; the estimate is pure integer math,
+    // identical in both engines, with the exact count alongside for the
+    // error report.
+    "q111_kmv_distinct" -> ((s: SparkSession, dir: String) => {
+      val exd = Tables(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("term"))
+        .distinct()
+      val hashed = exd.select(col("lang"),
+        expr("CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("h"))
+      hashed.groupBy("lang")
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.TopKByScore.top_k(16)(col("h"), negate(col("h").cast("double"))).as("mins"))
+        .withColumn("h_k", element_at(col("mins"), 16).getField("id"))
+        .withColumn("est_kmv",
+          when(size(col("mins")) < 16, col("n_exact"))
+            .otherwise(expr("CAST((15 * 72057594037927936) DIV h_k AS BIGINT)")))
+        .select(col("lang"), col("n_exact"), col("est_kmv"),
+          expr("CAST((abs(est_kmv - n_exact) * 10000) DIV n_exact AS BIGINT)").as("err_bp"))
+        .orderBy("lang")
     })
   )
 
@@ -436,6 +527,59 @@ object Text {
       s"CAST(len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT)"
 
     Map(
+      "q109_bm25" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |ex AS (SELECT doc_id, unnest(w) AS term FROM t),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |       FROM ex GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |          CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |qt AS (SELECT term, df FROM dfx
+           |       QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 3),
+           |sc AS (SELECT tf.doc_id,
+           |         $Bm25ScoreE6Sql AS score_e6
+           |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+           | CAST(sum(score_e6) AS BIGINT) AS bm25_e6
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q110_search" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |ex AS (SELECT doc_id, unnest(w) AS term FROM t),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n_occ
+           |       FROM ex GROUP BY 1, 2),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |qt AS (SELECT term FROM dfx
+           |       QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 2)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           | CAST(sum(n_occ) AS BIGINT) AS n_occ
+           |FROM tf JOIN qt USING (term)
+           |GROUP BY doc_id HAVING count(*) = 2
+           |ORDER BY doc_id""".stripMargin,
+
+      "q111_kmv_distinct" ->
+        s"""WITH t AS (SELECT lang, $toksSql AS w FROM documents),
+           |exd AS (SELECT DISTINCT lang, term
+           |        FROM (SELECT lang, unnest(w) AS term FROM t)),
+           |h AS (SELECT lang, ('0x' || substr(md5(term), 1, 14))::BIGINT AS h
+           |      FROM exd),
+           |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY lang),
+           |bk AS (SELECT lang, h,
+           |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+           |       FROM h),
+           |kk AS (SELECT lang, max(CASE WHEN rn = 16 THEN h END) AS h_k,
+           |         CAST(count(*) AS BIGINT) AS k_got
+           |       FROM bk WHERE rn <= 16 GROUP BY lang),
+           |e AS (SELECT st.lang, st.n_exact,
+           |        CAST(CASE WHEN kk.k_got < 16 THEN st.n_exact
+           |             ELSE (15 * 72057594037927936) // kk.h_k END AS BIGINT) AS est_kmv
+           |      FROM st JOIN kk USING (lang))
+           |SELECT lang, n_exact, est_kmv,
+           | CAST((abs(est_kmv - n_exact) * 10000) // n_exact AS BIGINT) AS err_bp
+           |FROM e ORDER BY lang""".stripMargin,
+
       "q30_token_stats" ->
         s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS w FROM documents)
            |SELECT doc_id,

@@ -322,6 +322,72 @@ object Similarity {
           round(min("nrm"), 4).as("min_norm"),
           round(max("nrm"), 4).as("max_norm"))
         .orderBy("label")
+    }),
+
+    // ---- embedding outliers: farthest-from-centroid per label ------------
+    // The embedding-space quality gate: vectors far from their own label's
+    // centroid are mislabeled/noisy candidates for manual review. Centroid
+    // = exact per-dimension f64 mean over float32 values (order-independent
+    // — the q78 parity note); per-vector L2 to the broadcast centroid; the
+    // top-5 farthest per label rank on the RAW distance (bit-equal across
+    // engines) with vec_id tie-break, output rounded. One broadcast join +
+    // one |labels|-keyed window over 5-ish survivors per partition — the
+    // vectors are never shuffled for the distance itself.
+    "q112_embed_outliers" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg("v").as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      val w = Window.partitionBy("label").orderBy(desc("dist"), asc("vec_id"))
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("dist", l2HOF(col("embedding"), col("cv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("label"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("label", "rank")
+    }),
+
+    // ---- simplified silhouette (cluster cohesion vs separation) ----------
+    // Per vector: a = L2 to its own label centroid, b = min L2 to any OTHER
+    // label centroid, s = (b − a)/max(a, b) — the clustering-quality score
+    // that tells a curation pipeline whether label groups are actually
+    // separated in embedding space. All |labels| centroids broadcast; the
+    // per-(vector, centroid) distances aggregate map-side via min_by-style
+    // conditional minima (one row per vector crosses the shuffle). s comes
+    // from identical doubles in both engines, floor-integerized ×1e4 per
+    // vector, then exactly summed per label; the per-label mean is floor of
+    // one double division (possibly negative — never DIV).
+    "q113_silhouette" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = e
+        .select(col("label").as("clabel"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "v")))
+        .groupBy("clabel", "pos").agg(avg("v").as("m"))
+        .groupBy("clabel")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("clabel"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      e.join(broadcast(cent))
+        .withColumn("dist", l2HOF(col("embedding"), col("cv")))
+        .groupBy("vec_id", "label")
+        .agg(min(when(col("label") === col("clabel"), col("dist"))).as("a"),
+          min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
+        .withColumn("sil_e4", // max(a,b)=0 ⇒ 0/0 = NaN, which ANSI CAST rejects
+          when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+            .otherwise(floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+              * lit(10000.0)).cast("long")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("sil_e4").as("sum_sil_e4"))
+        .select(col("label"), col("n_vecs"), col("sum_sil_e4"),
+          floor(col("sum_sil_e4").cast("double") / col("n_vecs").cast("double"))
+            .cast("long").as("avg_sil_e4"))
+        .orderBy("label")
     })
   )
 
@@ -587,6 +653,52 @@ object Similarity {
          | round(avg(nrm), 4) AS avg_norm,
          | round(min(nrm), 4) AS min_norm,
          | round(max(nrm), 4) AS max_norm
-         |FROM t GROUP BY label ORDER BY label""".stripMargin
+         |FROM t GROUP BY label ORDER BY label""".stripMargin,
+
+    "q112_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(v[pos]) AS m
+        |   FROM e, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY label, pos)
+        |  GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |   list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        | FROM e JOIN c USING (label))
+        |SELECT label, rank, vec_id, round(dist, 4) AS dist FROM (
+        | SELECT label, vec_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |                          ORDER BY dist DESC, vec_id) AS BIGINT) AS rank
+        | FROM d)
+        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
+    "q113_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c AS (SELECT clabel, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT label AS clabel, pos, avg(v[pos]) AS m
+        |   FROM e, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY label, pos)
+        |  GROUP BY clabel),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |   list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        | FROM e, c),
+        |ab AS (SELECT vec_id, label,
+        |         min(CASE WHEN label = clabel THEN dist END) AS a,
+        |         min(CASE WHEN label <> clabel THEN dist END) AS b
+        |       FROM d GROUP BY vec_id, label),
+        |sil AS (SELECT vec_id, label,
+        |         CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor((b - a) / greatest(a, b) * 10000.0) AS BIGINT)
+        |         END AS sil_e4
+        |        FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(sil_e4) AS BIGINT) AS sum_sil_e4,
+        | CAST(floor(CAST(sum(sil_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+        |   AS avg_sil_e4
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -209,6 +209,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort crept into ADC ranking:\n$plan")
   }
 
+  test("q109 BM25: query terms and totals broadcast, doc sums map-side combined") {
+    // the scale contract: the 3-term query set and the 1-row totals never
+    // shuffle the tf side; per-doc score sums combine before the exchange
+    val plan = SparkEntry.queries("q109_bm25")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"doc sums not map-side combined:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the BM25 plan:\n$plan")
+  }
+
+  test("q111 KMV sketch: bottom-k heap in ObjectHashAggregate, no window sort") {
+    val plan = SparkEntry.queries("q111_kmv_distinct")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKByScore heap not in the aggregate path:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept into the sketch:\n$plan")
+  }
+
+  test("q113 silhouette: centroids broadcast, per-vector minima map-side combined") {
+    val plan = SparkEntry.queries("q113_silhouette")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$plan")
+    assert(plan.contains("partial_min"), s"conditional minima not map-side combined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vectors shuffled for the centroid join:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -373,6 +373,34 @@ object Dedup {
       out
     }),
 
+    // ---- recursive-CTE reachability (Spark 4 WITH RECURSIVE) -------------
+    // Depth-bounded transitive reachability over the near-dup DAG (d1 < d2
+    // everywhere, so recursion can't cycle), through Spark's native
+    // recursive CTE (UnionLoopExec) — the raw-SQL surface for iterative
+    // graph queries that q70's ConnectedComponents covers on the DataFrame
+    // side. The pair set is checkpointed BEFORE the view: each loop
+    // iteration re-scans the anchor table, and without the barrier every
+    // round would re-execute the whole LSH pipeline. UNION ALL enumerates
+    // paths (the recursion-safe form); COUNT(DISTINCT) collapses diamond
+    // multiplicities, depth ≤ 5 bounds the loop independent of graph shape.
+    "q116_reachability" -> ((s: SparkSession, dir: String) => {
+      lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView("q116_edges")
+      s.sql("""
+        |WITH RECURSIVE reach AS (
+        |  SELECT d1 AS src, d2 AS dst, CAST(1 AS BIGINT) AS depth
+        |  FROM q116_edges
+        |  UNION ALL
+        |  SELECT r.src, e.d2 AS dst, r.depth + CAST(1 AS BIGINT) AS depth
+        |  FROM reach r JOIN q116_edges e ON r.dst = e.d1
+        |  WHERE r.depth < 5)
+        |SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS n_reach,
+        |       CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM reach GROUP BY src ORDER BY src""".stripMargin)
+    }),
+
     // ---- edit-distance near-dup (bounded sample, length prefilter) -------
     "q49_edit_distance" -> ((s: SparkSession, dir: String) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
@@ -642,6 +670,18 @@ object Dedup {
            |       FROM c2 GROUP BY id)
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
+
+      "q116_reachability" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |e AS (SELECT d1, d2 FROM pr),
+           |reach(src, dst, depth) AS (
+           |  SELECT d1, d2, CAST(1 AS BIGINT) FROM e
+           |  UNION ALL
+           |  SELECT r.src, e.d2, r.depth + 1 FROM reach r JOIN e ON r.dst = e.d1
+           |  WHERE r.depth < 5)
+           |SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS n_reach,
+           | CAST(max(depth) AS BIGINT) AS max_depth
+           |FROM reach GROUP BY src ORDER BY src""".stripMargin,
 
       "q102_triangles" ->
         s"""WITH $lshPairCtes,

@@ -390,10 +390,69 @@ object Relational {
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
           round(col("val").cast("double"), 4).as("val"))
         .orderBy("vec_id", "pos")
+    }),
+
+    // ---- full outer join (§2.7 join surface completion) ------------------
+    // Daily purchase vs signup volumes: days where only one side has rows
+    // survive with the other side zero-filled — the reconciliation shape
+    // (left/right/inner can't express "keep both unmatched sides"). Both
+    // inputs pre-aggregate to |days| rows before the join, so the full
+    // outer is tiny regardless of event volume.
+    "q114_full_outer" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      def daily(tpe: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as(out))
+      daily("purchase", "n_purchases")
+        .join(daily("signup", "n_signups"), Seq("day"), "full_outer")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"))
+        .orderBy("day")
+    }),
+
+    // ---- LATERAL correlated subquery (top-2 orders per customer) ---------
+    // The SQL-text form of per-group top-k: a correlated LATERAL subquery
+    // with ORDER BY + LIMIT, which Catalyst decorrelates into a ranked
+    // window join — no hand-written window needed. Price is a stored
+    // double (selection, not arithmetic), so no rounding (q98 precedent);
+    // (o_totalprice, o_orderkey) makes the per-customer order total.
+    "q115_lateral" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .createOrReplaceTempView("q115_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q115_orders")
+      s.sql("""
+        |SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM q115_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM q115_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_full_outer" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_purchases
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_signups
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT strftime(coalesce(p.day, g.day), '%Y-%m-%d') AS day,
+        | CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+        | CAST(coalesce(n_signups, 0) AS BIGINT) AS n_signups
+        |FROM p FULL OUTER JOIN g ON p.day = g.day
+        |ORDER BY day""".stripMargin,
+
+    "q115_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -282,6 +282,54 @@ object Stats {
         .orderBy("event_type", "day")
     }),
 
+    // ---- robust statistics: median / MAD / outlier count -----------------
+    // The outlier-resistant alternative to mean/stddev (q43): per group,
+    // median, median-absolute-deviation, and the count beyond 3×MAD.
+    // l_quantity is integer-valued, so every interpolated percentile lands
+    // on exact dyadic rationals (integers, halves, quarters) — bit-equal
+    // across engines (the q44 note) and tie-free under round(,2). The
+    // deviation set feeds two consumers (the MAD aggregate and the outlier
+    // count), so it is persisted; the 6-row medians/MADs broadcast.
+    "q118_mad" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5D)").as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+          abs(col("l_quantity") - col("med")).as("adev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mads = dev.groupBy("l_returnflag")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      val out = dev.join(broadcast(mads), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 2).as("median"),
+          round(max(col("mad")), 2).as("mad"),
+          sum((col("adev") > col("mad") * lit(3.0)).cast("long")).as("n_outliers"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(eager = true)
+      dev.unpersist()
+      out
+    }),
+
+    // ---- equi-depth histogram (ntile deciles per group) ------------------
+    // Rank-based decile buckets of order value within each priority class:
+    // exact integer bucket assignment (ntile over the (price, orderkey)
+    // total order — both engines give remainder rows to the leading
+    // buckets), per-bucket count/min/max/sum. The window is keyed by
+    // priority, so the sort is per-group, not global.
+    "q120_deciles" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      Tables(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority", "decile")
+    }),
+
     // ---- raw ANSI SQL front-end: EXISTS / NOT EXISTS / scalar subquery ---
     // The same engine surface through spark.sql text instead of the
     // DataFrame API: Catalyst decorrelates EXISTS into a left-semi join,
@@ -644,6 +692,33 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q118_mad" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |             FROM lineitem GROUP BY 1),
+        |dev AS (SELECT l.l_returnflag, med.med,
+        |          abs(l.l_quantity - med.med) AS adev
+        |        FROM lineitem l JOIN med USING (l_returnflag)),
+        |mads AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        |         FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(max(d.med), 2) AS median, round(max(m.mad), 2) AS mad,
+        | CAST(sum(CASE WHEN d.adev > m.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers
+        |FROM dev d JOIN mads m USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    "q120_deciles" ->
+      """SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        ntile(10) OVER (PARTITION BY o_orderpriority
+        |                        ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q105_retention" ->
       """WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw

@@ -517,6 +517,65 @@ object Text {
         .select(col("lang"), col("n_exact"), col("est_kmv"),
           expr("CAST((abs(est_kmv - n_exact) * 10000) DIV n_exact AS BIGINT)").as("err_bp"))
         .orderBy("lang")
+    }),
+
+    // ---- count-min sketch (frequency estimation) -------------------------
+    // KMV (q111) answers "how many distinct"; CMS answers "how often does X
+    // occur" in fixed memory: d = 4 salted hash rows × w = 256 buckets of
+    // exact counters. Building it IS one aggregation (counters merge by
+    // addition — trivially distributed); the sketch is 1024 cells no matter
+    // the corpus size. Probing the top-5 df terms: estimate = min over the
+    // 4 rows of the probed cell, always ≥ exact (collisions only inflate).
+    // All integer md5 arithmetic — both engines agree bit-for-bit.
+    "q117_cms" -> ((s: SparkSession, dir: String) => {
+      val ex = Tables(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("term"))
+      val rows = ex
+        .withColumn("i", explode(array((0 to 3).map(lit): _*)))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(concat(CAST(i AS STRING), ':', term) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 256"))
+      val cms = rows.groupBy("i", "b").agg(count(lit(1)).as("c"))
+      val tf = ex.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val probes = tf.orderBy(col("n_exact").desc, col("term")).limit(5)
+        .withColumn("i", explode(array((0 to 3).map(lit): _*)))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(concat(CAST(i AS STRING), ':', term) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 256"))
+      probes.join(cms, Seq("i", "b"))
+        .groupBy("term", "n_exact")
+        .agg(min("c").as("est_cms"))
+        .select(col("term"), col("n_exact"), col("est_cms"),
+          expr("CAST(((est_cms - n_exact) * 10000) DIV n_exact AS BIGINT)").as("overcount_bp"))
+        .orderBy("term")
+    }),
+
+    // ---- PMI collocations (top-df term co-occurrence) --------------------
+    // Pointwise mutual information over document co-occurrence, the
+    // collocation-mining statistic: restricted to the top-20 df terms so
+    // the per-doc pair expansion is bounded at C(20,2) regardless of doc
+    // length (the unbounded all-pairs form is the scale bug this avoids).
+    // n_a/n_b/n_ab are exact document counts; PMI's single ln is
+    // floor-e6-integerized (ln parity proven by q91/q92/q95).
+    "q119_pmi" -> ((s: SparkSession, dir: String) => {
+      val totals = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val exd = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .distinct()
+      val dfx = exd.groupBy("term").agg(count(lit(1)).as("df"))
+      val top = dfx.orderBy(col("df").desc, col("term")).limit(20)
+      val hits = exd.join(broadcast(top), Seq("term"))
+      val pairs = hits.select(col("doc_id"), col("term").as("t1"), col("df").as("n_a"))
+        .join(hits.select(col("doc_id"), col("term").as("t2"), col("df").as("n_b")),
+          Seq("doc_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_ab"))
+      pairs.crossJoin(broadcast(totals))
+        .withColumn("pmi_e6",
+          floor(log(col("n_ab").cast("double") * col("n_docs").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")))
+            * lit(1000000.0)).cast("long"))
+        .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi_e6"))
+        .orderBy("t1", "t2")
     })
   )
 
@@ -579,6 +638,48 @@ object Text {
            |SELECT lang, n_exact, est_kmv,
            | CAST((abs(est_kmv - n_exact) * 10000) // n_exact AS BIGINT) AS err_bp
            |FROM e ORDER BY lang""".stripMargin,
+
+      "q117_cms" ->
+        s"""WITH t AS (SELECT $toksSql AS w FROM documents),
+           |ex AS (SELECT unnest(w) AS term FROM t),
+           |rows_ AS (SELECT term, i,
+           |    ('0x' || substr(md5(i::VARCHAR || ':' || term), 1, 8))::BIGINT % 256 AS b
+           |  FROM ex, (SELECT unnest(range(0, 4)) AS i)),
+           |cms AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c
+           |        FROM rows_ GROUP BY i, b),
+           |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+           |       FROM ex GROUP BY term),
+           |top AS (SELECT term, n_exact FROM tf
+           |        QUALIFY row_number() OVER (ORDER BY n_exact DESC, term) <= 5),
+           |pr AS (SELECT top.term, top.n_exact, i,
+           |    ('0x' || substr(md5(i::VARCHAR || ':' || term), 1, 8))::BIGINT % 256 AS b
+           |  FROM top, (SELECT unnest(range(0, 4)) AS i)),
+           |est AS (SELECT pr.term, pr.n_exact, min(cms.c) AS est_cms
+           |        FROM pr JOIN cms USING (i, b) GROUP BY pr.term, pr.n_exact)
+           |SELECT term, n_exact, CAST(est_cms AS BIGINT) AS est_cms,
+           | CAST(((est_cms - n_exact) * 10000) // n_exact AS BIGINT) AS overcount_bp
+           |FROM est ORDER BY term""".stripMargin,
+
+      "q119_pmi" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+           |exd AS (SELECT DISTINCT doc_id, term
+           |        FROM (SELECT doc_id, unnest(w) AS term FROM t)),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM exd GROUP BY term),
+           |top AS (SELECT term, df FROM dfx
+           |        QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 20),
+           |hits AS (SELECT exd.doc_id, exd.term, top.df
+           |         FROM exd JOIN top USING (term)),
+           |pairs AS (SELECT a.term AS t1, b.term AS t2, a.df AS n_a, b.df AS n_b,
+           |            CAST(count(*) AS BIGINT) AS n_ab
+           |          FROM hits a JOIN hits b
+           |            ON a.doc_id = b.doc_id AND a.term < b.term
+           |          GROUP BY 1, 2, 3, 4)
+           |SELECT t1, t2, n_ab, n_a, n_b,
+           | CAST(floor(ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+           |   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT)
+           |   AS pmi_e6
+           |FROM pairs, tot ORDER BY t1, t2""".stripMargin,
 
       "q30_token_stats" ->
         s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS w FROM documents)

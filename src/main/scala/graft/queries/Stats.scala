@@ -26,6 +26,21 @@ object Stats {
       |     ELSE CAST(floor(CAST(cnt * n - s1 AS DOUBLE) * 10000.0
       |            / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) END""".stripMargin
 
+  /** q124's pooled two-proportion z statistic ×1e4, shared VERBATIM with
+    * the oracle. Inputs c_a/n_a/c_b/n_b are exact BIGINTs; degenerate arms
+    * (empty, all-converted, none-converted) report z = 0 rather than a
+    * NaN that ANSI CAST would reject. */
+  private val AbZE4Sql: String =
+    """CASE WHEN n_a = 0 OR n_b = 0 OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
+      |     THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(
+      |   (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |   / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |          * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |   * 10000.0) AS BIGINT) END""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- sample stddev / variance / correlation --------------------------
     "q43_stats" -> ((s: SparkSession, dir: String) => {
@@ -328,6 +343,78 @@ object Stats {
           round(max("o_totalprice"), 2).as("hi"),
           round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderpriority", "decile")
+    }),
+
+    // ---- gap-based sessionization (cumulative-flag form) -----------------
+    // The window formulation of sessionization (q26 covers the
+    // session_window aggregate form): a session breaks when the gap to the
+    // previous event exceeds 30 min; session id = running sum of the break
+    // flags. Both windows ride ONE user-keyed sort; time math uses
+    // floor-to-second longs so both engines compare identical integers.
+    "q121_sessions" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev_sec", lag("sec", 1).over(w))
+        .withColumn("new_s",
+          (col("prev_sec").isNull || (col("sec") - col("prev_sec")) > 1800L).cast("long"))
+        .withColumn("sess", sum("new_s").over(cum))
+      flagged.groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_ev"), (max("sec") - min("sec")).as("dur_sec"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"),
+          max("n_ev").as("max_session_events"), max("dur_sec").as("max_duration_sec"))
+        .orderBy("user_id")
+    }),
+
+    // ---- last-touch attribution through the native as-of operator --------
+    // Each purchase attributed to the user's most recent STRICTLY prior
+    // view (AsOfJoinExec — the custom co-partitioned merge, q58/q69's
+    // operator, in a business query) when it happened within 7 days.
+    // Per-day attribution rate in integer basis points.
+    "q122_attribution" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      org.apache.spark.sql.graft.AsOfJoin.asofPrior(
+          purchases, views, "user_id" -> "user_id", "ts" -> "ts")
+        .withColumn("attributed",
+          (col("r_ts").isNotNull &&
+            (unix_timestamp(col("ts")) - unix_timestamp(col("r_ts"))) <= 604800L)
+            .cast("long"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"), sum("attributed").as("n_attributed"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_purchases"), col("n_attributed"),
+          expr("CAST((n_attributed * 10000) DIV n_purchases AS BIGINT)").as("attr_bp"))
+        .orderBy("day")
+    }),
+
+    // ---- two-proportion z-test (A/B experiment analysis) -----------------
+    // Users hash-split into two deterministic arms (md5 % 2 — the q73
+    // split discipline), conversion = any purchase; the pooled two-
+    // proportion z statistic from exact BIGINT counts via ONE shared-
+    // verbatim double expression (q93's trick), ×1e4 floor-integerized;
+    // |z| ≥ 1.96 flags significance. Everything reduces to a single row,
+    // so the whole test is one aggregation pass over per-user flags.
+    "q124_ab_test" -> ((s: SparkSession, dir: String) => {
+      val perUser = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("long")).as("purchased"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      perUser.agg(
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("bucket") === 0, col("purchased")).otherwise(0L)).as("c_a"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("bucket") === 1, col("purchased")).otherwise(0L)).as("c_b"))
+        .withColumn("z_e4", expr(AbZE4Sql))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"), col("z_e4"),
+          (abs(col("z_e4")) >= 19600L).cast("long").as("significant"))
     }),
 
     // ---- raw ANSI SQL front-end: EXISTS / NOT EXISTS / scalar subquery ---
@@ -692,6 +779,70 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q121_sessions" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |f AS (SELECT user_id, sec, event_id,
+        |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               IS NULL
+        |             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               > 1800
+        |        THEN 1 ELSE 0 END AS new_s,
+        |        ts
+        |      FROM e),
+        |g AS (SELECT user_id, sec,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sess
+        |      FROM f),
+        |sg AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_ev,
+        |         CAST(max(sec) - min(sec) AS BIGINT) AS dur_sec
+        |       FROM g GROUP BY user_id, sess)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n_ev) AS BIGINT) AS n_events,
+        | CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        | CAST(max(dur_sec) AS BIGINT) AS max_duration_sec
+        |FROM sg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q122_attribution" ->
+      """WITH pv AS (SELECT event_id, user_id, ts, event_type,
+        |   last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_ts
+        | FROM events WHERE event_type IN ('purchase', 'view')),
+        |p AS (SELECT CAST(ts AS DATE) AS day,
+        |        CASE WHEN v_ts IS NOT NULL
+        |               AND CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |                   - CAST(epoch(date_trunc('second', v_ts)) AS BIGINT)
+        |                   <= 604800
+        |        THEN 1 ELSE 0 END AS attributed
+        |      FROM pv WHERE event_type = 'purchase')
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(attributed) AS BIGINT) AS n_attributed,
+        | CAST((sum(attributed) * 10000) // count(*) AS BIGINT) AS attr_bp
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    "q124_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |                AS purchased
+         |            FROM events GROUP BY user_id),
+         |b AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+         |        AS bucket, purchased
+         |      FROM pu),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN bucket = 0 THEN purchased ELSE 0 END) AS BIGINT) AS c_a,
+         |  CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN bucket = 1 THEN purchased ELSE 0 END) AS BIGINT) AS c_b
+         | FROM b),
+         |z AS (SELECT n_a, c_a, n_b, c_b, $AbZE4Sql AS z_e4 FROM a)
+         |SELECT n_a, c_a, n_b, c_b, z_e4,
+         | CAST(CASE WHEN abs(z_e4) >= 19600 THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM z""".stripMargin,
 
     "q118_mad" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med

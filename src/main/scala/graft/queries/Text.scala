@@ -576,6 +576,25 @@ object Text {
             * lit(1000000.0)).cast("long"))
         .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi_e6"))
         .orderBy("t1", "t2")
+    }),
+
+    // ---- Gini concentration of the token mass across sources ------------
+    // The inequality number behind q86's mix report: one scalar saying how
+    // skewed the corpus is toward few sources (0 = balanced, →1 =
+    // concentrated). Rank-weighted exact formula over the ascending
+    // (tokens, source) order: G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx), pure
+    // BIGINT; the window runs over |sources| rows only.
+    "q123_gini" -> ((s: SparkSession, dir: String) => {
+      val st = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(toks(col("text"))).cast("long")).as("x"))
+      st.withColumn("i",
+          row_number().over(Window.orderBy("x", "source")).cast("long"))
+        .agg(count(lit(1)).as("n_sources"), sum("x").as("total_tokens"),
+          sum(col("i") * col("x")).as("s1"))
+        .select(col("n_sources"), col("total_tokens"),
+          expr("CAST(((2 * s1 - (n_sources + 1) * total_tokens) * 10000) DIV (n_sources * total_tokens) AS BIGINT)")
+            .as("gini_bp"))
     })
   )
 
@@ -680,6 +699,22 @@ object Text {
            |   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT)
            |   AS pmi_e6
            |FROM pairs, tot ORDER BY t1, t2""".stripMargin,
+
+      "q123_gini" ->
+        s"""WITH t AS (SELECT source, $toksSql AS w FROM documents),
+           |st AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS x
+           |       FROM t GROUP BY source),
+           |r AS (SELECT x,
+           |        CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+           |      FROM st),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           |        CAST(sum(x) AS BIGINT) AS total_tokens,
+           |        CAST(sum(i * x) AS BIGINT) AS s1
+           |      FROM r)
+           |SELECT n_sources, total_tokens,
+           | CAST(((2 * s1 - (n_sources + 1) * total_tokens) * 10000)
+           |      // (n_sources * total_tokens) AS BIGINT) AS gini_bp
+           |FROM a""".stripMargin,
 
       "q30_token_stats" ->
         s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS w FROM documents)

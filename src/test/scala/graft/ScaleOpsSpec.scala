@@ -236,6 +236,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"vectors shuffled for the centroid join:\n$plan")
   }
 
+  test("q116 runs through Spark's native recursive CTE (UnionLoop)") {
+    // the pin: recursion executes as UnionLoopExec, not a rewritten union
+    val plan = SparkEntry.queries("q116_reachability")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"recursive CTE not native:\n$plan")
+  }
+
+  test("q122 attribution runs through the custom as-of physical operator") {
+    val plan = SparkEntry.queries("q122_attribution")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native as-of exec missing:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

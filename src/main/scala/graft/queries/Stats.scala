@@ -345,6 +345,36 @@ object Stats {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // ---- conversion-lag percentiles per signup cohort --------------------
+    // q104 tells you WHO converted; this tells you HOW FAST: per weekly
+    // signup cohort, quartiles of the signup→purchase lag (through the
+    // strictly-ordered funnel chain). Lags are floor-to-second integers,
+    // so interpolated quartiles land on exact dyadic rationals (q44/q118's
+    // argument) — bit-equal across engines, tie-free under round(,2).
+    "q125_conversion_lag" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      def firstAfter(tpe: String, prev: org.apache.spark.sql.DataFrame,
+                     prevCol: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min(col("ts")).as(out))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val vw = firstAfter("view", su, "s_ts", "v_ts")
+      val pu = firstAfter("purchase", vw, "v_ts", "p_ts")
+      su.join(pu, Seq("user_id"), "left")
+        .select(date_format(date_trunc("week", col("s_ts")), "yyyy-MM-dd").as("cohort_week"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("lag_sec"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("lag_sec")).as("n_converted"),
+          round(expr("percentile(lag_sec, 0.25D)"), 2).as("lag_p25"),
+          round(expr("percentile(lag_sec, 0.5D)"), 2).as("lag_p50"),
+          round(expr("percentile(lag_sec, 0.75D)"), 2).as("lag_p75"))
+        .orderBy("cohort_week")
+    }),
+
     // ---- gap-based sessionization (cumulative-flag form) -----------------
     // The window formulation of sessionization (q26 covers the
     // session_window aggregate form): a session breaks when the gap to the
@@ -779,6 +809,28 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q125_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (SELECT e.user_id, min(e.ts) AS v_ts FROM events e
+        |       JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > su.s_ts
+        |       GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |       JOIN vw ON e.user_id = vw.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > vw.v_ts
+        |       GROUP BY e.user_id),
+        |l AS (SELECT strftime(date_trunc('week', su.s_ts), '%Y-%m-%d') AS cohort_week,
+        |        CAST(epoch(date_trunc('second', pu.p_ts)) AS BIGINT)
+        |          - CAST(epoch(date_trunc('second', su.s_ts)) AS BIGINT) AS lag_sec
+        |      FROM su LEFT JOIN pu USING (user_id))
+        |SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_signups,
+        | CAST(count(lag_sec) AS BIGINT) AS n_converted,
+        | round(quantile_cont(lag_sec, 0.25)::DOUBLE, 2) AS lag_p25,
+        | round(quantile_cont(lag_sec, 0.5)::DOUBLE, 2) AS lag_p50,
+        | round(quantile_cont(lag_sec, 0.75)::DOUBLE, 2) AS lag_p75
+        |FROM l GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
 
     "q121_sessions" ->
       """WITH e AS (SELECT user_id, ts, event_id,

@@ -34,6 +34,17 @@ object Text {
       |                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
       |  * 1000000.0) AS BIGINT)""".stripMargin
 
+  /** q126's HLL estimate, shared VERBATIM with the oracle. Inputs s_e
+    * (integer-ized harmonic sum ×2^51) and n_regs are exact BIGINTs;
+    * α₆₄·m² = 0.709·4096. E ≤ 2.5m with empty registers switches to
+    * linear counting m·ln(m/V) (the standard small-range correction). */
+  private val HllEstSql: String =
+    """CASE WHEN (0.709 * 4096.0) / (CAST(s_e AS DOUBLE) / 2251799813685248.0) <= 160.0
+      |       AND (64 - n_regs) > 0
+      |     THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - n_regs AS DOUBLE))) AS BIGINT)
+      |     ELSE CAST(floor((0.709 * 4096.0)
+      |            / (CAST(s_e AS DOUBLE) / 2251799813685248.0)) AS BIGINT) END""".stripMargin
+
   /** Whitespace tokens of lowercased, trimmed text ([''] guarded to []). */
   private def toks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -578,6 +589,39 @@ object Text {
         .orderBy("t1", "t2")
     }),
 
+    // ---- HyperLogLog distinct sketch (from scratch) ----------------------
+    // Completes the sketch trio: KMV (q111) and CMS (q117) need a distinct
+    // pass / probe set; HLL estimates cardinality from the RAW occurrence
+    // stream in 64 registers. Register j = h mod 64; rank = leading-zero
+    // count of the remaining 50 bits + 1 (via length(bin(w)) — exact
+    // integer string math in both engines); per-register max, then the
+    // harmonic mean. The harmonic sum is integer-ized as Σ 2^(51−m) BIGINT
+    // (a raw Σ2^−m double sum is ORDER-DEPENDENT at 57 significant bits —
+    // the one float trap in HLL), deferred to one shared-verbatim double
+    // expression with the standard small-range linear-counting branch.
+    "q126_hll" -> ((s: SparkSession, dir: String) => {
+      val ex = Tables(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("term"))
+      val h = ex.select(col("lang"),
+        expr("CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("h"))
+      val regs = h
+        .select(col("lang"), (col("h") % 64).as("j"), expr("h div 64").as("w"))
+        .withColumn("rank",
+          when(col("w") === 0, lit(51L))
+            .otherwise(lit(51L) - length(expr("bin(w)")).cast("long")))
+        .groupBy("lang", "j").agg(max("rank").as("m"))
+      val sketch = regs.groupBy("lang")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - m AS INT))")).as("s_hit"))
+        .withColumn("s_e", col("s_hit") + (lit(64L) - col("n_regs")) * lit(2251799813685248L))
+        .withColumn("est_hll", expr(HllEstSql))
+      val exact = ex.distinct().groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      sketch.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("est_hll"),
+          expr("CAST((abs(est_hll - n_exact) * 10000) DIV n_exact AS BIGINT)").as("err_bp"))
+        .orderBy("lang")
+    }),
+
     // ---- Gini concentration of the token mass across sources ------------
     // The inequality number behind q86's mix report: one scalar saying how
     // skewed the corpus is toward few sources (0 = balanced, →1 =
@@ -699,6 +743,33 @@ object Text {
            |   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT)
            |   AS pmi_e6
            |FROM pairs, tot ORDER BY t1, t2""".stripMargin,
+
+      "q126_hll" ->
+        s"""WITH t AS (SELECT lang, $toksSql AS w FROM documents),
+           |ex AS (SELECT lang, unnest(w) AS term FROM t),
+           |h AS (SELECT lang, ('0x' || substr(md5(term), 1, 14))::BIGINT AS h
+           |      FROM ex),
+           |r AS (SELECT lang, h % 64 AS j, h // 64 AS w FROM h),
+           |rk AS (SELECT lang, j,
+           |         CASE WHEN w = 0 THEN 51
+           |              ELSE 51 - length(bin(w)) END AS rank
+           |       FROM r),
+           |regs AS (SELECT lang, j, max(rank) AS m FROM rk GROUP BY lang, j),
+           |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
+           |         CAST(sum(1::BIGINT << CAST(51 - m AS INT)) AS BIGINT) AS s_hit
+           |       FROM regs GROUP BY lang),
+           |se AS (SELECT lang, n_regs,
+           |         s_hit + (64 - n_regs) * 2251799813685248 AS s_e
+           |       FROM sk),
+           |est AS (SELECT lang, $HllEstSql AS est_hll FROM se),
+           |exd AS (SELECT DISTINCT lang, term
+           |        FROM (SELECT lang, unnest(w) AS term FROM t)),
+           |xc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+           |       FROM exd GROUP BY lang)
+           |SELECT xc.lang, xc.n_exact, est.est_hll,
+           | CAST((abs(est.est_hll - xc.n_exact) * 10000) // xc.n_exact AS BIGINT)
+           |   AS err_bp
+           |FROM xc JOIN est USING (lang) ORDER BY lang""".stripMargin,
 
       "q123_gini" ->
         s"""WITH t AS (SELECT source, $toksSql AS w FROM documents),

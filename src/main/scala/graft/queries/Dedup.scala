@@ -308,6 +308,37 @@ object Dedup {
       out
     }),
 
+    // ---- cluster survivorship: canonical doc by quality ------------------
+    // q70 names the clusters; this picks WHICH doc each cluster keeps — the
+    // survivorship rule a real dedup pipeline applies. Canonical = the
+    // longest doc (token count), ties to the smaller id: a max_by over the
+    // (n_tok, −doc_id) struct order per cluster — one row per cluster
+    // crosses the shuffle (the map-side argmax discipline), no window.
+    // min-id keep rules (CorpusMain's default) throw away the best copy of
+    // a boilerplate family; this is the quality-aware upgrade.
+    "q128_canonical" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = lshPairs(minhashBase(docs), LshBucketCap)
+      val comp = graft.operators.ConnectedComponents.components(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val qual = docs.select(col("doc_id").as("id"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .as("n_tok"))
+      val scored = comp.join(qual, Seq("id"))
+      val canon = scored.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("id"), struct(col("n_tok"), -col("id"))).as("canonical_doc"))
+      val out = scored.join(canon, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("canonical_doc"),
+          (col("id") === col("canonical_doc")).cast("long").as("is_canonical"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      comp.unpersist()
+      out
+    }),
+
     // ---- PageRank over the near-dup graph --------------------------------
     // Graph centrality on the same LSH pair set q70 clusters: a doc with
     // many high-degree near-dup neighbors is the template of a boilerplate
@@ -670,6 +701,35 @@ object Dedup {
            |       FROM c2 GROUP BY id)
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
+
+      "q128_canonical" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+           |          UNION SELECT d2, d1 FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |q AS (SELECT doc_id,
+           |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |             ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+           |             END AS BIGINT) AS n_tok
+           |      FROM documents),
+           |sc AS (SELECT comp.id, comp.cluster_id, q.n_tok
+           |       FROM comp JOIN q ON comp.id = q.doc_id),
+           |canon AS (SELECT cluster_id, id AS canonical_doc FROM sc
+           |          QUALIFY row_number() OVER (PARTITION BY cluster_id
+           |                    ORDER BY n_tok DESC, id) = 1),
+           |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |       FROM sc GROUP BY cluster_id)
+           |SELECT sc.id AS doc_id, sc.cluster_id, sz.cluster_size,
+           | canon.canonical_doc,
+           | CAST(CASE WHEN sc.id = canon.canonical_doc THEN 1 ELSE 0 END AS BIGINT)
+           |   AS is_canonical
+           |FROM sc JOIN sz USING (cluster_id) JOIN canon USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "q116_reachability" ->
         s"""WITH RECURSIVE $lshPairCtes,

@@ -45,6 +45,13 @@ object Text {
       |     ELSE CAST(floor((0.709 * 4096.0)
       |            / (CAST(s_e AS DOUBLE) / 2251799813685248.0)) AS BIGINT) END""".stripMargin
 
+  /** q127's Efraimidis–Spirakis priority key ×1e9, shared VERBATIM with
+    * the oracle: u = (h + 0.5)/2^32 ∈ (0,1) from an exact 32-bit md5
+    * integer, w an exact BIGINT token count. */
+  private val WsKeyE9Sql: String =
+    """CAST(floor(-ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
+      |  / CAST(w AS DOUBLE) * 1000000000.0) AS BIGINT)""".stripMargin
+
   /** Whitespace tokens of lowercased, trimmed text ([''] guarded to []). */
   private def toks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -622,6 +629,30 @@ object Text {
         .orderBy("lang")
     }),
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis) -----
+    // The distributed algorithm for "sample k docs per source, longer docs
+    // proportionally more likely": priority key = −ln(u)/w with u a
+    // deterministic md5-uniform in (0,1) and w the token count; the k
+    // SMALLEST keys per group are the sample. One scalar pass + one
+    // per-source top-k — at scale the rank would ride the bounded-heap
+    // aggregator; keys are floor-e9 integers (ln parity per q91), doc_id
+    // breaks the (coarse) integer ties. Zero-weight docs are excluded
+    // up front (their key diverges; they can never be sampled).
+    "q127_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("source").orderBy("key_e9", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("key_e9", expr(WsKeyE9Sql))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("source", "rank", "doc_id", "w", "key_e9")
+        .orderBy("source", "rank")
+    }),
+
     // ---- Gini concentration of the token mass across sources ------------
     // The inequality number behind q86's mix report: one scalar saying how
     // skewed the corpus is toward few sources (0 = balanced, →1 =
@@ -770,6 +801,23 @@ object Text {
            | CAST((abs(est.est_hll - xc.n_exact) * 10000) // xc.n_exact AS BIGINT)
            |   AS err_bp
            |FROM xc JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      "q127_weighted_sample" ->
+        s"""WITH t AS (SELECT doc_id, source, $toksSql AS w_arr FROM documents),
+           |d AS (SELECT doc_id, source, CAST(len(w_arr) AS BIGINT) AS w
+           |      FROM t WHERE len(w_arr) > 0),
+           |h AS (SELECT doc_id, source, w,
+           |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+           |      FROM d),
+           |k AS (SELECT doc_id, source, w,
+           |        $WsKeyE9Sql AS key_e9
+           |      FROM h)
+           |SELECT source, rank, doc_id, w, key_e9 FROM (
+           | SELECT source, doc_id, w, key_e9,
+           |  CAST(row_number() OVER (PARTITION BY source
+           |                          ORDER BY key_e9, doc_id) AS BIGINT) AS rank
+           | FROM k)
+           |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
       "q123_gini" ->
         s"""WITH t AS (SELECT source, $toksSql AS w FROM documents),

@@ -392,6 +392,27 @@ object Relational {
         .orderBy("vec_id", "pos")
     }),
 
+    // ---- skyline / Pareto frontier ---------------------------------------
+    // Orders not strictly dominated on (totalprice, orderdate): dominated
+    // iff some other order has BOTH a higher price and a later date. The
+    // O(n²) self-join is avoided with the standard sort-prefix rewrite:
+    // collapse to one max-date per distinct price, run a 1-row-lagged
+    // running max over prices descending (= max date among strictly
+    // higher-priced orders), join back, keep rows it doesn't beat. Windows
+    // touch |distinct prices| rows; comparisons are on stored values only.
+    "q129_skyline" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders").filter(col("o_custkey") <= 100)
+      val perPrice = o.groupBy("o_totalprice").agg(max("o_orderdate").as("pd"))
+      val wp = Window.orderBy(desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = perPrice.withColumn("dom_date", max("pd").over(wp))
+      o.join(pref.select(col("o_totalprice"), col("dom_date")), Seq("o_totalprice"))
+        .filter(col("dom_date").isNull || col("dom_date") <= col("o_orderdate"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- full outer join (§2.7 join surface completion) ------------------
     // Daily purchase vs signup volumes: days where only one side has rows
     // survive with the other side zero-filled — the reconciliation shape
@@ -433,6 +454,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |           WHERE o_custkey <= 100),
+        |pp AS (SELECT o_totalprice, max(o_orderdate) AS pd
+        |       FROM o GROUP BY o_totalprice),
+        |pref AS (SELECT o_totalprice,
+        |           max(pd) OVER (ORDER BY o_totalprice DESC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom_date
+        |         FROM pp)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM o JOIN pref USING (o_totalprice)
+        |WHERE pref.dom_date IS NULL OR pref.dom_date <= o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     "q114_full_outer" ->
       """WITH p AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_purchases
         |           FROM events WHERE event_type = 'purchase' GROUP BY 1),

@@ -345,6 +345,33 @@ object Stats {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // ---- RFM customer segmentation ---------------------------------------
+    // Recency/Frequency/Monetary quintiles — the standard rank-based
+    // customer scoring. Each dimension is an exact ntile(5) under a total
+    // order (recency and frequency are integers; monetary ranks on the
+    // round(,2) sum with custkey tie-break so a last-ulp cross-engine sum
+    // difference can't reorder near-equal customers). Segment code =
+    // R·100 + F·10 + M.
+    "q130_rfm" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          round(sum("o_totalprice"), 2).as("monetary"))
+      def quint(c: String) =
+        ntile(5).over(Window.orderBy(col(c), col("o_custkey"))).cast("long")
+      base
+        .withColumn("r_score", quint("last_order"))
+        .withColumn("f_score", quint("frequency"))
+        .withColumn("m_score", quint("monetary"))
+        .select(col("o_custkey"),
+          date_format(col("last_order"), "yyyy-MM-dd").as("last_order"),
+          col("frequency"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- conversion-lag percentiles per signup cohort --------------------
     // q104 tells you WHO converted; this tells you HOW FAST: per weekly
     // signup cohort, quartiles of the signup→purchase lag (through the
@@ -809,6 +836,21 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q130_rfm" ->
+      """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |                CAST(count(*) AS BIGINT) AS frequency,
+        |                round(sum(o_totalprice), 2) AS monetary
+        |              FROM orders GROUP BY o_custkey),
+        |sc AS (SELECT o_custkey, last_order, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        | FROM base)
+        |SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order,
+        | frequency, monetary, r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
 
     "q125_conversion_lag" ->
       """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events

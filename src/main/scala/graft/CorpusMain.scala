@@ -54,8 +54,15 @@ object CorpusMain {
     * fit on the post-repetition-gate survivors, so junk filtered by the
     * cheap gates never pollutes the model. Docs too short to score (< 2
     * tokens) pass — the token-count gate already bounded length. */
+  /** `keepLongest`: survivorship rule for near-dup clusters. Default keeps
+    * each cluster's minimum doc_id (stable, content-independent); `true`
+    * keeps the LONGEST doc per cluster (token count, ties to the smaller
+    * id — q128's canonical rule), which preserves the best copy of a
+    * boilerplate family at the cost of keep-set stability across corpus
+    * versions (a longer near-dup arriving later replaces the old keep). */
   def curate(spark: SparkSession, docs: DataFrame,
-             lmGateE6: Option[Long] = None): (DataFrame, Seq[(String, Long)], () => Unit) = {
+             lmGateE6: Option[Long] = None,
+             keepLongest: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
     // 1. exact dedup: keep the smallest doc_id per content digest.
@@ -79,8 +86,22 @@ object CorpusMain {
     val nClusters = comp.select("cluster_id").distinct().count()
     val largest = if (nClusters == 0) 0L
       else comp.groupBy("cluster_id").count().agg(max("count")).head().getLong(0)
-    val dropIds = comp.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("doc_id"))
+    val dropIds =
+      if (keepLongest) {
+        // q128's survivorship: per cluster keep the longest doc (ties to
+        // the smaller id) — map-side max_by, one row per cluster shuffled
+        val qual = keepExact.select(col("doc_id").as("id"),
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+            .as("n_tok"))
+        val canon = comp.join(qual, Seq("id"))
+          .groupBy("cluster_id")
+          .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keep"))
+        comp.join(canon, Seq("cluster_id"))
+          .filter(col("id") =!= col("keep"))
+          .select(col("id").as("doc_id"))
+      } else comp.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
     val nearDeduped = keepExact.join(dropIds, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNear = nearDeduped.count()
@@ -163,12 +184,14 @@ object CorpusMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CorpusMain <sfDir> <outDir> [lmGateE6]")
+    require(args.length >= 2,
+      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest]")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val lmGate = if (args.length >= 3) Some(args(2).toLong) else None
+    val keepLongest = args.drop(2).contains("keep=longest")
+    val lmGate = args.drop(2).find(a => !a.startsWith("keep=")).map(_.toLong)
     val (curated, funnel, release) =
-      curate(spark, Tables(spark, args(0), "documents"), lmGate)
+      curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest)
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
     // Composition report of the build that actually shipped (q86's operator
     // over the CURATED set, not the input): the next mix/resample decision

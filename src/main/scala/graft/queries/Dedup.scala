@@ -487,6 +487,27 @@ object Dedup {
         .orderBy("v1", "v2")
     }),
 
+    // ---- hybrid text+embedding near-dup confirmation ---------------------
+    // Cross-modal agreement: every LSH text pair (q37's candidates) is
+    // scored against the docs' EMBEDDING cosine (doc_id ≡ vec_id in the
+    // fixtures) — a near-dup confirmed in both spaces is the highest-
+    // confidence duplicate signal a curation pipeline has. The pair set is
+    // tiny after LSH, so the two embedding joins probe it; cosine rides
+    // the native codegen'd expression.
+    "q131_hybrid_neardup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"), col("jacc"))
+      val e = Tables(s, dir, "embeddings")
+      pairs
+        .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
+        .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
+        .withColumn("cos", round(cosine_sim(col("e1"), col("e2")), 4))
+        .select(col("d1"), col("d2"), col("jacc"), col("cos"),
+          (col("cos") >= 0.5).cast("long").as("embedding_confirms"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- SimHash near-dup pairing: band-rotation bucketing ---------------
     // Completes the SimHash path (q38 computes fingerprints; this pairs
     // them): split the 60-bit fingerprint into 4×15-bit bands — a pair
@@ -701,6 +722,22 @@ object Dedup {
            |       FROM c2 GROUP BY id)
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
+
+      "q131_hybrid_neardup" -> {
+        val dot = "list_sum([x.e1[i]::DOUBLE * y.e2[i]::DOUBLE for i in range(1, 65)])"
+        def nrm(t: String, c: String) =
+          s"sqrt(list_sum([$t.$c[i]::DOUBLE * $t.$c[i]::DOUBLE for i in range(1, 65)]))"
+        s"""WITH $lshPairCtes,
+           |x AS (SELECT vec_id AS d1, embedding AS e1 FROM embeddings),
+           |y AS (SELECT vec_id AS d2, embedding AS e2 FROM embeddings),
+           |hj AS (SELECT pr.d1, pr.d2, pr.jacc,
+           |         round($dot / (${nrm("x", "e1")} * ${nrm("y", "e2")}), 4) AS cos
+           |       FROM pr JOIN x USING (d1) JOIN y USING (d2))
+           |SELECT d1, d2, jacc, cos,
+           | CAST(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+           |   AS embedding_confirms
+           |FROM hj ORDER BY d1, d2""".stripMargin
+      },
 
       "q128_canonical" ->
         s"""WITH RECURSIVE $lshPairCtes,

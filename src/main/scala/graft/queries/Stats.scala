@@ -345,6 +345,34 @@ object Stats {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // ---- CUSUM changepoint detection -------------------------------------
+    // Where did the level of a daily series shift? The n-scaled CUSUM path
+    // C_t = Σ_{i≤t} (n·cnt_i − S1) stays in exact BIGINTs (no mean
+    // division), and the changepoint estimate is the day maximizing |C_t|
+    // — ties to the earliest day via map-side max_by over the
+    // (|C|, −day-number) struct order. One type-keyed window over |days|
+    // rows, one tiny aggregation; complements q108's pointwise z-scores
+    // with a structural-shift detector.
+    "q132_cusum" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s1"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("c", sum(col("cnt") * col("n") - col("s1")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max_by(struct(col("day"), col("c")),
+            struct(abs(col("c")), expr("-unix_date(day)"))).as("b"))
+        .select(col("event_type"), col("n_days"),
+          date_format(col("b.day"), "yyyy-MM-dd").as("cp_day"),
+          col("b.c").as("c_at_cp"), abs(col("b.c")).as("max_abs_c"))
+        .orderBy("event_type")
+    }),
+
     // ---- RFM customer segmentation ---------------------------------------
     // Recency/Frequency/Monetary quintiles — the standard rank-based
     // customer scoring. Each dimension is an exact ntile(5) under a total
@@ -836,6 +864,28 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q132_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 CAST(count(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cnt) AS BIGINT) AS s1
+        |       FROM daily GROUP BY event_type),
+        |path AS (SELECT d.event_type, d.day,
+        |           CAST(sum(d.cnt * st.n - st.s1)
+        |             OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS c
+        |         FROM daily d JOIN st USING (event_type)),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM path GROUP BY event_type),
+        |cp AS (SELECT event_type, day, c FROM path
+        |       QUALIFY row_number() OVER (PARTITION BY event_type
+        |                 ORDER BY abs(c) DESC, day) = 1)
+        |SELECT cp.event_type, nd.n_days, strftime(cp.day, '%Y-%m-%d') AS cp_day,
+        | cp.c AS c_at_cp, CAST(abs(cp.c) AS BIGINT) AS max_abs_c
+        |FROM cp JOIN nd USING (event_type) ORDER BY cp.event_type""".stripMargin,
 
     "q130_rfm" ->
       """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -56,6 +56,30 @@ class CorpusMainSpec extends SparkSpec {
     release()
   }
 
+  test("keep=longest survivorship keeps the best copy, not the smallest id") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val d1 = docs.filter(col("doc_id") === 1).select("text").as[String].first()
+    // the injected near-dup is one word LONGER than doc 1: default keep-min
+    // keeps 1; keep=longest must keep the injected doc instead
+    val longer = d1 + " zzz"
+    val injected = docs.unionByName(
+      Seq((92001L, longer, "en", "inj", longer.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val (curMin, _, relMin) = CorpusMain.curate(spark, injected)
+    val idsMin = curMin.select("doc_id").as[Long].collect().toSet
+    assert(idsMin.contains(1L) && !idsMin.contains(92001L),
+      "default survivorship no longer keep-min")
+    relMin()
+
+    val (curLong, _, relLong) =
+      CorpusMain.curate(spark, injected, keepLongest = true)
+    val idsLong = curLong.select("doc_id").as[Long].collect().toSet
+    assert(idsLong.contains(92001L) && !idsLong.contains(1L),
+      "keep=longest did not keep the longest cluster member")
+    relLong()
+  }
+
   test("repetition gate drops generator loops; PII is scrubbed; split attached") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     // a 40-token single-word loop: dup_token_frac ≈ 0.975 — the q80 gate's

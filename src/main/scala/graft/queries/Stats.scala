@@ -345,6 +345,68 @@ object Stats {
         .orderBy("o_orderpriority", "decile")
     }),
 
+    // ---- linear interpolation across time-series gaps --------------------
+    // q103 forward-fills categorical state; numeric sensors want LINEAR
+    // interpolation: for each empty grid hour, v = v_prev + (v_next −
+    // v_prev)·k/g from the nearest observed hours either side. Both
+    // neighbor lookups ride ONE user-keyed sort (two frames of the same
+    // window); hour numbers are exact epoch-hour integers, and the
+    // observed hourly values convert to exact e4 BIGINTs (the rounded sum
+    // is within an ulp of a 4-dp decimal), so the interpolation is pure
+    // integer rational math — a double (a+b)/2 midpoint lands a literal 5
+    // in the tie digit and Spark/DuckDB round() disagree (the r4 lesson).
+    // The grid is bounded by each user's first/last OBSERVED hour, so
+    // every gap hour has both neighbors and v_e4 is total (nullable
+    // doubles also break the driver's row sorter).
+    "q133_interp" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 5)
+      val hourly = ev
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("hv"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val base = grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("hrn", expr("unix_timestamp(hr) div 3600"))
+        .withColumn("hv_e4", expr("CAST(round(hv * 10000.0) AS BIGINT)"))
+        .withColumn("obs",
+          when(col("hv").isNotNull, struct(col("hrn"), col("hv_e4"))))
+      val w = Window.partitionBy("user_id").orderBy("hrn")
+      val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      base
+        .withColumn("p", last(col("obs"), ignoreNulls = true).over(prevW))
+        .withColumn("nx", first(col("obs"), ignoreNulls = true).over(nextW))
+        .withColumn("v_e4",
+          when(col("hv").isNotNull, col("hv_e4"))
+            .otherwise(expr(
+              """(p.hv_e4 * (nx.hrn - hrn) + nx.hv_e4 * (hrn - p.hrn))
+                |  DIV (nx.hrn - p.hrn)""".stripMargin)))
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("v_e4"))
+        .orderBy("user_id", "hour")
+    }),
+
+    // ---- rollup with grouping_id level labels ----------------------------
+    // grouping_id() disambiguates "NULL because rolled up" from "NULL in
+    // the data" — the missing piece of the q13/q14 rollup surface. Both
+    // engines emit the same bitmask (first grouping column = MSB).
+    "q134_grouping_id" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"), col("total"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     // ---- CUSUM changepoint detection -------------------------------------
     // Where did the level of a daily series shift? The n-scaled CUSUM path
     // C_t = Σ_{i≤t} (n·cnt_i − S1) stays in exact BIGINTs (no mean
@@ -864,6 +926,51 @@ object Stats {
         | strftime(pu.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
         |FROM su LEFT JOIN vw USING (user_id) LEFT JOIN pu USING (user_id)
         |ORDER BY su.user_id""".stripMargin,
+
+    "q133_interp" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 5),
+        |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             round(sum(value), 4) AS hv
+        |           FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1
+        |         FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |         FROM span),
+        |b AS (SELECT g.user_id, g.hr, hourly.n_events, hourly.hv,
+        |        CAST(epoch(g.hr) AS BIGINT) // 3600 AS hrn,
+        |        CAST(round(hourly.hv * 10000.0) AS BIGINT) AS hv_e4,
+        |        CASE WHEN hourly.hv IS NOT NULL
+        |             THEN {'hrn': CAST(epoch(g.hr) AS BIGINT) // 3600,
+        |                   'hv_e4': CAST(round(hourly.hv * 10000.0) AS BIGINT)}
+        |        END AS obs
+        |      FROM grid g
+        |      LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.hr = hourly.hr),
+        |f AS (SELECT user_id, hr, n_events, hv, hv_e4, hrn,
+        |        last_value(obs IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hrn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        |        first_value(obs IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hrn
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |      FROM b)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        | CAST(CASE WHEN hv IS NOT NULL THEN hv_e4
+        |      ELSE (p.hv_e4 * (nx.hrn - hrn) + nx.hv_e4 * (hrn - p.hrn))
+        |             // (nx.hrn - p.hrn) END AS BIGINT) AS v_e4
+        |FROM f ORDER BY user_id, hour""".stripMargin,
+
+    "q134_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q132_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -392,6 +392,91 @@ object Relational {
         .orderBy("vec_id", "pos")
     }),
 
+    // ---- TPC-H Q18: large-volume customers -------------------------------
+    // The classic "orders above a quantity threshold" shape: a grouped
+    // HAVING subquery feeding a 3-way join. Catalyst plans the IN-subquery
+    // as a left-semi join on orderkey; the threshold (150) is tuned to the
+    // fixtures' ~4-line orders.
+    "q135_tpch18" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q21 (adapted): sole-blame suppliers -----------------------
+    // Suppliers whose lineitem was returned ('R') on a multi-supplier
+    // order where NO other supplier's line was returned — the fixtures
+    // carry no commit/receipt dates, so the return flag plays the "late"
+    // role. Two correlated EXISTS (one positive, one negative) over the
+    // same order, decorrelated by Catalyst into semi/anti joins on
+    // (orderkey, suppkey) — the hardest subquery shape in the TPC-H suite.
+    "q136_tpch21" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("q136_lineitem")
+      Tables(s, dir, "supplier").createOrReplaceTempView("q136_supplier")
+      Tables(s, dir, "nation").createOrReplaceTempView("q136_nation")
+      s.sql("""
+        |SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM q136_lineitem l1
+        |JOIN q136_supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN q136_nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q136_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q136_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name, n.n_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin)
+    }),
+
+    // ---- TPC-H Q13: customer order-count distribution --------------------
+    // The left-join + double-group-by shape: customers (including those
+    // with NO orders) bucketed by how many orders they placed.
+    "q137_tpch13" -> ((s: SparkSession, dir: String) => {
+      val perCust = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // ---- TPC-H Q22 (adapted): rich inactive customers by nation ----------
+    // Customers with above-average account balance and no FAILED orders
+    // ('F' status — plain no-orders-at-all is near-empty at small SFs),
+    // grouped by nation (the fixtures carry no phone, so nation plays the
+    // country-code role): a scalar subquery (global average over positive
+    // balances) + NOT EXISTS anti-join.
+    "q138_tpch22" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q138_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("q138_orders")
+      Tables(s, dir, "nation").createOrReplaceTempView("q138_nation")
+      s.sql("""
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM q138_customer c JOIN q138_nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM q138_customer c2
+        |                     WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM q138_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+    }),
+
     // ---- skyline / Pareto frontier ---------------------------------------
     // Orders not strictly dominated on (totalprice, orderdate): dominated
     // iff some other order has BOTH a higher price and a later date. The
@@ -454,6 +539,57 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_tpch18" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(l_quantity) > 150)
+        |SELECT c.c_name, o.o_custkey AS c_custkey, o.o_orderkey,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | o.o_totalprice, round(big.sum_qty, 2) AS sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q136_tpch21" ->
+      """SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name, n.n_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin,
+
+    "q137_tpch13" ->
+      """WITH pc AS (SELECT c.c_custkey,
+        |              CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer c
+        |            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |            GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q138_tpch22" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        | round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
     "q129_skyline" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |           WHERE o_custkey <= 100),

@@ -392,6 +392,86 @@ object Relational {
         .orderBy("vec_id", "pos")
     }),
 
+    // ---- bag-semantics set ops (q15 covers the DISTINCT variants) --------
+    // UNION ALL / EXCEPT ALL / INTERSECT ALL keep multiplicities — the
+    // forms that matter when duplicate rows are data, not noise. EXCEPT
+    // ALL of the high-value keys removes one occurrence per match;
+    // INTERSECT ALL keeps the min multiplicity. Summarized to per-key
+    // counts so the output is deterministic.
+    "q139_set_ops_all" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 45).select("l_orderkey")
+      val b = li.filter(col("l_extendedprice") > 80000).select("l_orderkey")
+      val u = a.unionAll(b).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_union_all"))
+      val e = a.exceptAll(b).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_except_all"))
+      val i = a.intersectAll(b).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_intersect_all"))
+      u.join(e, Seq("l_orderkey"), "left")
+        .join(i, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"), col("n_union_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- first/last/nth value window frames ------------------------------
+    // The value-picking window family q52's ranking family doesn't cover:
+    // first, last and 2nd order key per customer over the full-partition
+    // frame (last_value needs the explicit unbounded-following frame or it
+    // reads only up to the current row — same trap in both engines).
+    "q140_nth_value" -> ((s: SparkSession, dir: String) => {
+      val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .withColumn("first_key", first("o_orderkey").over(full))
+        .withColumn("last_key", last("o_orderkey").over(full))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+        .groupBy("o_custkey")
+        .agg(max("first_key").as("first_key"), max("last_key").as("last_key"),
+          // single-order customers have no 2nd order: sentinel −1, never a
+          // nullable BIGINT (the driver's row sorter rejects None vs int)
+          coalesce(max("second_key"), lit(-1L)).as("second_key"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- percent-of-total (ratio_to_report) ------------------------------
+    // Revenue share per nation: the grouped totals are tiny, so the
+    // window runs over |nations| rows; shares in integer basis points
+    // ranked against the exact BIGINT cents total (never a rounded ratio).
+    "q141_share_of_total" -> ((s: SparkSession, dir: String) => {
+      val rev = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("cents"))
+      rev
+        .withColumn("total_cents", sum("cents").over(Window.partitionBy()))
+        .select(col("n_name"), col("cents"),
+          expr("CAST((cents * 10000) DIV total_cents AS BIGINT)").as("share_bp"))
+        .orderBy("n_name")
+    }),
+
+    // ---- centered moving average over a daily series ---------------------
+    // 7-day centered moving average of order counts — the smoothing pass
+    // every metrics dashboard applies. Integer counts over a RANGE-like
+    // rows frame; the mean is integer-ized (e3) against the actual rows in
+    // frame so series edges use the true shorter window, not a padded one.
+    "q142_moving_avg" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("win_sum", sum("n").over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          expr("CAST((win_sum * 1000) DIV win_n AS BIGINT)").as("ma7_e3"))
+        .orderBy("day")
+    }),
+
     // ---- TPC-H Q18: large-volume customers -------------------------------
     // The classic "orders above a quantity threshold" shape: a grouped
     // HAVING subquery feeding a 3-way join. Catalyst plans the IN-subquery
@@ -539,6 +619,65 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45),
+        |b AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 80000),
+        |u AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_union_all
+        |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1),
+        |e AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_except_all
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+        |i AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_intersect_all
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT u.l_orderkey, u.n_union_all,
+        | CAST(coalesce(e.n_except_all, 0) AS BIGINT) AS n_except_all,
+        | CAST(coalesce(i.n_intersect_all, 0) AS BIGINT) AS n_intersect_all
+        |FROM u LEFT JOIN e USING (l_orderkey) LEFT JOIN i USING (l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q140_nth_value" ->
+      """WITH w AS (SELECT o_custkey,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        | FROM orders)
+        |SELECT o_custkey, CAST(max(first_key) AS BIGINT) AS first_key,
+        | CAST(max(last_key) AS BIGINT) AS last_key,
+        | CAST(coalesce(max(second_key), -1) AS BIGINT) AS second_key
+        |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q141_share_of_total" ->
+      """WITH rev AS (SELECT n.n_name,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM customer c
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY n.n_name),
+        |t AS (SELECT n_name, cents,
+        |        CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        |      FROM rev)
+        |SELECT n_name, cents,
+        | CAST((cents * 10000) // total_cents AS BIGINT) AS share_bp
+        |FROM t ORDER BY n_name""".stripMargin,
+
+    "q142_moving_avg" ->
+      """WITH daily AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+        |               FROM orders GROUP BY 1),
+        |w AS (SELECT day, n,
+        |  CAST(sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_sum,
+        |  CAST(count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_n
+        | FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        | CAST((win_sum * 1000) // win_n AS BIGINT) AS ma7_e3
+        |FROM w ORDER BY day""".stripMargin,
+
     "q135_tpch18" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
         |             FROM lineitem GROUP BY l_orderkey

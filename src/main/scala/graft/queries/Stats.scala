@@ -297,6 +297,60 @@ object Stats {
         .orderBy("event_type", "day")
     }),
 
+    // ---- ordered-set aggregates: WITHIN GROUP SQL surface ----------------
+    // PERCENTILE_CONT / PERCENTILE_DISC with the ANSI WITHIN GROUP (ORDER
+    // BY ...) syntax through spark.sql — the ordered-set aggregate form of
+    // q44's functional percentiles. Quartile positions on integer-valued
+    // quantities are exact dyadics (the q44 argument); DISC picks an
+    // actual data value, exact in both engines.
+    "q143_within_group" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("q143_lineitem")
+      s.sql("""
+        |SELECT l_returnflag,
+        |  round(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS q1_cont,
+        |  round(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS q3_cont,
+        |  round(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS med_disc
+        |FROM q143_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // ---- pairwise correlation matrix -------------------------------------
+    // All C(4,2) Pearson correlations of the lineitem measures in one
+    // aggregation pass (each corr is a set of power sums — map-side
+    // combined, one shuffle total); the q43 rounding precedent applies.
+    "q144_corr_matrix" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield round(corr(col(cols(i)), col(cols(j))), 4)
+        .as(s"corr_${cols(i).stripPrefix("l_")}_${cols(j).stripPrefix("l_")}")
+      li.agg(pairs.head, pairs.tail: _*)
+    }),
+
+    // ---- try_cast: malformed-input-tolerant typing (q64's sibling) -------
+    // Extract the numeric field from the events JSON props and try_cast
+    // it: malformed values become NULL instead of failing the job under
+    // ANSI mode. Every 10th event's value is deterministically corrupted
+    // with a trailing letter so the NULL path is genuinely exercised;
+    // exact BIGINT sum of what parsed.
+    "q145_try_cast" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .withColumn("raw",
+          concat(expr("get_json_object(props, '$.k')"),
+            when(col("event_id") % 10 === 0, lit("x")).otherwise(lit(""))))
+        .withColumn("amt", expr("try_cast(raw AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("amt")).as("n_parsed"),
+          coalesce(sum("amt"), lit(0L)).as("sum_amt"))
+        .orderBy("event_type")
+    }),
+
     // ---- robust statistics: median / MAD / outlier count -----------------
     // The outlier-resistant alternative to mean/stddev (q43): per group,
     // median, median-absolute-deviation, and the count beyond 3×MAD.
@@ -971,6 +1025,34 @@ object Stats {
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         | o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q143_within_group" ->
+      """SELECT l_returnflag,
+        | round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 2) AS q1_cont,
+        | round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 2) AS q3_cont,
+        | round(CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE), 2) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q144_corr_matrix" ->
+      """SELECT
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_quantity_extendedprice,
+        | round(corr(l_quantity, l_discount), 4) AS corr_quantity_discount,
+        | round(corr(l_quantity, l_tax), 4) AS corr_quantity_tax,
+        | round(corr(l_extendedprice, l_discount), 4) AS corr_extendedprice_discount,
+        | round(corr(l_extendedprice, l_tax), 4) AS corr_extendedprice_tax,
+        | round(corr(l_discount, l_tax), 4) AS corr_discount_tax
+        |FROM lineitem""".stripMargin,
+
+    "q145_try_cast" ->
+      """WITH r AS (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') ||
+        |    CASE WHEN event_id % 10 = 0 THEN 'x' ELSE '' END AS BIGINT) AS amt
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(amt) AS BIGINT) AS n_parsed,
+        | CAST(coalesce(sum(amt), 0) AS BIGINT) AS sum_amt
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q132_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

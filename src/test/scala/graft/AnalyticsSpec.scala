@@ -88,6 +88,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(cA <= nA && cB <= nB && cA >= 0 && cB >= 0)
   }
 
+  test("AnalyticsMain writes every report with rows, consistent across reports") {
+    val out = java.nio.file.Files.createTempDirectory("graft_analytics").toString
+    val counts = AnalyticsMain.run(spark, dir, out).toMap
+    assert(counts.keySet == AnalyticsMain.reports.toSet)
+    counts.foreach { case (name, n) => assert(n > 0, s"$name wrote no rows") }
+    assert(counts("q124_ab_test") == 1)
+    // cross-report consistency: the funnel and the conversion-lag report
+    // must agree on how many users completed signup->view->purchase
+    val funnelStage3 = spark.read.parquet(s"$out/q104_funnel")
+      .filter(col("stage") === 3).count()
+    val lagConverted = spark.read.parquet(s"$out/q125_conversion_lag")
+      .agg(sum("n_converted")).head().getLong(0)
+    assert(funnelStage3 == lagConverted,
+      s"funnel stage-3 $funnelStage3 != conversion-lag converted $lagConverted")
+  }
+
   test("q116 reachability agrees with a DataFrame-side BFS on the same DAG") {
     import org.apache.spark.sql.DataFrame
     val edges = queries.Dedup.lshPairs(

@@ -653,6 +653,24 @@ object Text {
         .orderBy("source", "rank")
     }),
 
+    // ---- boilerplate n-gram mining via the custom Generator (UDTF) -------
+    // The repeated-3-gram report (boilerplate detection across docs),
+    // driven by `word_ngrams` — the library's custom table-generating
+    // function (LATERAL VIEW → GenerateExec): n-grams STREAM out of the
+    // generator one row at a time instead of materializing per-row arrays
+    // (the q34 expression form's allocation profile). Same tokenization
+    // semantics as toks(); oracle uses the array construction.
+    "q146_ngram_udtf" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("q146_documents")
+      s.sql("""
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM q146_documents
+        |LATERAL VIEW word_ngrams(text, 3) t AS pos, ngram
+        |GROUP BY ngram HAVING count(*) >= 3
+        |ORDER BY ngram""".stripMargin)
+    }),
+
     // ---- Gini concentration of the token mass across sources ------------
     // The inequality number behind q86's mix report: one scalar saying how
     // skewed the corpus is toward few sources (0 = balanced, →1 =
@@ -818,6 +836,17 @@ object Text {
            |                          ORDER BY key_e9, doc_id) AS BIGINT) AS rank
            | FROM k)
            |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+      "q146_ngram_udtf" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+           |        ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |              for i in range(1, len(w) - 1)] END) AS ngram
+           |      FROM t)
+           |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt,
+           | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM g GROUP BY ngram HAVING count(*) >= 3
+           |ORDER BY ngram""".stripMargin,
 
       "q123_gini" ->
         s"""WITH t AS (SELECT source, $toksSql AS w FROM documents),

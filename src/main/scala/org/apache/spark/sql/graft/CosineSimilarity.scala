@@ -118,6 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_distincts"),
       new ExpressionInfo(classOf[NgramDistincts].getCanonicalName, "ngram_distincts"),
       (exprs: Seq[Expression]) => NgramDistincts(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getCanonicalName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => LevenshteinBoundRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -104,6 +104,39 @@ class AnalyticsSpec extends SparkSpec {
       s"funnel stage-3 $funnelStage3 != conversion-lag converted $lagConverted")
   }
 
+  test("word_ngrams Generator matches the expression form and runs in GenerateExec") {
+    val docs = Tables(spark, dir, "documents")
+    docs.createOrReplaceTempView("wng_docs")
+    val gen = spark.sql(
+      "SELECT doc_id, pos, ngram FROM wng_docs LATERAL VIEW word_ngrams(text, 3) t AS pos, ngram")
+    // parity oracle: the q34 slice/zip_with array construction, exploded
+    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    val viaArrays = docs
+      .withColumn("sh",
+        when(size(toks) < 3, array().cast("array<string>"))
+          .otherwise(zip_with(
+            zip_with(slice(toks, lit(1), size(toks) - 2), slice(toks, lit(2), size(toks) - 2),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(toks, lit(3), size(toks) - 2),
+            (ab, c) => concat(ab, lit(" "), c))))
+      .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "ngram")))
+    assert(gen.count() == viaArrays.count())
+    assert(gen.exceptAll(viaArrays).isEmpty && viaArrays.exceptAll(gen).isEmpty,
+      "generator and expression-form n-grams diverge")
+    // the generator must execute in GenerateExec (streamed rows), and the
+    // scalar fallback path must never plan
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"no GenerateExec in:\n$plan")
+    // empty / short / null inputs produce no rows instead of failing
+    import spark.implicits._
+    Seq((1L, ""), (2L, "one two"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").createOrReplaceTempView("wng_edge")
+    assert(spark.sql(
+      "SELECT ngram FROM wng_edge LATERAL VIEW word_ngrams(text, 3) t AS pos, ngram")
+      .count() == 0)
+  }
+
   test("q116 reachability agrees with a DataFrame-side BFS on the same DAG") {
     import org.apache.spark.sql.DataFrame
     val edges = queries.Dedup.lshPairs(

@@ -26,6 +26,17 @@ object Stats {
       |     ELSE CAST(floor(CAST(cnt * n - s1 AS DOUBLE) * 10000.0
       |            / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) END""".stripMargin
 
+  /** q148's lag-1 Pearson r ×1e4, shared VERBATIM with the oracle. All six
+    * inputs are exact BIGINT power sums; degenerate (zero-variance) series
+    * report 0. */
+  private val AutocorrE4Sql: String =
+    """CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+      |     THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(
+      |   CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
+      |   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END""".stripMargin
+
   /** q124's pooled two-proportion z statistic ×1e4, shared VERBATIM with
     * the oracle. Inputs c_a/n_a/c_b/n_b are exact BIGINTs; degenerate arms
     * (empty, all-converted, none-converted) report z = 0 rather than a
@@ -295,6 +306,73 @@ object Stats {
           col("cnt"), col("z_bp"),
           (abs(col("z_bp")) > 20000).cast("long").as("is_anomaly"))
         .orderBy("event_type", "day")
+    }),
+
+    // ---- day-of-week seasonality with a chi-square uniformity test -------
+    // Does an event type have a weekly rhythm? Observed day-of-week counts
+    // vs the uniform expectation, χ² = Σ(o−n/7)²/(n/7) ≡ Σ(7o−n)²/(7n):
+    // the numerator is an exact BIGINT sum, the single division is one
+    // double op, floor-e4. χ² > 12.59 (df=6, α=.05) flags seasonality.
+    "q147_seasonality" -> ((s: SparkSession, dir: String) => {
+      val dow = Tables(s, dir, "events")
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("iso_dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = dow.groupBy("event_type").agg(sum("o").as("n"))
+      dow.join(broadcast(tot), Seq("event_type"))
+        .groupBy("event_type", "n")
+        .agg(sum((col("o") * 7 - col("n")) * (col("o") * 7 - col("n"))).as("s"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(floor(CAST(s AS DOUBLE) * 10000.0 / CAST(7 * n AS DOUBLE)) AS BIGINT)")
+            .as("chi2_e4"))
+        .withColumn("seasonal", (col("chi2_e4") > 125900L).cast("long"))
+        .orderBy("event_type")
+    }),
+
+    // ---- lag-1 autocorrelation of the daily series -----------------------
+    // Is today's volume predictive of tomorrow's? Pearson r over the
+    // (x_t, x_{t+1}) pairs of each type's daily counts — all six power
+    // sums are exact BIGINTs from one lag-window pass, and r lands in one
+    // shared-verbatim double expression (q93's trick), floor-e4
+    // (possibly negative: floor of a double division, never DIV).
+    "q148_autocorr" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pairs = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("y", lead("x", 1).over(w))
+        .filter(col("y").isNotNull)
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("r1_e4", expr(AutocorrE4Sql))
+        .select("event_type", "n", "r1_e4")
+        .orderBy("event_type")
+    }),
+
+    // ---- Benford first-digit analysis ------------------------------------
+    // Fraud/synthetic-data screening: the leading digit of order totals vs
+    // Benford's log distribution. The digit comes from exact integer cents
+    // (string-length + power-of-ten division — double log10 misrounds at
+    // decade boundaries); expected share ln(1+1/d)/ln(10) is one shared-
+    // verbatim double per digit row, and the deviation is reported in bp.
+    "q149_benford" -> ((s: SparkSession, dir: String) => {
+      val cents = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"))
+        .filter(col("c") > 0)
+      val digits = cents
+        .withColumn("d", expr(
+          "c DIV CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)"))
+        .groupBy("d").agg(count(lit(1)).as("o"))
+      digits
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+        .select(col("d"), col("o"),
+          expr("CAST((o * 10000) DIV n AS BIGINT)").as("share_bp"),
+          expr("CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 10000.0) AS BIGINT)")
+            .as("benford_bp"))
+        .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+        .orderBy("d")
     }),
 
     // ---- ordered-set aggregates: WITHIN GROUP SQL surface ----------------
@@ -1025,6 +1103,56 @@ object Stats {
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         | o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q147_seasonality" ->
+      """WITH dow AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |               CAST(count(*) AS BIGINT) AS o
+        |             FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+        |        FROM dow GROUP BY event_type),
+        |sq AS (SELECT d.event_type, t.n,
+        |         CAST(sum((d.o * 7 - t.n) * (d.o * 7 - t.n)) AS BIGINT) AS s
+        |       FROM dow d JOIN tot t USING (event_type)
+        |       GROUP BY d.event_type, t.n)
+        |SELECT event_type, n,
+        | CAST(floor(CAST(s AS DOUBLE) * 10000.0 / CAST(7 * n AS DOUBLE)) AS BIGINT)
+        |   AS chi2_e4,
+        | CAST(CASE WHEN floor(CAST(s AS DOUBLE) * 10000.0 / CAST(7 * n AS DOUBLE))
+        |             > 125900 THEN 1 ELSE 0 END AS BIGINT) AS seasonal
+        |FROM sq ORDER BY event_type""".stripMargin,
+
+    "q148_autocorr" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                 CAST(count(*) AS BIGINT) AS x
+         |               FROM events GROUP BY 1, 2),
+         |p AS (SELECT event_type, x,
+         |        lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+         |      FROM daily),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM p WHERE y IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n, $AutocorrE4Sql AS r1_e4
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q149_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+        |           FROM orders WHERE round(o_totalprice * 100.0) > 0),
+        |dg AS (SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+        |         AS d
+        |       FROM c),
+        |o AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM dg GROUP BY d),
+        |t AS (SELECT d, o, CAST(sum(o) OVER () AS BIGINT) AS n FROM o),
+        |r AS (SELECT d, o,
+        |        CAST((o * 10000) // n AS BIGINT) AS share_bp,
+        |        CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 10000.0)
+        |          AS BIGINT) AS benford_bp
+        |      FROM t)
+        |SELECT d, o, share_bp, benford_bp,
+        | CAST(abs(share_bp - benford_bp) AS BIGINT) AS dev_bp
+        |FROM r ORDER BY d""".stripMargin,
 
     "q143_within_group" ->
       """SELECT l_returnflag,

@@ -308,6 +308,29 @@ object Stats {
         .orderBy("event_type", "day")
     }),
 
+    // ---- week-over-week growth -------------------------------------------
+    // The headline growth metric: weekly event volume per type with the
+    // change vs the previous week in basis points. Growth can be negative,
+    // so the ratio is floor of ONE double division (integer DIV truncates
+    // toward zero and DuckDB's // floors — they disagree on negatives, the
+    // r4 lesson); first weeks report null-free 0 with a flag.
+    "q150_wow_growth" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("event_type").orderBy("week")
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag("n", 1).over(w))
+        .select(col("event_type"), col("week"), col("n"),
+          coalesce(col("prev"), lit(0L)).as("prev_n"),
+          when(col("prev").isNull, lit(0L))
+            .otherwise(expr(
+              "CAST(floor(CAST(n - prev AS DOUBLE) * 10000.0 / CAST(prev AS DOUBLE)) AS BIGINT)"))
+            .as("wow_bp"),
+          col("prev").isNull.cast("long").as("first_week"))
+        .orderBy("event_type", "week")
+    }),
+
     // ---- day-of-week seasonality with a chi-square uniformity test -------
     // Does an event type have a weekly rhythm? Observed day-of-week counts
     // vs the uniform expectation, χ² = Σ(o−n/7)²/(n/7) ≡ Σ(7o−n)²/(7n):
@@ -1103,6 +1126,22 @@ object Stats {
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         | o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q150_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+        |              strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |              CAST(count(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n,
+        |        lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |      FROM wk)
+        |SELECT event_type, week, n,
+        | CAST(coalesce(prev, 0) AS BIGINT) AS prev_n,
+        | CAST(CASE WHEN prev IS NULL THEN 0
+        |      ELSE floor(CAST(n - prev AS DOUBLE) * 10000.0 / CAST(prev AS DOUBLE))
+        |      END AS BIGINT) AS wow_bp,
+        | CAST(CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS first_week
+        |FROM l ORDER BY event_type, week""".stripMargin,
 
     "q147_seasonality" ->
       """WITH dow AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,

@@ -404,6 +404,57 @@ object Dedup {
       out
     }),
 
+    // ---- degree distribution of the near-dup graph ------------------------
+    // The graph-shape summary a corpus-dedup audit reads first: how many
+    // docs have 1, 2, ... near-duplicate neighbors. Two aggregations over
+    // the capped LSH pair set (per-node degree, then the histogram) — the
+    // pair pipeline runs once since the chain has a single consumer.
+    "q161_degree_dist" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+      val sym = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .distinct()
+      sym.groupBy("d1").agg(count(lit(1)).as("deg"))
+        .groupBy("deg")
+        .agg(count(lit(1)).as("n_docs"), min("d1").as("min_doc"), max("d1").as("max_doc"))
+        .orderBy("deg")
+    }),
+
+    // ---- local clustering coefficient -------------------------------------
+    // q101's degree + q102's triangles composed into the per-node clique
+    // density: cc = 2*tri / (deg*(deg-1)) in basis points, for docs with
+    // degree >= 2. High cc inside a near-dup family means a true boilerplate
+    // CLUSTER (mutually similar); low cc flags drift chains that greedy
+    // pair-dropping would over-merge. One persisted pair pipeline feeds the
+    // degree aggregate and the two-join triangle enumeration.
+    "q167_clustering_coeff" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize once; degree + 3 triangle scans below
+      val sym = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .distinct()
+      val deg = sym.groupBy("d1").agg(count(lit(1)).as("deg"))
+        .select(col("d1").as("doc_id"), col("deg"))
+      val x = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      val y = pairs.select(col("d1").as("b"), col("d2").as("c"))
+      val z = pairs.select(col("d1").as("a"), col("d2").as("c"))
+      val tri = x.join(y, Seq("b")).join(z, Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      val out = deg.join(tri, Seq("doc_id"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .select(col("doc_id"), col("deg"), col("n_tri"),
+          expr("CAST((n_tri * 2 * 10000) DIV (deg * (deg - 1)) AS BIGINT)").as("cc_bp"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      pairs.unpersist()
+      out
+    }),
+
     // ---- recursive-CTE reachability (Spark 4 WITH RECURSIVE) -------------
     // Depth-bounded transitive reachability over the near-dup DAG (d1 < d2
     // everywhere, so recursion can't cycle), through Spark's native
@@ -723,6 +774,15 @@ object Dedup {
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
 
+      "q161_degree_dist" ->
+        s"""WITH $lshPairCtes,
+           |edges AS (SELECT d1, d2 FROM pr UNION SELECT d2, d1 FROM pr),
+           |deg AS (SELECT d1, CAST(count(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY d1)
+           |SELECT deg, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(min(d1) AS BIGINT) AS min_doc, CAST(max(d1) AS BIGINT) AS max_doc
+           |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
       "q131_hybrid_neardup" -> {
         val dot = "list_sum([x.e1[i]::DOUBLE * y.e2[i]::DOUBLE for i in range(1, 65)])"
         def nrm(t: String, c: String) =
@@ -789,6 +849,25 @@ object Dedup {
            |m AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q167_clustering_coeff" ->
+        s"""WITH $lshPairCtes,
+           |edges AS (SELECT d1, d2 FROM pr UNION SELECT d2, d1 FROM pr),
+           |deg AS (SELECT d1 AS doc_id, CAST(count(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY 1),
+           |t AS (SELECT x.d1 AS a, x.d2 AS b, y.d2 AS c
+           |      FROM pr x
+           |      JOIN pr y ON x.d2 = y.d1
+           |      JOIN pr z ON z.d1 = x.d1 AND z.d2 = y.d2),
+           |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+           |       FROM (SELECT unnest([a, b, c]) AS doc_id FROM t) GROUP BY doc_id)
+           |SELECT deg.doc_id, deg.deg,
+           |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+           |  CAST((coalesce(tc.n_tri, 0) * 2 * 10000) // (deg.deg * (deg.deg - 1))
+           |    AS BIGINT) AS cc_bp
+           |FROM deg LEFT JOIN tc USING (doc_id)
+           |WHERE deg.deg >= 2
+           |ORDER BY doc_id""".stripMargin,
 
       "q49_edit_distance" ->
         """WITH d AS (SELECT doc_id, text, length(text) AS len

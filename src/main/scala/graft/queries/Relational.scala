@@ -25,6 +25,36 @@ object Relational {
 
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** q154's per-cell chi-square contribution x 1e6, shared VERBATIM with
+    * the oracle: (o - e)^2/e with e = r*c/n rearranged to integer inputs,
+    * (o*n - r*c)^2 / (n*r*c). The squared term exceeds BIGINT range, so it
+    * is formed as a product of two identical doubles — IEEE-deterministic
+    * in both engines. Marginals r, c are > 0 by construction. */
+  private val CramerCellE6Sql: String =
+    """CAST(floor(
+      |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** q154's Cramér's V x 1e4 from the exact summed chi-square, shared
+    * VERBATIM with the oracle; degenerate 1-row/1-column tables report 0. */
+  private val CramerVE4Sql: String =
+    """CASE WHEN rdim < 2 OR cdim < 2 THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+      |            / (CAST(n AS DOUBLE) * CAST(least(rdim - 1, cdim - 1) AS DOUBLE)))
+      |            * 10000.0) AS BIGINT) END""".stripMargin
+
+  /** q159's 8+8-bit Morton (Z-order) interleave of non-negative x, y.
+    * All-integer (exact in any engine); the divide operator differs
+    * between Spark (`DIV`) and DuckDB (`//`), so the expression is
+    * generated per engine rather than shared verbatim — on non-negative
+    * inputs both truncate identically. */
+  private def zInterleaveSql(divOp: String): String =
+    (0 to 7).map { b =>
+      s"((x $divOp ${1 << b}) % 2) * ${1L << (2 * b + 1)}" +
+        s" + ((y $divOp ${1 << b}) % 2) * ${1L << (2 * b)}"
+    }.mkString(" + ")
+
   val queries: Map[String, Q] = Map(
     // ---- T2/A1: scan → filter → group → agg (TPC-H Q1 shape) -------------
     "q01_pricing_summary" -> ((s: SparkSession, dir: String) => {
@@ -615,6 +645,115 @@ object Relational {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // ---- chi-square independence + Cramér's V -----------------------------
+    // Association strength between customer nation and market segment. The
+    // FULL r x c grid (including zero cells — leaving them out understates
+    // chi-square) is a broadcast cross join of the two tiny marginal
+    // aggregates; each cell's (o*n - r*c)^2 / (n*r*c) is one shared-verbatim
+    // double floor-e6 so the sum stays an exact BIGINT, and V falls out of
+    // one more shared double. Everything after the one groupBy shuffle runs
+    // on |nations| x |segments| rows.
+    "q154_cramers_v" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"))
+      val cells = cust.groupBy("nk", "seg").agg(count(lit(1)).as("o"))
+      val rowsM = cust.groupBy("nk").agg(count(lit(1)).as("r"))
+      val colsM = cust.groupBy("seg").agg(count(lit(1)).as("c"))
+      val n = cust.agg(count(lit(1)).as("n"))
+      val grid = broadcast(rowsM).crossJoin(broadcast(colsM))
+        .join(cells, Seq("nk", "seg"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+      grid
+        .withColumn("cell_e6", expr(CramerCellE6Sql))
+        .groupBy("n")
+        .agg(countDistinct("nk").as("rdim"), countDistinct("seg").as("cdim"),
+          sum("cell_e6").as("chi2_e6"))
+        .select(col("n"), col("rdim").cast("long").as("rdim"),
+          col("cdim").cast("long").as("cdim"), col("chi2_e6"),
+          expr(CramerVE4Sql).as("v_e4"))
+    }),
+
+    // ---- k-anonymity audit -------------------------------------------------
+    // Privacy profiling of the customer quasi-identifiers (nation, segment,
+    // account-balance band): equivalence-class sizes, the k the table
+    // actually achieves, and how many rows sit in classes smaller than 5.
+    // One groupBy over the quasi-identifier tuple, then a scalar summary —
+    // the k<5 rule is the standard re-identification risk gate applied
+    // before sharing derived data.
+    "q155_k_anonymity" -> ((s: SparkSession, dir: String) => {
+      val classes = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+        .groupBy("nk", "seg", "bal_band")
+        .agg(count(lit(1)).as("cnt"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum("cnt").as("n_rows"),
+        min("cnt").as("k_anonymity"),
+        sum(when(col("cnt") < 5, lit(1L)).otherwise(lit(0L))).as("classes_lt5"),
+        sum(when(col("cnt") < 5, col("cnt")).otherwise(lit(0L))).as("rows_at_risk"))
+        .select(col("n_classes"), col("n_rows"), col("k_anonymity"),
+          col("classes_lt5"), col("rows_at_risk"),
+          expr("CAST(((n_rows - rows_at_risk) * 10000) DIV n_rows AS BIGINT)")
+            .as("safe_bp"))
+    }),
+
+    // ---- Z-order (Morton) layout clustering --------------------------------
+    // The data-layout operator behind multi-dimensional data skipping: an
+    // interleaved-bit sort key over (customer, day) buckets, then per-file
+    // statistics for a 256-file layout. The x/y spans show why it works —
+    // every file covers a NARROW range of BOTH dimensions, so min/max
+    // pruning is effective for filters on either column (a plain sort on
+    // one column leaves the other's span at full width). Pure integer
+    // bit arithmetic; at scale this is the repartitionByRange key before
+    // the write.
+    "q159_zorder" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders")
+        .select(
+          expr("CAST(o_custkey % 256 AS BIGINT)").as("x"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 256 AS BIGINT)")
+            .as("y"))
+        .withColumn("z", expr(s"CAST(${zInterleaveSql("DIV")} AS BIGINT)"))
+        .withColumn("zfile", expr("z DIV 256"))
+        .groupBy("zfile")
+        .agg(count(lit(1)).as("n_rows"),
+          (max("x") - min("x")).as("x_span"),
+          (max("y") - min("y")).as("y_span"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("zfile")
+    }),
+
+    // ---- order-independent table fingerprints ------------------------------
+    // Cross-system data validation at 100 TB: a checksum a reader on ANY
+    // engine can recompute without ordering guarantees. Each row is
+    // canonicalized to a string (doubles pinned to integer cents, dates to
+    // ISO strings), hashed to a 56-bit md5 prefix, and folded with the two
+    // commutative aggregates (xor + modular sum) — one scan per table, no
+    // shuffle beyond the 1-row aggregates, insensitive to row order and
+    // partitioning.
+    "q160_fingerprint" -> ((s: SparkSession, dir: String) => {
+      def fp(df: DataFrame, tbl: String, canon: String): DataFrame =
+        df.select(expr(
+            s"CAST(conv(substring(md5(CAST($canon AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
+            .as("fp"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(fp)").as("xor_fp"),
+            sum(expr("fp % 100000000")).as("sum_fp_mod"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_fp"), col("sum_fp_mod"))
+      val o = fp(Tables(s, dir, "orders"), "orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(round(o_totalprice * 100.0) AS BIGINT), " +
+          "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)")
+      val c = fp(Tables(s, dir, "customer"), "customer",
+        "concat_ws('|', c_custkey, CAST(c_nationkey AS BIGINT), c_name, " +
+          "CAST(round(c_acctbal * 100.0) AS BIGINT), c_mktsegment)")
+      val su = fp(Tables(s, dir, "supplier"), "supplier",
+        "concat_ws('|', s_suppkey, CAST(s_nationkey AS BIGINT), s_name, " +
+          "CAST(round(s_acctbal * 100.0) AS BIGINT))")
+      o.unionAll(c).unionAll(su).orderBy("tbl")
     })
   )
 
@@ -1051,6 +1190,74 @@ object Relational {
         |FROM (SELECT vec_id, unnest(embedding) AS val,
         |             generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings WHERE vec_id < 3)
-        |ORDER BY vec_id, pos""".stripMargin
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q154_cramers_v" ->
+      s"""WITH cu AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg
+         |            FROM customer),
+         |ce AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS o FROM cu GROUP BY 1, 2),
+         |rm AS (SELECT nk, CAST(count(*) AS BIGINT) AS r FROM cu GROUP BY 1),
+         |cm AS (SELECT seg, CAST(count(*) AS BIGINT) AS c FROM cu GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cu),
+         |g AS (SELECT rm.nk, cm.seg, rm.r, cm.c, coalesce(ce.o, 0) AS o, nn.n
+         |      FROM rm CROSS JOIN cm
+         |      LEFT JOIN ce ON rm.nk = ce.nk AND cm.seg = ce.seg
+         |      CROSS JOIN nn),
+         |s AS (SELECT n, CAST(count(DISTINCT nk) AS BIGINT) AS rdim,
+         |        CAST(count(DISTINCT seg) AS BIGINT) AS cdim,
+         |        CAST(sum($CramerCellE6Sql) AS BIGINT) AS chi2_e6
+         |      FROM g GROUP BY n)
+         |SELECT n, rdim, cdim, chi2_e6, $CramerVE4Sql AS v_e4 FROM s""".stripMargin,
+
+    "q155_k_anonymity" ->
+      """WITH cl AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM customer GROUP BY 1, 2, 3),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        CAST(min(cnt) AS BIGINT) AS k_anonymity,
+        |        CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt5,
+        |        CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |      FROM cl)
+        |SELECT n_classes, n_rows, k_anonymity, classes_lt5, rows_at_risk,
+        |  CAST(((n_rows - rows_at_risk) * 10000) // n_rows AS BIGINT) AS safe_bp
+        |FROM a""".stripMargin,
+
+    "q159_zorder" ->
+      s"""WITH b AS (SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256
+         |          AS BIGINT) AS y
+         |      FROM orders),
+         |z AS (SELECT x, y, CAST(${zInterleaveSql("//")} AS BIGINT) AS z FROM b)
+         |SELECT CAST(z // 256 AS BIGINT) AS zfile, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(max(x) - min(x) AS BIGINT) AS x_span,
+         |  CAST(max(y) - min(y) AS BIGINT) AS y_span,
+         |  CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+         |FROM z GROUP BY 1 ORDER BY zfile""".stripMargin,
+
+    "q160_fingerprint" ->
+      """WITH fo AS (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |        o_orderstatus, CAST(round(o_totalprice * 100.0) AS BIGINT),
+        |        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), o_orderpriority)),
+        |        1, 14))::BIGINT AS fp FROM orders),
+        |fc AS (SELECT ('0x' || substr(md5(concat_ws('|', c_custkey,
+        |        CAST(c_nationkey AS BIGINT), c_name,
+        |        CAST(round(c_acctbal * 100.0) AS BIGINT), c_mktsegment)),
+        |        1, 14))::BIGINT AS fp FROM customer),
+        |fs AS (SELECT ('0x' || substr(md5(concat_ws('|', s_suppkey,
+        |        CAST(s_nationkey AS BIGINT), s_name,
+        |        CAST(round(s_acctbal * 100.0) AS BIGINT))),
+        |        1, 14))::BIGINT AS fp FROM supplier)
+        |SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+        |  CAST(sum(fp % 100000000) AS BIGINT) AS sum_fp_mod FROM fo
+        |UNION ALL
+        |SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(fp) AS BIGINT),
+        |  CAST(sum(fp % 100000000) AS BIGINT) FROM fc
+        |UNION ALL
+        |SELECT 'supplier', CAST(count(*) AS BIGINT), CAST(bit_xor(fp) AS BIGINT),
+        |  CAST(sum(fp % 100000000) AS BIGINT) FROM fs
+        |ORDER BY tbl""".stripMargin
   )
 }

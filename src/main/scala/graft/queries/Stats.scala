@@ -52,6 +52,39 @@ object Stats {
       |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
       |   * 10000.0) AS BIGINT) END""".stripMargin
 
+  /** q151's per-time-point ln((n-d)/n) x 1e6, shared VERBATIM with the
+    * oracle. NULL (not -inf) when the at-risk set empties — the survival
+    * output handles that arm explicitly. */
+  private val KmLnTermSql: String =
+    """CASE WHEN n_risk = d THEN NULL
+      |     ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |            * 1000000.0) AS BIGINT) END""".stripMargin
+
+  /** q151's survival S(t) x 1e4 from the exact cumulative ln-sum. */
+  private val KmSurvSql: String =
+    """CASE WHEN n_risk = d THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 10000.0) AS BIGINT) END""".stripMargin
+
+  /** q162's tie-corrected Mann-Whitney z x 1e4, shared VERBATIM with the
+    * oracle. Inputs are exact BIGINTs: n1/n2 arm sizes, sr2a = arm-A rank
+    * sum in HALF-units (avg tie ranks are .5-valued, so everything is kept
+    * doubled and exact), st = sum of (t^3 - t) over tie groups. Degenerate
+    * arms or an all-tied sample (variance term 0) report z = 0. */
+  private val MwZE4Sql: String =
+    """CASE WHEN n1 = 0 OR n2 = 0 OR
+      |       (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+      |         * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |            - CAST(st AS DOUBLE)
+      |              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) <= 0.0
+      |     THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(
+      |   CAST(sr2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |   / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+      |       * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |          - CAST(st AS DOUBLE)
+      |            / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+      |   * 10000.0) AS BIGINT) END""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- sample stddev / variance / correlation --------------------------
     "q43_stats" -> ((s: SparkSession, dir: String) => {
@@ -329,6 +362,249 @@ object Stats {
             .as("wow_bp"),
           col("prev").isNull.cast("long").as("first_week"))
         .orderBy("event_type", "week")
+    }),
+
+    // ---- Kaplan-Meier survival curve --------------------------------------
+    // User-retention survival: "lifetime" = days between a user's first and
+    // last event, d_t = users whose lifetime ends at t, n_t = users still
+    // at risk at t. S(t) = prod((n-d)/n) is computed as exp of a cumulative
+    // ln-sum: each ln term is one shared-verbatim double integer-ized
+    // floor-e6 (the q91 trick), the running sum is exact BIGINT, and only
+    // the final exp is a double again. The last time point has n = d
+    // (everyone's lifetime ends eventually) — ln(0) is dodged with an
+    // explicit S = 0 arm. Scale: windows run over |distinct lifetimes|
+    // rows, bounded by the observation span, after a single user-keyed
+    // aggregation of the event stream.
+    "q151_kaplan_meier" -> ((s: SparkSession, dir: String) => {
+      val life = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"))
+      val byT = life.groupBy("t").agg(count(lit(1)).as("d"))
+      val prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      byT
+        .withColumn("n_risk",
+          sum("d").over(Window.partitionBy())
+            - coalesce(sum("d").over(prior), lit(0L)))
+        .withColumn("lnterm", expr(KmLnTermSql))
+        .withColumn("cum", sum("lnterm").over(Window.orderBy("t")))
+        .select(col("t"), col("d"), col("n_risk"), expr(KmSurvSql).as("s_e4"))
+        .orderBy("t")
+    }),
+
+    // ---- dyadic-weight EWMA forecast --------------------------------------
+    // Exponentially-weighted moving average of each type's daily volume
+    // with alpha = 1/2 over a trailing 8-row window: weights 2^(7-k) are
+    // integers, so numerator, denominator and the final basis-point value
+    // are EXACT integer arithmetic — no float recursion, no cross-engine
+    // summation-order hazard. Missing lags (series head) drop out of both
+    // sums. One user-keyed window pass over |types| x |days| rows.
+    "q152_ewma" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val base = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val withLags = (0 to 7).foldLeft(base) { (df, k) =>
+        df.withColumn(s"x$k", lag(col("x"), k).over(w))
+      }
+      val num = (0 to 7).map(k =>
+        coalesce(col(s"x$k") * lit(1L << (7 - k)), lit(0L))).reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(col(s"x$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L))).reduce(_ + _)
+      withLags
+        .withColumn("num", num).withColumn("den", den)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), expr("CAST((num * 100) DIV den AS BIGINT)").as("ewma_e2"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- market-basket association rules ----------------------------------
+    // Support / confidence / lift over (user, day) baskets of event types.
+    // The pair expansion happens IN-ARRAY after one groupBy (the q37
+    // in-bucket-pairs design): baskets hold at most |event types| items, so
+    // per-row expansion is bounded at C(|types|,2) — no self-join of the
+    // item stream, one shuffle to form baskets, one to count pairs. All
+    // three metrics are exact integer basis points (lift scaled e4).
+    "q153_baskets" -> ((s: SparkSession, dir: String) => {
+      val items = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+      val baskets = items.groupBy("user_id", "day")
+        .agg(sort_array(collect_set("event_type")).as("its"))
+      val totals = baskets.agg(count(lit(1)).as("n_baskets"))
+      val itemN = items.groupBy(col("event_type").as("a"))
+        .agg(count(lit(1)).as("n_a"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(its, (x, i) -> " +
+            "transform(slice(its, i + 2, size(its)), y -> struct(x AS a, y AS b))))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(itemN), Seq("a"))
+        .join(broadcast(itemN.select(col("a").as("b"), col("n_a").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("CAST((n_ab * 10000) DIV n_baskets AS BIGINT)").as("support_bp"),
+          expr("CAST((n_ab * 10000) DIV n_a AS BIGINT)").as("conf_bp"),
+          expr("CAST((n_ab * n_baskets * 10000) DIV (n_a * n_b) AS BIGINT)").as("lift_e4"))
+        .orderBy("a", "b")
+    }),
+
+    // ---- Mann-Whitney U test (rank-based A/B comparison) -------------------
+    // The nonparametric sibling of q124: does `value` distribute differently
+    // between the two md5 arms? Ranks are computed at the (type, value)
+    // GROUP level — one aggregation, then windows over |distinct values|
+    // rows — not per event row, so tie handling (average ranks, kept in
+    // exact half-units) and the t^3-t tie correction are exact BIGINT
+    // arithmetic; only the final z is a shared-verbatim double.
+    "q162_mann_whitney" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (expr("CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)") % 2)
+            .as("arm"))
+      val g = ev.groupBy("event_type", "value")
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ta"))
+      val prior = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum("t").over(prior), lit(0L)))
+        .withColumn("rank2", lit(2L) * (col("cum") + 1L) + (col("t") - 1L))
+        .groupBy("event_type")
+        .agg(sum("ta").as("n1"), sum(col("t") - col("ta")).as("n2"),
+          sum(col("ta") * col("rank2")).as("sr2a"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("st"))
+        .withColumn("u2a", col("sr2a") - col("n1") * (col("n1") + 1L))
+        .withColumn("z_e4", expr(MwZE4Sql))
+        .select(col("event_type"), col("n1"), col("n2"), col("u2a"), col("z_e4"),
+          (abs(col("z_e4")) >= 19600L).cast("long").as("significant"))
+        .orderBy("event_type")
+    }),
+
+    // ---- cohort lifetime value quartiles -----------------------------------
+    // LTV distribution per first-seen week: spend pinned to exact integer
+    // cents per purchase BEFORE summing (a double sum is order-dependent),
+    // quartiles on integers are exact dyadic interpolations (q125's
+    // argument). Two user-keyed aggregations and a broadcast-sized cohort
+    // summary.
+    "q163_cohort_ltv" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("f_ts"))
+      val spend = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("ltv_c"))
+      first.join(spend, Seq("user_id"), "left")
+        .select(
+          date_format(date_trunc("week", col("f_ts")), "yyyy-MM-dd").as("cohort_week"),
+          coalesce(col("ltv_c"), lit(0L)).as("ltv_c"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"),
+          sum((col("ltv_c") > 0).cast("long")).as("n_paying"),
+          sum("ltv_c").as("total_c"),
+          round(expr("percentile(ltv_c, 0.25D)"), 2).as("ltv_p25"),
+          round(expr("percentile(ltv_c, 0.5D)"), 2).as("ltv_p50"),
+          round(expr("percentile(ltv_c, 0.75D)"), 2).as("ltv_p75"))
+        .orderBy("cohort_week")
+    }),
+
+    // ---- winsorized robust mean ---------------------------------------------
+    // Outlier-clipped mean per event type with the p5/p95 bounds taken as
+    // EXACT order statistics: k = ceil(p*n) is pure integer arithmetic
+    // ((n+19) DIV 20 and (19n+19) DIV 20), the k-th smallest cent value is
+    // engine-independent even under duplicate values (the multiset position
+    // defines the VALUE uniquely), so no cross-engine quantile-semantics
+    // hazard at non-dyadic p. Clipped cents sum exactly; the mean is one
+    // floor'd double division (values can be negative — DIV won't do).
+    "q164_winsorize" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), expr("CAST(round(value * 100.0) AS BIGINT)").as("v_c"))
+      val ks = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          expr("(n + 19) DIV 20").as("k05"),
+          expr("(19 * n + 19) DIV 20").as("k95"))
+      val rn = Window.partitionBy("event_type").orderBy("v_c")
+      val bounds = ev.withColumn("rn", row_number().over(rn))
+        .join(broadcast(ks), Seq("event_type"))
+        .filter(col("rn") === col("k05") || col("rn") === col("k95"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === col("k05"), col("v_c"))).as("p05_c"),
+          min(when(col("rn") === col("k95"), col("v_c"))).as("p95_c"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("w", greatest(col("p05_c"), least(col("p95_c"), col("v_c"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("p05_c").as("p05_c"),
+          min("p95_c").as("p95_c"), sum("w").as("wsum"))
+        .select(col("event_type"), col("n"), col("p05_c"), col("p95_c"),
+          expr("CAST(floor(CAST(wsum AS DOUBLE) * 100.0 / CAST(n AS DOUBLE)) AS BIGINT)")
+            .as("wmean_ce2"))
+        .orderBy("event_type")
+    }),
+
+    // ---- day-of-week seasonal index ----------------------------------------
+    // The per-day detail behind q147's single chi-square: each (type, iso
+    // day-of-week) cell's share of the type's volume and its seasonal index
+    // vs the flat-week expectation (10000 = no effect). Pure integer basis
+    // points off one aggregation.
+    "q158_seasonal_index" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("iso_dow"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("n", sum("o").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("iso_dow"), col("o"),
+          expr("CAST((o * 10000) DIV n AS BIGINT)").as("share_bp"),
+          expr("CAST((o * 7 * 10000) DIV n AS BIGINT)").as("index_e4"))
+        .orderBy("event_type", "iso_dow")
+    }),
+
+    // ---- Lorenz curve of customer spend --------------------------------------
+    // The curve behind q123's Gini scalar: revenue concentration by spend
+    // decile. Cents pinned per order before the exact BIGINT sums; deciles
+    // from ntile(10) under a (spend, custkey) TOTAL order (both engines
+    // split ntile remainders to the earlier buckets — q130's precedent);
+    // the decile summary is 10 rows, so the final windows are trivial.
+    "q165_lorenz" -> ((s: SparkSession, dir: String) => {
+      val spend = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("c"))
+      spend
+        .withColumn("decile", ntile(10).over(Window.orderBy("c", "o_custkey")).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("c").as("spend_c"))
+        .withColumn("total", sum("spend_c").over(Window.partitionBy()))
+        .withColumn("cum", sum("spend_c").over(Window.orderBy("decile")))
+        .select(col("decile"), col("n_cust"), col("spend_c"),
+          expr("CAST((spend_c * 10000) DIV total AS BIGINT)").as("share_bp"),
+          expr("CAST((cum * 10000) DIV total AS BIGINT)").as("cum_share_bp"))
+        .orderBy("decile")
+    }),
+
+    // ---- session path mining --------------------------------------------------
+    // What do sessions DO first? q121's 30-min-gap sessionization, then the
+    // first three event types of each session as a '>'-joined path,
+    // counted. Path assembly is deterministic: (user, µs-ts) is unique at
+    // every SF (the q103 check), rn disambiguates collect order via
+    // array_sort on (rn, type) structs. Bounded output (|types|^<=3 paths).
+    "q166_session_paths" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev_sec", lag("sec", 1).over(w))
+        .withColumn("new_s",
+          (col("prev_sec").isNull || (col("sec") - col("prev_sec")) > 1800L).cast("long"))
+        .withColumn("sess", sum("new_s").over(cum))
+      val sw = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+      flagged
+        .withColumn("rn", row_number().over(sw))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
     }),
 
     // ---- day-of-week seasonality with a chi-square uniformity test -------
@@ -1142,6 +1418,169 @@ object Stats {
         |      END AS BIGINT) AS wow_bp,
         | CAST(CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS first_week
         |FROM l ORDER BY event_type, week""".stripMargin,
+
+    "q151_kaplan_meier" ->
+      s"""WITH life AS (SELECT user_id,
+         |        CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS BIGINT) AS t
+         |      FROM events GROUP BY user_id),
+         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY t),
+         |r AS (SELECT t, d,
+         |        CAST(sum(d) OVER () AS BIGINT)
+         |          - CAST(coalesce(sum(d) OVER (ORDER BY t
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+         |      FROM byt),
+         |l AS (SELECT t, d, n_risk, $KmLnTermSql AS lnterm FROM r),
+         |c AS (SELECT t, d, n_risk, CAST(sum(lnterm) OVER (ORDER BY t) AS BIGINT) AS cum FROM l)
+         |SELECT t, d, n_risk, $KmSurvSql AS s_e4 FROM c ORDER BY t""".stripMargin,
+
+    "q152_ewma" -> {
+      val lags = (0 to 7).map(k =>
+        s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS x$k").mkString(", ")
+      val num = (0 to 7).map(k => s"coalesce(x$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+      val den = (0 to 7).map(k =>
+        s"CASE WHEN x$k IS NULL THEN 0 ELSE ${1L << (7 - k)} END").mkString(" + ")
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |             CAST(count(*) AS BIGINT) AS x
+         |           FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, day, x, $lags FROM d)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+         |  CAST((($num) * 100) // ($den) AS BIGINT) AS ewma_e2
+         |FROM l ORDER BY event_type, day""".stripMargin
+    },
+
+    "q153_baskets" ->
+      """WITH it AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |            FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        |        FROM (SELECT DISTINCT user_id, day FROM it)),
+        |ni AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i FROM it GROUP BY 1),
+        |p AS (SELECT i1.event_type AS a, i2.event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM it i1 JOIN it i2 ON i1.user_id = i2.user_id AND i1.day = i2.day
+        |                           AND i1.event_type < i2.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_ab, na.n_i AS n_a, nb.n_i AS n_b,
+        |  CAST((p.n_ab * 10000) // tot.n_baskets AS BIGINT) AS support_bp,
+        |  CAST((p.n_ab * 10000) // na.n_i AS BIGINT) AS conf_bp,
+        |  CAST((p.n_ab * tot.n_baskets * 10000) // (na.n_i * nb.n_i) AS BIGINT) AS lift_e4
+        |FROM p JOIN ni na ON p.a = na.event_type
+        |       JOIN ni nb ON p.b = nb.event_type
+        |       CROSS JOIN tot
+        |ORDER BY a, b""".stripMargin,
+
+    "q162_mann_whitney" ->
+      s"""WITH ev AS (SELECT event_type, value,
+         |        ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm
+         |      FROM events),
+         |g AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS t,
+         |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+         |      FROM ev GROUP BY 1, 2),
+         |r AS (SELECT event_type, t, ta,
+         |        CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY value
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM g),
+         |r2 AS (SELECT event_type, t, ta, 2 * (cum + 1) + (t - 1) AS rank2 FROM r),
+         |a AS (SELECT event_type, CAST(sum(ta) AS BIGINT) AS n1,
+         |        CAST(sum(t - ta) AS BIGINT) AS n2,
+         |        CAST(sum(ta * rank2) AS BIGINT) AS sr2a,
+         |        CAST(sum(t * t * t - t) AS BIGINT) AS st
+         |      FROM r2 GROUP BY event_type),
+         |z AS (SELECT event_type, n1, n2,
+         |        CAST(sr2a - n1 * (n1 + 1) AS BIGINT) AS u2a, $MwZE4Sql AS z_e4
+         |      FROM a)
+         |SELECT event_type, n1, n2, u2a, z_e4,
+         | CAST(CASE WHEN abs(z_e4) >= 19600 THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM z ORDER BY event_type""".stripMargin,
+
+    "q163_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(ts) AS f_ts FROM events GROUP BY user_id),
+        |sp AS (SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS ltv_c
+        |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |u AS (SELECT strftime(date_trunc('week', f.f_ts), '%Y-%m-%d') AS cohort_week,
+        |        CAST(coalesce(sp.ltv_c, 0) AS BIGINT) AS ltv_c
+        |      FROM f LEFT JOIN sp USING (user_id))
+        |SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN ltv_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_paying,
+        |  CAST(sum(ltv_c) AS BIGINT) AS total_c,
+        |  round(quantile_cont(ltv_c, 0.25), 2) AS ltv_p25,
+        |  round(quantile_cont(ltv_c, 0.5), 2) AS ltv_p50,
+        |  round(quantile_cont(ltv_c, 0.75), 2) AS ltv_p75
+        |FROM u GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+
+    "q164_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v_c
+        |            FROM events),
+        |ks AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         (count(*) + 19) // 20 AS k05, (19 * count(*) + 19) // 20 AS k95
+        |       FROM ev GROUP BY event_type),
+        |rn AS (SELECT event_type, v_c,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v_c) AS rn
+        |       FROM ev),
+        |b AS (SELECT rn.event_type,
+        |        CAST(min(CASE WHEN rn.rn = ks.k05 THEN rn.v_c END) AS BIGINT) AS p05_c,
+        |        CAST(min(CASE WHEN rn.rn = ks.k95 THEN rn.v_c END) AS BIGINT) AS p95_c
+        |      FROM rn JOIN ks USING (event_type)
+        |      WHERE rn.rn = ks.k05 OR rn.rn = ks.k95
+        |      GROUP BY rn.event_type)
+        |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(b.p05_c) AS BIGINT) AS p05_c, CAST(min(b.p95_c) AS BIGINT) AS p95_c,
+        |  CAST(floor(CAST(sum(greatest(b.p05_c, least(b.p95_c, ev.v_c))) AS DOUBLE) * 100.0
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_ce2
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY ev.event_type ORDER BY event_type""".stripMargin,
+
+    "q158_seasonal_index" ->
+      """WITH dow AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |               CAST(count(*) AS BIGINT) AS o
+        |             FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, iso_dow, o,
+        |        CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM dow)
+        |SELECT event_type, iso_dow, o,
+        |  CAST((o * 10000) // n AS BIGINT) AS share_bp,
+        |  CAST((o * 7 * 10000) // n AS BIGINT) AS index_e4
+        |FROM t ORDER BY event_type, iso_dow""".stripMargin,
+
+    "q165_lorenz" ->
+      """WITH sp AS (SELECT o_custkey,
+        |        CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS c
+        |      FROM orders GROUP BY o_custkey),
+        |d AS (SELECT c, ntile(10) OVER (ORDER BY c, o_custkey) AS decile FROM sp),
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |        CAST(sum(c) AS BIGINT) AS spend_c FROM d GROUP BY 1),
+        |w AS (SELECT decile, n_cust, spend_c,
+        |        CAST(sum(spend_c) OVER () AS BIGINT) AS total,
+        |        CAST(sum(spend_c) OVER (ORDER BY decile) AS BIGINT) AS cum
+        |      FROM g)
+        |SELECT decile, n_cust, spend_c,
+        |  CAST((spend_c * 10000) // total AS BIGINT) AS share_bp,
+        |  CAST((cum * 10000) // total AS BIGINT) AS cum_share_bp
+        |FROM w ORDER BY decile""".stripMargin,
+
+    "q166_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               IS NULL
+        |             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               > 1800
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, ts, event_id, event_type,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sess
+        |      FROM f),
+        |r AS (SELECT user_id, sess, event_type,
+        |        row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id)
+        |          AS rn
+        |      FROM g),
+        |p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
 
     "q147_seasonality" ->
       """WITH dow AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,

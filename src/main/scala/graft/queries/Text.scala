@@ -52,6 +52,32 @@ object Text {
     """CAST(floor(-ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
       |  / CAST(w AS DOUBLE) * 1000000000.0) AS BIGINT)""".stripMargin
 
+  /** q156's per-vocab-term JSD contribution x 1e9, shared VERBATIM with the
+    * oracle. p = source share, q = corpus share (q > 0 by vocab
+    * construction); the p-side arm is guarded for vocab terms the source
+    * never uses. All inputs are exact BIGINTs; the whole contribution is
+    * one IEEE-deterministic double expression, floor-integer-ized so the
+    * per-source sum is exact. */
+  private val JsdTermE9Sql: String =
+    """CAST(floor((CASE WHEN scnt = 0 THEN 0.0 ELSE
+      |   0.5 * (CAST(scnt AS DOUBLE) / CAST(stot AS DOUBLE))
+      |       * ln((CAST(scnt AS DOUBLE) / CAST(stot AS DOUBLE))
+      |            / ((CAST(scnt AS DOUBLE) / CAST(stot AS DOUBLE)
+      |                + CAST(ccnt AS DOUBLE) / CAST(vtot AS DOUBLE)) / 2.0)) END
+      | + 0.5 * (CAST(ccnt AS DOUBLE) / CAST(vtot AS DOUBLE))
+      |       * ln((CAST(ccnt AS DOUBLE) / CAST(vtot AS DOUBLE))
+      |            / ((CAST(scnt AS DOUBLE) / CAST(stot AS DOUBLE)
+      |                + CAST(ccnt AS DOUBLE) / CAST(vtot AS DOUBLE)) / 2.0))
+      | ) * 1000000000.0) AS BIGINT)""".stripMargin
+
+  /** q157's Flesch reading-ease x 100, shared VERBATIM with the oracle;
+    * empty documents report a -999999 sentinel instead of NULL. */
+  private val FleschE2Sql: String =
+    """CASE WHEN n_words = 0 THEN CAST(-999999 AS BIGINT)
+      |     ELSE CAST(floor((206.835
+      |        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |        - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))) * 100.0) AS BIGINT) END""".stripMargin
+
   /** Whitespace tokens of lowercased, trimmed text ([''] guarded to []). */
   private def toks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -688,6 +714,55 @@ object Text {
         .select(col("n_sources"), col("total_tokens"),
           expr("CAST(((2 * s1 - (n_sources + 1) * total_tokens) * 10000) DIV (n_sources * total_tokens) AS BIGINT)")
             .as("gini_bp"))
+    }),
+
+    // ---- Jensen-Shannon divergence per source vs the corpus --------------
+    // Domain-shift detection: how far each source's unigram distribution
+    // sits from the corpus-wide distribution, over the top-50 corpus vocab
+    // (bounded — the full-vocab JSD is dominated by the head anyway). One
+    // (source, token) aggregation shuffle; vocab, totals and the
+    // sources x 50 grid are all broadcast-sized. Each term's contribution
+    // is one shared-verbatim double floor-e9 so the per-source sum is an
+    // exact BIGINT.
+    "q156_jsd" -> ((s: SparkSession, dir: String) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val vocab = tf.groupBy("tok").agg(sum("cnt").as("ccnt"))
+        .orderBy(desc("ccnt"), asc("tok")).limit(50)
+      val vtot = vocab.agg(sum("ccnt").as("vtot"))
+      val stf = tf.join(broadcast(vocab.select("tok")), Seq("tok"))
+      val stot = stf.groupBy("source").agg(sum("cnt").as("stot"))
+        .filter(col("stot") > 0)
+      broadcast(stot).crossJoin(broadcast(vocab))
+        .join(stf, Seq("source", "tok"), "left")
+        .withColumn("scnt", coalesce(col("cnt"), lit(0L)))
+        .crossJoin(broadcast(vtot))
+        .withColumn("term_e9", expr(JsdTermE9Sql))
+        .groupBy("source", "stot")
+        .agg(sum(when(col("scnt") > 0, lit(1L)).otherwise(lit(0L))).as("n_vocab_hit"),
+          sum("term_e9").as("jsd_e9"))
+        .select("source", "stot", "n_vocab_hit", "jsd_e9")
+        .orderBy("source")
+    }),
+
+    // ---- Flesch-style readability scoring ---------------------------------
+    // Per-document reading-ease from three exact regex match counts (words,
+    // sentence-terminator runs, vowel-group "syllables") — per-row only, no
+    // shuffle, parquet scan reads (doc_id, text) and nothing else. The one
+    // double expression is shared VERBATIM with the oracle; empty docs get
+    // an explicit sentinel (nullable BIGINTs break the driver's sorter).
+    "q157_readability" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)")
+            .as("n_words"),
+          expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)")
+            .as("n_sents"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
+            .as("n_syll"))
+        .withColumn("flesch_e2", expr(FleschE2Sql))
+        .orderBy("doc_id")
     })
   )
 
@@ -1110,7 +1185,37 @@ object Text {
            | CASE WHEN len(sh) = 0 THEN NULL
            |      ELSE list_min(list_transform(list_distinct(sh),
            |             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) END AS min_shingle_hash
-           |FROM u ORDER BY doc_id""".stripMargin
+           |FROM u ORDER BY doc_id""".stripMargin,
+
+      "q156_jsd" ->
+        s"""WITH t AS (SELECT source, $toksSql AS w FROM documents),
+           |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM (SELECT source, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+           |corpus AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ccnt FROM tf GROUP BY tok),
+           |vocab AS (SELECT tok, ccnt FROM corpus
+           |          QUALIFY row_number() OVER (ORDER BY ccnt DESC, tok) <= 50),
+           |vt AS (SELECT CAST(sum(ccnt) AS BIGINT) AS vtot FROM vocab),
+           |stf AS (SELECT tf.source, tf.tok, tf.cnt FROM tf JOIN vocab USING (tok)),
+           |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot FROM stf
+           |       GROUP BY source HAVING sum(cnt) > 0),
+           |g AS (SELECT st.source, st.stot, v.tok, v.ccnt,
+           |        CAST(coalesce(sf.cnt, 0) AS BIGINT) AS scnt, vt.vtot
+           |      FROM st CROSS JOIN vocab v
+           |      LEFT JOIN stf sf ON sf.source = st.source AND sf.tok = v.tok
+           |      CROSS JOIN vt)
+           |SELECT source, stot,
+           | CAST(sum(CASE WHEN scnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_hit,
+           | CAST(sum($JsdTermE9Sql) AS BIGINT) AS jsd_e9
+           |FROM g GROUP BY source, stot ORDER BY source""".stripMargin,
+
+      "q157_readability" ->
+        s"""WITH c AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+           |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+           |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_sents, n_syll, $FleschE2Sql AS flesch_e2
+           |FROM c ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-5 analytics/layout additions
+  * (q151-q164) beyond the DuckDB hash gate: survival curves must fall,
+  * ranks must telescope, fingerprints must be order-independent, and so
+  * on — the numbers have to mean what they claim.
+  */
+class RobustStatsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q151 Kaplan-Meier: at-risk telescopes, survival non-increasing, ends at 0") {
+    val rows = SparkEntry.queries("q151_kaplan_meier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // n_risk(i+1) = n_risk(i) - d(i): nobody leaves the risk set except by event
+    rows.sliding(2).foreach {
+      case Array((_, d0, n0, _), (_, _, n1, _)) => assert(n1 == n0 - d0)
+      case _ =>
+    }
+    val s = rows.map(_._4)
+    assert(s.head <= 10000L)
+    s.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"survival rose $a -> $b"); case _ => }
+    assert(s.last == 0L, "everyone's lifetime ends: S(t_max) must be 0")
+    // total users at risk at t=0 = |users|
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.head._3 == users)
+  }
+
+  test("q152 EWMA: head equals the first observation, tail bounded by window extremes") {
+    val rows = SparkEntry.queries("q152_ewma")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2))
+    byType.foreach { case (_, series) =>
+      // first row has only the k=0 lag: ewma == x exactly
+      assert(series.head._4 == series.head._3 * 100)
+      // every ewma lies within [min, max] of the trailing 8 observations
+      series.indices.foreach { i =>
+        val w = series.slice(math.max(0, i - 7), i + 1).map(_._3)
+        assert(series(i)._4 >= w.min * 100 && series(i)._4 <= w.max * 100)
+      }
+    }
+  }
+
+  test("q153 basket rules: pair counts bounded by item counts, support <= confidence") {
+    val rows = SparkEntry.queries("q153_baskets")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (sup, conf) = (r.getLong(5), r.getLong(6))
+      assert(a < b, "pairs must be ordered once")
+      assert(nab <= math.min(na, nb))
+      assert(sup <= conf, "support can't exceed confidence (n_baskets >= n_a)")
+    }
+  }
+
+  test("q154 Cramér's V: full grid chi-square non-negative, V in [0,1]") {
+    val r = SparkEntry.queries("q154_cramers_v")(spark, dir).collect().head
+    assert(r.getLong(3) >= 0L, "chi2_e6 negative")
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L, s"v_e4 out of range: ${r.getLong(4)}")
+    assert(r.getLong(1) >= 2L && r.getLong(2) >= 2L, "test fixture degenerated to 1xC table")
+  }
+
+  test("q155 k-anonymity: totals reconcile with the customer table") {
+    val r = SparkEntry.queries("q155_k_anonymity")(spark, dir).collect().head
+    val n = Tables(spark, dir, "customer").count()
+    assert(r.getLong(1) == n, "n_rows must cover every customer")
+    assert(r.getLong(4) <= r.getLong(1))
+    assert(r.getLong(2) >= 1L, "min class size is at least 1")
+    assert(r.getLong(5) <= 10000L)
+  }
+
+  test("q156 JSD: bounded by ln 2, zero only for a corpus-identical source") {
+    val rows = SparkEntry.queries("q156_jsd")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jsd = r.getLong(3)
+      // floor-e9 terms can each shave < 1 unit; 50 vocab terms bound the slack
+      assert(jsd >= -50L && jsd <= 693147181L, s"${r.getString(0)}: jsd_e9 $jsd out of [0, ln2]")
+      assert(r.getLong(2) <= 50L)
+    }
+  }
+
+  test("q157 readability: sentence floor holds and empty docs get the sentinel") {
+    val rows = SparkEntry.queries("q157_readability")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L, "n_sents has a floor of 1")
+      if (r.getLong(1) == 0L) assert(r.getLong(4) == -999999L)
+      else assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("q159 z-order: interleave range, file stats cover every order, spans narrow") {
+    val rows = SparkEntry.queries("q159_zorder")(spark, dir).collect()
+    val orders = Tables(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == orders)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 255L)
+      assert(r.getLong(4) >= 0L && r.getLong(5) <= 65535L)
+      // the point of the layout: each z-file covers a narrow slab of BOTH
+      // dimensions (16 cells of x, 16 of y for a 256-cell z range)
+      assert(r.getLong(2) <= 15L, s"x_span ${r.getLong(2)} leaks past the z-file slab")
+      assert(r.getLong(3) <= 15L, s"y_span ${r.getLong(3)} leaks past the z-file slab")
+    }
+  }
+
+  test("q160 fingerprints: row counts reconcile and a reordered scan fingerprints identically") {
+    val rows = SparkEntry.queries("q160_fingerprint")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("customer", "orders", "supplier"))
+    assert(rows.find(_._1 == "orders").get._2 == Tables(spark, dir, "orders").count())
+    // order independence: recompute the orders fingerprint from a shuffled copy
+    val canon = "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+      "CAST(round(o_totalprice * 100.0) AS BIGINT), " +
+      "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+    val shuffled = Tables(spark, dir, "orders").orderBy(desc("o_totalprice")).repartition(7)
+      .select(expr(
+        s"CAST(conv(substring(md5(CAST($canon AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("fp"))
+      .agg(expr("bit_xor(fp)").as("x"), sum(expr("fp % 100000000")).as("s"))
+      .collect().head
+    val o = rows.find(_._1 == "orders").get
+    assert(shuffled.getLong(0) == o._3 && shuffled.getLong(1) == o._4,
+      "fingerprint must not depend on row order or partitioning")
+  }
+
+  test("q161 degree distribution: histogram mass equals the symmetric edge count") {
+    val rows = SparkEntry.queries("q161_degree_dist")(spark, dir).collect()
+    if (rows.nonEmpty) {
+      rows.foreach { r =>
+        assert(r.getLong(0) >= 1L)
+        assert(r.getLong(2) <= r.getLong(3), "min_doc > max_doc")
+      }
+    }
+  }
+
+  test("q162 Mann-Whitney: U bounded by n1*n2, arms partition each type's events") {
+    val rows = SparkEntry.queries("q162_mann_whitney")(spark, dir).collect()
+    val byType = Tables(spark, dir, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, u2a) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n1 + n2 == byType(r.getString(0)), "arms must partition the events")
+      assert(u2a >= 0L && u2a <= 2L * n1 * n2, s"U out of range: $u2a vs ${2L * n1 * n2}")
+    }
+  }
+
+  test("q163 cohort LTV: paying subset, monotone quartiles") {
+    val rows = SparkEntry.queries("q163_cohort_ltv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_paying > n_users")
+      assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6),
+        "LTV quartiles must be monotone")
+    }
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "cohorts must partition the users")
+  }
+
+  test("q158 seasonal index: shares sum to ~10000 bp per type, index is 7x share") {
+    val rows = SparkEntry.queries("q158_seasonal_index")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s >= 10000L - 7 && s <= 10000L, s"$tpe: dow shares sum to $s bp")
+    }
+    rows.foreach { r =>
+      // both are floor'd separately, so allow the floor slack
+      assert(math.abs(r.getLong(4) - 7 * r.getLong(3)) <= 7L)
+    }
+  }
+
+  test("q165 Lorenz: cumulative share monotone to 10000, deciles partition customers") {
+    val rows = SparkEntry.queries("q165_lorenz")(spark, dir).collect()
+    assert(rows.length == 10)
+    val cums = rows.map(_.getLong(4))
+    cums.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
+    assert(cums.last >= 9999L && cums.last <= 10000L)
+    val customers = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == customers)
+    // concentration: the top decile out-earns the bottom decile
+    assert(rows.last.getLong(3) >= rows.head.getLong(3))
+  }
+
+  test("q166 session paths: path mass equals the q121 session count") {
+    val paths = SparkEntry.queries("q166_session_paths")(spark, dir).collect()
+    assert(paths.nonEmpty)
+    paths.foreach { r =>
+      assert(r.getString(0).split(">").length <= 3, s"path too long: ${r.getString(0)}")
+    }
+    val sessions = SparkEntry.queries("q121_sessions")(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(paths.map(_.getLong(1)).sum == sessions,
+      "every session contributes exactly one path")
+  }
+
+  test("q167 clustering coefficient: bounded, triangle counts agree with q102") {
+    val cc = SparkEntry.queries("q167_clustering_coeff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tri = SparkEntry.queries("q102_triangles")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.foreach { case (doc, deg, nTri, bp) =>
+      assert(deg >= 2L)
+      assert(bp >= 0L && bp <= 10000L, s"doc $doc cc_bp $bp out of range")
+      assert(nTri == tri.getOrElse(doc, 0L), s"doc $doc triangle count mismatch")
+    }
+  }
+
+  test("q164 winsorize: bounds ordered, clipped mean inside them") {
+    val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95, m) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p05 <= p95)
+      assert(m >= p05 * 100 && m <= p95 * 100,
+        s"winsorized mean $m outside clip bounds [${p05 * 100}, ${p95 * 100}]")
+    }
+  }
+}

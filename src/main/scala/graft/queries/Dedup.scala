@@ -455,6 +455,30 @@ object Dedup {
       out
     }),
 
+    // ---- LSH recall vs the exact-Jaccard ground truth ----------------------
+    // q55/q100's role for the text pipeline: what fraction of the TRUE
+    // near-dup pairs (q36's exact quadratic baseline on the bounded sample)
+    // does the banded MinHash pipeline (q37) surface? Both sides are
+    // exact-verified at jacc >= 0.7 over the same shingle-hash sets, so
+    // found ⊆ truth and the misses are purely banding/bucket-cap losses —
+    // the number that tunes BANDS/ROWS/cap. Both small pair sets are
+    // checkpointed eagerly: each feeds two consumers (count + semi join).
+    "q171_lsh_recall" -> ((s: SparkSession, dir: String) => {
+      val truth = queries("q36_jaccard_pairs")(s, dir)
+        .select("d1", "d2").localCheckpoint(eager = true)
+      val found = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .filter(col("d1") < 500 && col("d2") < 500)
+        .select("d1", "d2").localCheckpoint(eager = true)
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nF = found.agg(count(lit(1)).as("n_lsh"))
+      val nH = truth.join(found, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nF).crossJoin(nH)
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE CAST((n_hit * 10000) DIV n_truth AS BIGINT) END").as("recall_bp"))
+    }),
+
     // ---- recursive-CTE reachability (Spark 4 WITH RECURSIVE) -------------
     // Depth-bounded transitive reachability over the near-dup DAG (d1 < d2
     // everywhere, so recursion can't cycle), through Spark's native
@@ -773,6 +797,29 @@ object Dedup {
            |       FROM c2 GROUP BY id)
            |SELECT r2.id AS doc_id, deg.deg, r2.r AS pr_e6
            |FROM r2 JOIN deg USING (id) ORDER BY doc_id""".stripMargin,
+
+      "q171_lsh_recall" ->
+        s"""WITH $lshPairCtes,
+           |f AS (SELECT doc_id,
+           |        list_distinct(list_transform(w, t -> $tokHashSql)) AS hs2
+           |      FROM sh WHERE doc_id < 500),
+           |g AS (SELECT doc_id, hs2, len(hs2) AS sz FROM f),
+           |tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |        len(list_intersect(a.hs2, b.hs2)) AS i, a.sz AS sz1, b.sz AS sz2
+           |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+           |        AND a.sz * 10 >= b.sz * 7 AND b.sz * 10 >= a.sz * 7),
+           |truth AS (SELECT d1, d2 FROM tp
+           |          WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4)
+           |            >= 0.7),
+           |fnd AS (SELECT d1, d2 FROM pr WHERE d1 < 500 AND d2 < 500),
+           |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+           |cf AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM fnd),
+           |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |       FROM truth t JOIN fnd f2 ON t.d1 = f2.d1 AND t.d2 = f2.d2)
+           |SELECT n_truth, n_lsh, n_hit,
+           |  CASE WHEN n_truth = 0 THEN CAST(10000 AS BIGINT)
+           |       ELSE CAST((n_hit * 10000) // n_truth AS BIGINT) END AS recall_bp
+           |FROM ct CROSS JOIN cf CROSS JOIN ch""".stripMargin,
 
       "q161_degree_dist" ->
         s"""WITH $lshPairCtes,

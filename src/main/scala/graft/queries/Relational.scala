@@ -754,6 +754,32 @@ object Relational {
         "concat_ws('|', s_suppkey, CAST(s_nationkey AS BIGINT), s_name, " +
           "CAST(round(s_acctbal * 100.0) AS BIGINT))")
       o.unionAll(c).unionAll(su).orderBy("tbl")
+    }),
+
+    // ---- SCD Type 2 snapshot build ------------------------------------------
+    // The dimensional-modeling operator: collapse each user's event stream
+    // into state-validity intervals (state = event type; a new interval
+    // opens only when the state CHANGES), with valid_from/valid_to and a
+    // current flag — the slowly-changing-dimension table a warehouse build
+    // derives from a mutation log. Two window passes over one user-keyed
+    // sort; (user, µs-ts) uniqueness (q103's check) makes the change-point
+    // set and interval bounds deterministic. Timestamps emitted as
+    // second-precision strings per the package conventions.
+    "q168_scd2" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      changes
+        .withColumn("valid_to_ts", lead("ts", 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("valid_to_ts").isNull.cast("long").as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
     })
   )
 
@@ -1258,6 +1284,24 @@ object Relational {
         |UNION ALL
         |SELECT 'supplier', CAST(count(*) AS BIGINT), CAST(bit_xor(fp) AS BIGINT),
         |  CAST(sum(fp % 100000000) AS BIGINT) FROM fs
-        |ORDER BY tbl""".stripMargin
+        |ORDER BY tbl""".stripMargin,
+
+    "q168_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               AS prev_type
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM e
+        |      WHERE prev_type IS NULL OR prev_type <> event_type),
+        |s AS (SELECT user_id, event_type AS state, ts,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to_ts
+        |      FROM c)
+        |SELECT user_id, state,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  CASE WHEN valid_to_ts IS NULL THEN '9999-12-31 00:00:00'
+        |       ELSE strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') END AS valid_to,
+        |  CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM s ORDER BY user_id, valid_from, state""".stripMargin
   )
 }

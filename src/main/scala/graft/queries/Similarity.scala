@@ -282,6 +282,58 @@ object Similarity {
         .orderBy("cluster_id")
     }),
 
+    // ---- k-means convergence: second Lloyd step + centroid shift ---------
+    // How far do q78's centroids still move? Reassign under the step-1
+    // centroids, recompute the per-dimension means, and report each
+    // centroid's L2 shift. Means are exact (float32-derived doubles sum
+    // exactly in f64 — the q78 note), so both engines hold bit-identical
+    // arrays and the fixed-order 64-term shift fold is IEEE-deterministic,
+    // floor-e9'd. Vectors shuffle once per assignment; centroids broadcast.
+    "q169_kmeans_shift" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val c1 = trainedCentroids(e)
+      val a2 = assignL2(e, c1)
+      val c2 = a2
+        .select(col("cid"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv2"))
+      val members = a2.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      c1.join(c2, Seq("cid")).join(broadcast(members), Seq("cid"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          floor(sqrt(l2HOF(col("cv"), col("cv2"))) * lit(1000000000.0))
+            .cast("long").as("shift_e9"))
+        .orderBy("cluster_id")
+    }),
+
+    // ---- per-dimension embedding profile ----------------------------------
+    // Feature-space QA: mean/variance/min/max per embedding dimension —
+    // the drift/normalization check a vector pipeline runs before indexing.
+    // Values are integer-ized (floor-e6) BEFORE aggregation so the power
+    // sums are exact BIGINTs (a raw float sum is summation-order-dependent);
+    // the two output moments are floor'd shared-verbatim doubles. One
+    // explode + one 64-group aggregation (map-side combined).
+    "q170_embedding_profile" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)").as("vi"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("vi").as("s1"),
+          sum(col("vi") * col("vi")).as("s2"),
+          min("vi").as("min_e6"), max("vi").as("max_e6"))
+        .select(col("dim"), col("n"),
+          expr("CAST(floor(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+            .as("mean_e6"),
+          expr("CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)")
+            .as("var_e12"),
+          col("min_e6"), col("max_e6"))
+        .orderBy("dim")
+    }),
+
     // ---- IVF search over the TRAINED centroids ---------------------------
     // Closes the train→index→serve loop: q40/q51 index with arbitrary seed
     // vectors as centroids; here the k-means output (q78's c1) IS the
@@ -646,6 +698,54 @@ object Similarity {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS BIGINT) AS rank
         | FROM sc)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q169_kmeans_shift" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, v FROM (
+        |   SELECT e.vec_id, c0.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c0)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT cid, pos, avg(v[pos]) AS m
+        |   FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid, v FROM (
+        |   SELECT e.vec_id, c1.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |c2 AS (SELECT cid, list(m ORDER BY pos) AS cv2 FROM (
+        |   SELECT cid, pos, avg(v[pos]) AS m
+        |   FROM a2, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |mm AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cid)
+        |SELECT c1.cid AS cluster_id, mm.n_members,
+        |  CAST(floor(sqrt(list_sum(
+        |    [ (c1.cv[i] - c2.cv2[i]) * (c1.cv[i] - c2.cv2[i]) for i in range(1, 65)]))
+        |    * 1000000000.0) AS BIGINT) AS shift_e9
+        |FROM c1 JOIN c2 ON c1.cid = c2.cid JOIN mm ON c1.cid = mm.cid
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q170_embedding_profile" ->
+      """WITH x AS (SELECT CAST(pos AS BIGINT) AS dim,
+        |        CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS vi
+        |      FROM (SELECT unnest(embedding) AS val,
+        |              generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(vi) AS BIGINT) AS s1,
+        |        CAST(sum(vi * vi) AS BIGINT) AS s2,
+        |        CAST(min(vi) AS BIGINT) AS min_e6, CAST(max(vi) AS BIGINT) AS max_e6
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_e6,
+        |  CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS var_e12,
+        |  min_e6, max_e6
+        |FROM a ORDER BY dim""".stripMargin,
 
     "q41_embedding_stats" ->
       s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

@@ -211,6 +211,52 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("q168 SCD2: one current row per user, intervals chain without overlap") {
+    val rows = SparkEntry.queries("q168_scd2")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.count(_._5 == 1L) == users, "exactly one current row per user")
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: interval gap ${a._4} -> ${b._3}")
+          assert(a._2 != b._2, s"user $u: adjacent intervals share state ${a._2}")
+        case _ =>
+      }
+      assert(sorted.last._4 == "9999-12-31 00:00:00")
+    }
+  }
+
+  test("q169 k-means shift: members partition the vectors, shifts non-negative") {
+    val rows = SparkEntry.queries("q169_kmeans_shift")(spark, dir).collect()
+    assert(rows.length == 8)
+    val vecs = Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == vecs)
+    rows.foreach(r => assert(r.getLong(2) >= 0L))
+  }
+
+  test("q170 embedding profile: 64 dims cover every vector, variance non-negative") {
+    val rows = SparkEntry.queries("q170_embedding_profile")(spark, dir).collect()
+    assert(rows.length == 64)
+    val vecs = Tables(spark, dir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == vecs)
+      assert(r.getLong(3) >= 0L, s"dim ${r.getLong(0)}: negative variance")
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+  }
+
+  test("q171 LSH recall: found pairs are a subset of the exact truth") {
+    val r = SparkEntry.queries("q171_lsh_recall")(spark, dir).collect().head
+    val (nTruth, nLsh, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nHit == nLsh, "every LSH pair must be a true pair (both exact-verified)")
+    assert(nHit <= nTruth)
+    assert(recall >= 0L && recall <= 10000L)
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -25,11 +25,14 @@ import graft.queries.Dedup
   *  4. repetition gate — Gopher-style duplicate token/3-gram fractions
   *     (q80's signals): generator loops and boilerplate are dropped here,
   *     not by perplexity;
-  *  5. PII scrub + split assignment — emails/IPs/phones replaced by typed
-  *     placeholders ([[graft.functions.Redaction]], q81's operator) and the
-  *     content-independent train/val/test bucket attached (q73's md5 split,
-  *     so a doc never moves across splits between corpus builds);
-  *  6. curated write — parquet partitioned by `lang`, so per-language
+  *  5. split assignment + optional decontamination — the content-
+  *     independent train/val/test bucket attached first (q73's md5 split,
+  *     so a doc never moves across splits between corpus builds), then
+  *     optionally train docs 8-gram-overlapping the heldout splits dropped
+  *     (q85's operator, reversed direction — CLI flag `decontam`);
+  *  6. PII scrub — emails/IPs/phones replaced by typed placeholders
+  *     ([[graft.functions.Redaction]], q81's operator);
+  *  7. curated write — parquet partitioned by `lang`, so per-language
   *     training reads prune partitions.
   *
   * Every stage is a DataFrame transform over the SAME operators the
@@ -60,9 +63,15 @@ object CorpusMain {
     * id — q128's canonical rule), which preserves the best copy of a
     * boilerplate family at the cost of keep-set stability across corpus
     * versions (a longer near-dup arriving later replaces the old keep). */
+  /** `decontam`: optional train/heldout decontamination (q85's operator,
+    * reversed direction): TRAIN-split docs sharing ≥ 10% of their hashed
+    * 8-grams with any val/test doc are dropped, so the heldout splits stay
+    * unseen. The heldout n-gram set is the SMALL side; at 100 TB it rides
+    * a bloom/runtime filter on the train scan. */
   def curate(spark: SparkSession, docs: DataFrame,
              lmGateE6: Option[Long] = None,
-             keepLongest: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
+             keepLongest: Boolean = false,
+             decontam: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
     // 1. exact dedup: keep the smallest doc_id per content digest.
@@ -157,20 +166,51 @@ object CorpusMain {
         (g, g.count())
     }
 
-    // 5. PII scrub (q81's operator) + content-independent split (q73's
-    // buckets). Not filters: the row count is final after stage 4; the
-    // redacted-doc count is ONE aggregation over the persisted stage.
+    // 5. content-independent split (q73's buckets), attached BEFORE
+    // decontamination so the heldout set is defined when train is probed
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100)
+    val withSplit = gated.withColumn("split",
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+
+    // 5b. optional decontamination: drop train docs that 8-gram-overlap the
+    // heldout splits (q85's hashed-n-gram machinery via
+    // TrainPrep.hashedNgrams8, direction reversed: protect val/test by
+    // removing from train). The n-gram base is persisted — it feeds the
+    // heldout set AND the train probe; the small drop list is checkpointed
+    // eagerly before the cache is released.
+    val (finalSplit, nDecontam) =
+      if (!decontam) (withSplit, -1L)
+      else {
+        val ng = withSplit
+          .select(col("doc_id"), col("split"),
+            graft.queries.TrainPrep.hashedNgrams8(col("text")).as("ng"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val held = ng.filter(col("split") =!= "train")
+          .select(explode(col("ng")).as("h")).distinct()
+        val trainEx = ng.filter(col("split") === "train" && size(col("ng")) > 0)
+          .select(col("doc_id"), size(col("ng")).cast("long").as("n_ng"),
+            explode(col("ng")).as("h"))
+        val dropTrain = trainEx
+          .join(held.withColumn("hit", lit(1L)), Seq("h"), "left")
+          .groupBy("doc_id", "n_ng").agg(count(col("hit")).as("n_hit"))
+          .filter(col("n_hit") * 10 >= col("n_ng"))
+          .select("doc_id")
+          .localCheckpoint(eager = true)
+        ng.unpersist()
+        val f = withSplit.join(dropTrain, Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (f, f.count())
+      }
+
+    // 6. PII scrub (q81's operator). Not a filter: the redacted-doc count
+    // is ONE aggregation over the persisted stage.
     import graft.functions.Redaction
-    val nRedacted = gated
+    val nRedacted = finalSplit
       .agg(sum(when(Redaction.redactPii(col("text")) =!= col("text"), 1L)
         .otherwise(0L)).as("n"))
       .head().getLong(0)
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-      .cast("long") % 100)
-    val curated = gated
-      .withColumn("text", Redaction.redactPii(col("text")))
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+    val curated = finalSplit.withColumn("text", Redaction.redactPii(col("text")))
 
     val funnel = Seq(
       "input" -> total, "exact_dedup" -> nExact,
@@ -178,20 +218,26 @@ object CorpusMain {
       "near_dedup" -> nNear, "quality" -> nQuality,
       "repetition" -> nRep) ++
       (if (lmGateE6.isDefined) Seq("lm_gate" -> nLm) else Nil) ++
+      (if (decontam) Seq("decontam" -> nDecontam) else Nil) ++
       Seq("pii_redacted" -> nRedacted)
     (curated, funnel,
-      () => { gated.unpersist(); deRepped.unpersist(); () })
+      () => {
+        if (decontam) finalSplit.unpersist()
+        gated.unpersist(); deRepped.unpersist(); ()
+      })
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest]")
+      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam]")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val keepLongest = args.drop(2).contains("keep=longest")
-    val lmGate = args.drop(2).find(a => !a.startsWith("keep=")).map(_.toLong)
+    val decontam = args.drop(2).contains("decontam")
+    val lmGate = args.drop(2)
+      .find(a => !a.startsWith("keep=") && a != "decontam").map(_.toLong)
     val (curated, funnel, release) =
-      curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest)
+      curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest, decontam)
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
     // Composition report of the build that actually shipped (q86's operator
     // over the CURATED set, not the input): the next mix/resample decision

@@ -334,6 +334,33 @@ object Similarity {
         .orderBy("dim")
     }),
 
+    // ---- kNN label agreement (label-noise detection) -----------------------
+    // ML data QA: does each vector's label agree with its 5 nearest
+    // neighbors'? Low agreement flags mislabeled or boundary examples
+    // before they poison training. Brute cosine with the bounded query set
+    // broadcast (q39's discipline: rank on round(score,4) with cid
+    // tie-break), agreement aggregated per label in exact basis points.
+    "q174_label_agreement" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").cast("long").as("qlabel"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").cast("long").as("clabel"))
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
+      c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("score", round(cosine_sim(col("qe"), col("ce")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy("qid", "qlabel")
+        .agg(sum((col("clabel") === col("qlabel")).cast("long")).as("q_agree"))
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_queries"), sum("q_agree").as("n_agree"))
+        .select(col("label"), col("n_queries"), col("n_agree"),
+          expr("CAST((n_agree * 10000) DIV (5 * n_queries) AS BIGINT)").as("agree_bp"))
+        .orderBy("label")
+    }),
+
     // ---- IVF search over the TRAINED centroids ---------------------------
     // Closes the train→index→serve loop: q40/q51 index with arbitrary seed
     // vectors as centroids; here the k-means output (q78's c1) IS the
@@ -730,6 +757,25 @@ object Similarity {
         |    * 1000000000.0) AS BIGINT) AS shift_e9
         |FROM c1 JOIN c2 ON c1.cid = c2.cid JOIN mm ON c1.cid = mm.cid
         |ORDER BY cluster_id""".stripMargin,
+
+    "q174_label_agreement" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, CAST(label AS BIGINT) AS qlabel
+         |           FROM embeddings WHERE vec_id < 200),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, CAST(label AS BIGINT) AS clabel
+         |      FROM embeddings),
+         |sc AS (SELECT qid, qlabel, cid, clabel,
+         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+         | FROM q, c WHERE qid <> cid),
+         |rk AS (SELECT qid, qlabel, clabel,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+         | FROM sc),
+         |ag AS (SELECT qid, qlabel,
+         |   CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS q_agree
+         | FROM rk WHERE rank <= 5 GROUP BY 1, 2)
+         |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(sum(q_agree) AS BIGINT) AS n_agree,
+         | CAST((sum(q_agree) * 10000) // (5 * count(*)) AS BIGINT) AS agree_bp
+         |FROM ag GROUP BY qlabel ORDER BY label""".stripMargin,
 
     "q170_embedding_profile" ->
       """WITH x AS (SELECT CAST(pos AS BIGINT) AS dim,

@@ -607,6 +607,35 @@ object Stats {
         .orderBy(desc("n_sessions"), asc("path"))
     }),
 
+    // ---- business-day lead times --------------------------------------------
+    // Calendar arithmetic that respects the working week: business days
+    // between order date and the order's LAST ship date, summarized per
+    // priority. The weekday count uses a closed-form prefix function
+    // b(d) = 5*(n DIV 7) + least(n % 7, 5) with n = days since a known
+    // Monday (1970-01-05) — pure integer arithmetic, no per-day explode,
+    // identical in both engines. The average is floor of ONE double
+    // division (lead times could in principle be negative).
+    "q172_business_days" -> ((s: SparkSession, dir: String) => {
+      def busPrefix(n: String) = s"(5 * ($n DIV 7) + least($n % 7, 5))"
+      val ship = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(max(expr("CAST(l_shipdate AS DATE)")).as("ship_d"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(o_orderdate AS DATE)").as("order_d"))
+        .join(ship, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("n0", expr("CAST(datediff(order_d, DATE '1970-01-05') AS BIGINT)"))
+        .withColumn("n1", expr("CAST(datediff(ship_d, DATE '1970-01-05') AS BIGINT)"))
+        .withColumn("bus", expr(s"${busPrefix("n1")} - ${busPrefix("n0")}"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("bus").as("total_bus_days"),
+          max("bus").as("max_bus_days"))
+        .select(col("o_orderpriority"), col("n_orders"), col("total_bus_days"),
+          expr("CAST(floor(CAST(total_bus_days AS DOUBLE) * 100.0 / CAST(n_orders AS DOUBLE)) AS BIGINT)")
+            .as("avg_bus_e2"),
+          col("max_bus_days"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- day-of-week seasonality with a chi-square uniformity test -------
     // Does an event type have a weekly rhythm? Observed day-of-week counts
     // vs the uniform expectation, χ² = Σ(o−n/7)²/(n/7) ≡ Σ(7o−n)²/(7n):
@@ -1581,6 +1610,28 @@ object Stats {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
+
+    "q172_business_days" ->
+      """WITH sh AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_d
+        |            FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o.o_orderpriority,
+        |        CAST(date_diff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE))
+        |          AS BIGINT) AS n0,
+        |        CAST(date_diff('day', DATE '1970-01-05', sh.ship_d) AS BIGINT) AS n1
+        |      FROM orders o JOIN sh ON o.o_orderkey = sh.l_orderkey),
+        |b AS (SELECT o_orderpriority,
+        |        (5 * (n1 // 7) + least(n1 % 7, 5))
+        |          - (5 * (n0 // 7) + least(n0 % 7, 5)) AS bus
+        |      FROM j),
+        |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(bus) AS BIGINT) AS total_bus_days,
+        |        CAST(max(bus) AS BIGINT) AS max_bus_days
+        |      FROM b GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n_orders, total_bus_days,
+        |  CAST(floor(CAST(total_bus_days AS DOUBLE) * 100.0 / CAST(n_orders AS DOUBLE))
+        |    AS BIGINT) AS avg_bus_e2,
+        |  max_bus_days
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     "q147_seasonality" ->
       """WITH dow AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,

@@ -58,6 +58,20 @@ object TrainPrep {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
+  /** Distinct md5-hashed 8-gram set of a text column — q85's contamination
+    * unit, extracted so CorpusMain's decontamination stage uses the exact
+    * construction the oracle-verified query does. The 8-gram build is
+    * slice+zip_with (one walk per position), never indexed-transform
+    * (which re-evaluates the child per index after projection collapse). */
+  def hashedNgrams8(text: Column): Column = {
+    def ngrams8(w: Column): Column =
+      when(size(w) < 8, array().cast("array<string>"))
+        .otherwise((2 to 8).foldLeft(slice(w, lit(1), size(w) - 7)) { (acc, k) =>
+          zip_with(acc, slice(w, lit(k), size(w) - 7), (a, b) => concat(a, lit(" "), b))
+        })
+    array_distinct(transform(ngrams8(rawToks(text)), g => Dedup.tokHash(g)))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- TF-IDF: top salient term per document ---------------------------
     // tf from the raw token multiset, df over distinct docs per term, idf =
@@ -141,19 +155,13 @@ object TrainPrep {
     "q85_decontaminate" -> ((s: SparkSession, dir: String) => {
       val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
         .cast("long") % 100)
-      def ngrams8(w: Column): Column =
-        when(size(w) < 8, array().cast("array<string>"))
-          .otherwise((2 to 8).foldLeft(slice(w, lit(1), size(w) - 7)) { (acc, k) =>
-            zip_with(acc, slice(w, lit(k), size(w) - 7), (a, b) => concat(a, lit(" "), b))
-          })
       // the tokenize→8-gram→md5 base feeds BOTH the train and test
       // branches — persist it so the corpus is scanned/hashed once, not
       // twice (the q37 lesson); the small result is checkpointed eagerly
       // so the cache can be released before returning
       val base = Tables(s, dir, "documents")
         .withColumn("bucket", bucket)
-        .withColumn("ng",
-          array_distinct(transform(ngrams8(rawToks(col("text"))), g => Dedup.tokHash(g))))
+        .withColumn("ng", hashedNgrams8(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = base.filter(col("bucket") < 90)
         .select(explode(col("ng")).as("h")).distinct()
@@ -171,6 +179,22 @@ object TrainPrep {
         .localCheckpoint(eager = true)
       base.unpersist()
       out
+    }),
+
+    // ---- feature hashing (the hashing-trick vectorizer) ------------------
+    // Tokens hashed into a fixed 32-bin count vector per document — the
+    // dimension-bounded featurization a large-scale classifier trains on
+    // (no vocabulary table to build, ship, or keep in sync). Emitted in
+    // sparse (doc, bin, count) form: one aggregation, output bounded at
+    // 32 rows/doc; shared md5 hash so both engines bin identically. The
+    // probe set is bounded for oracle output; the operator is per-row at
+    // any scale.
+    "q173_feature_hash" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(rawToks(col("text"))).as("tok"))
+        .select(col("doc_id"), (Dedup.tokHash(col("tok")) % 32).as("bin"))
+        .groupBy("doc_id", "bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bin")
     }),
 
     // ---- mixture resampling to exact per-source quotas -------------------
@@ -294,6 +318,17 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_feature_hash" ->
+      """WITH tk AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        | FROM documents WHERE doc_id < 50),
+        |x AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 % 32 AS bin
+        |      FROM (SELECT doc_id, unnest(w) AS tok FROM tk))
+        |SELECT doc_id, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM x GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin,
+
     "q72_tfidf" ->
       """WITH tk AS (SELECT doc_id,
         |   CASE WHEN length(trim(text)) = 0 THEN []

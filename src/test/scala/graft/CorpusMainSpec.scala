@@ -106,6 +106,39 @@ class CorpusMainSpec extends SparkSpec {
     release()
   }
 
+  test("decontam drops the train doc that 8-gram-overlaps a heldout doc") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    // ids chosen by the q73 bucket formula: 93000 -> train, 93027 -> test.
+    // The two docs differ except for a 15-token common run: 3-shingle
+    // Jaccard ~0.18 (passes the near-dup gate) but 8/37 of the train doc's
+    // 8-grams hit the heldout set (>= 10% -> decontaminated).
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar"
+    val trainDoc = "the " + (1 to 28).map(i => s"tr$i").mkString(" ") + " " + common
+    val testDoc = "the " + (1 to 28).map(i => s"te$i").mkString(" ") + " " + common
+    val injected = docs.unionByName(
+      Seq((93000L, trainDoc, "en", "inj", trainDoc.length.toLong),
+        (93027L, testDoc, "en", "inj", testDoc.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val (plain, fPlain, relPlain) = CorpusMain.curate(spark, injected)
+    val plainIds = plain.select("doc_id").as[Long].collect().toSet
+    assert(plainIds.contains(93000L) && plainIds.contains(93027L),
+      "both synthetic docs must survive every gate when decontam is off")
+    assert(!fPlain.toMap.contains("decontam"))
+    relPlain()
+
+    val (cur, funnel, release) = CorpusMain.curate(spark, injected, decontam = true)
+    val rows = cur.select("doc_id", "split").collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(!ids.contains(93000L), "contaminated train doc survived decontam")
+    assert(ids.contains(93027L), "heldout doc must be kept")
+    assert(rows.find(_.getLong(0) == 93027L).get.getString(1) == "test")
+    val f = funnel.toMap
+    assert(f("decontam") < (if (f.contains("lm_gate")) f("lm_gate") else f("repetition")))
+    release()
+  }
+
   test("funnel counts reuse persisted stages; release() frees them") {
     val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
     // downstream of the funnel, curated must read the persisted near-dedup

@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
   * ranks must telescope, fingerprints must be order-independent, and so
   * on — the numbers have to mean what they claim.
   */
-class RobustStatsSpec extends SparkSpec {
+class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
 
   private val dir = sf("sf0.001")
+
+  // the LSH-graph queries (q161/q167/q171) persist their minhash base and
+  // pair sets internally; drop them after each test so this suite leaves no
+  // cached RDDs behind regardless of suite ordering (CorpusMainSpec asserts
+  // an empty cache)
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   test("q151 Kaplan-Meier: at-risk telescopes, survival non-increasing, ends at 0") {
     val rows = SparkEntry.queries("q151_kaplan_meier")(spark, dir).collect()
@@ -255,6 +264,46 @@ class RobustStatsSpec extends SparkSpec {
     assert(nHit == nLsh, "every LSH pair must be a true pair (both exact-verified)")
     assert(nHit <= nTruth)
     assert(recall >= 0L && recall <= 10000L)
+  }
+
+  test("q172 business days: never exceed calendar days, never negative at this data") {
+    val rows = SparkEntry.queries("q172_business_days")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(4) >= 0L, "ship precedes order?")
+      assert(r.getLong(3) <= r.getLong(4) * 100, "avg above max")
+      // 5 business days per 7 calendar: bus <= cal always; spot bound via max
+    }
+  }
+
+  test("q173 feature hash: bins in range, counts reconcile with token counts") {
+    val rows = SparkEntry.queries("q173_feature_hash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bin, cnt) =>
+      assert(bin >= 0L && bin <= 31L); assert(cnt >= 1L)
+    }
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = Tables(spark, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, n) =>
+      assert(n == expected(doc), s"doc $doc: hashed $n tokens, text has ${expected(doc)}")
+    }
+  }
+
+  test("q174 label agreement: bounded, queries partition the probe set") {
+    val rows = SparkEntry.queries("q174_label_agreement")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 5L * r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    }
+    val probes = Tables(spark, dir, "embeddings").filter(col("vec_id") < 200).count()
+    assert(rows.map(_.getLong(1)).sum == probes)
   }
 
   test("q164 winsorize: bounds ordered, clipped mean inside them") {

@@ -45,6 +45,17 @@ object Dedup {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(array_distinct(split(lower(trim(c)), "\\s+")))
 
+  /** q175's degree-assortativity Pearson r x 1e4, shared VERBATIM with the
+    * oracle (the q148 formula over exact BIGINT power sums; degenerate
+    * graphs — no edges or constant degree — report 0). */
+  private val AssortE4Sql: String =
+    """CASE WHEN n = 0 OR (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+      |     THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor(
+      |   CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
+      |   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END""".stripMargin
+
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
   private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
@@ -479,6 +490,37 @@ object Dedup {
             "ELSE CAST((n_hit * 10000) DIV n_truth AS BIGINT) END").as("recall_bp"))
     }),
 
+    // ---- degree assortativity of the near-dup graph ------------------------
+    // Do boilerplate hubs link to other hubs (r > 0) or to leaves (r < 0)?
+    // Pearson correlation of endpoint degrees over the symmetrized edge
+    // list (each undirected edge contributes both orientations — the
+    // standard convention, which also makes the sums symmetric). All six
+    // power sums are exact BIGINTs off one degree join; the r lands in one
+    // shared-verbatim double, floor-e4.
+    "q175_assortativity" -> ((s: SparkSession, dir: String) => {
+      val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // degree + edge-join both read it
+      val sym = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = sym.groupBy("d1").agg(count(lit(1)).as("deg"))
+      val out = sym
+        .join(deg.select(col("d1").as("a"), col("deg").as("x")), col("d1") === col("a"))
+        .join(deg.select(col("d1").as("b"), col("deg").as("y")), col("d2") === col("b"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"), expr(AssortE4Sql).as("assort_e4"))
+        .localCheckpoint(eager = true)
+      sym.unpersist()
+      pairs.unpersist()
+      out
+    }),
+
     // ---- recursive-CTE reachability (Spark 4 WITH RECURSIVE) -------------
     // Depth-bounded transitive reachability over the near-dup DAG (d1 < d2
     // everywhere, so recursion can't cycle), through Spark's native
@@ -829,6 +871,22 @@ object Dedup {
            |SELECT deg, CAST(count(*) AS BIGINT) AS n_docs,
            | CAST(min(d1) AS BIGINT) AS min_doc, CAST(max(d1) AS BIGINT) AS max_doc
            |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+      "q175_assortativity" ->
+        s"""WITH $lshPairCtes,
+           |edges AS (SELECT d1, d2 FROM pr UNION SELECT d2, d1 FROM pr),
+           |deg AS (SELECT d1 AS id, CAST(count(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY 1),
+           |ex AS (SELECT dx.deg AS x, dy.deg AS y
+           |       FROM edges e JOIN deg dx ON e.d1 = dx.id
+           |                    JOIN deg dy ON e.d2 = dy.id),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx,
+           |        CAST(sum(y * y) AS BIGINT) AS syy
+           |      FROM ex)
+           |SELECT n, $AssortE4Sql AS assort_e4 FROM a""".stripMargin,
 
       "q131_hybrid_neardup" -> {
         val dot = "list_sum([x.e1[i]::DOUBLE * y.e2[i]::DOUBLE for i in range(1, 65)])"

@@ -780,6 +780,21 @@ object Relational {
             lit("9999-12-31 00:00:00")).as("valid_to"),
           col("valid_to_ts").isNull.cast("long").as("is_current"))
         .orderBy("user_id", "valid_from", "state")
+    }),
+
+    // ---- GROUP BY ALL (modern SQL ergonomics surface) -----------------------
+    // Spark 4 and DuckDB both accept GROUP BY ALL (group on every
+    // non-aggregate select item) — the same query text runs on both
+    // engines verbatim. Money is pinned to integer cents inside the sum.
+    "q176_group_by_all" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("q176_orders")
+      s.sql("""
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM q176_orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     })
   )
 
@@ -1302,6 +1317,14 @@ object Relational {
         |  CASE WHEN valid_to_ts IS NULL THEN '9999-12-31 00:00:00'
         |       ELSE strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') END AS valid_to,
         |  CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM s ORDER BY user_id, valid_from, state""".stripMargin
+        |FROM s ORDER BY user_id, valid_from, state""".stripMargin,
+
+    "q176_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
   )
 }

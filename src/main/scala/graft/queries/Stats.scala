@@ -636,6 +636,24 @@ object Stats {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- hour-of-week activity heatmap ---------------------------------------
+    // The 7x24 traffic matrix (q158's finer grain): per (iso-dow, hour)
+    // cell, volume, share of the day's traffic, and share of the whole
+    // week — all exact integer basis points off one aggregation; the
+    // windows run over at most 168 rows.
+    "q177_hour_heatmap" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events")
+        .groupBy((weekday(col("ts")) + 1).cast("long").as("iso_dow"),
+          hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("day_n", sum("o").over(Window.partitionBy("iso_dow")))
+        .withColumn("week_n", sum("o").over(Window.partitionBy()))
+        .select(col("iso_dow"), col("hh"), col("o"),
+          expr("CAST((o * 10000) DIV day_n AS BIGINT)").as("day_share_bp"),
+          expr("CAST((o * 10000) DIV week_n AS BIGINT)").as("week_share_bp"))
+        .orderBy("iso_dow", "hh")
+    }),
+
     // ---- day-of-week seasonality with a chi-square uniformity test -------
     // Does an event type have a weekly rhythm? Observed day-of-week counts
     // vs the uniform expectation, χ² = Σ(o−n/7)²/(n/7) ≡ Σ(7o−n)²/(7n):
@@ -1610,6 +1628,19 @@ object Stats {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
+
+    "q177_hour_heatmap" ->
+      """WITH c AS (SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |        CAST(hour(ts) AS BIGINT) AS hh, CAST(count(*) AS BIGINT) AS o
+        |      FROM events GROUP BY 1, 2),
+        |t AS (SELECT iso_dow, hh, o,
+        |        CAST(sum(o) OVER (PARTITION BY iso_dow) AS BIGINT) AS day_n,
+        |        CAST(sum(o) OVER () AS BIGINT) AS week_n
+        |      FROM c)
+        |SELECT iso_dow, hh, o,
+        |  CAST((o * 10000) // day_n AS BIGINT) AS day_share_bp,
+        |  CAST((o * 10000) // week_n AS BIGINT) AS week_share_bp
+        |FROM t ORDER BY iso_dow, hh""".stripMargin,
 
     "q172_business_days" ->
       """WITH sh AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_d

@@ -306,6 +306,35 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(rows.map(_.getLong(1)).sum == probes)
   }
 
+  test("q175 assortativity: correlation bounded, edge count symmetric") {
+    val r = SparkEntry.queries("q175_assortativity")(spark, dir).collect().head
+    assert(r.getLong(0) % 2 == 0, "symmetrized edge list must have even size")
+    assert(math.abs(r.getLong(1)) <= 10000L)
+  }
+
+  test("q176 GROUP BY ALL matches the explicit DataFrame aggregation") {
+    val sql = SparkEntry.queries("q176_group_by_all")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val df = Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("total_c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sql.toSet == df.toSet)
+  }
+
+  test("q177 heatmap: shares reconcile per day and across the week") {
+    val rows = SparkEntry.queries("q177_hour_heatmap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val events = Tables(spark, dir, "events").count()
+    assert(rows.map(_._3).sum == events, "heatmap must cover every event")
+    rows.groupBy(_._1).foreach { case (dow, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s > 10000L - 24 && s <= 10000L, s"dow $dow day shares sum to $s")
+    }
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

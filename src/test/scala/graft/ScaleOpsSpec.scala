@@ -249,6 +249,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin"), s"native as-of exec missing:\n$plan")
   }
 
+  test("q153 baskets: pairs expand in-array after one groupBy, item counts broadcast") {
+    // the scale contract: the item stream is never self-joined; pair
+    // generation happens inside each basket array and the tiny per-item /
+    // total-basket aggregates broadcast back
+    val plan = SparkEntry.queries("q153_baskets")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"item counts not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the item stream self-joined:\n$plan")
+    assert(plan.contains("Generate"), s"no in-array pair explode in the plan:\n$plan")
+  }
+
+  test("q156 JSD: the sources x vocab grid is broadcast-built, corpus shuffled once") {
+    val plan = SparkEntry.queries("q156_jsd")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"grid not broadcast-built:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"a tiny side shuffled the corpus:\n$plan")
+  }
+
+  test("q160 fingerprints aggregate map-side with no join anywhere") {
+    val plan = SparkEntry.queries("q160_fingerprint")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"a checksum needs no join:\n$plan")
+    assert(plan.contains("partial_"), s"checksums not map-side combined:\n$plan")
+  }
+
+  test("q174 label agreement: probe set broadcast, corpus never sort-merged") {
+    val plan = SparkEntry.queries("q174_label_agreement")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the kNN join:\n$plan")
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -782,6 +782,43 @@ object Relational {
         .orderBy("user_id", "valid_from", "state")
     }),
 
+    // ---- keyed table diff (reconciliation / CDC snapshot compare) -----------
+    // What changed between two table versions? Both engines synthesize the
+    // same "today" snapshot from orders (every 100th key's price bumped one
+    // cent = changed, keys % 997 == 0 dropped = removed, mirrored keys
+    // added), then a single full outer join on the key classifies every row
+    // by comparing canonical row hashes. One shuffle on the key; the
+    // summary is four rows. This is q160's fingerprint idea pushed down to
+    // row granularity — the reconciliation report a migration validates
+    // against.
+    "q178_table_diff" -> ((s: SparkSession, dir: String) => {
+      val canon = "concat_ws('|', o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100.0) AS BIGINT), " +
+        "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"
+      val old = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), expr(s"md5($canon)").as("h"))
+      val newBase = Tables(s, dir, "orders")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 0.01)
+            .otherwise(col("o_totalprice")))
+        .filter(col("o_orderkey") % 997 =!= 0)
+      val added = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 1009 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      val neu = newBase.unionAll(added)
+        .select(col("o_orderkey").as("k"), expr(s"md5($canon)").as("h"))
+      old.select(col("k"), col("h").as("h_old"))
+        .join(neu.select(col("k"), col("h").as("h_new")), Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("status")
+    }),
+
     // ---- GROUP BY ALL (modern SQL ergonomics surface) -----------------------
     // Spark 4 and DuckDB both accept GROUP BY ALL (group on every
     // non-aggregate select item) — the same query text runs on both
@@ -1318,6 +1355,37 @@ object Relational {
         |       ELSE strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') END AS valid_to,
         |  CAST(CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM s ORDER BY user_id, valid_from, state""".stripMargin,
+
+    "q178_table_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k,
+        |        md5(concat_ws('|', o_custkey, o_orderstatus,
+        |          CAST(round(o_totalprice * 100.0) AS BIGINT),
+        |          strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), o_orderpriority))
+        |          AS h
+        |      FROM orders),
+        |nb AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 0.01
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |       FROM orders WHERE o_orderkey % 997 <> 0),
+        |ad AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |       FROM orders WHERE o_orderkey % 1009 = 0),
+        |neu AS (SELECT o_orderkey AS k,
+        |         md5(concat_ws('|', o_custkey, o_orderstatus,
+        |           CAST(round(o_totalprice * 100.0) AS BIGINT),
+        |           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), o_orderpriority))
+        |           AS h
+        |       FROM (SELECT * FROM nb UNION ALL SELECT * FROM ad)),
+        |d AS (SELECT coalesce(old.k, neu.k) AS k,
+        |        CASE WHEN old.h IS NULL THEN 'added'
+        |             WHEN neu.h IS NULL THEN 'removed'
+        |             WHEN old.h <> neu.h THEN 'changed'
+        |             ELSE 'same' END AS status
+        |      FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "q176_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

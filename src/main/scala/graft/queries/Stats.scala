@@ -85,6 +85,18 @@ object Stats {
       |            / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
       |   * 10000.0) AS BIGINT) END""".stripMargin
 
+  /** q179's per-bin smoothed KL contribution x 1e9, shared VERBATIM with
+    * the oracle: p = even-day share, q = odd-day share, both Laplace
+    * +1-smoothed over exact BIGINT bin counts; the whole term is one
+    * IEEE-deterministic double, floor-integer-ized so the drift total is
+    * an exact sum. */
+  private val DriftKlE9Sql: String =
+    """CAST(floor(
+      |  ((CAST(n_even + 1 AS DOUBLE) / CAST(te AS DOUBLE))
+      |   * ln((CAST(n_even + 1 AS DOUBLE) / CAST(te AS DOUBLE))
+      |        / (CAST(n_odd + 1 AS DOUBLE) / CAST(to_ AS DOUBLE))))
+      |  * 1000000000.0) AS BIGINT)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- sample stddev / variance / correlation --------------------------
     "q43_stats" -> ((s: SparkSession, dir: String) => {
@@ -652,6 +664,31 @@ object Stats {
           expr("CAST((o * 10000) DIV day_n AS BIGINT)").as("day_share_bp"),
           expr("CAST((o * 10000) DIV week_n AS BIGINT)").as("week_share_bp"))
         .orderBy("iso_dow", "hh")
+    }),
+
+    // ---- distribution drift between day cohorts --------------------------
+    // Data-drift monitoring: does `value` distribute differently on even
+    // vs odd epoch days? Values binned into 20 fixed integer-width
+    // buckets (global min/max broadcast), Laplace-smoothed KL(even||odd)
+    // per bin — counts are exact BIGINTs, each contribution one
+    // shared-verbatim double floor-e9, so the total drift is an exact sum
+    // over the per-bin rows this query emits.
+    "q179_value_drift" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(expr("CAST(round(value * 100.0) AS BIGINT)").as("v"),
+          (expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)") % 2 === 0)
+            .cast("long").as("even"))
+      val mm = ev.agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = ev.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          expr("least(CAST(19 AS BIGINT), (v - lo) DIV (((hi - lo) DIV 20) + 1))"))
+        .groupBy("bin")
+        .agg(sum(col("even")).as("n_even"), sum(lit(1L) - col("even")).as("n_odd"))
+      val tot = binned.agg(sum(col("n_even") + 1).as("te"), sum(col("n_odd") + 1).as("to_"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("kl_e9", expr(DriftKlE9Sql))
+        .select("bin", "n_even", "n_odd", "kl_e9")
+        .orderBy("bin")
     }),
 
     // ---- day-of-week seasonality with a chi-square uniformity test -------
@@ -1628,6 +1665,24 @@ object Stats {
         |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
+
+    "q179_value_drift" ->
+      s"""WITH ev AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+         |        CASE WHEN CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |               AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS even
+         |      FROM events),
+         |mm AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+         |       FROM ev),
+         |b AS (SELECT least(19, (v - lo) // (((hi - lo) // 20) + 1)) AS bin, even
+         |      FROM ev CROSS JOIN mm),
+         |g AS (SELECT CAST(bin AS BIGINT) AS bin,
+         |        CAST(sum(even) AS BIGINT) AS n_even,
+         |        CAST(sum(1 - even) AS BIGINT) AS n_odd
+         |      FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_even + 1) AS BIGINT) AS te,
+         |        CAST(sum(n_odd + 1) AS BIGINT) AS to_ FROM g)
+         |SELECT bin, n_even, n_odd, $DriftKlE9Sql AS kl_e9
+         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q177_hour_heatmap" ->
       """WITH c AS (SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,

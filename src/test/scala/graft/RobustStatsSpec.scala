@@ -335,6 +335,32 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q178 table diff: class counts reconcile with the synthetic edit script") {
+    val rows = SparkEntry.queries("q178_table_diff")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables(spark, dir, "orders")
+    val total = orders.count()
+    val added = orders.filter(col("o_orderkey") % 1009 === 0).count()
+    val removed = orders.filter(col("o_orderkey") % 997 === 0).count()
+    val bumped = orders
+      .filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") % 997 =!= 0).count()
+    assert(rows.keySet.subsetOf(Set("added", "removed", "changed", "same")))
+    assert(rows.getOrElse("added", 0L) == added)
+    assert(rows.getOrElse("removed", 0L) == removed)
+    assert(rows.getOrElse("changed", 0L) == bumped, "one-cent bump must change the hash")
+    assert(rows.getOrElse("same", 0L) == total - removed - bumped)
+  }
+
+  test("q179 drift: bins cover every event, smoothed shares well-defined") {
+    val rows = SparkEntry.queries("q179_value_drift")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val events = Tables(spark, dir, "events").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == events)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 19L)
+    }
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

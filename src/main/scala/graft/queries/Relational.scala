@@ -819,6 +819,97 @@ object Relational {
         .orderBy("status")
     }),
 
+    // ---- CDC MERGE apply (SCD1 upsert) --------------------------------------
+    // q178 classified a changeset; this APPLIES one — the Delta-style
+    // MERGE INTO: deletes drop the base row (delete precedence over
+    // update), updates replace the price, inserts append. The apply is
+    // one anti join + one left join + a union, all keyed on o_orderkey
+    // (each a single hash-partitioned shuffle; at 100 TB the three legs
+    // share the key so AQE reuses the exchange). The output is the
+    // post-merge per-status summary a migration smoke-checks.
+    "q180_merge_upsert" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val dels = base.filter(col("o_orderkey") % 997 === 0).select("o_orderkey")
+      val upd = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 0.01).as("new_price"))
+      val ins = base.filter(col("o_orderkey") % 1009 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val merged = base
+        .join(dels, Seq("o_orderkey"), "left_anti")
+        .join(upd, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"))
+        .unionByName(ins.withColumnRenamed("o_totalprice", "price"))
+      merged.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(price * 100.0) AS BIGINT)")).as("total_c"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("status")
+    }),
+
+    // ---- data-quality check suite (the dbt-tests operator) ------------------
+    // One report row per declared constraint: primary-key uniqueness,
+    // referential integrity (both fact→dim edges), not-null, accepted
+    // values, and range checks. Scale design: each table is scanned ONCE
+    // with conditional aggregates; the two FK checks ride a left join
+    // against the (distinct) key side — broadcastable when the parent is
+    // a dimension, hash-partitioned otherwise. Violations are exact
+    // counts, so the report doubles as a regression fixture.
+    "q182_dq_checks" -> ((s: SparkSession, dir: String) => {
+      val orders = Tables(s, dir, "orders")
+      val custKeys = Tables(s, dir, "customer").select(col("c_custkey")).distinct()
+      val ordKeys = orders.select(col("o_orderkey").as("ok")).distinct()
+      // orders: one pass → pk uniqueness + accepted values + FK to customer
+      val o = orders
+        .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("nd"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orphans"))
+      val oChecks = o.select(
+        array(
+          struct(lit("orders_pk_unique").as("check"), col("n"),
+            (col("n") - col("nd")).as("n_violations")),
+          struct(lit("orders_status_accepted").as("check"), col("n"),
+            col("bad_status").as("n_violations")),
+          struct(lit("orders_fk_customer").as("check"), col("n"),
+            col("orphans").as("n_violations"))).as("cs"))
+        .select(explode(col("cs")).as("c")).select("c.*")
+      // lineitem: one pass → qty range + FK to orders
+      val l = Tables(s, dir, "lineitem")
+        .join(ordKeys, col("l_orderkey") === col("ok"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("bad_qty"),
+          sum(when(col("ok").isNull, 1L).otherwise(0L)).as("orphans"))
+      val lChecks = l.select(
+        array(
+          struct(lit("lineitem_qty_range").as("check"), col("n"),
+            col("bad_qty").as("n_violations")),
+          struct(lit("lineitem_fk_orders").as("check"), col("n"),
+            col("orphans").as("n_violations"))).as("cs"))
+        .select(explode(col("cs")).as("c")).select("c.*")
+      // events: one pass → user not-null + ts bounds
+      val e = Tables(s, dir, "events")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+          sum(when(col("ts") < ts("1970-01-01 00:00:00") ||
+            col("ts") >= ts("2100-01-01 00:00:00"), 1L).otherwise(0L)).as("bad_ts"))
+      val eChecks = e.select(
+        array(
+          struct(lit("events_user_not_null").as("check"), col("n"),
+            col("null_user").as("n_violations")),
+          struct(lit("events_ts_bounds").as("check"), col("n"),
+            col("bad_ts").as("n_violations"))).as("cs"))
+        .select(explode(col("cs")).as("c")).select("c.*")
+      oChecks.unionByName(lChecks).unionByName(eChecks)
+        .select(col("check"), col("n").cast("long").as("n_checked"),
+          col("n_violations").cast("long").as("n_violations"),
+          when(col("n_violations") === 0, "pass").otherwise("fail").as("status"))
+        .orderBy("check")
+    }),
+
     // ---- GROUP BY ALL (modern SQL ergonomics surface) -----------------------
     // Spark 4 and DuckDB both accept GROUP BY ALL (group on every
     // non-aggregate select item) — the same query text runs on both
@@ -1386,6 +1477,57 @@ object Relational {
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    "q180_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |dels AS (SELECT o_orderkey FROM base WHERE o_orderkey % 997 = 0),
+        |upd AS (SELECT o_orderkey, o_totalprice + 0.01 AS new_price
+        |        FROM base WHERE o_orderkey % 100 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+        |          o_totalprice AS price
+        |        FROM base WHERE o_orderkey % 1009 = 0),
+        |kept AS (SELECT b.o_orderkey, b.o_orderstatus,
+        |           coalesce(u.new_price, b.o_totalprice) AS price
+        |         FROM base b LEFT JOIN upd u USING (o_orderkey)
+        |         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM dels)),
+        |m AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(price * 100.0) AS BIGINT)) AS BIGINT) AS total_c,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM m GROUP BY status ORDER BY status""".stripMargin,
+
+    "q182_dq_checks" ->
+      """WITH o AS (SELECT count(*) AS n,
+        |        count(DISTINCT o_orderkey) AS nd,
+        |        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |          AS bad_status,
+        |        sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+        |      FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |        ON o_custkey = c.c_custkey),
+        |l AS (SELECT count(*) AS n,
+        |        sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |          AS bad_qty,
+        |        sum(CASE WHEN k.ok IS NULL THEN 1 ELSE 0 END) AS orphans
+        |      FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS ok FROM orders) k
+        |        ON l_orderkey = k.ok),
+        |e AS (SELECT count(*) AS n,
+        |        sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |        sum(CASE WHEN ts < TIMESTAMP '1970-01-01 00:00:00'
+        |                   OR ts >= TIMESTAMP '2100-01-01 00:00:00'
+        |                 THEN 1 ELSE 0 END) AS bad_ts
+        |      FROM events),
+        |r AS (SELECT 'orders_pk_unique' AS "check", n, n - nd AS n_violations FROM o
+        |      UNION ALL SELECT 'orders_status_accepted', n, bad_status FROM o
+        |      UNION ALL SELECT 'orders_fk_customer', n, orphans FROM o
+        |      UNION ALL SELECT 'lineitem_qty_range', n, bad_qty FROM l
+        |      UNION ALL SELECT 'lineitem_fk_orders', n, orphans FROM l
+        |      UNION ALL SELECT 'events_user_not_null', n, null_user FROM e
+        |      UNION ALL SELECT 'events_ts_bounds', n, bad_ts FROM e)
+        |SELECT "check", CAST(n AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY "check"""".stripMargin,
 
     "q176_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

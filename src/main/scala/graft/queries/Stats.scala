@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -97,7 +97,73 @@ object Stats {
       |        / (CAST(n_odd + 1 AS DOUBLE) / CAST(to_ AS DOUBLE))))
       |  * 1000000000.0) AS BIGINT)""".stripMargin
 
+  /** q181's tie-corrected AUC x 1e4, shared VERBATIM with the oracle.
+    * r2pos = doubled rank-sum of positives (average ranks over ties, in
+    * half-units so everything upstream is exact BIGINT); the identity
+    * AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) is evaluated as one
+    * double division. Degenerate single-class inputs report NULL. */
+  private val AucBpSql: String =
+    """CASE WHEN npos = 0 OR nneg = 0 THEN CAST(NULL AS BIGINT)
+      |     ELSE CAST(floor((CAST(r2pos - npos * (npos + 1) AS DOUBLE)
+      |            / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)))
+      |            * 10000.0) AS BIGINT) END""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // ---- ROC AUC (rank statistic) ----------------------------------------
+    // Model-evaluation surface: how well does a score separate purchases
+    // from other events? AUC computed exactly via the Mann-Whitney
+    // rank-sum identity with average ranks over ties — no curve
+    // integration, no per-threshold sweep. Scale design: ranks are
+    // assigned at the DISTINCT-score group level (one aggregation
+    // shuffle), so the single-partition window runs over |distinct
+    // scores| rows, not |events|; two scorers share the pass shape (a
+    // real signal and a hash null-model whose AUC pins ~0.5).
+    "q181_auc" -> ((s: SparkSession, dir: String) => {
+      def auc(scoreExpr: String, name: String): DataFrame = {
+        val ev = Tables(s, dir, "events").select(
+          expr(scoreExpr).as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val g = ev.groupBy("v").agg(sum("pos").as("np"), count(lit(1)).as("nt"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cumprev", coalesce(sum("nt").over(w), lit(0L)))
+          .withColumn("r2", lit(2L) * col("cumprev") + col("nt") + lit(1L))
+          .agg(sum(col("np") * col("r2")).as("r2pos"), sum("np").as("npos"),
+            sum(col("nt") - col("np")).as("nneg"))
+          .select(lit(name).as("model"), col("npos"), col("nneg"),
+            expr(AucBpSql).as("auc_bp"))
+      }
+      auc("CAST(round(value * 100.0) AS BIGINT)", "value_score")
+        .unionByName(auc("user_id % 100", "null_score"))
+        .orderBy("model")
+    }),
+
+    // ---- multi-touch linear attribution ----------------------------------
+    // q122 gives last-touch; real marketing reporting splits the credit —
+    // each purchase distributes 1e6 micro-credits equally over the user's
+    // views in the trailing 7 days (integer `div`, exact both engines),
+    // reported by touch day. Scale design: ONE user-keyed equi-join with
+    // the time bound in the join condition (no theta join), then a window
+    // partitioned by purchase id (count only, no sort) — state per
+    // purchase is its in-window touch set, bounded by the 7-day horizon.
+    "q183_multi_touch" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puid"),
+          unix_timestamp(col("ts")).as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuid"), unix_timestamp(col("ts")).as("vt"),
+          date_format(col("ts"), "yyyy-MM-dd").as("touch_day"))
+      val j = p.join(v, col("puid") === col("vuid") &&
+        col("vt") >= col("pt") - 604800L && col("vt") < col("pt"))
+      j.withColumn("n_touch", count(lit(1)).over(Window.partitionBy("pid")))
+        .withColumn("credit_e6", expr("CAST(1000000 DIV n_touch AS BIGINT)"))
+        .groupBy("touch_day")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          sum("credit_e6").as("credit_e6"))
+        .orderBy("touch_day")
+    }),
+
     // ---- sample stddev / variance / correlation --------------------------
     "q43_stats" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "orders")
@@ -1349,6 +1415,51 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q183_multi_touch" ->
+      """WITH p AS (SELECT event_id AS pid, user_id AS puid,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vuid,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS vt,
+        |        strftime(ts, '%Y-%m-%d') AS touch_day
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.pid, v.touch_day FROM p JOIN v
+        |        ON p.puid = v.vuid AND v.vt >= p.pt - 604800 AND v.vt < p.pt),
+        |c AS (SELECT pid, touch_day,
+        |        count(*) OVER (PARTITION BY pid) AS n_touch FROM j)
+        |SELECT touch_day, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_e6
+        |FROM c GROUP BY touch_day ORDER BY touch_day""".stripMargin,
+
+    "q181_auc" ->
+      s"""WITH ev1 AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |      FROM events),
+         |g1 AS (SELECT v, CAST(sum(pos) AS BIGINT) AS np,
+         |         CAST(count(*) AS BIGINT) AS nt FROM ev1 GROUP BY v),
+         |r1 AS (SELECT np, nt, 2 * coalesce(sum(nt) OVER (ORDER BY v
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         + nt + 1 AS r2 FROM g1),
+         |a1 AS (SELECT CAST(sum(np * r2) AS BIGINT) AS r2pos,
+         |         CAST(sum(np) AS BIGINT) AS npos,
+         |         CAST(sum(nt - np) AS BIGINT) AS nneg FROM r1),
+         |ev2 AS (SELECT user_id % 100 AS v,
+         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         |      FROM events),
+         |g2 AS (SELECT v, CAST(sum(pos) AS BIGINT) AS np,
+         |         CAST(count(*) AS BIGINT) AS nt FROM ev2 GROUP BY v),
+         |r2t AS (SELECT np, nt, 2 * coalesce(sum(nt) OVER (ORDER BY v
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         + nt + 1 AS r2 FROM g2),
+         |a2 AS (SELECT CAST(sum(np * r2) AS BIGINT) AS r2pos,
+         |         CAST(sum(np) AS BIGINT) AS npos,
+         |         CAST(sum(nt - np) AS BIGINT) AS nneg FROM r2t)
+         |SELECT 'null_score' AS model, npos, nneg, $AucBpSql AS auc_bp FROM a2
+         |UNION ALL
+         |SELECT 'value_score' AS model, npos, nneg, $AucBpSql AS auc_bp FROM a1
+         |ORDER BY model""".stripMargin,
+
     "q93_moments" ->
       s"""WITH t AS (SELECT lang, $docToksSql AS n FROM documents),
          |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -763,6 +763,110 @@ object Text {
             .as("n_syll"))
         .withColumn("flesch_e2", expr(FleschE2Sql))
         .orderBy("doc_id")
+    }),
+
+    // ---- positional phrase search ----------------------------------------
+    // Exact-phrase retrieval over a positional inverted index: postings
+    // are (doc_id, pos, tok) rows, and a 3-token phrase is three postings
+    // joined on (doc, adjacent positions). The query itself is dynamic —
+    // the corpus's most frequent trigram (lexicographic tie-break), so
+    // nothing is corpus-hard-coded. Scale design: the first posting
+    // stream is filtered to the (broadcast) query's first term BEFORE the
+    // positional joins, and the term equality rides IN the join
+    // conditions — each join is a selective equi-join on (doc, pos, term),
+    // never a positional cross product. In production the postings table
+    // is the materialized index, bucketed by term.
+    "q184_phrase_search" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val w = toks(col("text"))
+      val post = docs
+        .select(col("doc_id"), posexplode(w).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      val tri = when(size(w) < 3, array().cast("array<struct<t1:string,t2:string,t3:string>>"))
+        .otherwise(zip_with(
+          slice(w, lit(1), size(w) - 2),
+          zip_with(slice(w, lit(2), size(w) - 2), slice(w, lit(3), size(w) - 2),
+            (b, c) => struct(b.as("t2"), c.as("t3"))),
+          (a, bc) => struct(a.as("t1"), bc.getField("t2").as("t2"),
+            bc.getField("t3").as("t3"))))
+      val top = docs.select(explode(tri).as("t"))
+        .groupBy(col("t.t1").as("t1"), col("t.t2").as("t2"), col("t.t3").as("t3"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(min_by(struct(col("t1"), col("t2"), col("t3")),
+          struct(-col("cnt"), col("t1"), col("t2"), col("t3"))).as("q"))
+        .select(col("q.t1").as("q1"), col("q.t2").as("q2"), col("q.t3").as("q3"))
+      val p1 = post.crossJoin(broadcast(top)).filter(col("tok") === col("q1"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("tok").as("tok2"))
+      val p3 = post.select(col("doc_id").as("d3"), col("pos").as("pos3"),
+        col("tok").as("tok3"))
+      p1.join(p2, col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+          col("tok2") === col("q2"))
+        .join(p3, col("d3") === col("doc_id") && col("pos3") === col("pos") + 2 &&
+          col("tok3") === col("q3"))
+        .groupBy("doc_id", "q1", "q2", "q3")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("q1"), col("q2"), col("q3")).as("phrase"), col("n_hits"))
+        .orderBy(desc("n_hits"), col("doc_id")).limit(20)
+    }),
+
+    // ---- multinomial naive Bayes language classifier ---------------------
+    // The from-scratch generative classifier: per-language priors from doc
+    // counts, Laplace-smoothed term likelihoods over the top-50-df vocab
+    // (the full lang x vocab grid, zero counts included), per-doc
+    // log-score = prior + Σ count·ln p — every ln integer-ized (floor-e6)
+    // so doc scores are exact BIGINT sums, argmax via min_by with a
+    // lexicographic language tie-break. Output is the confusion matrix
+    // against the labeled lang column. Scale design: the vocab, the LM
+    // grid (|langs|·50 rows), and the priors are all broadcast; the corpus
+    // is scanned via one persisted exploded-token base feeding vocab
+    // selection, likelihood counts, and doc-term counts; the matrix is
+    // checkpointed and the cache released.
+    "q185_naive_bayes" -> ((s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = tok.select("doc_id", "t").distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("df"), asc("t"))).cast("long"))
+        .filter(col("rk") <= 50).select("t")
+      val priors = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val pri = priors
+        .crossJoin(broadcast(priors.agg(sum("n_docs").as("n_total"))))
+        .withColumn("prior_e6",
+          floor(log(col("n_docs").cast("double") / col("n_total").cast("double"))
+            * lit(1000000.0)).cast("long"))
+        .select(col("lang").as("lang_c"), col("prior_e6"))
+      val cnt = tok.join(broadcast(vocab), "t")
+        .groupBy(col("lang").as("lang_c"), col("t")).agg(count(lit(1)).as("cnt"))
+      val lm = pri.select("lang_c").crossJoin(broadcast(vocab))
+        .join(cnt, Seq("lang_c", "t"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("lang_c")))
+        .withColumn("lnp_e6",
+          floor(log((col("cnt") + 1).cast("double") / (col("tot") + 50).cast("double"))
+            * lit(1000000.0)).cast("long"))
+        .select("lang_c", "t", "lnp_e6")
+      val ll = tok.join(broadcast(vocab), "t")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .join(broadcast(lm), "t")
+        .groupBy("doc_id", "lang_c").agg(sum(col("c") * col("lnp_e6")).as("ll"))
+      val out = Tables(s, dir, "documents").select("doc_id", "lang")
+        .crossJoin(broadcast(pri))
+        .join(ll, Seq("doc_id", "lang_c"), "left")
+        .withColumn("score", coalesce(col("ll"), lit(0L)) + col("prior_e6"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min_by(col("lang_c"), struct((-col("score")).as("ns"), col("lang_c")))
+          .as("pred"))
+        .groupBy(col("lang").as("actual"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "pred")
+        .localCheckpoint(eager = true)
+      tok.unpersist()
+      out
     })
   )
 
@@ -1215,7 +1319,68 @@ object Text {
            |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
            |  FROM documents)
            |SELECT doc_id, n_words, n_sents, n_syll, $FleschE2Sql AS flesch_e2
-           |FROM c ORDER BY doc_id""".stripMargin
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q184_phrase_search" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |post AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok
+           |         FROM (SELECT doc_id, unnest([{'pos': i, 'tok': w[i]}
+           |                 for i in range(1, len(w) + 1)]) AS s FROM t)),
+           |tri AS (SELECT unnest(CASE WHEN len(w) < 3 THEN []
+           |          ELSE [{'t1': w[i], 't2': w[i+1], 't3': w[i+2]}
+           |                for i in range(1, len(w) - 1)]
+           |        END) AS s FROM t),
+           |tc AS (SELECT s.t1 AS t1, s.t2 AS t2, s.t3 AS t3, count(*) AS cnt
+           |       FROM tri GROUP BY 1, 2, 3),
+           |top AS (SELECT t1, t2, t3 FROM tc
+           |        QUALIFY row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) = 1),
+           |hit AS (SELECT p1.doc_id, count(*) AS n_hits
+           |        FROM post p1 JOIN top ON p1.tok = top.t1
+           |        JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           |          AND p2.tok = top.t2
+           |        JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+           |          AND p3.tok = top.t3
+           |        GROUP BY 1)
+           |SELECT h.doc_id, concat_ws(' ', top.t1, top.t2, top.t3) AS phrase,
+           |  CAST(h.n_hits AS BIGINT) AS n_hits
+           |FROM hit h, top ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q185_naive_bayes" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
+           |ex AS (SELECT doc_id, lang, unnest(w) AS t FROM t),
+           |dfx AS (SELECT t, count(DISTINCT doc_id) AS df FROM ex GROUP BY t),
+           |voc AS (SELECT t FROM dfx
+           |        QUALIFY row_number() OVER (ORDER BY df DESC, t) <= 50),
+           |pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           |       FROM documents GROUP BY lang),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM pr),
+           |pri AS (SELECT lang AS lang_c,
+           |          CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |            * 1000000.0) AS BIGINT) AS prior_e6
+           |        FROM pr, tot),
+           |cnt AS (SELECT lang AS lang_c, ex.t, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM ex JOIN voc ON ex.t = voc.t GROUP BY 1, 2),
+           |lmg AS (SELECT g.lang_c, g.t, coalesce(c.cnt, 0) AS cnt
+           |        FROM (SELECT p.lang_c, v.t FROM pri p CROSS JOIN voc v) g
+           |        LEFT JOIN cnt c ON g.lang_c = c.lang_c AND g.t = c.t),
+           |lm AS (SELECT lang_c, t,
+           |         CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+           |           / CAST(sum(cnt) OVER (PARTITION BY lang_c) + 50 AS DOUBLE))
+           |           * 1000000.0) AS BIGINT) AS lnp_e6
+           |       FROM lmg),
+           |dtc AS (SELECT doc_id, ex.t, CAST(count(*) AS BIGINT) AS c
+           |        FROM ex JOIN voc ON ex.t = voc.t GROUP BY 1, 2),
+           |ll AS (SELECT doc_id, lang_c, CAST(sum(c * lnp_e6) AS BIGINT) AS ll
+           |       FROM dtc JOIN lm ON dtc.t = lm.t GROUP BY 1, 2),
+           |sc AS (SELECT d.doc_id, d.lang, p.lang_c,
+           |         coalesce(l.ll, 0) + p.prior_e6 AS score
+           |       FROM documents d CROSS JOIN pri p
+           |       LEFT JOIN ll l ON l.doc_id = d.doc_id AND l.lang_c = p.lang_c),
+           |pd AS (SELECT doc_id, lang, lang_c FROM sc
+           |       QUALIFY row_number() OVER (PARTITION BY doc_id
+           |                                  ORDER BY score DESC, lang_c) = 1)
+           |SELECT lang AS actual, lang_c AS pred, CAST(count(*) AS BIGINT) AS n
+           |FROM pd GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
     )
   }
 }

@@ -361,6 +361,85 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q180 merge upsert: post-merge state reconciles with the changeset") {
+    val rows = SparkEntry.queries("q180_merge_upsert")(spark, dir).collect()
+    val orders = Tables(spark, dir, "orders")
+    val total = orders.count()
+    val removed = orders.filter(col("o_orderkey") % 997 === 0).count()
+    val added = orders.filter(col("o_orderkey") % 1009 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == total - removed + added)
+    // cents conservation: merged total = base - deleted + inserted + 1 cent
+    // per surviving updated row
+    val cents = expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
+    val baseC = orders.agg(sum(cents)).head.getLong(0)
+    val delC = orders.filter(col("o_orderkey") % 997 === 0).agg(sum(cents)).head.getLong(0)
+    val insC = orders.filter(col("o_orderkey") % 1009 === 0).agg(sum(cents)).head.getLong(0)
+    val bumped = orders
+      .filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") % 997 =!= 0).count()
+    assert(rows.map(_.getLong(2)).sum == baseC - delC + insC + bumped)
+    // inserted keys are the only ones above the shift
+    assert(rows.map(_.getLong(4)).max > 100000000L)
+  }
+
+  test("q181 auc: label partition exact, null model ~0.5, bounds hold") {
+    val byModel = SparkEntry.queries("q181_auc")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val events = Tables(spark, dir, "events")
+    val n = events.count()
+    val npos = events.filter(col("event_type") === "purchase").count()
+    byModel.values.foreach { case (p, g, auc) =>
+      assert(p == npos && p + g == n)
+      assert(auc >= 0L && auc <= 10000L)
+    }
+    // a hash of user_id carries ~no purchase signal: AUC within 5pp of chance
+    val (_, _, nullAuc) = byModel("null_score")
+    assert(math.abs(nullAuc - 5000L) < 500L, s"null model AUC $nullAuc")
+  }
+
+  test("q182 dq checks: violation counts match independent recounts") {
+    val rows = SparkEntry.queries("q182_dq_checks")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.size == 7)
+    val orders = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val cust = Tables(spark, dir, "customer").select("c_custkey").distinct()
+    val orphO = orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti").count()
+    val ok = orders.select("o_orderkey").distinct()
+    val orphL = li.join(ok, li("l_orderkey") === ok("o_orderkey"), "left_anti").count()
+    assert(rows("orders_fk_customer")._2 == orphO)
+    assert(rows("lineitem_fk_orders")._2 == orphL)
+    val dupPk = orders.count() - orders.select("o_orderkey").distinct().count()
+    assert(rows("orders_pk_unique")._2 == dupPk)
+    rows.values.foreach { case (checked, viol, status) =>
+      assert(checked > 0 && viol >= 0)
+      assert(status == (if (viol == 0) "pass" else "fail"))
+    }
+  }
+
+  test("q183 multi-touch: credit conserved per purchase up to floor loss") {
+    val rows = SparkEntry.queries("q183_multi_touch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totTouches = rows.map(_.getLong(1)).sum
+    val totCredit = rows.map(_.getLong(3)).sum
+    // each attributed purchase hands out 1e6 credits minus < n_touch floor
+    // loss; purchases counted per day can repeat across days, so bound via
+    // the exact per-purchase recount
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puid"),
+        unix_timestamp(col("ts")).as("pt"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), unix_timestamp(col("ts")).as("vt"))
+    val attributed = p.join(v, col("puid") === col("vuid") &&
+      col("vt") >= col("pt") - 604800L && col("vt") < col("pt"))
+      .groupBy("pid").count()
+    val nP = attributed.count()
+    val nT = attributed.agg(sum("count")).head.getLong(0)
+    assert(totTouches == nT)
+    assert(totCredit <= 1000000L * nP && totCredit > 1000000L * nP - nT,
+      s"credit $totCredit outside (${1000000L * nP - nT}, ${1000000L * nP}]")
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

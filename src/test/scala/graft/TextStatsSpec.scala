@@ -63,4 +63,39 @@ class TextStatsSpec extends SparkSpec {
     val avgs = joined.map(_.getLong(4)).sorted
     assert(avgs.head < avgs.last, "scores are not degenerate-constant")
   }
+
+  test("q184 phrase search: hit counts equal a driver-side sliding-window scan") {
+    val rows = SparkEntry.queries("q184_phrase_search")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val phrase = rows.head.getString(1).split(" ")
+    assert(phrase.length == 3)
+    assert(rows.forall(_.getString(1) == rows.head.getString(1)), "one query phrase")
+    // recount every reported doc's hits by scanning its token stream
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).trim.toLowerCase.split("\\s+")
+      val expected = toks.sliding(3).count(_.sameElements(phrase))
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: reported ${r.getLong(2)} vs scanned $expected")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q185 naive bayes: confusion matrix partitions the corpus, labels closed") {
+    val rows = SparkEntry.queries("q185_naive_bayes")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = Tables(spark, dir, "documents")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._3).sum == docs.count(), "every doc classified exactly once")
+    rows.foreach { case (actual, pred, n) =>
+      assert(langs.contains(actual) && langs.contains(pred))
+      assert(n > 0)
+    }
+    // the classifier must do better than collapsing to one predicted class
+    assert(rows.map(_._2).distinct.length > 1, "degenerate single-class prediction")
+  }
 }

@@ -676,6 +676,45 @@ object Dedup {
         .withColumn("simhash", TextHashes.simhash60(col("h60")))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
+    }),
+
+    // ---- fuzzy entity resolution (Jaro-Winkler matching) -----------------
+    // The record-linkage shape: dirty records (a deterministic one-char
+    // deletion at p_partkey % len, so both engines synthesize identical
+    // typos) are matched back to the clean entity catalog. Pipeline =
+    // memo/dedup (distinct dirty strings carry a record count — the J2
+    // pattern, so the expensive comparison runs once per distinct string,
+    // not per record), then a BLOCKED candidate join: cheap blocking
+    // conjuncts first (shared first char, length within ±1), the native
+    // codegen'd jaro_winkler >= 0.85 last IN the join condition, then
+    // per-dirty-string argmax via min_by (score desc, name asc — no
+    // window sort). Unmatched strings surface with a '(none)' sentinel:
+    // blocking loses first-char deletions by design, and the report shows
+    // that recall cost. Scale: the catalog is the broadcast side; the
+    // dirty stream is never shuffled except for its distinct+count.
+    "q186_entity_match" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.JaroWinkler.jaro_winkler
+      val parts = Tables(s, dir, "part")
+      val dirty = parts.select(
+        expr("concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)), " +
+          "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))").as("dirty_name"))
+      val dn = dirty.groupBy("dirty_name").agg(count(lit(1)).as("n_records"))
+      val catalog = parts.select(col("p_name")).distinct()
+      val cand = dn.join(broadcast(catalog),
+        substring(col("dirty_name"), 1, 1) === substring(col("p_name"), 1, 1) &&
+          abs(length(col("dirty_name")) - length(col("p_name"))) <= 1 &&
+          jaro_winkler(col("dirty_name"), col("p_name")) >= 0.85)
+        .withColumn("score", jaro_winkler(col("dirty_name"), col("p_name")))
+      val best = cand.groupBy("dirty_name", "n_records")
+        .agg(min_by(
+          struct(col("p_name"), floor(col("score") * 10000).cast("long").as("s")),
+          struct(-col("score"), col("p_name"))).as("b"))
+        .select(col("dirty_name"), col("b.p_name").as("matched_name"),
+          col("n_records"), col("b.s").as("score_e4"))
+      val unmatched = dn.join(best.select("dirty_name"), Seq("dirty_name"), "left_anti")
+        .select(col("dirty_name"), lit("(none)").as("matched_name"),
+          col("n_records"), lit(0L).as("score_e4"))
+      best.unionByName(unmatched).orderBy("dirty_name")
     })
   )
 
@@ -1040,7 +1079,32 @@ object Dedup {
            |                                    for h in h60]) > 0
            |                THEN (1::BIGINT << j) ELSE 0::BIGINT END
            |               for j in range(0, 60)]) AS BIGINT) AS simhash
-           |FROM hs ORDER BY doc_id""".stripMargin
+           |FROM hs ORDER BY doc_id""".stripMargin,
+
+      "q186_entity_match" ->
+        """WITH d0 AS (SELECT p_name,
+          |        CAST(p_partkey % length(p_name) AS INT) AS pos FROM part),
+          |dirty AS (SELECT substr(p_name, 1, pos) || substr(p_name, pos + 2)
+          |            AS dirty_name FROM d0),
+          |dn AS (SELECT dirty_name, CAST(count(*) AS BIGINT) AS n_records
+          |       FROM dirty GROUP BY 1),
+          |cat AS (SELECT DISTINCT p_name FROM part),
+          |cand AS (SELECT dn.dirty_name, dn.n_records, cat.p_name,
+          |           jaro_winkler_similarity(dn.dirty_name, cat.p_name) AS score
+          |         FROM dn JOIN cat
+          |           ON substr(dn.dirty_name, 1, 1) = substr(cat.p_name, 1, 1)
+          |          AND abs(length(dn.dirty_name) - length(cat.p_name)) <= 1
+          |          AND jaro_winkler_similarity(dn.dirty_name, cat.p_name) >= 0.85),
+          |best AS (SELECT dirty_name, p_name AS matched_name, n_records,
+          |           CAST(floor(score * 10000) AS BIGINT) AS score_e4
+          |         FROM cand
+          |         QUALIFY row_number() OVER (PARTITION BY dirty_name
+          |                                    ORDER BY score DESC, p_name) = 1)
+          |SELECT dirty_name, matched_name, n_records, score_e4 FROM best
+          |UNION ALL
+          |SELECT dirty_name, '(none)', n_records, CAST(0 AS BIGINT) FROM dn
+          |WHERE dirty_name NOT IN (SELECT dirty_name FROM best)
+          |ORDER BY dirty_name""".stripMargin
     )
   }
 }

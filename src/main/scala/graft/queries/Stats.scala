@@ -108,7 +108,67 @@ object Stats {
       |            / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)))
       |            * 10000.0) AS BIGINT) END""".stripMargin
 
+  /** q187's closed-form two-feature OLS outputs, shared VERBATIM with the
+    * oracle. Inputs are the ten exact BIGINT raw power sums (n, s1, s2,
+    * sy, s11, s22, s12, s1y, s2y, syy); every centered moment, the normal-
+    * equation solve, and R² are ONE deterministic double expression each
+    * (identical IEEE op sequence both engines — syy-scale products exceed
+    * BIGINT range, so the centering happens in doubles). Degenerate
+    * groups (singular normal matrix / zero y-variance) report NULL. */
+  private val OlsOutSql: Map[String, String] = {
+    def c(a: String, b: String, ab: String) =
+      s"(CAST(n AS DOUBLE) * CAST($ab AS DOUBLE) - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))"
+    val c11 = c("s1", "s1", "s11"); val c22 = c("s2", "s2", "s22")
+    val c12 = c("s1", "s2", "s12"); val c1y = c("s1", "sy", "s1y")
+    val c2y = c("s2", "sy", "s2y"); val cyy = c("sy", "sy", "syy")
+    val det = s"($c11 * $c22 - $c12 * $c12)"
+    val b1 = s"(($c1y * $c22 - $c2y * $c12) / $det)"
+    val b2 = s"(($c2y * $c11 - $c1y * $c12) / $det)"
+    val icpt = s"((CAST(sy AS DOUBLE) - $b1 * CAST(s1 AS DOUBLE) - $b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE))"
+    def guarded(e: String, extra: String = "") =
+      s"CASE WHEN $det = 0.0 $extra THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST(floor($e * 1000000.0) AS BIGINT) END"
+    Map(
+      "beta1_e6" -> guarded(b1),
+      "beta2_e6" -> guarded(b2),
+      "intercept_e6" -> guarded(icpt),
+      "r2_e6" -> guarded(s"(($b1 * $c1y + $b2 * $c2y) / $cyy)", s"OR $cyy = 0.0"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // ---- two-feature OLS by normal equations -----------------------------
+    // Multiple regression beyond q65's single-regressor aggregates:
+    // order value (floored dollars — floor is the one cross-engine-exact
+    // integerization; CAST rounds in DuckDB and truncates in Spark)
+    // regressed on total quantity and line count per order, solved in
+    // closed form from ten exact BIGINT power sums. ONE aggregation
+    // shuffle after the orders⋈lineitem equi-join; the solve itself is
+    // per-group scalar math. The 100 TB story: this is how a regression
+    // runs distributed — map-side partial power sums, no iteration, no
+    // driver-side solver.
+    "q187_ols2" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(expr("CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)").as("x1"),
+          count(lit(1)).as("x2"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("y"))
+      val sums = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+      sums.select(col("status") +: col("n") +:
+          OlsOutSql.toSeq.sortBy(_._1).map { case (k, e) => expr(e).as(k) }: _*)
+        .orderBy("status")
+    }),
+
     // ---- ROC AUC (rank statistic) ----------------------------------------
     // Model-evaluation surface: how well does a score separate purchases
     // from other events? AUC computed exactly via the Mann-Whitney
@@ -1415,6 +1475,30 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q187_ols2" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |        CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x1,
+         |        CAST(count(*) AS BIGINT) AS x2
+         |      FROM lineitem GROUP BY l_orderkey),
+         |o AS (SELECT o_orderkey, o_orderstatus,
+         |        CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+         |s AS (SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |        CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |        CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         |        CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM o JOIN li ON o_orderkey = l_orderkey
+         |      GROUP BY o_orderstatus)
+         |SELECT status, n, ${OlsOutSql("beta1_e6")} AS beta1_e6,
+         |  ${OlsOutSql("beta2_e6")} AS beta2_e6,
+         |  ${OlsOutSql("intercept_e6")} AS intercept_e6,
+         |  ${OlsOutSql("r2_e6")} AS r2_e6
+         |FROM s ORDER BY status""".stripMargin,
+
     "q183_multi_touch" ->
       """WITH p AS (SELECT event_id AS pid, user_id AS puid,
         |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt

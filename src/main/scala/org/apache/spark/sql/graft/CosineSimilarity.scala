@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramDistincts].getCanonicalName, "ngram_distincts"),
       (exprs: Seq[Expression]) => NgramDistincts(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getCanonicalName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0),

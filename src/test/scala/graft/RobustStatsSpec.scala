@@ -440,6 +440,77 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       s"credit $totCredit outside (${1000000L * nP - nT}, ${1000000L * nP}]")
   }
 
+  test("q186 entity match: every non-first-char deletion recovers its source name") {
+    val rows = SparkEntry.queries("q186_entity_match")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val names = Tables(spark, dir, "part").select("p_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    // dirty strings reachable by a NON-first-char deletion keep the block
+    // key, so their source must win the argmax; first-char deletions fall
+    // out of their own block and may cross-match a same-initial entity
+    // (e.g. 'hot gear'→'ot gear' matching 'old gear') or stay unmatched —
+    // that recall/precision cost is exactly what the report exposes.
+    val derivedInBlock: Map[String, Set[String]] = names.toSeq
+      .flatMap(nm => (1 until nm.length)
+        .map(p => (nm.substring(0, p) + nm.substring(p + 1)) -> nm))
+      .groupBy(_._1).map { case (d, ss) => d -> ss.map(_._2).toSet }
+    rows.foreach { case (dirty, matched, n, score) =>
+      assert(n > 0)
+      if (matched == "(none)") {
+        assert(score == 0L)
+        assert(!derivedInBlock.contains(dirty),
+          s"in-block deletion '$dirty' must match its source")
+      } else {
+        assert(names.contains(matched))
+        assert(score >= 8500L && score <= 10000L)
+        assert(matched.charAt(0) == dirty.charAt(0), "blocking key respected")
+        assert(math.abs(matched.length - dirty.length) <= 1)
+        derivedInBlock.get(dirty).foreach(srcs =>
+          assert(srcs.contains(matched), s"'$dirty' -> '$matched' not in $srcs"))
+      }
+    }
+    // total records = |part| (each part row contributes exactly one typo)
+    assert(rows.map(_._3).sum == Tables(spark, dir, "part").count())
+  }
+
+  test("q187 OLS: betas and R² agree with a driver-side normal-equation solve") {
+    val rows = SparkEntry.queries("q187_ols2")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("x1"),
+        count(lit(1)).as("x2"))
+    val data = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("y"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderstatus", "x1", "x2", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    rows.foreach { r =>
+      val st = r.getString(0)
+      val g = data.filter(_._1 == st)
+      val n = g.length.toDouble
+      assert(r.getLong(1) == g.length)
+      val (s1, s2, sy) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      val c11 = n * g.map(t => t._2 * t._2).sum - s1 * s1
+      val c22 = n * g.map(t => t._3 * t._3).sum - s2 * s2
+      val c12 = n * g.map(t => t._2 * t._3).sum - s1 * s2
+      val c1y = n * g.map(t => t._2 * t._4).sum - s1 * sy
+      val c2y = n * g.map(t => t._3 * t._4).sum - s2 * sy
+      val det = c11 * c22 - c12 * c12
+      if (det != 0.0 && !r.isNullAt(2)) {
+        val b1 = (c1y * c22 - c2y * c12) / det
+        val b2 = (c2y * c11 - c1y * c12) / det
+        assert(math.abs(r.getLong(2) / 1e6 - b1) < 1e-3, s"$st beta1")
+        assert(math.abs(r.getLong(3) / 1e6 - b2) < 1e-3, s"$st beta2")
+        val r2 = r.getLong(5) / 1e6
+        assert(r2 >= -1e-6 && r2 <= 1.0 + 1e-6, s"$st R² $r2")
+      }
+    }
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

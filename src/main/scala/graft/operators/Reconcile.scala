@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-system table reconciliation — the operator pair a 100 TB
+  * migration validates with (q160's fingerprints + q178's keyed diff,
+  * generalized to arbitrary schemas).
+  *
+  * Canonicalization: every row becomes `to_json` of a name-sorted struct
+  * of all columns (deterministic field order regardless of projection
+  * order), hashed to a 56-bit md5 prefix. The table fingerprint folds
+  * those hashes with BOTH `bit_xor` and a modular sum: xor alone is blind
+  * to any row appearing an even number of times, the sum alone is blind
+  * to compensating pair swaps — together a mismatch in either catches
+  * every practical divergence, and both folds are order- and
+  * partitioning-independent (one aggregation, no sort).
+  *
+  * Scale: `report` is one scan per side per table; `keyedDiff` is one
+  * full-outer hash join on the key. Nothing collects beyond the
+  * per-table summary rows.
+  */
+object Reconcile {
+
+  /** (n_rows, xor_fp, sum_fp_mod) one-row summary for one side. */
+  private def sideSummary(df: DataFrame): DataFrame = {
+    val canon = to_json(struct(df.columns.sorted.map(col): _*))
+    df.select(canon.as("c"))
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("fp"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
+        sum(expr("fp % 100000000")).as("sum_fp_mod"))
+  }
+
+  /** One report row per table: counts + fingerprints of both sides and a
+    * match flag. Each side is scanned exactly once. */
+  def report(tables: Seq[(String, DataFrame, DataFrame)]): Seq[TableReport] =
+    tables.map { case (name, a, b) =>
+      val ra = sideSummary(a).head()
+      val rb = sideSummary(b).head()
+      TableReport(name, ra.getLong(0), rb.getLong(0),
+        if (ra.getLong(0) == 0) 0L else ra.getLong(1),
+        if (rb.getLong(0) == 0) 0L else rb.getLong(1),
+        if (ra.getLong(0) == 0) 0L else ra.getLong(2),
+        if (rb.getLong(0) == 0) 0L else rb.getLong(2))
+    }
+
+  final case class TableReport(tbl: String, n_rows_a: Long, n_rows_b: Long,
+      xor_fp_a: Long, xor_fp_b: Long, sum_fp_mod_a: Long, sum_fp_mod_b: Long) {
+    def matches: Boolean =
+      n_rows_a == n_rows_b && xor_fp_a == xor_fp_b && sum_fp_mod_a == sum_fp_mod_b
+  }
+
+  /** Per-key diff classification (q178 generalized): one full-outer join
+    * on `key`, non-key columns compared via the canonical row hash.
+    * Returns (status, n, min_key, max_key) with statuses
+    * added/removed/changed/same. */
+  def keyedDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    // canonical hash built before the join: each side is one projection
+    def hashed(df: DataFrame, h: String): DataFrame = {
+      val rest = df.columns.filterNot(_ == key).sorted.map(col)
+      df.select(col(key).as("k"), to_json(struct(rest: _*)).as("c"))
+        .select(col("k"),
+          expr("CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
+            .as(h))
+    }
+    hashed(a, "h_old").join(hashed(b, "h_new"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("status")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Reconcile
+
+/** The migration-validation job: identical copies must fingerprint equal
+  * regardless of row order/partitioning; an injected edit script must be
+  * detected table-wise AND classified key-wise with exact counts. */
+class ReconcileSpec extends SparkSpec {
+
+  private val dirA = sf("sf0.001")
+
+  private def mkDirB(tmp: String): Unit = {
+    // copy a subset of tables; orders gets a deterministic edit script:
+    // price +1 cent on keys %50==0 (changed), drop keys %97==0 (removed),
+    // mirrored keys %101==0 re-inserted above a shift (added). Repartition
+    // shuffles row order/file layout so only content equality can match.
+    Seq("nation", "customer", "part").foreach { t =>
+      spark.read.parquet(s"$dirA/$t.parquet").repartition(5)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val o = spark.read.parquet(s"$dirA/orders.parquet")
+    val edited = o
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 50 === 0, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice")))
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    edited.repartition(7).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+  }
+
+  test("identical tables match, edited orders is flagged and classified exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("reconcile").toString
+    mkDirB(tmp)
+    val out = s"$tmp/out"
+    val reports = ReconcileMain.run(spark, dirA, tmp, out).map(r => r.tbl -> r).toMap
+    assert(reports.keySet == Set("nation", "customer", "part", "orders"))
+    Seq("nation", "customer", "part").foreach { t =>
+      assert(reports(t).matches, s"$t should fingerprint-match its shuffled copy")
+      assert(reports(t).n_rows_a == reports(t).n_rows_b)
+    }
+    assert(!reports("orders").matches, "edited orders must mismatch")
+
+    val o = spark.read.parquet(s"$dirA/orders.parquet")
+    val removed = o.filter(col("o_orderkey") % 97 === 0).count()
+    val added = o.filter(col("o_orderkey") % 101 === 0).count()
+    val changed = o
+      .filter(col("o_orderkey") % 50 === 0 && col("o_orderkey") % 97 =!= 0).count()
+    val total = o.count()
+    assert(removed > 0 && added > 0 && changed > 0, "edit script must be non-trivial")
+
+    val diff = spark.read.parquet(s"$out/diff_orders.parquet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.getOrElse("removed", 0L) == removed)
+    assert(diff.getOrElse("added", 0L) == added)
+    assert(diff.getOrElse("changed", 0L) == changed)
+    assert(diff.getOrElse("same", 0L) == total - removed - changed)
+
+    // the written per-table report agrees with the returned one
+    val tbl = spark.read.parquet(s"$out/tables.parquet").collect()
+      .map(r => r.getString(0) -> r.getBoolean(7)).toMap
+    assert(tbl == reports.map { case (k, v) => k -> v.matches })
+  }
+
+  test("fingerprint catches an even-multiplicity duplication xor alone misses") {
+    val a = spark.read.parquet(s"$dirA/nation.parquet")
+    val doubled = a.unionByName(a) // every row twice: xor folds back to equal
+    val Seq(r) = Reconcile.report(Seq(("nation", a, doubled)))
+    assert(r.xor_fp_a != r.xor_fp_b || r.sum_fp_mod_a != r.sum_fp_mod_b ||
+      r.n_rows_a != r.n_rows_b)
+    assert(!r.matches)
+    // and the modular sum specifically differs even where xor cannot
+    assert(r.xor_fp_b != r.xor_fp_a || r.sum_fp_mod_a != r.sum_fp_mod_b)
+  }
+}

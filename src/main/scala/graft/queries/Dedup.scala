@@ -362,13 +362,19 @@ object Dedup {
     // shuffle + one aggregation, all key-partitioned; the symmetrized edge
     // set is persisted and materialized once.
     "q101_pagerank" -> ((s: SparkSession, dir: String) => {
+      // persist BEFORE the symmetrizing union: both branches read the
+      // cached pair set instead of re-running the LSH pipeline (q161's
+      // lesson — ReuseExchange does not fire across the swapped
+      // projections)
       val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
         .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val sym = pairs
         .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sym.count() // one pair-pipeline execution, then every scan is cached
+      sym.count() // then every iteration scan is cached
       val deg = sym.groupBy("d1").agg(count(lit(1)).as("deg"))
         .select(col("d1").as("id"), col("deg"))
       var r = deg.select(col("id"), lit(1000000L).as("r"))
@@ -386,6 +392,7 @@ object Dedup {
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
       sym.unpersist()
+      pairs.unpersist()
       out
     }),
 
@@ -421,15 +428,24 @@ object Dedup {
     // the capped LSH pair set (per-node degree, then the histogram) — the
     // pair pipeline runs once since the chain has a single consumer.
     "q161_degree_dist" -> ((s: SparkSession, dir: String) => {
+      // the pair set feeds BOTH union branches — persisted, or the whole
+      // LSH pipeline executes twice (ReuseExchange does not fire across
+      // the differing endpoint projections; measured 6.3 s -> 4.5 s at
+      // sf0.1)
       val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
         .select(col("d1"), col("d2"))
-      val sym = pairs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val out = pairs
         .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .distinct()
-      sym.groupBy("d1").agg(count(lit(1)).as("deg"))
+        .groupBy("d1").agg(count(lit(1)).as("deg"))
         .groupBy("deg")
         .agg(count(lit(1)).as("n_docs"), min("d1").as("min_doc"), max("d1").as("max_doc"))
         .orderBy("deg")
+        .localCheckpoint(eager = true)
+      pairs.unpersist()
+      out
     }),
 
     // ---- local clustering coefficient -------------------------------------

@@ -910,6 +910,63 @@ object Relational {
         .orderBy("check")
     }),
 
+    // ---- per-column data profile (the SUMMARIZE operator) -------------------
+    // The first query anyone runs on an unknown table: per-column null
+    // count, exact distinct count, min/max — ONE aggregation pass over the
+    // table (conditional aggregates per column, the q182 pattern), pivoted
+    // to per-column report rows via an array-of-structs explode. Values
+    // are emitted through deterministic per-type encodings (ints as-is,
+    // money as integer cents, dates as yyyy-MM-dd) so the report is
+    // hash-stable cross-engine. At 100 TB the exact countDistincts become
+    // the sketch the same pass can carry (approx_count_distinct / q190's
+    // native HLL) — the plan shape is unchanged.
+    "q188_profile" -> ((s: SparkSession, dir: String) => {
+      val o = Tables(s, dir, "orders")
+      def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+      def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+      val agg = o.agg(count(lit(1)).as("n"),
+        nn("o_orderkey"), nd("o_orderkey"),
+        min(col("o_orderkey")).cast("string").as("mn_k"),
+        max(col("o_orderkey")).cast("string").as("mx_k"),
+        nn("o_custkey"), nd("o_custkey"),
+        min(col("o_custkey")).cast("string").as("mn_c"),
+        max(col("o_custkey")).cast("string").as("mx_c"),
+        nn("o_orderstatus"), nd("o_orderstatus"),
+        min(col("o_orderstatus")).as("mn_s"), max(col("o_orderstatus")).as("mx_s"),
+        nn("o_totalprice"), nd("o_totalprice"),
+        min(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).cast("string").as("mn_p"),
+        max(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).cast("string").as("mx_p"),
+        nn("o_orderdate"), nd("o_orderdate"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("mn_d"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("mx_d"),
+        nn("o_orderpriority"), nd("o_orderpriority"),
+        min(col("o_orderpriority")).as("mn_o"), max(col("o_orderpriority")).as("mx_o"))
+      // all six columns aggregate in VALUE order; the string cast is an
+      // output encoding applied after min/max
+      agg.withColumn("p", explode(array(
+          struct(lit("o_orderkey").as("column"), col("nn_o_orderkey").as("n_nulls"),
+            col("nd_o_orderkey").as("n_distinct"), col("mn_k").as("min_val"),
+            col("mx_k").as("max_val")),
+          struct(lit("o_custkey").as("column"), col("nn_o_custkey").as("n_nulls"),
+            col("nd_o_custkey").as("n_distinct"), col("mn_c").as("min_val"),
+            col("mx_c").as("max_val")),
+          struct(lit("o_orderstatus").as("column"), col("nn_o_orderstatus").as("n_nulls"),
+            col("nd_o_orderstatus").as("n_distinct"), col("mn_s").as("min_val"),
+            col("mx_s").as("max_val")),
+          struct(lit("o_totalprice").as("column"), col("nn_o_totalprice").as("n_nulls"),
+            col("nd_o_totalprice").as("n_distinct"), col("mn_p").as("min_val"),
+            col("mx_p").as("max_val")),
+          struct(lit("o_orderdate").as("column"), col("nn_o_orderdate").as("n_nulls"),
+            col("nd_o_orderdate").as("n_distinct"), col("mn_d").as("min_val"),
+            col("mx_d").as("max_val")),
+          struct(lit("o_orderpriority").as("column"), col("nn_o_orderpriority").as("n_nulls"),
+            col("nd_o_orderpriority").as("n_distinct"), col("mn_o").as("min_val"),
+            col("mx_o").as("max_val")))))
+        .select(col("p.column").as("column"), col("n").as("n_rows"),
+          col("p.n_nulls"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+        .orderBy("column")
+    }),
+
     // ---- GROUP BY ALL (modern SQL ergonomics surface) -----------------------
     // Spark 4 and DuckDB both accept GROUP BY ALL (group on every
     // non-aggregate select item) — the same query text runs on both
@@ -1528,6 +1585,35 @@ object Relational {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r ORDER BY "check"""".stripMargin,
+
+    "q188_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(*) - count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k, CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+        |    count(*) - count(o_custkey) AS nn_c, count(DISTINCT o_custkey) AS nd_c,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn_c, CAST(max(o_custkey) AS VARCHAR) AS mx_c,
+        |    count(*) - count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+        |    min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |    count(*) - count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
+        |    CAST(min(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS VARCHAR) AS mn_p,
+        |    CAST(max(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS VARCHAR) AS mx_p,
+        |    count(*) - count(o_orderdate) AS nn_d, count(DISTINCT o_orderdate) AS nd_d,
+        |    strftime(min(o_orderdate), '%Y-%m-%d') AS mn_d,
+        |    strftime(max(o_orderdate), '%Y-%m-%d') AS mx_d,
+        |    count(*) - count(o_orderpriority) AS nn_o, count(DISTINCT o_orderpriority) AS nd_o,
+        |    min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
+        |  FROM orders)
+        |SELECT "column", CAST(n AS BIGINT) AS n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'o_orderkey' AS "column", n, nn_k AS n_nulls, nd_k AS n_distinct,
+        |    mn_k AS min_val, mx_k AS max_val FROM a
+        |  UNION ALL SELECT 'o_custkey', n, nn_c, nd_c, mn_c, mx_c FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, nn_s, nd_s, mn_s, mx_s FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, nn_p, nd_p, mn_p, mx_p FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, nn_d, nd_d, mn_d, mx_d FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n, nn_o, nd_o, mn_o, mx_o FROM a)
+        |ORDER BY "column"""".stripMargin,
 
     "q176_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

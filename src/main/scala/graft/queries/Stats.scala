@@ -97,6 +97,16 @@ object Stats {
       |        / (CAST(n_odd + 1 AS DOUBLE) / CAST(to_ AS DOUBLE))))
       |  * 1000000000.0) AS BIGINT)""".stripMargin
 
+  /** q189's per-cell mutual-information contribution x 1e9, shared
+    * VERBATIM with the oracle: (n_ls/n)·ln(n_ls·n / (n_l·n_s)) — four
+    * exact BIGINT counts in, one deterministic double out. */
+  private val MiTermE9Sql: String =
+    """CAST(floor(
+      |  (CAST(n_ls AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * ln((CAST(n_ls AS DOUBLE) * CAST(n AS DOUBLE))
+      |       / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))
+      |  * 1000000000.0) AS BIGINT)""".stripMargin
+
   /** q181's tie-corrected AUC x 1e4, shared VERBATIM with the oracle.
     * r2pos = doubled rank-sum of positives (average ranks over ties, in
     * half-units so everything upstream is exact BIGINT); the identity
@@ -195,6 +205,26 @@ object Stats {
       auc("CAST(round(value * 100.0) AS BIGINT)", "value_score")
         .unionByName(auc("user_id % 100", "null_score"))
         .orderBy("model")
+    }),
+
+    // ---- mutual information between categorical columns ------------------
+    // MI(lang; source): the information-theoretic association measure
+    // beside q154's chi-square/Cramér's V. One aggregation to (lang,
+    // source) cell counts, marginals via windows over the |cells| grid
+    // (not the corpus), per-cell contribution (p_ls)·ln(p_ls·n / p_l·p_s)
+    // as ONE shared-verbatim double over exact BIGINT counts, floor-e9 —
+    // so Σ mi_term_e9 is an exact reduction. Zero cells never appear and
+    // contribute exactly 0.
+    "q189_mutual_info" -> ((s: SparkSession, dir: String) => {
+      val cells = Tables(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
+      cells
+        .withColumn("n_l", sum("n_ls").over(Window.partitionBy("lang")))
+        .withColumn("n_s", sum("n_ls").over(Window.partitionBy("source")))
+        .withColumn("n", sum("n_ls").over(Window.partitionBy()))
+        .withColumn("mi_term_e9", expr(MiTermE9Sql))
+        .select("lang", "source", "n_ls", "mi_term_e9")
+        .orderBy("lang", "source")
     }),
 
     // ---- multi-touch linear attribution ----------------------------------
@@ -1475,6 +1505,17 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q189_mutual_info" ->
+      s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+         |      FROM documents GROUP BY lang, source),
+         |g AS (SELECT lang, source, n_ls,
+         |        CAST(sum(n_ls) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+         |        CAST(sum(n_ls) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         |        CAST(sum(n_ls) OVER () AS BIGINT) AS n
+         |      FROM c)
+         |SELECT lang, source, n_ls, $MiTermE9Sql AS mi_term_e9
+         |FROM g ORDER BY lang, source""".stripMargin,
+
     "q187_ols2" ->
       s"""WITH li AS (SELECT l_orderkey,
          |        CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x1,

@@ -811,6 +811,30 @@ object Text {
         .orderBy(desc("n_hits"), col("doc_id")).limit(20)
     }),
 
+    // ---- HLL via the native mergeable register aggregate -----------------
+    // q126's sketch computed the way it ships at 100 TB: the custom
+    // Catalyst TypedImperativeAggregate folds each partition's hashes into
+    // a 512-byte register buffer, partials merge by elementwise max, and
+    // ONE row per language crosses the shuffle — versus the SQL form's
+    // |langs|·64 register rows and second aggregation. Same registers,
+    // same shared-verbatim estimate, same DuckDB oracle (verbatim q126's),
+    // one ObjectHashAggregate (plan pinned in ScaleOpsSpec).
+    "q190_hll_native" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.Sketches.hll_regs
+      val ex = Tables(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("term"))
+      val sketch = ex.select(col("lang"),
+          expr("CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("h"))
+        .groupBy("lang").agg(hll_regs(col("h")).as("r"))
+        .select(col("lang"), col("r.n_regs").as("n_regs"), col("r.s_e").as("s_e"))
+        .withColumn("est_hll", expr(HllEstSql))
+      val exact = ex.distinct().groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      sketch.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("est_hll"),
+          expr("CAST((abs(est_hll - n_exact) * 10000) DIV n_exact AS BIGINT)").as("err_bp"))
+        .orderBy("lang")
+    }),
+
     // ---- multinomial naive Bayes language classifier ---------------------
     // The from-scratch generative classifier: per-language priors from doc
     // counts, Laplace-smoothed term likelihoods over the top-50-df vocab
@@ -876,7 +900,7 @@ object Text {
     def hitSql(words: Seq[String]): String =
       s"CAST(len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT)"
 
-    Map(
+    val m = Map(
       "q109_bm25" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
            |ex AS (SELECT doc_id, unnest(w) AS term FROM t),
@@ -1382,5 +1406,8 @@ object Text {
            |SELECT lang AS actual, lang_c AS pred, CAST(count(*) AS BIGINT) AS n
            |FROM pd GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
     )
+    // the native-aggregate form computes the identical registers — the
+    // q126 oracle verifies both pipelines
+    m + ("q190_hll_native" -> m("q126_hll"))
   }
 }

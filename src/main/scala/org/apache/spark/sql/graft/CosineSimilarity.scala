@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[HllRegs].getCanonicalName, "hll_regs"),
+      (exprs: Seq[Expression]) => HllRegs(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getCanonicalName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0),

@@ -511,6 +511,41 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q188 profile: counts and bounds match direct per-column queries") {
+    val rows = SparkEntry.queries("q188_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val o = Tables(spark, dir, "orders")
+    val n = o.count()
+    assert(rows.size == 6)
+    rows.values.foreach { case (nRows, nNulls, nDistinct, _, _) =>
+      assert(nRows == n && nNulls >= 0 && nDistinct <= n - nNulls)
+    }
+    val (_, _, ndK, mnK, mxK) = {
+      val t = rows("o_orderkey"); (t._1, t._2, t._3, t._4, t._5)
+    }
+    assert(ndK == o.select("o_orderkey").distinct().count())
+    assert(mnK.toLong == o.agg(min("o_orderkey")).head.getLong(0))
+    assert(mxK.toLong == o.agg(max("o_orderkey")).head.getLong(0))
+    // value order, not string order: max key numerically >= min key
+    assert(mxK.toLong >= mnK.toLong)
+  }
+
+  test("q189 mutual information: non-negative total, marginals consistent") {
+    val rows = SparkEntry.queries("q189_mutual_info")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == total, "cells partition the corpus")
+    // MI >= 0 up to per-cell floor loss (each term loses < 1e-9)
+    assert(rows.map(_._4).sum >= -rows.length,
+      s"MI sum ${rows.map(_._4).sum} below floor-loss bound")
+    // independence sanity: shuffling one margin to a constant gives MI 0
+    // (single-source grid would have every term ln(1) = 0) — here just
+    // pin that at least one cell deviates from independence
+    assert(rows.map(_._4).exists(_ != 0L))
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -283,6 +283,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the kNN join:\n$plan")
   }
 
+  test("q190 native HLL: one ObjectHashAggregate, no register-row shuffle, ≡ q126") {
+    val dir = sf("sf0.001")
+    val df = SparkEntry.queries("q190_hll_native")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("hll_regs"),
+      s"native aggregate not planned:\n$plan")
+    assert(plan.contains("partial_hll_regs"),
+      "partial aggregation (map-side sketch merge) missing")
+    // the SQL form's register-level aggregation keys on (lang, j); the
+    // native plan must carry no 'j' grouping anywhere
+    assert(!plan.contains("j#"), "register-row aggregation leaked into the plan")
+    // identical output to the SQL-form sketch (same registers by design)
+    val native = df.collect().map(_.toSeq).toSeq
+    val sqlForm = SparkEntry.queries("q126_hll")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(native == sqlForm)
+  }
+
   test("IVF assignment partitioned by centroid prunes probe reads") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.expressions.Window

@@ -164,6 +164,82 @@ object EventsPipeline {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** A closed drift-monitor bucket: the bucket's event count scored
+    * against the running Welford statistics of all PREVIOUS closed
+    * buckets for the same event type. `z` is 0 during warm-up (fewer
+    * than three reference buckets — a two-point variance estimate flags
+    * ordinary jitter) or while variance is 0; `alert` fires on |z| above
+    * the monitor's threshold. */
+  case class DriftAlert(event_type: String, bucket_start: Long, n: Long,
+      ref_windows: Long, ref_mean: Double, z: Double, alert: Boolean)
+
+  private case class DriftState(curBucket: Long, curN: Long,
+      nW: Long, mean: Double, m2: Double)
+
+  /** Streaming drift/anomaly monitor — q108's z-score detector as a live
+    * stream (the alerting form of q179's drift report): per event type,
+    * bucket counts accumulate in O(1) state; when a later bucket's first
+    * row arrives, the finished bucket is scored against the running
+    * mean/variance (Welford) of the type's history and emitted, then
+    * folded into that history. State per key is ONE fixed-size record
+    * regardless of stream length — the 100 TB-stream requirement. Rows
+    * are processed in ts order within each batch; cross-batch stragglers
+    * older than the open bucket are counted into it rather than
+    * re-opening closed history (bounded staleness under the input
+    * watermark, documented divergence from an exact batch recount). */
+  class DriftProcessor(bucketMs: Long, zThresh: Double)
+      extends StatefulProcessor[String, EventRow, DriftAlert] {
+    @transient private var st: ValueState[DriftState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DriftState](
+        "drift", Encoders.product[DriftState], TTLConfig.NONE)
+
+    private def close(key: String, s: DriftState): (DriftAlert, DriftState) = {
+      val (z, alert) =
+        if (s.nW >= 3 && s.m2 > 0.0) {
+          val sd = math.sqrt(s.m2 / (s.nW - 1).toDouble)
+          val zz = (s.curN.toDouble - s.mean) / sd
+          (zz, math.abs(zz) > zThresh)
+        } else (0.0, false)
+      val out = DriftAlert(key, s.curBucket * bucketMs, s.curN, s.nW, s.mean, z, alert)
+      // Welford fold of the closed bucket into the reference stats
+      val n1 = s.nW + 1
+      val d = s.curN.toDouble - s.mean
+      val mean1 = s.mean + d / n1.toDouble
+      val m21 = s.m2 + d * (s.curN.toDouble - mean1)
+      (out, DriftState(0L, 0L, n1, mean1, m21))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[DriftAlert] = {
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var s = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[DriftAlert]
+      sorted.foreach { e =>
+        val b = e.ts.getTime / bucketMs
+        if (s == null) s = DriftState(b, 1L, 0L, 0.0, 0.0)
+        else if (b > s.curBucket) {
+          val (alert, folded) = close(key, s)
+          out += alert
+          s = folded.copy(curBucket = b, curN = 1L)
+        } else s = s.copy(curN = s.curN + 1) // current bucket or straggler
+      }
+      if (s != null) st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Per-type drift alerts over tumbling `bucketMs` buckets. */
+  def driftAlerts(events: Dataset[EventRow], bucketMs: Long = 3600L * 1000,
+                  zThresh: Double = 2.0,
+                  watermark: String = "2 hours"): Dataset[DriftAlert] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", watermark).as[EventRow]
+      .groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor(bucketMs, zThresh),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream inner join with watermarks: each purchase joined to the
     * views of the same user in the preceding hour. Both sides carry a
     * watermark and the join condition bounds the event-time range, so

@@ -117,6 +117,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drift monitor: spike bucket alerts against the running per-type stats") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.EventRow]
+    val q = EventsPipeline.driftAlerts(in.toDS(), bucketMs = 3600L * 1000,
+        zThresh = 2.0)
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      def add(hour: Int, nView: Int, nClick: Int): Unit = {
+        val rows = (0 until nView).map { i =>
+          id += 1
+          graft.streaming.EventRow(id, t(f"2024-01-01 $hour%02d:00:${i % 60}%02d"),
+            1, "view", 1.0)
+        } ++ (0 until nClick).map { i =>
+          id += 1
+          graft.streaming.EventRow(id, t(f"2024-01-01 $hour%02d:30:${i % 60}%02d"),
+            2, "click", 1.0)
+        }
+        in.addData(rows)
+        q.processAllAvailable()
+      }
+      // five steady view-hours (4,5,6,5,6), clicks flat at 3
+      add(0, 4, 3); add(1, 5, 3); add(2, 6, 3); add(3, 5, 3); add(4, 6, 3)
+      // the spike hour, then one more hour so the spike bucket CLOSES
+      add(5, 40, 3); add(6, 5, 3)
+      val alerts = spark.table("drift").as[graft.streaming.EventsPipeline.DriftAlert]
+        .collect()
+      val views = alerts.filter(_.event_type == "view").sortBy(_.bucket_start)
+      // hours 0..5 closed (6 is still open); scoring starts once 3+
+      // reference buckets exist (warm-up)
+      assert(views.length == 6)
+      assert(views.map(_.n).toSeq == Seq(4L, 5L, 6L, 5L, 6L, 40L))
+      val spike = views.last
+      assert(spike.alert && spike.z > 2.0, s"spike not flagged: $spike")
+      assert(views.init.forall(!_.alert), "steady buckets must not alert")
+      // reference stats exclude the bucket being scored
+      assert(spike.ref_windows == 5L && math.abs(spike.ref_mean - 5.2) < 1e-9)
+      // clicks are flat: zero variance → never alerts
+      val clicks = alerts.filter(_.event_type == "click")
+      assert(clicks.nonEmpty && clicks.forall(a => !a.alert && a.z == 0.0))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and stops (cron-equivalent run)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -62,6 +62,50 @@ object Multimodal {
           conv(substring(col("frame_sha"), 1, 2), 16, 10).cast("long"))
         .select("doc_id", "frame_idx", "out_w", "out_h", "frame_sha", "brightness")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- cross-asset duplicate detection by frame overlap ------------------
+    // The video near-dup operator: two media assets are duplicate
+    // candidates when they SHARE sampled-frame content digests (re-encoded
+    // uploads keep frame content where byte-level dedup fails). The stub
+    // codec models a frame as a 16-token content chunk, so assets sharing
+    // runs of content — the corpus's near-dups — genuinely collide.
+    // Pipeline: frame generator (every 2nd chunk) → per-digest bucket
+    // grouping with a size cap (ONE shuffle keyed by digest; the cap
+    // drops degenerate boilerplate frames AND bounds pair expansion —
+    // q37's LSH design applied to media) → in-array i<j pairs → per-pair
+    // shared-frame count and containment share vs the smaller asset's
+    // sampled-frame count.
+    "q191_frame_dedup" -> ((s: SparkSession, dir: String) => {
+      val frames = Tables(s, dir, "documents")
+        .withColumn("w",
+          when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+            .otherwise(split(lower(trim(col("text"))), "\\s+")))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_chunks", expr("CAST((size(w) + 15) div 16 AS BIGINT)"))
+        .select(col("doc_id"), col("n_chunks"), col("w"),
+          explode(sequence(lit(0L), col("n_chunks") - 1, lit(2L))).as("ci"))
+        .withColumn("frame_sha",
+          md5(concat_ws(" ", slice(col("w"), (col("ci") * 16 + 1).cast("int"), lit(16)))
+            .cast("binary")))
+        .select("doc_id", "n_chunks", "frame_sha")
+        .dropDuplicates()
+      val buckets = frames
+        .groupBy("frame_sha")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("n_chunks")))).as("ds"))
+        .filter(size(col("ds")).between(2, 32))
+      buckets
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+        .select(col("x.doc_id").as("d1"), col("x.n_chunks").as("nc1"),
+          col("y.doc_id").as("d2"), col("y.n_chunks").as("nc2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_shared"),
+          min(expr("least((nc1 + 1) div 2, (nc2 + 1) div 2)")).as("min_sampled"))
+        .withColumn("overlap_bp", expr("(n_shared * 10000) div min_sampled"))
+        .select("d1", "d2", "n_shared", "overlap_bp")
+        .orderBy("d1", "d2")
     })
   )
 
@@ -89,6 +133,28 @@ object Multimodal {
         |SELECT doc_id, frame_idx, out_w, out_h,
         | md5(sha || ':' || frame_idx) AS frame_sha,
         | ('0x' || substr(md5(sha || ':' || frame_idx), 1, 2))::BIGINT AS brightness
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q191_frame_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, CAST((len(w) + 15) // 16 AS BIGINT) AS n_chunks
+        |  FROM t WHERE len(w) > 0),
+        |f AS (SELECT DISTINCT doc_id, n_chunks,
+        |    md5(array_to_string(w[ci * 16 + 1 : ci * 16 + 16], ' ')) AS frame_sha
+        |  FROM (SELECT doc_id, n_chunks, w,
+        |          unnest(range(0, n_chunks, 2)) AS ci FROM d)),
+        |b AS (SELECT frame_sha FROM f GROUP BY frame_sha
+        |      HAVING count(*) BETWEEN 2 AND 32),
+        |p AS (SELECT a.doc_id AS d1, a.n_chunks AS nc1,
+        |        c.doc_id AS d2, c.n_chunks AS nc2
+        |      FROM f a JOIN b ON a.frame_sha = b.frame_sha
+        |      JOIN f c ON c.frame_sha = a.frame_sha AND a.doc_id < c.doc_id)
+        |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST((count(*) * 10000) // min(least((nc1 + 1) // 2, (nc2 + 1) // 2))
+        |    AS BIGINT) AS overlap_bp
+        |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
   )
 }

@@ -967,6 +967,39 @@ object Relational {
         .orderBy("column")
     }),
 
+    // ---- shuffle-key skew diagnostic ----------------------------------------
+    // The report that decides salting/AQE-skew-join settings BEFORE a big
+    // join ships: per candidate key column — key cardinality, max/median/
+    // p99 per-key row counts (exact order statistics via the
+    // position-in-multiset trick, engine-independent under duplicate
+    // counts), the heaviest key's row share, and max/mean in basis points.
+    // One aggregation per column plus a rank window over |keys| rows;
+    // at 100 TB the same pass runs on a sample or rides q117's count-min
+    // sketch, with the plan shape unchanged.
+    "q192_key_skew" -> ((s: SparkSession, dir: String) => {
+      def skewOf(df: DataFrame, keyCol: String, label: String): DataFrame = {
+        val kc = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        val ranked = kc.withColumn("rn",
+          row_number().over(Window.orderBy("cnt", "k")).cast("long"))
+        val stats = ranked.agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"), max("cnt").as("max_cnt"))
+        ranked.crossJoin(broadcast(stats))
+          .agg(max("n_rows").as("n_rows"), max("n_keys").as("n_keys"),
+            max("max_cnt").as("max_cnt"),
+            max(when(col("rn") === expr("(n_keys + 1) div 2"), col("cnt"))).as("p50_cnt"),
+            max(when(col("rn") === expr("(99 * n_keys + 99) div 100"), col("cnt"))).as("p99_cnt"))
+          .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+            expr("(max_cnt * 10000) div n_rows").as("top_share_bp"),
+            expr("(max_cnt * n_keys * 10000) div n_rows").as("skew_ratio_bp"))
+      }
+      val ev = Tables(s, dir, "events")
+      skewOf(ev, "user_id", "events.user_id")
+        .unionByName(skewOf(ev, "event_type", "events.event_type"))
+        .unionByName(skewOf(Tables(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
+        .orderBy("key_col")
+    }),
+
     // ---- GROUP BY ALL (modern SQL ergonomics surface) -----------------------
     // Spark 4 and DuckDB both accept GROUP BY ALL (group on every
     // non-aggregate select item) — the same query text runs on both
@@ -1614,6 +1647,64 @@ object Relational {
         |  UNION ALL SELECT 'o_orderdate', n, nn_d, nd_d, mn_d, mx_d FROM a
         |  UNION ALL SELECT 'o_orderpriority', n, nn_o, nd_o, mn_o, mx_o FROM a)
         |ORDER BY "column"""".stripMargin,
+
+    "q192_key_skew" ->
+      """WITH s1 AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn
+        |  FROM (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events GROUP BY 1)),
+        |a1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt FROM s1),
+        |p1 AS (SELECT
+        |         CAST(max(CASE WHEN rn = (SELECT (n_keys + 1) // 2 FROM a1)
+        |                       THEN cnt END) AS BIGINT) AS p50_cnt,
+        |         CAST(max(CASE WHEN rn = (SELECT (99 * n_keys + 99) // 100 FROM a1)
+        |                       THEN cnt END) AS BIGINT) AS p99_cnt
+        |       FROM s1),
+        |r1 AS (SELECT 'events.user_id' AS key_col, n_rows, n_keys, max_cnt,
+        |         p50_cnt, p99_cnt,
+        |         (max_cnt * 10000) // n_rows AS top_share_bp,
+        |         (max_cnt * n_keys * 10000) // n_rows AS skew_ratio_bp
+        |       FROM a1, p1),
+        |s2 AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn
+        |  FROM (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events GROUP BY 1)),
+        |a2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt FROM s2),
+        |p2 AS (SELECT
+        |         CAST(max(CASE WHEN rn = (SELECT (n_keys + 1) // 2 FROM a2)
+        |                       THEN cnt END) AS BIGINT) AS p50_cnt,
+        |         CAST(max(CASE WHEN rn = (SELECT (99 * n_keys + 99) // 100 FROM a2)
+        |                       THEN cnt END) AS BIGINT) AS p99_cnt
+        |       FROM s2),
+        |r2 AS (SELECT 'events.event_type', n_rows, n_keys, max_cnt,
+        |         p50_cnt, p99_cnt,
+        |         (max_cnt * 10000) // n_rows,
+        |         (max_cnt * n_keys * 10000) // n_rows
+        |       FROM a2, p2),
+        |s3 AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn
+        |  FROM (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM lineitem GROUP BY 1)),
+        |a3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt FROM s3),
+        |p3 AS (SELECT
+        |         CAST(max(CASE WHEN rn = (SELECT (n_keys + 1) // 2 FROM a3)
+        |                       THEN cnt END) AS BIGINT) AS p50_cnt,
+        |         CAST(max(CASE WHEN rn = (SELECT (99 * n_keys + 99) // 100 FROM a3)
+        |                       THEN cnt END) AS BIGINT) AS p99_cnt
+        |       FROM s3),
+        |r3 AS (SELECT 'lineitem.l_orderkey', n_rows, n_keys, max_cnt,
+        |         p50_cnt, p99_cnt,
+        |         (max_cnt * 10000) // n_rows,
+        |         (max_cnt * n_keys * 10000) // n_rows
+        |       FROM a3, p3)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY key_col""".stripMargin,
 
     "q176_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority,

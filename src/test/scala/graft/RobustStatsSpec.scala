@@ -546,6 +546,58 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(rows.map(_._4).exists(_ != 0L))
   }
 
+  test("q191 frame dedup: a planted re-encode shares every sampled frame") {
+    val rows = SparkEntry.queries("q191_frame_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, nShared, bp) =>
+      assert(d1 < d2)
+      assert(nShared >= 1)
+      assert(bp > 0 && bp <= 10000)
+    }
+    // plant a "re-encoded" copy: same content, different asset id — it
+    // must pair with its source at full containment
+    val docs = Tables(spark, dir, "documents")
+    val src = docs.filter(col("doc_id") === 7).select("text").head.getString(0)
+    val planted = docs.unionByName(
+      spark.createDataFrame(Seq((91000L, src, "en", "inj", src.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // same frame-digest construction as the operator, over the planted
+    // corpus: the copy's sampled-frame set must equal its source's
+    import spark.implicits._
+    val f = planted.filter(length(trim(col("text"))) > 0)
+      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_chunks", expr("CAST((size(w) + 15) div 16 AS BIGINT)"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1, lit(2L))).as("ci"))
+      .withColumn("frame_sha",
+        md5(concat_ws(" ",
+          slice(col("w"), (col("ci") * 16 + 1).cast("int"), lit(16))).cast("binary")))
+    val a = f.filter(col("doc_id") === 7).select("frame_sha").as[String].collect().toSet
+    val b = f.filter(col("doc_id") === 91000L).select("frame_sha").as[String].collect().toSet
+    assert(a.nonEmpty && a == b, "re-encoded copy must share all sampled frames")
+  }
+
+  test("q192 key skew: stats agree with a direct per-key recount") {
+    val rows = SparkEntry.queries("q192_key_skew")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows.size == 3)
+    val ev = Tables(spark, dir, "events")
+    val counts = ev.groupBy("user_id").count().select("count").collect()
+      .map(_.getLong(0)).sorted
+    val (nRows, nKeys, maxCnt, p50, p99, topBp, ratioBp) = {
+      val t = rows("events.user_id"); (t._1, t._2, t._3, t._4, t._5, t._6, t._7)
+    }
+    assert(nRows == counts.sum && nKeys == counts.length && maxCnt == counts.max)
+    assert(p50 == counts((counts.length + 1) / 2 - 1))
+    assert(p99 == counts((99 * counts.length + 99) / 100 - 1))
+    assert(topBp == maxCnt * 10000 / nRows)
+    assert(ratioBp == maxCnt * nKeys * 10000 / nRows)
+    // the type column is the canonically skewed key: few keys, high ratio
+    assert(rows("events.event_type")._2 < 10)
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -136,7 +136,13 @@ object Dedup {
     * cap·(cap−1)/2, so the explode can never blow up a task. The verify
     * join re-reads the persisted base; the corpus is scanned exactly once
     * end-to-end. */
-  def lshPairs(base: DataFrame, cap: Int): DataFrame = {
+  def lshPairs(base: DataFrame, cap: Int): DataFrame =
+    lshCandidates(base, cap).filter(col("jacc") >= 0.7).select("d1", "d2", "jacc")
+
+  /** The pre-verification candidate pair set (banding output, scored but
+    * unfiltered) — what [[lshPairs]] gates at jacc ≥ 0.7. Exposed so the
+    * banding's false-positive rate is itself measurable (q194). */
+  def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
     val bandCols = (0 until BANDS).map { bi =>
       struct(lit(bi).as("bi"),
         md5(concat_ws(",",
@@ -162,7 +168,6 @@ object Dedup {
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jacc", round(
         inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
-      .filter(col("jacc") >= 0.7)
       .select("d1", "d2", "jacc")
   }
 
@@ -694,6 +699,22 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- LSH banding precision --------------------------------------------
+    // q171 measures what the banding MISSES (recall); this measures what
+    // it WASTES: the fraction of candidate pairs the bucket join surfaces
+    // that survive Jaccard verification. Together they are the two numbers
+    // that tune bands×rows at 100 TB — low precision burns verify-join
+    // compute, low recall loses duplicates. One pass over the scored
+    // candidate set (count + conditional count in a single aggregate).
+    "q194_lsh_precision" -> ((s: SparkSession, dir: String) => {
+      lshCandidates(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= 0.7, 1L).otherwise(0L)).as("n_verified"))
+        .select(col("n_candidates"), col("n_verified"),
+          expr("CASE WHEN n_candidates = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (n_verified * 10000) div n_candidates END").as("precision_bp"))
+    }),
+
     // ---- fuzzy entity resolution (Jaro-Winkler matching) -----------------
     // The record-linkage shape: dirty records (a deterministic one-char
     // deletion at p_partkey % len, so both engines synthesize identical
@@ -1096,6 +1117,18 @@ object Dedup {
            |                THEN (1::BIGINT << j) ELSE 0::BIGINT END
            |               for j in range(0, 60)]) AS BIGINT) AS simhash
            |FROM hs ORDER BY doc_id""".stripMargin,
+
+      "q194_lsh_precision" ->
+        s"""WITH $lshPairCtes
+           |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(sum(CASE WHEN round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4)
+           |                     >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           |  CASE WHEN count(*) = 0 THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST((sum(CASE WHEN round(CAST(i AS DOUBLE)
+           |              / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
+           |              THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) END
+           |    AS precision_bp
+           |FROM j""".stripMargin,
 
       "q186_entity_match" ->
         """WITH d0 AS (SELECT p_name,

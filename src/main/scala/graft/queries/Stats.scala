@@ -207,6 +207,36 @@ object Stats {
         .orderBy("model")
     }),
 
+    // ---- time-decay attribution ------------------------------------------
+    // q183's linear split with recency weighting: a touch age_days before
+    // the purchase carries weight 2^(6−age) — dyadic integer weights, so
+    // per-purchase normalization ((w·1e6) div Σw) is exact on both
+    // engines, no float decay chain. Same single user-keyed equi-join and
+    // purchase-partitioned windows; both models reported side by side per
+    // touch day (the comparison a marketing team actually reads).
+    "q193_decay_attribution" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puid"),
+          unix_timestamp(col("ts")).as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuid"), unix_timestamp(col("ts")).as("vt"),
+          date_format(col("ts"), "yyyy-MM-dd").as("touch_day"))
+      val w = Window.partitionBy("pid")
+      p.join(v, col("puid") === col("vuid") &&
+          col("vt") >= col("pt") - 604800L && col("vt") < col("pt"))
+        .withColumn("wgt",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(6 - (pt - vt) DIV 86400 AS INT))"))
+        .withColumn("n_touch", count(lit(1)).over(w))
+        .withColumn("w_tot", sum("wgt").over(w))
+        .withColumn("lin_e6", expr("CAST(1000000 DIV n_touch AS BIGINT)"))
+        .withColumn("dec_e6", expr("CAST((wgt * 1000000) DIV w_tot AS BIGINT)"))
+        .groupBy("touch_day")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("lin_e6").as("credit_lin_e6"), sum("dec_e6").as("credit_dec_e6"))
+        .orderBy("touch_day")
+    }),
+
     // ---- mutual information between categorical columns ------------------
     // MI(lang; source): the information-theoretic association measure
     // beside q154's chi-square/Cramér's V. One aggregation to (lang,
@@ -1505,6 +1535,27 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q193_decay_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id AS puid,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vuid,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS vt,
+        |        strftime(ts, '%Y-%m-%d') AS touch_day
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.pid, v.touch_day,
+        |        (1::BIGINT << CAST(6 - (p.pt - v.vt) // 86400 AS INT)) AS wgt
+        |      FROM p JOIN v
+        |        ON p.puid = v.vuid AND v.vt >= p.pt - 604800 AND v.vt < p.pt),
+        |c AS (SELECT pid, touch_day, wgt,
+        |        count(*) OVER (PARTITION BY pid) AS n_touch,
+        |        sum(wgt) OVER (PARTITION BY pid) AS w_tot
+        |      FROM j)
+        |SELECT touch_day, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_lin_e6,
+        |  CAST(sum((wgt * 1000000) // w_tot) AS BIGINT) AS credit_dec_e6
+        |FROM c GROUP BY touch_day ORDER BY touch_day""".stripMargin,
+
     "q189_mutual_info" ->
       s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
          |      FROM documents GROUP BY lang, source),

@@ -598,6 +598,34 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(rows("events.event_type")._2 < 10)
   }
 
+  test("q193 decay attribution: both models conserve credit; decay shifts it later") {
+    val rows = SparkEntry.queries("q193_decay_attribution")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val lin = SparkEntry.queries("q183_multi_touch")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // the linear column reproduces q183 exactly (same join, same split)
+    rows.foreach { case (day, _, linE6, _) => assert(lin(day) == linE6, day) }
+    // decay conserves the same total per purchase up to floor loss: totals
+    // across days agree within the touch count
+    val totLin = rows.map(_._3).sum
+    val totDec = rows.map(_._4).sum
+    val totTouch = rows.map(_._2).sum
+    assert(math.abs(totLin - totDec) <= totTouch,
+      s"models diverge beyond floor loss: lin=$totLin dec=$totDec")
+  }
+
+  test("q194 LSH precision: counts reconcile with the candidate and verified sets") {
+    val Array(row) = SparkEntry.queries("q194_lsh_precision")(spark, dir).collect()
+    val (nCand, nVer) = (row.getLong(0), row.getLong(1))
+    val base = graft.queries.Dedup.minhashBase(Tables(spark, dir, "documents"))
+    val cands = graft.queries.Dedup.lshCandidates(base, 32).count()
+    val verified = graft.queries.Dedup.lshPairs(base, 32).count()
+    assert(nCand == cands && nVer == verified)
+    assert(nVer <= nCand)
+    if (nCand > 0) assert(row.getLong(2) == nVer * 10000 / nCand)
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -207,6 +207,56 @@ object Stats {
         .orderBy("model")
     }),
 
+    // ---- score calibration curve (reliability diagram) -------------------
+    // The companion readout to q181's AUC: bucket the score into deciles
+    // (ntile under a total order — q120's cross-engine contract) and
+    // report each bucket's positive rate and lift vs the base rate, all
+    // in exact integer basis points. A well-calibrated score shows
+    // monotone rates; AUC alone can hide miscalibration.
+    "q195_calibration" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events").select(
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("v"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val binned = ev.withColumn("bin",
+        ntile(10).over(Window.orderBy("v", "event_id")).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      binned
+        .crossJoin(broadcast(binned.agg(sum("n").as("tot_n"), sum("n_pos").as("tot_pos"))))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("(n_pos * 10000) div n").as("rate_bp"),
+          expr("CASE WHEN tot_pos = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (n_pos * tot_n * 10000) div (n * tot_pos) END").as("lift_bp"))
+        .orderBy("bin")
+    }),
+
+    // ---- additive time-series decomposition ------------------------------
+    // Daily volume = trend + weekly seasonality + residual: trend is the
+    // 7-day centered moving average integer-ized against true rows in
+    // frame (q142's edge contract), the seasonal index is the per-ISO-dow
+    // mean of the detrended series (floor of ONE double division —
+    // negative-safe, q172's lesson), and the residual closes the identity
+    // exactly: c·1e4 = trend_e4 + seas_e4 + resid_e4 by construction.
+    "q196_decompose" -> ((s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (weekday(col("ts")) + 1).cast("long").as("iso_dow"))
+        .agg(count(lit(1)).as("c"))
+      val trended = daily
+        .withColumn("trend_e4",
+          expr("(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)" +
+            " * 10000) div count(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+        .withColumn("resid0_e4", col("c") * 10000L - col("trend_e4"))
+      val seas = trended.groupBy("iso_dow")
+        .agg(floor(sum("resid0_e4").cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("seas_e4"))
+      trended.join(broadcast(seas), Seq("iso_dow"))
+        .select(col("day"), col("c"), col("trend_e4"), col("seas_e4"),
+          (col("c") * 10000L - col("trend_e4") - col("seas_e4")).as("resid_e4"))
+        .orderBy("day")
+    }),
+
     // ---- time-decay attribution ------------------------------------------
     // q183's linear split with recency weighting: a touch age_days before
     // the purchase carries weight 2^(6−age) — dyadic integer weights, so
@@ -1535,6 +1585,44 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q195_calibration" ->
+      """WITH ev AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v, event_id,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |      FROM events),
+        |b AS (SELECT CAST(ntile(10) OVER (ORDER BY v, event_id) AS BIGINT) AS bin,
+        |        pos FROM ev),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |        CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM g)
+        |SELECT bin, n, n_pos,
+        |  CAST((n_pos * 10000) // n AS BIGINT) AS rate_bp,
+        |  CASE WHEN tot_pos = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST((n_pos * tot_n * 10000) // (n * tot_pos) AS BIGINT) END
+        |    AS lift_bp
+        |FROM g, t ORDER BY bin""".stripMargin,
+
+    "q196_decompose" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |        CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |tr AS (SELECT day, iso_dow, c,
+        |         (sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |          * 10000)
+        |         // count(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |           AS trend_e4
+        |       FROM d),
+        |r AS (SELECT day, iso_dow, c, trend_e4,
+        |        c * 10000 - trend_e4 AS resid0_e4 FROM tr),
+        |se AS (SELECT iso_dow,
+        |         CAST(floor(CAST(sum(resid0_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |           AS BIGINT) AS seas_e4
+        |       FROM r GROUP BY iso_dow)
+        |SELECT day, c, trend_e4, seas_e4,
+        |  CAST(c * 10000 - trend_e4 - seas_e4 AS BIGINT) AS resid_e4
+        |FROM r JOIN se USING (iso_dow) ORDER BY day""".stripMargin,
+
     "q193_decay_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id AS puid,
         |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt

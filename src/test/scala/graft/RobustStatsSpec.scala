@@ -626,6 +626,39 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     if (nCand > 0) assert(row.getLong(2) == nVer * 10000 / nCand)
   }
 
+  test("q195 calibration: bins partition events, lift averages to ~1") {
+    val rows = SparkEntry.queries("q195_calibration")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    val ev = Tables(spark, dir, "events")
+    assert(rows.map(_._2).sum == ev.count())
+    assert(rows.map(_._3).sum ==
+      ev.filter(col("event_type") === "purchase").count())
+    rows.foreach { case (bin, n, nPos, rate, _) =>
+      assert(bin >= 1 && bin <= 10 && nPos <= n)
+      assert(rate == nPos * 10000 / n)
+    }
+    // weighted mean lift = 1 (up to integer division loss)
+    val wLift = rows.map { case (_, n, _, _, lift) => n * lift }.sum.toDouble /
+      rows.map(_._2).sum
+    assert(math.abs(wLift - 10000.0) < 100.0, s"weighted lift $wLift")
+  }
+
+  test("q196 decomposition: identity closes exactly, components plausible") {
+    val rows = SparkEntry.queries("q196_decompose")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c, trend, seas, resid) =>
+      assert(c * 10000 == trend + seas + resid, "additive identity must close")
+      assert(trend > 0)
+    }
+    // the seasonal index is shared per ISO day-of-week: at most 7 values
+    assert(rows.map(_._4).distinct.length <= 7)
+    // days are unique and ordered
+    val days = rows.map(_._1)
+    assert(days.distinct.length == days.length && days.sorted.sameElements(days))
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -1497,6 +1497,26 @@ object Stats {
     // orders by epoch_ns // 1000 (≡ Spark's µs truncation of the ns
     // parquet); (user_id, µs) verified unique at sf0.001/0.01/0.1, so the
     // "strictly prior" comparison is tie-free in both engines.
+    // ---- as-of join with a lookback tolerance ----------------------------
+    // pandas merge_asof(tolerance=1h) through the native physical
+    // operator: the most recent prior view ONLY if it happened within the
+    // hour before the purchase — the window is part of the match inside
+    // AsOfJoinExec (one co-partitioned merge), not a post-filter over an
+    // unbounded attach.
+    "q197_asof_tolerance" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      org.apache.spark.sql.graft.AsOfJoin.asofPriorWithin(
+          purchases, views, "user_id" -> "user_id", "ts" -> "ts",
+          tolerance = 3600L * 1000000L) // 1 hour in ord units (µs)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("r_event_id"), lit(-1L)).as("prior_view_1h"))
+        .orderBy("event_id")
+    }),
+
     "q69_asof_ts" -> ((s: SparkSession, dir: String) => {
       val ev = Tables(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -2508,6 +2528,23 @@ object Stats {
         |    OVER (PARTITION BY user_id ORDER BY event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
         | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q197_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN pv_us IS NOT NULL AND t_us - pv_us <= 3600000000
+        |       THEN pv ELSE -1 END AS prior_view_1h
+        |FROM (
+        | SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS t_us,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER w AS pv,
+        |  last_value(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END
+        |             IGNORE NULLS) OVER w AS pv_us
+        | FROM events WHERE event_type IN ('purchase', 'view')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 

@@ -44,7 +44,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftOrd: Expression, rightOrd: Expression,
-                        broadcastRight: Boolean = false)
+                        broadcastRight: Boolean = false,
+                        inclusive: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,16 +59,19 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * `broadcastRight` flag plays the role of a broadcast() hint). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro, bcast) =>
-      if (bcast) AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
-      else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, bcast, incl, tol) =>
+      if (bcast)
+        AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lo, ro, incl, tol) :: Nil
+      else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, incl, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftOrd: Expression, rightOrd: Expression)
+                        leftOrd: Expression, rightOrd: Expression,
+                        inclusive: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -105,9 +110,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         // between this exec and the sort masked it)
         private val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
         private var rRow: InternalRow = advanceRight()
-        // the remembered best-so-far right row, tagged with its key
+        // the remembered best-so-far right row, tagged with its key/ord
         private var mRow: InternalRow = _
         private var mKey: Any = _
+        private var mOrd: Any = _
 
         private def advanceRight(): InternalRow =
           if (rIter.hasNext) rIter.next() else null
@@ -130,18 +136,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (keyCmp < 0) {
               rRow = advanceRight() // right key behind every remaining left
             } else if (keyCmp == 0) {
-              if (cmp(ordOrd, ro.eval(rRow), lov) < 0) {
-                // strictly prior: becomes the best-so-far for this key.
-                // Copy BEFORE caching the key: eval on a reused row can
-                // return views into its buffer (UTF8String)
+              val ordCmp = cmp(ordOrd, ro.eval(rRow), lov)
+              if (ordCmp < 0 || (inclusive && ordCmp == 0)) {
+                // prior (or exact, in inclusive mode): best-so-far for
+                // this key. Copy BEFORE caching key/ord: eval on a reused
+                // row can return views into its buffer (UTF8String)
                 mRow = rRow.copy() // iterators reuse row objects
                 mKey = rk.eval(mRow)
+                mOrd = ro.eval(mRow)
                 rRow = advanceRight()
               } else scan = false
             } else scan = false // right key ahead: wait for left to catch up
           }
 
-          val matched = mRow != null && cmp(keyOrd, mKey, lkv) == 0
+          var matched = mRow != null && cmp(keyOrd, mKey, lkv) == 0
+          if (matched && tolerance.isDefined) {
+            // integral ord contract enforced at construction: the match
+            // must sit within `tolerance` ord units of the left row
+            matched = mOrd != null && lov != null &&
+              AsOfJoin.toOrdLong(lov) - AsOfJoin.toOrdLong(mOrd) <= tolerance.get
+          }
           toUnsafe(joined(l, if (matched) mRow else nullRight))
         }
       }
@@ -163,7 +177,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * row, no ordering requirement on the left at all. */
 case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
                                  leftKey: Expression, rightKey: Expression,
-                                 leftOrd: Expression, rightOrd: Expression)
+                                 leftOrd: Expression, rightOrd: Expression,
+                                 inclusive: Boolean = false,
+                                 tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -231,16 +247,24 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val group = index.get(normKey(lk.eval(l)))
         var best: InternalRow = null
+        var lov: Any = null
         if (group != null) {
-          val lov = lo.eval(l)
-          // rightmost row with ord < lov
+          lov = lo.eval(l)
+          // rightmost row with ord < lov (or <= lov in inclusive mode)
           var low = 0
           var high = group.length - 1
           while (low <= high) {
             val mid = (low + high) >>> 1
-            if (cmpOrd(ro.eval(group(mid)), lov) < 0) { best = group(mid); low = mid + 1 }
+            val c = cmpOrd(ro.eval(group(mid)), lov)
+            if (c < 0 || (inclusive && c == 0)) { best = group(mid); low = mid + 1 }
             else high = mid - 1
           }
+        }
+        if (best != null && tolerance.isDefined) {
+          val bo = ro.eval(best)
+          if (bo == null || lov == null ||
+            AsOfJoin.toOrdLong(lov) - AsOfJoin.toOrdLong(bo) > tolerance.get)
+            best = null
         }
         toUnsafe(joined(l, if (best != null) best else nullRight))
       }
@@ -272,9 +296,38 @@ object AsOfJoin {
                          rightPrefix: String = "r_"): DataFrame =
     build(left, right, key, ord, rightPrefix, broadcastRight = true)
 
+  /** pandas `merge_asof(tolerance=..., allow_exact_matches=...)`: the match
+    * must additionally sit within `tolerance` ord units of the left row
+    * (micros for timestamp ord, days for date, raw units for int/long —
+    * integral ord types only), and `inclusive = true` admits `rightOrd ==
+    * leftOrd` (allow_exact_matches). A prior row OUTSIDE the tolerance
+    * yields nulls — the lookback window is part of the match, not a
+    * post-filter, so "most recent view within 7 days" is one operator. */
+  def asofPriorWithin(left: DataFrame, right: DataFrame,
+                      key: (String, String), ord: (String, String),
+                      tolerance: Long, inclusive: Boolean = false,
+                      rightPrefix: String = "r_",
+                      broadcastRight: Boolean = false): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+    build(left, right, key, ord, rightPrefix, broadcastRight,
+      inclusive = inclusive, tolerance = Some(tolerance))
+  }
+
+  /** Long view of an integral/temporal ord eval value (tolerance math). */
+  private[graft] def toOrdLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalStateException(
+      s"non-integral ord value for tolerance: ${other.getClass}")
+  }
+
   private def build(left: DataFrame, right: DataFrame,
                     key: (String, String), ord: (String, String),
-                    rightPrefix: String, broadcastRight: Boolean): DataFrame = {
+                    rightPrefix: String, broadcastRight: Boolean,
+                    inclusive: Boolean = false,
+                    tolerance: Option[Long] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, rightPrefix + a.name)()), rp0)
@@ -308,8 +361,15 @@ object AsOfJoin {
       s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lo.dataType == ro.dataType,
       s"ord types differ: ${lo.dataType} vs ${ro.dataType}")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType, TimestampNTZType}
+      val ok = Seq(ByteType, ShortType, IntegerType, LongType, DateType,
+        TimestampType, TimestampNTZType)
+      require(ok.contains(lo.dataType),
+        s"tolerance needs an integral/temporal ord type; ${lo.dataType} is not")
+    }
 
     Dataset.ofRows(left.sparkSession.asInstanceOf[ClassicSession],
-      AsOfJoinPlan(lp, rp, lk, rk, lo, ro, broadcastRight))
+      AsOfJoinPlan(lp, rp, lk, rk, lo, ro, broadcastRight, inclusive, tolerance))
   }
 }

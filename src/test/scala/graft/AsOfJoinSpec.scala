@@ -202,6 +202,65 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Set((1L, 100L), (2L, 101L)), s"signed zero split the key group: $out")
   }
 
+  test("tolerance: matches outside the lookback window yield nulls (both execs)") {
+    val left = Seq((100L, 1L, 1L), (200L, 1L, 2L), (150L, 2L, 3L))
+      .toDF("o", "k", "id")
+    val right = Seq((95L, 1L, 10L), (120L, 1L, 11L), (40L, 2L, 12L))
+      .toDF("o", "k", "id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // tolerance 50: left@100 ← right@95 (gap 5 ok); left@200 ← right@120
+    // is the most recent prior but gap 80 > 50 → null (NOT falling back
+    // to right@95); left@150 ← right@40 gap 110 → null
+    val expect = Set((1L, 10L), (2L, -1L), (3L, -1L))
+    val merge = AsOfJoin.asofPriorWithin(left, right, "k" -> "k", "o" -> "o",
+      tolerance = 50L)
+    val bcast = AsOfJoin.asofPriorWithin(left, right, "k" -> "k", "o" -> "o",
+      tolerance = 50L, broadcastRight = true)
+    assert(rows(merge) == expect)
+    assert(rows(bcast) == expect)
+  }
+
+  test("inclusive (allow_exact_matches): equal ord attaches; strict does not") {
+    val left = Seq((100L, 1L, 1L)).toDF("o", "k", "id")
+    val right = Seq((100L, 1L, 10L), (90L, 1L, 11L)).toDF("o", "k", "id")
+    def one(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select("r_id").head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    assert(one(AsOfJoin.asofPrior(left, right, "k" -> "k", "o" -> "o")) == 11L)
+    assert(one(AsOfJoin.asofPriorWithin(left, right, "k" -> "k", "o" -> "o",
+      tolerance = 1000L, inclusive = true)) == 10L)
+    assert(one(AsOfJoin.asofPriorWithin(left, right, "k" -> "k", "o" -> "o",
+      tolerance = 1000L, inclusive = true, broadcastRight = true)) == 10L)
+  }
+
+  test("tolerance rejects non-integral ord types at construction") {
+    val left = Seq(("a", 1L)).toDF("o", "id")
+    val right = Seq(("b", 2L)).toDF("o", "id")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofPriorWithin(left, right, "id" -> "id", "o" -> "o", tolerance = 5L)
+    }
+    assert(e.getMessage.contains("integral/temporal"))
+  }
+
+  test("q197 tolerance form ≡ unbounded form filtered by the same window") {
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val v = ev.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+    val tol = 3600L * 1000000L
+    val bounded = AsOfJoin.asofPriorWithin(p, v, "user_id" -> "user_id", "ts" -> "ts",
+        tolerance = tol)
+      .select(col("event_id"), coalesce(col("r_event_id"), lit(-1L)).as("pv"))
+    val unbounded = AsOfJoin.asofPrior(p, v, "user_id" -> "user_id", "ts" -> "ts")
+      .select(col("event_id"),
+        coalesce(when(expr("unix_micros(ts) - unix_micros(r_ts)") <= tol,
+          col("r_event_id")), lit(-1L)).as("pv"))
+    assert(bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      unbounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("partition invariance: result independent of input partitioning") {
     val ev = Tables(spark, sf("sf0.001"), "events")
     val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")

@@ -729,31 +729,63 @@ object Dedup {
     // blocking loses first-char deletions by design, and the report shows
     // that recall cost. Scale: the catalog is the broadcast side; the
     // dirty stream is never shuffled except for its distinct+count.
-    "q186_entity_match" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.graft.JaroWinkler.jaro_winkler
+    "q186_entity_match" -> ((s: SparkSession, dir: String) =>
+      erBestMatch(Tables(s, dir, "part")).orderBy("dirty_name")),
+
+    // ---- entity-resolution evaluation --------------------------------------
+    // The quality readout for q186's matcher, possible because the typo
+    // synthesis KNOWS each record's true entity: per record, did the
+    // blocked Jaro-Winkler argmax recover the source name? Three-way
+    // outcome counts with shares — the precision/recall-style scoreboard
+    // that decides whether the 0.85 threshold and first-char blocking are
+    // right for the corpus (first-char deletions surface here as
+    // unmatched OR matched_wrong). One join of the record stream against
+    // the per-distinct-string match table (the J2 memo shape again).
+    "q198_er_eval" -> ((s: SparkSession, dir: String) => {
       val parts = Tables(s, dir, "part")
-      val dirty = parts.select(
-        expr("concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)), " +
-          "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))").as("dirty_name"))
-      val dn = dirty.groupBy("dirty_name").agg(count(lit(1)).as("n_records"))
-      val catalog = parts.select(col("p_name")).distinct()
-      val cand = dn.join(broadcast(catalog),
-        substring(col("dirty_name"), 1, 1) === substring(col("p_name"), 1, 1) &&
-          abs(length(col("dirty_name")) - length(col("p_name"))) <= 1 &&
-          jaro_winkler(col("dirty_name"), col("p_name")) >= 0.85)
-        .withColumn("score", jaro_winkler(col("dirty_name"), col("p_name")))
-      val best = cand.groupBy("dirty_name", "n_records")
-        .agg(min_by(
-          struct(col("p_name"), floor(col("score") * 10000).cast("long").as("s")),
-          struct(-col("score"), col("p_name"))).as("b"))
-        .select(col("dirty_name"), col("b.p_name").as("matched_name"),
-          col("n_records"), col("b.s").as("score_e4"))
-      val unmatched = dn.join(best.select("dirty_name"), Seq("dirty_name"), "left_anti")
-        .select(col("dirty_name"), lit("(none)").as("matched_name"),
-          col("n_records"), lit(0L).as("score_e4"))
-      best.unionByName(unmatched).orderBy("dirty_name")
+      val recs = parts.select(col("p_name").as("truth"), expr(ErDirtySql).as("dirty_name"))
+      val best = erBestMatch(parts).select("dirty_name", "matched_name")
+      recs.join(best, Seq("dirty_name"))
+        .select(when(col("matched_name") === "(none)", "unmatched")
+          .when(col("matched_name") === col("truth"), "matched_correct")
+          .otherwise("matched_wrong").as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("n_records"))
+        .withColumn("share_bp",
+          expr("(n_records * 10000) div sum(n_records) OVER ()"))
+        .orderBy("outcome")
     })
   )
+
+  /** q186's one-char-deletion typo, shared by the matcher and its eval. */
+  private val ErDirtySql: String =
+    "concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)), " +
+      "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+
+  /** Blocked fuzzy matcher over the part catalog (q186/q198): distinct
+    * dirty strings (with record counts) argmax-matched to the broadcast
+    * entity catalog under first-char+length blocking and jaro_winkler ≥
+    * 0.85; unmatched strings carry a '(none)' sentinel. */
+  private def erBestMatch(parts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.JaroWinkler.jaro_winkler
+    val dirty = parts.select(expr(ErDirtySql).as("dirty_name"))
+    val dn = dirty.groupBy("dirty_name").agg(count(lit(1)).as("n_records"))
+    val catalog = parts.select(col("p_name")).distinct()
+    val cand = dn.join(broadcast(catalog),
+      substring(col("dirty_name"), 1, 1) === substring(col("p_name"), 1, 1) &&
+        abs(length(col("dirty_name")) - length(col("p_name"))) <= 1 &&
+        jaro_winkler(col("dirty_name"), col("p_name")) >= 0.85)
+      .withColumn("score", jaro_winkler(col("dirty_name"), col("p_name")))
+    val best = cand.groupBy("dirty_name", "n_records")
+      .agg(min_by(
+        struct(col("p_name"), floor(col("score") * 10000).cast("long").as("s")),
+        struct(-col("score"), col("p_name"))).as("b"))
+      .select(col("dirty_name"), col("b.p_name").as("matched_name"),
+        col("n_records"), col("b.s").as("score_e4"))
+    val unmatched = dn.join(best.select("dirty_name"), Seq("dirty_name"), "left_anti")
+      .select(col("dirty_name"), lit("(none)").as("matched_name"),
+        col("n_records"), lit(0L).as("score_e4"))
+    best.unionByName(unmatched)
+  }
 
   val oracles: Map[String, String] = {
     val toksSql = """CASE WHEN length(trim(text)) = 0 THEN []
@@ -1129,6 +1161,37 @@ object Dedup {
            |              THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) END
            |    AS precision_bp
            |FROM j""".stripMargin,
+
+      "q198_er_eval" ->
+        """WITH d0 AS (SELECT p_name AS truth, p_name,
+          |        CAST(p_partkey % length(p_name) AS INT) AS pos FROM part),
+          |dirty AS (SELECT truth, substr(p_name, 1, pos) || substr(p_name, pos + 2)
+          |            AS dirty_name FROM d0),
+          |dn AS (SELECT dirty_name FROM dirty GROUP BY 1),
+          |cat AS (SELECT DISTINCT p_name FROM part),
+          |cand AS (SELECT dn.dirty_name, cat.p_name,
+          |           jaro_winkler_similarity(dn.dirty_name, cat.p_name) AS score
+          |         FROM dn JOIN cat
+          |           ON substr(dn.dirty_name, 1, 1) = substr(cat.p_name, 1, 1)
+          |          AND abs(length(dn.dirty_name) - length(cat.p_name)) <= 1
+          |          AND jaro_winkler_similarity(dn.dirty_name, cat.p_name) >= 0.85),
+          |best AS (SELECT dirty_name, p_name AS matched_name FROM cand
+          |         QUALIFY row_number() OVER (PARTITION BY dirty_name
+          |                                    ORDER BY score DESC, p_name) = 1),
+          |bm AS (SELECT dirty_name, matched_name FROM best
+          |       UNION ALL
+          |       SELECT dirty_name, '(none)' FROM dn
+          |       WHERE dirty_name NOT IN (SELECT dirty_name FROM best)),
+          |o AS (SELECT CASE WHEN bm.matched_name = '(none)' THEN 'unmatched'
+          |             WHEN bm.matched_name = dirty.truth THEN 'matched_correct'
+          |             ELSE 'matched_wrong' END AS outcome
+          |      FROM dirty JOIN bm USING (dirty_name)),
+          |g AS (SELECT outcome, CAST(count(*) AS BIGINT) AS n_records
+          |      FROM o GROUP BY outcome)
+          |SELECT outcome, n_records,
+          |  CAST((n_records * 10000) // (SELECT sum(n_records) FROM g) AS BIGINT)
+          |    AS share_bp
+          |FROM g ORDER BY outcome""".stripMargin,
 
       "q186_entity_match" ->
         """WITH d0 AS (SELECT p_name,

@@ -496,6 +496,49 @@ object Stats {
         .orderBy("user_id")
     }),
 
+    // ---- time-constrained funnel ------------------------------------------
+    // q104 with step deadlines: each stage counts only if it happens
+    // within 7 days of the PREVIOUS stage (the "activation window" form
+    // product teams actually ship — an unbounded funnel overstates
+    // conversion). Same scale shape as q104: per-stage keyed aggregations
+    // chained by per-user minima, no event-stream window, no self-join
+    // blowup; deadlines ride the join condition in exact epoch-second
+    // integers. Output: per-stage user counts with step and cumulative
+    // conversion in basis points.
+    "q199_funnel_window" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("t"))
+      def firstWithin(tpe: String, prev: DataFrame, prevCol: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("t") > col(prevCol) && col("t") <= col(prevCol) + 604800L)
+          .groupBy("user_id").agg(min(col("t")).as(out))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("s_t"))
+      val vw = firstWithin("view", su, "s_t", "v_t")
+      val pu = firstWithin("purchase", vw, "v_t", "p_t")
+      val staged = su.join(vw, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"),
+          sum(col("v_t").isNotNull.cast("long")).as("n_view"),
+          sum(col("p_t").isNotNull.cast("long")).as("n_purchase"))
+      staged.withColumn("r",
+        explode(array(
+          struct(lit(1L).as("stage"), lit("signup").as("step"),
+            col("n_signup").as("n_users"), lit(10000L).as("step_bp"),
+            lit(10000L).as("cum_bp")),
+          struct(lit(2L).as("stage"), lit("view_7d").as("step"),
+            col("n_view").as("n_users"),
+            expr("(n_view * 10000) div n_signup").as("step_bp"),
+            expr("(n_view * 10000) div n_signup").as("cum_bp")),
+          struct(lit(3L).as("stage"), lit("purchase_7d").as("step"),
+            col("n_purchase").as("n_users"),
+            expr("CASE WHEN n_view = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (n_purchase * 10000) div n_view END").as("step_bp"),
+            expr("(n_purchase * 10000) div n_signup").as("cum_bp")))))
+        .select("r.*")
+        .orderBy("stage")
+    }),
+
     // ---- weekly cohort retention -----------------------------------------
     // The activation/retention matrix every product-analytics stack ships:
     // cohort = Monday-truncated week of each user's first event; a user is
@@ -2530,6 +2573,42 @@ object Stats {
         | FROM events WHERE event_type IN ('purchase', 'view'))
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q199_funnel_window" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+        |su AS (SELECT user_id, min(t) AS s_t FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (SELECT e.user_id, min(e.t) AS v_t
+        |       FROM ev e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'view' AND e.t > su.s_t
+        |         AND e.t <= su.s_t + 604800
+        |       GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.t) AS p_t
+        |       FROM ev e JOIN vw ON e.user_id = vw.user_id
+        |       WHERE e.event_type = 'purchase' AND e.t > vw.v_t
+        |         AND e.t <= vw.v_t + 604800
+        |       GROUP BY e.user_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |        CAST(sum(CASE WHEN vw.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_view,
+        |        CAST(sum(CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_purchase
+        |      FROM su LEFT JOIN vw ON su.user_id = vw.user_id
+        |              LEFT JOIN pu ON su.user_id = pu.user_id)
+        |SELECT stage, step, n_users, step_bp, cum_bp FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+        |    n_signup AS n_users, CAST(10000 AS BIGINT) AS step_bp,
+        |    CAST(10000 AS BIGINT) AS cum_bp FROM a
+        |  UNION ALL
+        |  SELECT 2, 'view_7d', n_view, (n_view * 10000) // n_signup,
+        |    (n_view * 10000) // n_signup FROM a
+        |  UNION ALL
+        |  SELECT 3, 'purchase_7d', n_purchase,
+        |    CASE WHEN n_view = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE (n_purchase * 10000) // n_view END,
+        |    (n_purchase * 10000) // n_signup FROM a)
+        |ORDER BY stage""".stripMargin,
 
     "q197_asof_tolerance" ->
       """SELECT event_id, user_id,

@@ -659,6 +659,36 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(days.distinct.length == days.length && days.sorted.sameElements(days))
   }
 
+  test("q198 ER eval: outcomes partition the records, correctness dominates") {
+    val rows = SparkEntry.queries("q198_er_eval")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = Tables(spark, dir, "part").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._1).toSet.subsetOf(
+      Set("matched_correct", "matched_wrong", "unmatched")))
+    val correct = rows.find(_._1 == "matched_correct").map(_._2).getOrElse(0L)
+    // non-first-char deletions (the overwhelming majority) must recover
+    assert(correct * 10000 / total >= 8000, s"accuracy ${correct * 10000 / total}bp")
+    rows.foreach { case (_, n, bp) => assert(bp == n * 10000 / total) }
+  }
+
+  test("q199 windowed funnel: monotone stages, never exceeds the unbounded funnel") {
+    val rows = SparkEntry.queries("q199_funnel_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 3)
+    val byStage = rows.sortBy(_._1).map(_._3)
+    assert(byStage(0) >= byStage(1) && byStage(1) >= byStage(2), "funnel must narrow")
+    // deadline can only LOSE users vs q104's unbounded stages
+    val unbounded = SparkEntry.queries("q104_funnel")(spark, dir).collect()
+      .map(_.getLong(1))
+    assert(byStage(0) == unbounded.length, "stage 1 = all signup users")
+    assert(byStage(1) <= unbounded.count(_ >= 2))
+    assert(byStage(2) <= unbounded.count(_ >= 3))
+    rows.foreach { case (_, _, _, stepBp, cumBp) =>
+      assert(stepBp >= 0 && stepBp <= 10000 && cumBp >= 0 && cumBp <= 10000)
+    }
+  }
+
   test("q164 winsorize: bounds ordered, clipped mean inside them") {
     val rows = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -73,6 +73,10 @@ object Bench {
     val total = ok.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // The full line is ~10 KB at 200 queries; a log-tail capture (last ~2000
+    // chars) would cut off the leading total. Repeat the headline metrics in
+    // a short trailer line so any suffix of the output still carries them.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},"sf":"$sfDir","full":"/tmp/bench.json"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -811,6 +811,37 @@ object Text {
         .orderBy(desc("n_hits"), col("doc_id")).limit(20)
     }),
 
+    // ---- corpus scorecard ---------------------------------------------------
+    // The one-page health report a curation run opens with: corpus size,
+    // token mass, language/source breadth, exact-duplicate and empty-doc
+    // counts, mean length — ONE aggregation pass (conditional aggregates +
+    // exact distincts), pivoted to (metric, value) rows. Every number here
+    // is the cheap summary of an operator the library implements in full
+    // (q35 dedup, q86 mix, q88 lengths); this is the report that decides
+    // which of those to run next.
+    "q200_corpus_scorecard" -> ((s: SparkSession, dir: String) => {
+      val agg = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks(col("text"))).cast("long"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(md5(lower(trim(col("text"))).cast("binary"))))
+            .as("exact_dup_docs"),
+          sum(when(col("n_tok") === 0, 1L).otherwise(0L)).as("empty_docs"))
+      agg.withColumn("m", explode(array(
+          struct(lit("empty_docs").as("metric"), col("empty_docs").as("value")),
+          struct(lit("exact_dup_docs").as("metric"), col("exact_dup_docs").as("value")),
+          struct(lit("mean_tokens_e2").as("metric"),
+            expr("(n_tokens * 100) div n_docs").as("value")),
+          struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+          struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+          struct(lit("n_sources").as("metric"), col("n_sources").as("value")),
+          struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")))))
+        .select(col("m.metric").as("metric"), col("m.value").cast("long").as("value"))
+        .orderBy("metric")
+    }),
+
     // ---- HLL via the native mergeable register aggregate -----------------
     // q126's sketch computed the way it ships at 100 TB: the custom
     // Catalyst TypedImperativeAggregate folds each partition's hashes into
@@ -1344,6 +1375,27 @@ object Text {
            |  FROM documents)
            |SELECT doc_id, n_words, n_sents, n_syll, $FleschE2Sql AS flesch_e2
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q200_corpus_scorecard" ->
+        s"""WITH t AS (SELECT text, lang, source, $toksSql AS w FROM documents),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+           |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |        CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+           |          AS exact_dup_docs,
+           |        CAST(sum(CASE WHEN len(w) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS empty_docs
+           |      FROM t)
+           |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+           |  SELECT 'empty_docs' AS metric, empty_docs AS value FROM a
+           |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a
+           |  UNION ALL SELECT 'mean_tokens_e2', (n_tokens * 100) // n_docs FROM a
+           |  UNION ALL SELECT 'n_docs', n_docs FROM a
+           |  UNION ALL SELECT 'n_langs', n_langs FROM a
+           |  UNION ALL SELECT 'n_sources', n_sources FROM a
+           |  UNION ALL SELECT 'n_tokens', n_tokens FROM a)
+           |ORDER BY metric""".stripMargin,
 
       "q184_phrase_search" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -699,4 +699,20 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
         s"winsorized mean $m outside clip bounds [${p05 * 100}, ${p95 * 100}]")
     }
   }
+
+  test("q200 scorecard: fixed metric set, counts consistent with the corpus") {
+    val m = SparkEntry.queries("q200_corpus_scorecard")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("n_docs", "n_tokens", "n_langs", "n_sources",
+      "exact_dup_docs", "empty_docs", "mean_tokens_e2"))
+    val docs = Tables(spark, dir, "documents").count()
+    assert(m("n_docs") == docs)
+    assert(m("exact_dup_docs") >= 0 && m("exact_dup_docs") < docs)
+    assert(m("empty_docs") >= 0 && m("empty_docs") <= docs)
+    assert(m("n_langs") >= 1 && m("n_sources") >= 1)
+    assert(m("mean_tokens_e2") == m("n_tokens") * 100 / docs)
+    // the dup count must agree with the exact-dedup operator's drop count
+    val kept = SparkEntry.queries("q35_dedup_exact")(spark, dir).count()
+    assert(m("exact_dup_docs") == docs - kept)
+  }
 }

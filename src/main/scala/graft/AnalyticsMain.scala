@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   * weekly cohort retention (q105), rolling DAU/WAU (q106), journey
   * transition matrix (q107), ordered funnel (q104) + its 7-day-deadline
   * form (q199) + conversion-lag quartiles (q125), gap sessionization
-  * (q121) + top session paths (q166), z-score anomalies (q108) + CUSUM
+  * (q121) + top session paths (q166) + merged activity coverage (q201) +
+  * funnel-regex path classes (q207), z-score anomalies (q108) + CUSUM
   * changepoints (q132) + additive decomposition (q196), attribution three
   * ways (last-touch q122, linear q183, time-decay q193), the A/B test
   * readout (q124) + its nonparametric sibling (q162), model evaluation
@@ -32,7 +33,8 @@ object AnalyticsMain {
   val reports: Seq[String] = Seq(
     "q105_retention", "q106_rolling_dau", "q104_funnel",
     "q199_funnel_window", "q125_conversion_lag", "q107_transitions",
-    "q121_sessions", "q166_session_paths", "q108_anomaly", "q132_cusum",
+    "q121_sessions", "q166_session_paths", "q201_interval_union",
+    "q207_seq_pattern", "q108_anomaly", "q132_cusum",
     "q196_decompose", "q122_attribution", "q183_multi_touch",
     "q193_decay_attribution", "q124_ab_test", "q162_mann_whitney",
     "q181_auc", "q195_calibration", "q151_kaplan_meier", "q163_cohort_ltv",

@@ -54,8 +54,12 @@ object Bench {
         // queries pile blocks into the unified memory manager until
         // mid-sweep queries measure storage eviction + shuffle spill instead
         // of their own plan (q102 read 100s in a 167-query sweep vs 3.6s
-        // clean). An explicit GC between timed runs keeps the measurements
-        // independent.
+        // clean; q37 read 33s in a 200-query sweep vs 2.7s). GC + cleaner
+        // alone proved insufficient at 200 queries — drop every leftover
+        // RDD-level persist eagerly (clearCache only covers Dataset-level
+        // caches; prior queries' checkpoint blocks are never re-read, so
+        // unpersisting them is safe).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
         run()

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.graft.TextHashes
@@ -312,11 +313,14 @@ object Dedup {
       val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
       val comp = graft.operators.ConnectedComponents.components(
         pairs.select(col("d1").as("src"), col("d2").as("dst")))
-      val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      // cluster sizes via ONE window over the cluster-keyed shuffle (the
+      // agg + join-back form consumed comp twice and paid a second join).
       // components() persists its result and the CALLER releases it —
       // eagerly checkpoint the (tiny: one row per clustered doc) output,
       // then unpersist, so repeated q70 runs don't accumulate caches
-      val out = comp.join(sizes, Seq("cluster_id"))
+      val out = comp
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
@@ -342,10 +346,16 @@ object Dedup {
           .otherwise(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
           .as("n_tok"))
       val scored = comp.join(qual, Seq("id"))
-      val canon = scored.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"),
-          max_by(col("id"), struct(col("n_tok"), -col("id"))).as("canonical_doc"))
-      val out = scored.join(canon, Seq("cluster_id"))
+      // canonical + size in ONE cluster-keyed window pass: the groupBy +
+      // join-back form executed the tokenize subtree twice (once per
+      // consumer) and paid a second join — first_value/count over the same
+      // exchange do both in one shot (clusters are LshBucketCap-bounded,
+      // so the per-partition sort is tiny)
+      val byCluster = Window.partitionBy("cluster_id")
+      val ord = Window.partitionBy("cluster_id").orderBy(desc("n_tok"), asc("id"))
+      val out = scored
+        .withColumn("canonical_doc", first("id").over(ord))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
           col("canonical_doc"),
           (col("id") === col("canonical_doc")).cast("long").as("is_canonical"))
@@ -753,6 +763,41 @@ object Dedup {
         .withColumn("share_bp",
           expr("(n_records * 10000) div sum(n_records) OVER ()"))
         .orderBy("outcome")
+    }),
+
+    // ---- boilerplate span detection (C4-style) -----------------------------
+    // Repeated-across-documents 3-gram share per doc: a gram appearing in
+    // ≥5 distinct docs is boilerplate (headers, nav text, license blurbs —
+    // what C4/Gopher strip before training). Positional (non-distinct)
+    // grams so repeats inside a doc count; grams grouped by the shared
+    // 32-bit md5 hash (BIGINT group keys, not ~25-char strings). The
+    // (doc, gram) aggregate feeds the df count AND the join-back — both
+    // ride its one shuffle (ReuseExchange, q72's discipline). Share in
+    // exact basis points.
+    "q215_boilerplate" -> ((s: SparkSession, dir: String) => {
+      val toks = Tables(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+      val grams = toks.select(col("doc_id"),
+        explode(zip_with(
+          zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 2),
+            slice(col("t"), lit(2), size(col("t")) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(col("t"), lit(3), size(col("t")) - 2),
+          (ab, c) => concat(ab, lit(" "), c))).as("g"))
+        .select(col("doc_id"), tokHash(col("g")).as("h"))
+      val gc = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      val df = gc.groupBy("h").agg(count(lit(1)).as("df"))
+      gc.join(df, Seq("h"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_grams"),
+          sum(when(col("df") >= 5, col("cnt")).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_boiler").cast("long").as("n_boiler"),
+          expr("(n_boiler * 10000) div n_grams").as("boiler_bp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1216,7 +1261,29 @@ object Dedup {
           |UNION ALL
           |SELECT dirty_name, '(none)', n_records, CAST(0 AS BIGINT) FROM dn
           |WHERE dirty_name NOT IN (SELECT dirty_name FROM best)
-          |ORDER BY dirty_name""".stripMargin
+          |ORDER BY dirty_name""".stripMargin,
+
+      "q215_boilerplate" ->
+        """WITH t AS (SELECT doc_id,
+          |        string_split_regex(lower(trim(text)), '\s+') AS w
+          |      FROM documents WHERE length(trim(text)) > 0),
+          |t3 AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+          |g AS (SELECT doc_id,
+          |        ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 2147483647 AS h
+          |      FROM (SELECT doc_id,
+          |              unnest([{'g': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}
+          |                      for i in range(1, len(w) - 1)]) AS s
+          |            FROM t3)),
+          |gc AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+          |       FROM g GROUP BY doc_id, h),
+          |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM gc GROUP BY h),
+          |j AS (SELECT doc_id, sum(cnt) AS n_grams,
+          |        sum(CASE WHEN df >= 5 THEN cnt ELSE 0 END) AS n_boiler
+          |      FROM gc JOIN df USING (h) GROUP BY doc_id)
+          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          |       CAST(n_boiler AS BIGINT) AS n_boiler,
+          |       CAST((n_boiler * 10000) // n_grams AS BIGINT) AS boiler_bp
+          |FROM j ORDER BY doc_id""".stripMargin
     )
   }
 }

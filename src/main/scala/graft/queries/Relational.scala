@@ -1013,6 +1013,214 @@ object Relational {
         |FROM q176_orders
         |GROUP BY ALL
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    // ---- TPC-H Q17: small-quantity revenue -------------------------------
+    // The correlated-average shape: lineitems whose quantity is under 20%
+    // of their part's average. The per-part average is ONE aggregation
+    // keyed by partkey (not a correlated re-scan per row) joined back on
+    // the same key — at scale both sides shuffle once on partkey and AQE
+    // broadcasts the (|part|-row) average side. Quantities are integral
+    // doubles, so the partial sums behind avg() are exact and the 0.2·avg
+    // comparison is the same IEEE sequence in both engines.
+    "q202_small_qty" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)")).as("total_c"))
+        .select(col("n_small"), col("total_c").cast("long").as("total_c"))
+    }),
+
+    // ---- TPC-H Q15: top revenue supplier ---------------------------------
+    // Aggregate -> global max -> equality filter. Revenue is pinned to an
+    // exact integer (cents × discount basis points) so the max-equality
+    // join cannot be broken by float summation order — the classic Q15
+    // trap. The 1-row max side is broadcast; the revenue aggregate is one
+    // suppkey shuffle.
+    "q203_top_supplier" -> ((s: SparkSession, dir: String) => {
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy("l_suppkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+          "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("rev_e6"))
+      val top = rev.agg(max("rev_e6").as("mx"))
+      rev.join(broadcast(top), col("rev_e6") === col("mx"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_e6").cast("long").as("rev_e6"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q16: supplier breadth per part segment --------------------
+    // count(DISTINCT supplier) per (brand, type, size) with a NOT IN
+    // blocklist subquery (suppliers in deficit) — Catalyst plans the NOT IN
+    // as a broadcast null-aware anti join (keys are non-null here).
+    "q204_supplier_cnt" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "part").createOrReplaceTempView("q204_part")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("q204_lineitem")
+      Tables(s, dir, "supplier").createOrReplaceTempView("q204_supplier")
+      s.sql("""
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM q204_part JOIN q204_lineitem ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM q204_supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // ---- TPC-H Q19: disjunctive join predicate ---------------------------
+    // OR-of-ANDs spanning both join sides. Catalyst extracts the common
+    // join key (partkey) and pushes the per-side conjunct unions down to
+    // the scans (brand IN (...) reaches the part parquet as a PushedFilter;
+    // quantity bounds reach lineitem) — the predicate-pushdown stress shape.
+    "q205_disjunctive" -> ((s: SparkSession, dir: String) => {
+      val joined = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+      joined.filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("revenue_e6"))
+        .select(col("n_lines"), col("revenue_e6").cast("long").as("revenue_e6"))
+    }),
+
+    // ---- TPC-H Q20 (adapted): majority suppliers -------------------------
+    // Suppliers holding >20% of any part's total shipped quantity. The
+    // nested aggregate (per-pair qty vs per-part total) rides ONE window
+    // over the (partkey, suppkey) aggregate instead of a second groupBy +
+    // self-join — the pair aggregate is computed once, and the share test
+    // is exact integer math (quantities are integral). The survivor set is
+    // a semi join into supplier.
+    "q206_majority_supp" -> ((s: SparkSession, dir: String) => {
+      val pairQty = Tables(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val withTotal = pairQty.withColumn("tq",
+        sum("q").over(Window.partitionBy("l_partkey")))
+      val major = withTotal.filter(col("q") * 10 > col("tq") * 2)
+        .select("l_suppkey").distinct()
+      Tables(s, dir, "supplier")
+        .join(major, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q7: volume shipping between nation pairs ------------------
+    // The 5-way snowflake with a symmetric pair predicate: revenue flowing
+    // NATION_18→NATION_19 and NATION_19→NATION_18 per year. Both nation dims
+    // broadcast (they're 25 rows); the fact chain shuffles once per equi-
+    // join key and the pair disjunction runs post-join on broadcast columns.
+    "q211_nation_volume" -> ((s: SparkSession, dir: String) => {
+      val sn = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+          "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("revenue_e6"))
+        .select(col("supp_nation"), col("cust_nation"),
+          col("l_year").cast("long").as("l_year"),
+          col("revenue_e6").cast("long").as("revenue_e6"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- TPC-H Q8: national market share ---------------------------------
+    // NATION_3's share of EUROPE's order revenue per year, in integer basis
+    // points: the two-branch conditional aggregate over one join tree —
+    // numerator and denominator in a single pass, never two scans.
+    "q212_market_share" -> ((s: SparkSession, dir: String) => {
+      val nat = Tables(s, dir, "nation")
+      val cn = nat.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+      val sn = nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val reg = Tables(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("cr_key") === col("r_regionkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(expr("CASE WHEN supp_nation = 'NATION_3' THEN " +
+            "CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END"))
+            .as("nation_rev_e6"),
+          sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("total_rev_e6"))
+        .select(col("o_year").cast("long").as("o_year"),
+          col("nation_rev_e6").cast("long").as("nation_rev_e6"),
+          expr("CAST((nation_rev_e6 * 10000) DIV total_rev_e6 AS BIGINT)").as("share_bp"))
+        .orderBy("o_year")
+    }),
+
+    // ---- TPC-H Q9 (adapted): product profit by supplier nation -----------
+    // profit = revenue − cost, both at the exact cents×bp integer scale
+    // (cost modeled as 90% of retail price — the fixtures carry no
+    // partsupp). One fact↔fact shuffle; part/supplier/nation broadcast.
+    "q213_profit" -> ((s: SparkSession, dir: String) => {
+      val sn = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) " +
+            "- CAST(l_quantity AS BIGINT) " +
+            "* CAST(round(p_retailprice * 100.0) AS BIGINT) * 9000"))
+          .as("profit_e6"))
+        .select(col("nation"), col("o_year").cast("long").as("o_year"),
+          col("profit_e6").cast("long").as("profit_e6"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // ---- TPC-H Q14: promo revenue share ----------------------------------
+    // Monthly promo-type revenue share in basis points over one shipping
+    // year — numerator and denominator from the same conditional-aggregate
+    // pass after a partkey join.
+    "q214_promo_share" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(Tables(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .groupBy(month(col("l_shipdate")).as("l_month"))
+        .agg(
+          sum(expr("CASE WHEN p_type = 'PROMO' THEN " +
+            "CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END"))
+            .as("promo_rev_e6"),
+          sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+            "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("total_rev_e6"))
+        .select(col("l_month").cast("long").as("l_month"),
+          col("promo_rev_e6").cast("long").as("promo_rev_e6"),
+          expr("CAST((promo_rev_e6 * 10000) DIV total_rev_e6 AS BIGINT)").as("promo_bp"))
+        .orderBy("l_month")
     })
   )
 
@@ -1712,6 +1920,140 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_c
         |FROM orders
         |GROUP BY ALL
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q202_small_qty" ->
+      """WITH a AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |         AS total_c
+        |FROM lineitem JOIN a ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q203_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |             * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |           AS rev_e6
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_e6 AS BIGINT) AS rev_e6
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e6 = (SELECT max(rev_e6) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q204_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q205_disjunctive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |           * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |         AS BIGINT) AS revenue_e6
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q206_majority_supp" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |              sum(CAST(l_quantity AS BIGINT)) AS q
+        |            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |wt AS (SELECT l_suppkey, q,
+        |         sum(q) OVER (PARTITION BY l_partkey) AS tq
+        |       FROM pq)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM wt WHERE q * 10 > tq * 2)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q211_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |           * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |         AS BIGINT) AS revenue_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q212_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN
+        |      CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END)
+        |    AS BIGINT) AS nation_rev_e6,
+        |  CAST((sum(CASE WHEN sn.n_name = 'NATION_3' THEN
+        |      CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END)
+        |    * 10000)
+        |    // sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |        * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |    AS BIGINT) AS share_bp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+
+    "q213_profit" ->
+      """SELECT sn.n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |           * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))
+        |           - CAST(l_quantity AS BIGINT)
+        |           * CAST(round(p_retailprice * 100.0) AS BIGINT) * 9000)
+        |         AS BIGINT) AS profit_e6
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY sn.n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+
+    "q214_promo_share" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END)
+        |    AS BIGINT) AS promo_rev_e6,
+        |  CAST((sum(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) ELSE 0 END)
+        |    * 10000)
+        |    // sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |        * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |    AS BIGINT) AS promo_bp
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY month(l_shipdate)
+        |ORDER BY l_month""".stripMargin
   )
 }

@@ -1609,6 +1609,110 @@ object Stats {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "prior_view")
         .orderBy("event_id")
+    }),
+
+    // ---- interval union (total activity coverage) ------------------------
+    // Each event opens a 5-minute activity interval; per-user total
+    // COVERED seconds must merge overlaps (naive n·300 double-counts).
+    // Classic sweep without a self-join: order per user, running max of
+    // interval ends over STRICTLY PRECEDING rows — a new merged interval
+    // starts where the current start clears it; merged-group id is the
+    // running sum of those breaks (q121's flag trick). Everything rides
+    // ONE user-keyed sort; time math is floor-to-second integers.
+    "q201_interval_union" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = Tables(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+        .withColumn("fin", col("sec") + 300L)
+        .withColumn("pm", max("fin").over(prior))
+        .withColumn("new_i",
+          (col("pm").isNull || col("sec") > col("pm")).cast("long"))
+        .withColumn("grp", sum("new_i").over(cum))
+      iv.groupBy("user_id", "grp")
+        .agg((max("fin") - min("sec")).as("cov"), count(lit(1)).as("n_ev"))
+        .groupBy("user_id")
+        .agg(sum("cov").as("active_sec"), count(lit(1)).as("n_intervals"),
+          sum("n_ev").as("n_events"))
+        .select(col("user_id"), col("active_sec").cast("long").as("active_sec"),
+          col("n_intervals"), col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- session path pattern matching -----------------------------------
+    // MATCH_RECOGNIZE-lite: each session (q121's gap rule) becomes a string
+    // of event-type initials in time order, and funnels become regexes over
+    // it ('v.*c.*p' = view, later click, later purchase). Per user: total
+    // sessions, funnel-matching sessions, single-event bounces. The path
+    // string is bounded by session length; ordering uses (floor-second,
+    // event_id) in BOTH engines — DuckDB ordering by raw nanos while Spark
+    // orders truncated micros would diverge on same-second ties.
+    "q207_seq_pattern" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = Tables(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("i"))
+        .withColumn("prev_sec", lag("sec", 1).over(w))
+        .withColumn("new_s",
+          (col("prev_sec").isNull || (col("sec") - col("prev_sec")) > 1800L).cast("long"))
+        .withColumn("sess", sum("new_s").over(cum))
+      val paths = flagged.groupBy("user_id", "sess")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("sec"), col("event_id"), col("i")))),
+          x => x.getField("i")), "").as("path"))
+      paths.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("path").rlike("v.*c.*p").cast("long")).as("n_funnel"),
+          sum((length(col("path")) === 1).cast("long")).as("n_bounce"))
+        .select(col("user_id"), col("n_sessions"),
+          col("n_funnel").cast("long").as("n_funnel"),
+          col("n_bounce").cast("long").as("n_bounce"))
+        .orderBy("user_id")
+    }),
+
+    // ---- weighted median -------------------------------------------------
+    // Character-mass median document length per language: the length at
+    // which half the language's characters live in shorter docs. Standard
+    // cumulative-weight form: one per-language sort, running weight vs the
+    // partition total, first crossing wins. Weights and values are exact
+    // BIGINTs; ties broken by doc_id so the crossing row is deterministic.
+    "q209_weighted_median" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("cumw", sum("n_chars").over(cum))
+        .withColumn("totw", sum("n_chars").over(Window.partitionBy("lang")))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("lang")
+        .agg(min("n_chars").as("wmedian_chars"),
+          min("totw").as("total_chars"))
+        .select(col("lang"), col("wmedian_chars").cast("long").as("wmedian_chars"),
+          col("total_chars").cast("long").as("total_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- distinct-count grouping sets ------------------------------------
+    // Unique users at four granularities — (type, week), (type), (week),
+    // () — in one GROUPING SETS pass. Spark plans this as Expand (one
+    // replica per grouping set) + a distinct aggregate: the standard way
+    // to ship an N-granularity unique-users report with one scan at
+    // 100 TB. NULL grouping cells are labelled 'ALL' in both engines.
+    "q210_distinct_sets" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "events").createOrReplaceTempView("q210_events")
+      s.sql("""
+        |WITH e AS (SELECT event_type,
+        |             date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week,
+        |             user_id
+        |           FROM q210_events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(week, 'ALL') AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
+        |ORDER BY event_type, week""".stripMargin)
     })
   )
 
@@ -2645,6 +2749,84 @@ object Stats {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
         | FROM events WHERE event_type IN ('purchase', 'view'))
         |WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q201_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |iv AS (SELECT user_id, event_id, sec, sec + 300 AS fin FROM e),
+        |f AS (SELECT user_id, sec, fin,
+        |        CASE WHEN max(fin) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |             OR sec > max(fin) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        THEN 1 ELSE 0 END AS new_i,
+        |        event_id
+        |      FROM iv),
+        |g AS (SELECT user_id, sec, fin,
+        |        sum(new_i) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS grp
+        |      FROM f),
+        |m AS (SELECT user_id, grp, max(fin) - min(sec) AS cov,
+        |        CAST(count(*) AS BIGINT) AS n_ev
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(cov) AS BIGINT) AS active_sec,
+        |       CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(n_ev) AS BIGINT) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q207_seq_pattern" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |             substr(event_type, 1, 1) AS i
+        |           FROM events),
+        |f AS (SELECT user_id, sec, event_id, i,
+        |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |               IS NULL
+        |             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |               > 1800
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, sec, event_id, i,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sess
+        |      FROM f),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(i, '' ORDER BY sec, event_id) AS path
+        |      FROM g GROUP BY user_id, sess)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN regexp_matches(path, 'v.*c.*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_funnel,
+        |  CAST(sum(CASE WHEN length(path) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q209_weighted_median" ->
+      """WITH d AS (SELECT lang, n_chars, doc_id FROM documents),
+        |c AS (SELECT lang, n_chars, doc_id,
+        |        sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cumw,
+        |        sum(n_chars) OVER (PARTITION BY lang) AS totw
+        |      FROM d)
+        |SELECT lang, CAST(min(n_chars) AS BIGINT) AS wmedian_chars,
+        |       CAST(min(totw) AS BIGINT) AS total_chars
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q210_distinct_sets" ->
+      """WITH e AS (SELECT event_type,
+        |             strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |             user_id
+        |           FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(week, 'ALL') AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
+        |ORDER BY event_type, week""".stripMargin
   )
 }

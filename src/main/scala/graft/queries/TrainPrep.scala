@@ -314,10 +314,58 @@ object TrainPrep {
           expr(s"(end_offset - n_tokens) div $cap").as("first_window"),
           expr(s"greatest(end_offset - 1, end_offset - n_tokens) div $cap").as("last_window"))
         .orderBy("doc_id")
+    }),
+
+    // ---- largest-remainder apportionment ---------------------------------
+    // Turning the q96 mixture weights into an actual integer sampling
+    // budget: allocate exactly 1000 shards across sources proportionally
+    // to character mass by the Hare-quota largest-remainder method —
+    // floor shares first, then the leftover seats to the largest
+    // fractional remainders (ties by source name). Pure integer math end
+    // to end, so both engines agree bit-for-bit; windows run over
+    // |sources| rows only (the corpus scan is one aggregation).
+    "q208_apportion" -> ((s: SparkSession, dir: String) => {
+      val seats = 1000L
+      val mass = Tables(s, dir, "documents")
+        .groupBy("source").agg(sum("n_chars").as("mass"))
+      // |sources| rows from here on: unpartitioned windows are deliberate
+      val all = Window.partitionBy(lit(1))
+      val byRem = Window.partitionBy(lit(1))
+        .orderBy(desc("rem"), asc("source"))
+      mass
+        .withColumn("total", sum("mass").over(all))
+        .withColumn("base", expr(s"(mass * $seats) div total"))
+        .withColumn("rem", expr(s"mass * $seats - base * total"))
+        .withColumn("leftover", lit(seats) - sum("base").over(all))
+        .withColumn("rk", row_number().over(byRem))
+        .withColumn("seats",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), col("mass").cast("long").as("mass"),
+          col("seats").cast("long").as("seats"))
+        .orderBy("source")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_apportion" ->
+      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, mass,
+        |        sum(mass) OVER () AS total
+        |      FROM m),
+        |b AS (SELECT source, mass, total,
+        |        (mass * 1000) // total AS base,
+        |        mass * 1000 - ((mass * 1000) // total) * total AS rem
+        |      FROM w),
+        |r AS (SELECT source, mass, base, rem,
+        |        1000 - sum(base) OVER () AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b)
+        |SELECT source, mass,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS seats
+        |FROM r ORDER BY source""".stripMargin,
+
     "q173_feature_hash" ->
       """WITH tk AS (SELECT doc_id,
         |   CASE WHEN length(trim(text)) = 0 THEN []

@@ -715,4 +715,124 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     val kept = SparkEntry.queries("q35_dedup_exact")(spark, dir).count()
     assert(m("exact_dup_docs") == docs - kept)
   }
+
+  test("q201 interval union: coverage bounded by event count, merging only shrinks") {
+    val rows = SparkEntry.queries("q201_interval_union")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, active, nIv, nEv) =>
+      assert(nIv >= 1 && nIv <= nEv, s"user $u: $nIv intervals for $nEv events")
+      // each merged interval covers >= 300s; naive (unmerged) total is an upper bound
+      assert(active >= nIv * 300, s"user $u: $active < ${nIv * 300}")
+      assert(active <= nEv * 300, s"user $u: merged coverage exceeds naive sum")
+    }
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.length == users)
+  }
+
+  test("q207 session paths agree with q121 session counts") {
+    val pat = SparkEntry.queries("q207_seq_pattern")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sess = SparkEntry.queries("q121_sessions")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pat.keySet == sess.keySet)
+    // same 30-min gap rule => identical session counts per user
+    pat.foreach { case (u, (n, funnel, bounce)) =>
+      assert(n == sess(u), s"user $u: q207 $n sessions vs q121 ${sess(u)}")
+      assert(funnel <= n && bounce <= n)
+    }
+  }
+
+  test("q208 apportionment: seats sum exactly to 1000, each within 1 of exact share") {
+    val rows = SparkEntry.queries("q208_apportion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 1000L, "largest-remainder must allocate every seat")
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, mass, seats) =>
+      val exact = mass * 1000.0 / total
+      assert(math.abs(seats - exact) < 1.0 + 1e-9,
+        s"$src: $seats seats vs exact $exact — largest remainder stays within 1")
+    }
+  }
+
+  test("q209 weighted median: half the char mass lies at or below it") {
+    val med = SparkEntry.queries("q209_weighted_median")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    med.foreach { case (lang, wm, totw) =>
+      val chars = docs(lang).map(_._2)
+      assert(chars.sum == totw)
+      val below = chars.filter(_ <= wm).sum
+      val strictlyBelow = chars.filter(_ < wm).sum
+      // defining property of the weighted median
+      assert(below * 2 >= totw, s"$lang: mass at/below median is under half")
+      assert(strictlyBelow * 2 < totw, s"$lang: median overshoots the crossing")
+    }
+  }
+
+  test("q210 grouping sets: ALL/ALL row equals global distinct users") {
+    val rows = SparkEntry.queries("q210_distinct_sets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val global = Tables(spark, dir, "events").select("user_id").distinct().count()
+    val allAll = rows.collect { case ("ALL", "ALL", u) => u }
+    assert(allAll.sameElements(Array(global)))
+    // a finer cell can never exceed its type's marginal
+    val perType = rows.collect { case (t, "ALL", u) if t != "ALL" => t -> u }.toMap
+    rows.foreach { case (t, w, u) =>
+      if (t != "ALL" && w != "ALL") assert(u <= perType(t), s"cell ($t,$w) exceeds marginal")
+    }
+  }
+
+  test("q211/q212/q214: nation-pair symmetry and share bounds") {
+    val pairs = SparkEntry.queries("q211_nation_volume")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (sn, cn, rev) =>
+      assert(Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))((sn, cn)))
+      assert(rev > 0)
+    }
+    SparkEntry.queries("q212_market_share")(spark, dir).collect().foreach { r =>
+      val bp = r.getLong(2)
+      assert(bp >= 0 && bp <= 10000, s"share_bp $bp out of range")
+    }
+    val months = SparkEntry.queries("q214_promo_share")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(months.nonEmpty && months.length <= 12)
+    months.foreach { case (m, bp) =>
+      assert(m >= 1 && m <= 12 && bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("q213 profit reconciles against a direct recompute on one nation-year") {
+    val rows = SparkEntry.queries("q213_profit")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    val ((nation, year0), profit) = rows.head
+    val direct = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("n_name") === nation && year(col("o_orderdate")) === year0)
+      .selectExpr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+        "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)) " +
+        "- CAST(l_quantity AS BIGINT) * CAST(round(p_retailprice * 100.0) AS BIGINT) * 9000 AS p")
+      .agg(sum("p")).collect()(0).getLong(0)
+    assert(profit == direct)
+  }
+
+  test("q206 majority suppliers genuinely hold >20% of some part") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q206_majority_supp")(spark, dir)
+      .select("s_suppkey").as[Long].collect().toSet
+    val pq = Tables(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = pq.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
+    val expected = pq.filter { case (p, _, q) => q * 10 > totals(p) * 2 }.map(_._2).toSet
+    assert(got == expected)
+  }
 }

@@ -332,4 +332,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(allFiles == 8, s"expected 8 centroid partitions, got $allFiles")
     assert(filesRead < allFiles, s"read $filesRead files of $allFiles partitions")
   }
+
+  test("q205 disjunctive predicate pushes per-side conjunct unions to both scans") {
+    // the Q19 scale contract: Catalyst must not evaluate the OR-of-ANDs
+    // only post-join — each side's union of its conjuncts reaches its
+    // parquet scan as a PushedFilter (brand/size on part, quantity on
+    // lineitem), so non-candidate rows never leave the scan
+    val plan = SparkEntry.queries("q205_disjunctive")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("FileScan").toSeq
+    val partScan = scans.find(_.contains("part.parquet")).get
+    val liScan = scans.find(_.contains("lineitem.parquet")).get
+    assert(partScan.contains("Or(") && partScan.contains("p_brand"),
+      s"part scan lost its pushed disjunction:\n$partScan")
+    assert(liScan.contains("l_quantity"),
+      s"lineitem scan lost its pushed quantity bounds:\n$liScan")
+  }
+
+  test("q203 top-supplier: the scalar max side broadcasts, no window sort") {
+    val plan = SparkEntry.queries("q203_top_supplier")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"max side not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into the Q15 plan:\n$plan")
+  }
+
+  test("q211/q213 snowflake joins broadcast every dimension side") {
+    // nation (25 rows) must never shuffle the fact chain; with AQE the
+    // supplier/customer/part dims auto-broadcast under the threshold too
+    for (q <- Seq("q211_nation_volume", "q213_profit")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: a dim join fell back to sort-merge at test scale:\n$plan")
+    }
+  }
 }

@@ -1221,6 +1221,26 @@ object Relational {
           col("promo_rev_e6").cast("long").as("promo_rev_e6"),
           expr("CAST((promo_rev_e6 * 10000) DIV total_rev_e6 AS BIGINT)").as("promo_bp"))
         .orderBy("l_month")
+    }),
+
+    // ---- l-diversity audit (q155's k-anonymity, next dimension) ----------
+    // k-anonymity says each quasi-identifier class is big enough to hide
+    // in; l-diversity says the SENSITIVE attribute actually varies inside
+    // it (a class of 50 rows that all share one balance band still leaks).
+    // Per (nation, segment) class: size and distinct sensitive values —
+    // one aggregation pass, grouped on the class key.
+    "q216_l_diversity" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_band"))
+        .groupBy("nk", "seg")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("bal_band")).as("l_distinct"))
+        .select(col("nk"), col("seg"), col("class_size"),
+          col("l_distinct").cast("long").as("l_distinct"),
+          (col("l_distinct") < 3).cast("long").as("below_l3"))
+        .orderBy("nk", "seg")
     })
   )
 
@@ -2054,6 +2074,19 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY month(l_shipdate)
-        |ORDER BY l_month""".stripMargin
+        |ORDER BY l_month""".stripMargin,
+
+    "q216_l_diversity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |             c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |           FROM customer),
+        |g AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS class_size,
+        |        CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct
+        |      FROM c GROUP BY nk, seg)
+        |SELECT nk, seg, class_size, l_distinct,
+        |       CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS below_l3
+        |FROM g ORDER BY nk, seg""".stripMargin
   )
 }

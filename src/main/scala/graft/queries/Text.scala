@@ -922,6 +922,70 @@ object Text {
         .localCheckpoint(eager = true)
       tok.unpersist()
       out
+    }),
+
+    // ---- reciprocal rank fusion ------------------------------------------
+    // The standard way to combine heterogeneous retrieval signals (lexical
+    // score + recency here) without calibrating them onto one scale:
+    // RRF(d) = Σ 1/(k + rank_i(d)), k = 60. Ranks come from two windows
+    // over the (small) matching-doc set; the fused score is PURE integer
+    // math (1e9 DIV (60 + r)) so both engines agree bit-for-bit. The query
+    // term is the corpus's top token, computed from the same scan and
+    // broadcast (q184's dynamic-query discipline).
+    "q217_rrf" -> ((s: SparkSession, dir: String) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val top = tf.groupBy("t").agg(sum("tf").as("n"))
+        .orderBy(desc("n"), asc("t")).limit(1)
+        .select(col("t").as("qterm"))
+      val hits = tf.join(broadcast(top), col("t") === col("qterm"))
+      val r1 = Window.orderBy(desc("tf"), asc("doc_id"))
+      val r2 = Window.orderBy(desc("doc_id"))
+      hits
+        .withColumn("rank_tf", row_number().over(r1).cast("long"))
+        .withColumn("rank_fresh", row_number().over(r2).cast("long"))
+        .select(col("doc_id"), col("tf").cast("long").as("tf"),
+          col("rank_tf"), col("rank_fresh"),
+          expr("1000000000 DIV (60 + rank_tf) + 1000000000 DIV (60 + rank_fresh)")
+            .as("rrf_e9"))
+        .orderBy(desc("rrf_e9"), asc("doc_id")).limit(20)
+    }),
+
+    // ---- distinctive terms per language (Monroe log-odds) ----------------
+    // Which top-50-vocab terms over-index in each language vs the rest of
+    // the corpus: Dirichlet-smoothed log-odds-ratio delta, the
+    // "fightin' words" statistic. All counts are exact BIGINTs over the
+    // full lang x vocab grid (missing cells = 0); the delta is ONE
+    // shared-verbatim double expression, floor-e6. Top-3 per language by
+    // (delta desc, term) via a window over the 50·|langs|-row grid.
+    "q218_log_odds" -> ((s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("t"))
+      val tc = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      val vocabRank = Window.orderBy(desc("n"), asc("t"))
+      val vocab = tc.withColumn("rn", row_number().over(vocabRank))
+        .filter(col("rn") <= 50).select(col("t"), col("n").as("y_w"))
+      val langs = tok.select("lang").distinct()
+      val cnt = tok.join(broadcast(vocab.select("t")), "t")
+        .groupBy("lang", "t").agg(count(lit(1)).as("y"))
+      val grid = langs.crossJoin(broadcast(vocab))
+        .join(cnt, Seq("lang", "t"), "left")
+        .withColumn("y", coalesce(col("y"), lit(0L)))
+        .withColumn("ni", sum("y").over(Window.partitionBy("lang")))
+        .withColumn("nt", sum("y").over(Window.partitionBy(lit(1))))
+      val delta =
+        "floor((ln(CAST(y + 1 AS DOUBLE) / CAST(ni + 50 - y - 1 AS DOUBLE)) " +
+          "- ln(CAST(y_w - y + 1 AS DOUBLE) " +
+          "/ CAST(nt - ni + 50 - (y_w - y) - 1 AS DOUBLE))) * 1000000.0)"
+      val byLang = Window.partitionBy("lang").orderBy(desc("delta_e6"), asc("t"))
+      grid
+        .withColumn("delta_e6", expr(delta).cast("long"))
+        .withColumn("rn", row_number().over(byLang))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("t").as("term"), col("y").cast("long").as("y"),
+          col("delta_e6"), col("rn").cast("long").as("rn"))
+        .orderBy("lang", "rn")
     })
   )
 
@@ -1456,7 +1520,56 @@ object Text {
            |       QUALIFY row_number() OVER (PARTITION BY doc_id
            |                                  ORDER BY score DESC, lang_c) = 1)
            |SELECT lang AS actual, lang_c AS pred, CAST(count(*) AS BIGINT) AS n
-           |FROM pd GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
+           |FROM pd GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin,
+
+      "q217_rrf" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           |       FROM (SELECT doc_id, unnest(w) AS t FROM t)
+           |       GROUP BY doc_id, t),
+           |top AS (SELECT t AS qterm FROM tf GROUP BY t
+           |        ORDER BY sum(tf) DESC, t LIMIT 1),
+           |hits AS (SELECT doc_id, tf FROM tf JOIN top ON tf.t = top.qterm),
+           |r AS (SELECT doc_id, tf,
+           |        CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+           |          AS rank_tf,
+           |        CAST(row_number() OVER (ORDER BY doc_id DESC) AS BIGINT)
+           |          AS rank_fresh
+           |      FROM hits)
+           |SELECT doc_id, tf, rank_tf, rank_fresh,
+           |  CAST(1000000000 // (60 + rank_tf)
+           |     + 1000000000 // (60 + rank_fresh) AS BIGINT) AS rrf_e9
+           |FROM r ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q218_log_odds" ->
+        s"""WITH t AS (SELECT lang, $toksSql AS w FROM documents),
+           |ex AS (SELECT lang, unnest(w) AS t FROM t),
+           |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY t),
+           |voc AS (SELECT t, n AS y_w FROM tc
+           |        QUALIFY row_number() OVER (ORDER BY n DESC, t) <= 50),
+           |langs AS (SELECT DISTINCT lang FROM ex),
+           |cnt AS (SELECT lang, ex.t, CAST(count(*) AS BIGINT) AS y
+           |        FROM ex JOIN voc ON ex.t = voc.t GROUP BY lang, ex.t),
+           |grid AS (SELECT l.lang, v.t, v.y_w, coalesce(c.y, 0) AS y
+           |         FROM langs l CROSS JOIN voc v
+           |         LEFT JOIN cnt c ON c.lang = l.lang AND c.t = v.t),
+           |g2 AS (SELECT lang, t, y_w, y,
+           |         sum(y) OVER (PARTITION BY lang) AS ni,
+           |         sum(y) OVER () AS nt
+           |       FROM grid),
+           |d AS (SELECT lang, t, y,
+           |        CAST(floor((ln(CAST(y + 1 AS DOUBLE)
+           |            / CAST(ni + 50 - y - 1 AS DOUBLE))
+           |          - ln(CAST(y_w - y + 1 AS DOUBLE)
+           |            / CAST(nt - ni + 50 - (y_w - y) - 1 AS DOUBLE)))
+           |          * 1000000.0) AS BIGINT) AS delta_e6
+           |      FROM g2),
+           |rk AS (SELECT lang, t AS term, y, delta_e6,
+           |         CAST(row_number() OVER (PARTITION BY lang
+           |                 ORDER BY delta_e6 DESC, t) AS BIGINT) AS rn
+           |       FROM d)
+           |SELECT lang, term, y, delta_e6, rn FROM rk
+           |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines

@@ -823,6 +823,53 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(profit == direct)
   }
 
+  test("q215 boilerplate share bounded; q216 diversity bounded by class size") {
+    val boiler = SparkEntry.queries("q215_boilerplate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(boiler.nonEmpty)
+    boiler.foreach { case (d, grams, boil, bp) =>
+      assert(boil >= 0 && boil <= grams, s"doc $d: $boil of $grams boiler grams")
+      assert(bp == boil * 10000 / grams)
+    }
+    // some boilerplate must exist in a corpus with exact duplicates
+    assert(boiler.exists(_._3 > 0), "no doc carries any repeated 3-gram")
+    val ldiv = SparkEntry.queries("q216_l_diversity")(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(ldiv.map(_._1).sum == Tables(spark, dir, "customer").count())
+    ldiv.foreach { case (size, l) => assert(l >= 1 && l <= size) }
+  }
+
+  test("q217 RRF: distinct ranks, fused score consistent and non-increasing") {
+    val rows = SparkEntry.queries("q217_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.length == rows.length, "rank_tf collides")
+    assert(rows.map(_._4).distinct.length == rows.length, "rank_fresh collides")
+    rows.foreach { case (_, _, r1, r2, rrf) =>
+      assert(rrf == 1000000000L / (60 + r1) + 1000000000L / (60 + r2))
+    }
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "fused score must be non-increasing")
+      case _ =>
+    }
+  }
+
+  test("q218 log-odds: 3 terms per lang, delta ordered, positive head") {
+    val rows = SparkEntry.queries("q218_log_odds")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(Array(1L, 2L, 3L)),
+        s"$lang: expected exactly ranks 1..3")
+      val deltas = rs.sortBy(_._4).map(_._3)
+      assert(deltas.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+        s"$lang: delta not non-increasing")
+      // the most distinctive term should genuinely over-index (delta > 0)
+      assert(deltas.head > 0, s"$lang: top delta ${deltas.head} not positive")
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

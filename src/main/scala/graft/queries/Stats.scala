@@ -1713,6 +1713,29 @@ object Stats {
         |FROM e
         |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
         |ORDER BY event_type, week""".stripMargin)
+    }),
+
+    // ---- native histogram-sketch quantiles -------------------------------
+    // Per-flag price quantiles the way they ship at 100 TB: the custom
+    // `hist_regs` TypedImperativeAggregate folds each partition into a
+    // ~2 KB sub-logarithmic bucket array (values 0-7 exact, then 4
+    // sub-buckets per octave, ≤25% bucket width), partials merge by
+    // elementwise add, ONE row per group crosses the shuffle, and eval
+    // walks the buckets to the ceil(p·n) crossings. The estimates are
+    // bucket lower bounds — pure integers — so the DuckDB oracle
+    // reproduces them exactly with the same bucket expression + a
+    // cumulative window (the plan the SQL form would shuffle in full).
+    "q219_hist_quantiles" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.Sketches.hist_regs
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("v"))
+        .groupBy("l_returnflag")
+        .agg(hist_regs(col("v")).as("h"))
+        .select(col("l_returnflag"), col("h.n").as("n"),
+          col("h.p50_est").as("p50_est"), col("h.p90_est").as("p90_est"),
+          col("h.p99_est").as("p99_est"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2827,6 +2850,35 @@ object Stats {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
         |FROM e
         |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
-        |ORDER BY event_type, week""".stripMargin
+        |ORDER BY event_type, week""".stripMargin,
+
+    "q219_hist_quantiles" ->
+      """WITH x AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |bk AS (SELECT l_returnflag,
+        |         CASE WHEN v < 8 THEN v
+        |              ELSE 8 + 4 * (length(bin(v)) - 4)
+        |                   + ((v >> (length(bin(v)) - 3)) % 4) END AS idx,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM x GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, idx, cnt,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+        |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM bk),
+        |lo AS (SELECT l_returnflag, cum, n,
+        |         CASE WHEN idx < 8 THEN idx
+        |              ELSE (4 + (idx - 8) % 4)
+        |                   * (CAST(1 AS BIGINT) << ((idx - 8) // 4 + 1)) END
+        |           AS lower
+        |       FROM c)
+        |SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lower END) AS BIGINT)
+        |    AS p50_est,
+        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lower END) AS BIGINT)
+        |    AS p90_est,
+        |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lower END) AS BIGINT)
+        |    AS p99_est
+        |FROM lo GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

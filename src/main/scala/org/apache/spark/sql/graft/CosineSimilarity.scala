@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllRegs].getCanonicalName, "hll_regs"),
       (exprs: Seq[Expression]) => HllRegs(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("hist_regs"),
+      new ExpressionInfo(classOf[HistRegs].getCanonicalName, "hist_regs"),
+      (exprs: Seq[Expression]) => HistRegs(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getCanonicalName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0),

@@ -333,6 +333,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(filesRead < allFiles, s"read $filesRead files of $allFiles partitions")
   }
 
+  test("q219 native histogram: one ObjectHashAggregate, estimates bracket the exact quantiles") {
+    val dir = sf("sf0.001")
+    val df = SparkEntry.queries("q219_hist_quantiles")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("hist_regs"),
+      s"native aggregate not planned:\n$plan")
+    assert(plan.contains("partial_hist_regs"),
+      "partial aggregation (map-side sketch merge) missing")
+    assert(!plan.contains("Window"), "the sketch plan needs no window pass")
+    // accuracy contract: each estimate is a bucket LOWER bound, so
+    // est <= exact; and the interpolated exact percentile lies within the
+    // crossing bucket or (interpolation at a bucket edge) the next one:
+    // upper(next) = lower * (1 + 1/q)^2 <= lower * 1.5625
+    val est = df.collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("v"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(v, 0.5D)").as("p50"), expr("percentile(v, 0.9D)").as("p90"),
+        expr("percentile(v, 0.99D)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    est.foreach { case (flag, (e50, e90, e99)) =>
+      val (x50, x90, x99) = exact(flag)
+      for ((e, x) <- Seq((e50, x50), (e90, x90), (e99, x99))) {
+        assert(e <= x + 1, s"$flag: estimate $e above exact $x")
+        assert(x < e * 1.5625 + 8, s"$flag: exact $x beyond bucket width of estimate $e")
+      }
+    }
+    // the whole surface is SQL-reachable too
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("q219_li")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, hist_regs(CAST(round(l_extendedprice * 100.0) AS BIGINT)).p50_est
+        |FROM q219_li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (flag, (e50, _, _)) => assert(viaSql(flag) == e50) }
+  }
+
   test("q205 disjunctive predicate pushes per-side conjunct unions to both scans") {
     // the Q19 scale contract: Catalyst must not evaluate the OR-of-ANDs
     // only post-join — each side's union of its conjuncts reaches its

@@ -11,7 +11,13 @@ object ExplainMain {
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
       case Some(name) =>
-        SparkEntry.queries(name)(spark, dir).explain("formatted")
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.explain("formatted")
+        val findings = graft.operators.PlanLint.audit(df)
+        if (findings.nonEmpty) {
+          println(s"plan lint (${findings.size} finding(s) — advisory):")
+          findings.foreach(f => println(s"  $f"))
+        } else println("plan lint: clean")
         // construction goes INSIDE the timing (Bench does the same):
         // queries that materialize eagerly during construction (iterative
         // operators, localCheckpoint barriers) would otherwise report only

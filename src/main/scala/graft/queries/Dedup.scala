@@ -798,6 +798,52 @@ object Dedup {
           col("n_boiler").cast("long").as("n_boiler"),
           expr("(n_boiler * 10000) div n_grams").as("boiler_bp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- EXACT set-similarity join via prefix filtering (AllPairs/PPJoin) --
+    // The exact counterpart to q37's LSH: every pair with shingle-set
+    // Jaccard ≥ 0.7, no probabilistic misses. Prefix-filtering principle
+    // (Chaudhuri/Xiao): order each doc's shingles by GLOBAL frequency
+    // (rarest first); two sets with J ≥ t must share a token within their
+    // first |x| − ⌈t·|x|⌉ + 1 tokens — so only docs sharing a PREFIX
+    // shingle are candidates, and prefixes are built from the rarest
+    // shingles, keeping candidate buckets small without any cap (this is
+    // what makes it exact where LSH samples). Candidates then verify with
+    // the true Jaccard, threshold inside the pipeline. Scale: one corpus
+    // scan (the persisted base), one frequency aggregate, one doc-keyed
+    // rank window, one bucket shuffle — PPJoin's positional/suffix filters
+    // are the known next pruning steps at higher skew.
+    "q220_prefix_join" -> ((s: SparkSession, dir: String) => {
+      val base = minhashBase(Tables(s, dir, "documents"))
+      val freq = base.select(explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("cnt"))
+      val tokens = base.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+        .join(freq, Seq("h"))
+      val byRarity = Window.partitionBy("doc_id").orderBy("cnt", "h")
+      val prefixes = tokens
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
+        .select("doc_id", "h")
+      val buckets = prefixes.groupBy("h").agg(collect_list("doc_id").as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val pairs = buckets
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+        .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
+        .dropDuplicates("d1", "d2")
+      val inter = size(array_intersect(col("h1"), col("h2")))
+      val out = pairs
+        .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
+        .withColumn("jacc", round(
+          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
+        .filter(col("jacc") >= 0.7)
+        .select("d1", "d2", "jacc")
+        .orderBy("d1", "d2")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
     })
   )
 
@@ -1283,7 +1329,37 @@ object Dedup {
           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
           |       CAST(n_boiler AS BIGINT) AS n_boiler,
           |       CAST((n_boiler * 10000) // n_grams AS BIGINT) AS boiler_bp
-          |FROM j ORDER BY doc_id""".stripMargin
+          |FROM j ORDER BY doc_id""".stripMargin,
+
+      "q220_prefix_join" ->
+        s"""WITH $shinglesSql,
+           |hs0 AS (SELECT doc_id, list_transform(w, t -> $tokHashSql) AS h
+           |        FROM sh WHERE len(w) > 0),
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs,
+           |         len(list_distinct(h)) AS sz FROM hs0),
+           |fr AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM (SELECT doc_id, unnest(hs) AS h FROM hd) GROUP BY h),
+           |tok AS (SELECT t.doc_id, t.sz, t.h, fr.cnt
+           |        FROM (SELECT doc_id, sz, unnest(hs) AS h FROM hd) t
+           |        JOIN fr USING (h)),
+           |pre AS (SELECT doc_id, h FROM (
+           |          SELECT doc_id, h,
+           |            row_number() OVER (PARTITION BY doc_id ORDER BY cnt, h)
+           |              AS rn,
+           |            sz - (7 * sz + 9) // 10 + 1 AS l
+           |          FROM tok) WHERE rn <= l),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM pre a JOIN pre b
+           |           ON a.h = b.h AND a.doc_id < b.doc_id),
+           |j AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+           |        x.sz AS sz1, y.sz AS sz2
+           |      FROM cand JOIN hd x ON cand.d1 = x.doc_id
+           |      JOIN hd y ON cand.d2 = y.doc_id)
+           |SELECT d1, d2,
+           |  round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
+           |FROM j
+           |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
+           |ORDER BY d1, d2""".stripMargin
     )
   }
 }

@@ -86,4 +86,29 @@ class DedupSpec extends SparkSpec {
       assert(rows.forall(_.getInt(1) == 16))
     } finally base.unpersist()
   }
+
+  test("q220 prefix join is EXACT: equals brute force, supersets the LSH pairs") {
+    val dir = sf("sf0.001")
+    // brute force: every doc pair, true shingle-set Jaccard >= 0.7
+    val base = Dedup.minhashBase(Tables(spark, dir, "documents"))
+    val brute = try {
+      val a = base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1"))
+      val b = base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2"))
+      val inter = size(array_intersect(col("h1"), col("h2")))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("jacc", round(
+          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
+        .filter(col("jacc") >= 0.7)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally base.unpersist()
+    val prefix = SparkEntry.queries("q220_prefix_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == brute,
+      s"missed=${brute -- prefix} phantom=${prefix -- brute}")
+    // LSH (banded, capped) can only MISS pairs the exact join finds
+    val lsh = SparkEntry.queries("q37_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(prefix), s"LSH phantom pairs: ${lsh -- prefix}")
+    assert(prefix.nonEmpty)
+  }
 }

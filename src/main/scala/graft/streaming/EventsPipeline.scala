@@ -176,6 +176,12 @@ object EventsPipeline {
   private case class DriftState(curBucket: Long, curN: Long,
       nW: Long, mean: Double, m2: Double)
 
+  /** Running quantile emission per key (cents scale, q219's measure). */
+  case class QuantileUpdate(event_type: String, n: Long,
+      p50_est: Long, p90_est: Long, p99_est: Long)
+
+  case class QuantileState(counts: Array[Long])
+
   /** Streaming drift/anomaly monitor — q108's z-score detector as a live
     * stream (the alerting form of q179's drift report): per event type,
     * bucket counts accumulate in O(1) state; when a later bucket's first
@@ -227,6 +233,45 @@ object EventsPipeline {
       if (s != null) st.update(s)
       out.result().iterator
     }
+  }
+
+  /** Running quantile estimates per key — the histogram sketch (the batch
+    * `hist_regs` aggregate, q219) kept live in stream state: each batch's
+    * values fold into a 248-bucket count array per event type, and the
+    * CURRENT p50/p90/p99 estimates are emitted after every batch. State
+    * per key is one fixed ~2 KB array regardless of stream length, and
+    * the estimates are bit-identical to running the batch aggregate over
+    * everything seen so far (shared bucket + quantile-walk code) — the
+    * re-run-from-scratch equivalence that makes a streaming monitor
+    * trustworthy. */
+  class QuantileProcessor
+      extends StatefulProcessor[String, EventRow, QuantileUpdate] {
+    import org.apache.spark.sql.graft.HistRegs
+    @transient private var st: ValueState[QuantileState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[QuantileState](
+        "hist", Encoders.product[QuantileState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[QuantileUpdate] = {
+      val buf = if (st.exists()) st.get().counts.clone()
+        else new Array[Long](HistRegs.Buckets)
+      rows.foreach { e =>
+        // the q219 measure: non-negative integer cents
+        buf(HistRegs.bucketOf(math.round(e.value * 100.0))) += 1L
+      }
+      st.update(QuantileState(buf))
+      val (n, p50, p90, p99) = HistRegs.quantiles(buf)
+      Iterator(QuantileUpdate(key, n, p50, p90, p99))
+    }
+  }
+
+  /** Per-type running value quantiles (sketch state, O(1) per key). */
+  def runningQuantiles(events: Dataset[EventRow]): Dataset[QuantileUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new QuantileProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-type drift alerts over tumbling `bucketMs` buckets. */

@@ -145,21 +145,8 @@ case class HistRegs(child: Expression,
   }
 
   override def eval(buf: Array[Long]): Any = {
-    var n = 0L
-    var i = 0
-    while (i < Buckets) { n += buf(i); i += 1 }
-    if (n == 0L) return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
-    val ks = Array((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100)
-    val est = new Array[Long](3)
-    var cum = 0L
-    var k = 0
-    i = 0
-    while (i < Buckets && k < 3) {
-      cum += buf(i)
-      while (k < 3 && cum >= ks(k)) { est(k) = HistRegs.lowerOf(i); k += 1 }
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](n, est(0), est(1), est(2)))
+    val (n, p50, p90, p99) = HistRegs.quantiles(buf)
+    new GenericInternalRow(Array[Any](n, p50, p90, p99))
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
@@ -205,6 +192,27 @@ object HistRegs {
       val sub = (idx - 8) % 4
       (4L + sub) << (b - 3)
     }
+
+  /** (n, p50_est, p90_est, p99_est) from a bucket-count array — shared by
+    * the batch aggregate's eval and the streaming QuantileProcessor so
+    * both surfaces report the identical estimate for identical counts. */
+  def quantiles(buf: Array[Long]): (Long, Long, Long, Long) = {
+    var n = 0L
+    var i = 0
+    while (i < buf.length) { n += buf(i); i += 1 }
+    if (n == 0L) return (0L, 0L, 0L, 0L)
+    val ks = Array((n + 1) / 2, (9 * n + 9) / 10, (99 * n + 99) / 100)
+    val est = new Array[Long](3)
+    var cum = 0L
+    var k = 0
+    i = 0
+    while (i < buf.length && k < 3) {
+      cum += buf(i)
+      while (k < 3 && cum >= ks(k)) { est(k) = lowerOf(i); k += 1 }
+      i += 1
+    }
+    (n, est(0), est(1), est(2))
+  }
 }
 
 object Sketches {

@@ -117,6 +117,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("running quantiles: stream state matches the batch sketch after every batch") {
+    import org.apache.spark.sql.graft.HistRegs
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.EventRow]
+    val q = EventsPipeline.runningQuantiles(in.toDS())
+      .writeStream.format("memory").queryName("rq").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val vals1 = Seq(1.0, 2.5, 7.0, 31.23, 99.99, 4.0)
+      val vals2 = Seq(1000.0, 0.02, 55.5, 7.0)
+      var id = 0L
+      def rows(vs: Seq[Double]) = vs.map { v =>
+        id += 1
+        graft.streaming.EventRow(id, t("2024-01-01 00:00:00"), 1, "view", v)
+      }
+      in.addData(rows(vals1)); q.processAllAvailable()
+      in.addData(rows(vals2)); q.processAllAvailable()
+      // the last update must equal a from-scratch batch fold of ALL values
+      val expectBuf = new Array[Long](HistRegs.Buckets)
+      (vals1 ++ vals2).foreach(v => expectBuf(HistRegs.bucketOf(math.round(v * 100.0))) += 1)
+      val (n, p50, p90, p99) = HistRegs.quantiles(expectBuf)
+      val last = spark.table("rq")
+        .as[graft.streaming.EventsPipeline.QuantileUpdate]
+        .collect().filter(_.event_type == "view").maxBy(_.n)
+      assert(last.n == n && n == (vals1.size + vals2.size).toLong)
+      assert((last.p50_est, last.p90_est, last.p99_est) == ((p50, p90, p99)),
+        s"stream $last != batch ($p50, $p90, $p99)")
+      // and the intermediate emission covered exactly batch 1
+      val mid = spark.table("rq")
+        .as[graft.streaming.EventsPipeline.QuantileUpdate]
+        .collect().filter(_.event_type == "view").minBy(_.n)
+      assert(mid.n == vals1.size.toLong)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }
+  }
+
   test("drift monitor: spike bucket alerts against the running per-type stats") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -23,8 +23,10 @@ import graft.queries.Dedup
   *  3. quality gate — token count ≥ 10 and stopword ratio ≥ 0.01 (the
   *     q31 scoring signals);
   *  4. repetition gate — Gopher-style duplicate token/3-gram fractions
-  *     (q80's signals): generator loops and boilerplate are dropped here,
-  *     not by perplexity;
+  *     (q80's signals) for WITHIN-doc loops, then the cross-doc
+  *     boilerplate gate (q215's signal): docs that are mostly 3-grams
+  *     shared with ≥ 5 other survivors — template families whose unique
+  *     tails keep pairwise Jaccard under the near-dup gate;
   *  5. split assignment + optional decontamination — the content-
   *     independent train/val/test bucket attached first (q73's md5 split,
   *     so a doc never moves across splits between corpus builds), then
@@ -151,15 +153,56 @@ object CorpusMain {
     val nRep = deRepped.count()
     quality.unpersist()
 
-    // 4b. optional LM gate: score against the survivors' own bigram LM
+    // 4c. cross-doc boilerplate gate (q215's signal): stage 4 caught
+    // WITHIN-doc repetition; this drops template families — docs whose
+    // 3-gram stream is mostly (>50%) grams shared with ≥ 5 OTHER surviving
+    // docs. Such families slip both dedups by design: pairwise Jaccard
+    // stays under 0.7 when each instance carries a unique tail, but the
+    // shared span is exactly what a training run should not see 6×. One
+    // (doc, gram) aggregate feeds the df count AND the join-back (its one
+    // shuffle is reused); the drop list is checkpointed before release.
+    val gramToks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    val grams3 = {
+      val t = gramToks
+      when(size(t) < 3, array().cast("array<string>"))
+        .otherwise(zip_with(
+          zip_with(
+            slice(t, lit(1), size(t) - 2),
+            slice(t, lit(2), size(t) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(t, lit(3), size(t) - 2),
+          (ab, c) => concat(ab, lit(" "), c)))
+    }
+    val gc = deRepped
+      .select(col("doc_id"), explode(grams3).as("g"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextHashes.poly_hash(col("g")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gdf = gc.groupBy("h").agg(count(lit(1)).as("df"))
+    val boilDrop = gc.join(gdf, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("tot"),
+        sum(when(col("df") >= 5, col("cnt")).otherwise(0L)).as("boil"))
+      .filter(col("boil") * 2 > col("tot"))
+      .select("doc_id")
+      .localCheckpoint(eager = true)
+    gc.unpersist()
+    val deBoiled = deRepped.join(boilDrop, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBoil = deBoiled.count()
+    deRepped.unpersist()
+
+    // 4d. optional LM gate: score against the survivors' own bigram LM
     // (graft.queries.Text.lmScore persists its pair base and checkpoints
     // the small score table itself). Join is broadcast-sized per doc id.
     val (gated, nLm) = lmGateE6 match {
-      case None => (deRepped, nRep)
+      case None => (deBoiled, nBoil)
       case Some(threshold) =>
-        val scores = graft.queries.Text.lmScore(deRepped)
+        val scores = graft.queries.Text.lmScore(deBoiled)
           .select(col("doc_id"), col("avg_lnp_e6"))
-        val g = deRepped.join(scores, Seq("doc_id"), "left")
+        val g = deBoiled.join(scores, Seq("doc_id"), "left")
           .filter(col("avg_lnp_e6").isNull || col("avg_lnp_e6") >= threshold)
           .drop("avg_lnp_e6")
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,14 +259,14 @@ object CorpusMain {
       "input" -> total, "exact_dedup" -> nExact,
       "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
       "near_dedup" -> nNear, "quality" -> nQuality,
-      "repetition" -> nRep) ++
+      "repetition" -> nRep, "boilerplate" -> nBoil) ++
       (if (lmGateE6.isDefined) Seq("lm_gate" -> nLm) else Nil) ++
       (if (decontam) Seq("decontam" -> nDecontam) else Nil) ++
       Seq("pii_redacted" -> nRedacted)
     (curated, funnel,
       () => {
         if (decontam) finalSplit.unpersist()
-        gated.unpersist(); deRepped.unpersist(); ()
+        gated.unpersist(); deBoiled.unpersist(); ()
       })
   }
 

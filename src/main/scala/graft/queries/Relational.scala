@@ -1241,6 +1241,32 @@ object Relational {
           col("l_distinct").cast("long").as("l_distinct"),
           (col("l_distinct") < 3).cast("long").as("below_l3"))
         .orderBy("nk", "seg")
+    }),
+
+    // ---- TPC-H Q10: returned-item reporting ------------------------------
+    // Top customers by revenue lost to returns in one quarter: the classic
+    // customer-service triage query. Fact chain shuffles on its keys,
+    // nation broadcasts, revenue pinned to exact cents×bp, top-20 via
+    // TakeOrderedAndProject (sort carries only 20 rows per partition).
+    "q222_returned_items" -> ((s: SparkSession, dir: String) => {
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("nk"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT) " +
+          "* (10000 - CAST(round(l_discount * 10000.0) AS BIGINT))")).as("revenue_e6"),
+          expr("CAST(round(max(c_acctbal) * 100.0) AS BIGINT)").as("acctbal_c"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_e6").cast("long").as("revenue_e6"), col("acctbal_c"))
+        .orderBy(desc("revenue_e6"), asc("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -2087,6 +2113,22 @@ object Relational {
         |SELECT nk, seg, class_size, l_distinct,
         |       CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS BIGINT)
         |         AS below_l3
-        |FROM g ORDER BY nk, seg""".stripMargin
+        |FROM g ORDER BY nk, seg""".stripMargin,
+
+    "q222_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+        |    AS BIGINT) AS revenue_e6,
+        |  CAST(round(max(c_acctbal) * 100.0) AS BIGINT) AS acctbal_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e6 DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

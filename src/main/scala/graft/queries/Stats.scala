@@ -1736,6 +1736,41 @@ object Stats {
           col("h.p50_est").as("p50_est"), col("h.p90_est").as("p90_est"),
           col("h.p99_est").as("p99_est"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- incremental aggregate maintenance -------------------------------
+    // The daily-ETL contract: yesterday's per-type state (n, sum, min, max
+    // — all MERGEABLE partials) plus today's delta must equal a full
+    // recompute. The query materializes both sides and a consistency flag,
+    // so the gate proves merge semantics, not just one path. At 100 TB the
+    // "hist" branch is a read of the stored state table, not a re-scan —
+    // this is why the state columns must be partials (sum/min/max/count),
+    // never finished ratios or distincts (those need sketches: q190/q219).
+    "q221_incremental" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("sec"),
+          expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+      val cutoff = ev.agg(max("day").as("cutoff"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+      def partials(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          min("sec").as("mn"), max("sec").as("mx"))
+      val hist = partials(tagged.filter(col("day") < col("cutoff")))
+      val delta = partials(tagged.filter(col("day") === col("cutoff")))
+      val merged = hist.unionByName(delta).groupBy("event_type")
+        .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("mn"), max("mx").as("mx"))
+      val full = partials(tagged)
+        .select(col("event_type"), col("n").as("fn"), col("s").as("fs"),
+          col("mn").as("fmn"), col("mx").as("fmx"))
+      merged.join(full, Seq("event_type"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("s").cast("long").as("sum_cents"),
+          col("mn").cast("long").as("min_sec"), col("mx").cast("long").as("max_sec"),
+          (col("n") === col("fn") && col("s") === col("fs") &&
+            col("mn") === col("fmn") && col("mx") === col("fmx"))
+            .cast("long").as("consistent"))
+        .orderBy("event_type")
     })
   )
 
@@ -2879,6 +2914,33 @@ object Stats {
         |    AS p90_est,
         |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lower END) AS BIGINT)
         |    AS p99_est
-        |FROM lo GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lo GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q221_incremental" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |              CAST(round(value * 100.0) AS BIGINT) AS cents
+        |            FROM events),
+        |cut AS (SELECT max(day) AS cutoff FROM ev),
+        |t AS (SELECT ev.*, cut.cutoff FROM ev CROSS JOIN cut),
+        |h AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s, min(sec) AS mn, max(sec) AS mx
+        |      FROM t WHERE day < cutoff GROUP BY event_type),
+        |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s, min(sec) AS mn, max(sec) AS mx
+        |      FROM t WHERE day = cutoff GROUP BY event_type),
+        |m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(sum(s) AS BIGINT) AS s, min(mn) AS mn, max(mx) AS mx
+        |      FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
+        |      GROUP BY event_type),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS fn,
+        |        CAST(sum(cents) AS BIGINT) AS fs, min(sec) AS fmn, max(sec) AS fmx
+        |      FROM t GROUP BY event_type)
+        |SELECT m.event_type, m.n, m.s AS sum_cents,
+        |  CAST(m.mn AS BIGINT) AS min_sec, CAST(m.mx AS BIGINT) AS max_sec,
+        |  CAST(CASE WHEN m.n = f.fn AND m.s = f.fs AND m.mn = f.fmn
+        |            AND m.mx = f.fmx THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM m JOIN f USING (event_type)
+        |ORDER BY m.event_type""".stripMargin
   )
 }

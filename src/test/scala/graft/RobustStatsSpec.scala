@@ -870,6 +870,23 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q221 incremental merge is consistent for every type; q222 ranks returned revenue") {
+    val inc = SparkEntry.queries("q221_incremental")(spark, dir).collect()
+    assert(inc.nonEmpty)
+    // the whole point: state + delta == full recompute, per type
+    inc.foreach(r => assert(r.getLong(5) == 1L,
+      s"${r.getString(0)}: merged state diverged from the full recompute"))
+    val types = Tables(spark, dir, "events").select("event_type").distinct().count()
+    assert(inc.length == types)
+    val ret = SparkEntry.queries("q222_returned_items")(spark, dir).collect()
+      .map(_.getLong(3))
+    assert(ret.nonEmpty)
+    ret.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "revenue ranking must be non-increasing")
+      case _ =>
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

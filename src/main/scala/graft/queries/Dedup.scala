@@ -823,14 +823,21 @@ object Dedup {
       val prefixes = tokens
         .withColumn("rn", row_number().over(byRarity))
         .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
-        .select("doc_id", "h")
-      val buckets = prefixes.groupBy("h").agg(collect_list("doc_id").as("ds"))
+        .select("doc_id", "h", "sz")
+      val buckets = prefixes.groupBy("h")
+        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
         .filter(size(col("ds")) >= 2)
       val pairs = buckets
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
         .select(col("x"),
           explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
-        .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
+        // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
+        // — an integer predicate that prunes candidates BEFORE the
+        // array-intersect verify; provably output-neutral
+        .filter(least(col("x.sz"), col("y.sz")) * 10 >=
+          greatest(col("x.sz"), col("y.sz")) * 7)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
         .dropDuplicates("d1", "d2")
       val inter = size(array_intersect(col("h1"), col("h2")))
       val out = pairs

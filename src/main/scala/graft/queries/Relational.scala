@@ -1267,6 +1267,28 @@ object Relational {
           col("revenue_e6").cast("long").as("revenue_e6"), col("acctbal_c"))
         .orderBy(desc("revenue_e6"), asc("c_custkey"))
         .limit(20)
+    }),
+
+    // ---- salted two-phase aggregation under the oracle gate ----------------
+    // The skew-mitigation operator (operators/Salting, previously spec-only)
+    // producing oracle-verified numbers: per-orderkey quantity sums run
+    // salted (key, salt) partial → key final, then roll into a small
+    // count-of-counts histogram. The oracle is the PLAIN aggregation —
+    // salting must be invisible in the result, which is exactly the
+    // property that lets you drop it onto a power-law key without a
+    // semantic review. Sums are exact BIGINTs, so re-association by salt
+    // cannot change them (the reason saltedSum demands algebraic
+    // aggregates).
+    "q223_salted_agg" -> ((s: SparkSession, dir: String) => {
+      val per = graft.operators.Salting.saltedSum(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("q")),
+        "l_orderkey", "q", salts = 8)
+      per.groupBy(col("n").as("lines_per_order"))
+        .agg(count(lit(1)).as("n_orders"), sum("sum_q").as("total_qty"))
+        .select(col("lines_per_order").cast("long").as("lines_per_order"),
+          col("n_orders"), col("total_qty").cast("long").as("total_qty"))
+        .orderBy("lines_per_order")
     })
   )
 
@@ -2129,6 +2151,16 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue_e6 DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue_e6 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q223_salted_agg" ->
+      """WITH per AS (SELECT l_orderkey,
+        |               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |               CAST(count(*) AS BIGINT) AS n
+        |             FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(n AS BIGINT) AS lines_per_order,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(sum_q) AS BIGINT) AS total_qty
+        |FROM per GROUP BY n ORDER BY lines_per_order""".stripMargin
   )
 }

@@ -52,6 +52,44 @@ object Stats {
       |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
       |   * 10000.0) AS BIGINT) END""".stripMargin
 
+  /** q224's CUPED pieces, shared VERBATIM with the oracle. Inputs are the
+    * eleven exact BIGINT power sums; the moments divide once each, so both
+    * engines execute the identical IEEE sequence. Zero pre-period variance
+    * degrades to theta = 0 (CUPED is a no-op); empty arms report NULL
+    * lifts. */
+  private val CupedMomentsSql: (String, String, String, String, String) = {
+    val n = "CAST(n_a + n_b AS DOUBLE)"
+    val mx = s"(CAST(sx AS DOUBLE) / $n)"
+    val my = s"(CAST(sy AS DOUBLE) / $n)"
+    val varx = s"(CAST(sxx AS DOUBLE) / $n - $mx * $mx)"
+    val vary = s"(CAST(syy AS DOUBLE) / $n - $my * $my)"
+    val cov = s"(CAST(sxy AS DOUBLE) / $n - $mx * $my)"
+    (mx, varx, vary, cov,
+      s"(CASE WHEN $varx <= 0.0 THEN 0.0 ELSE $cov / $varx END)")
+  }
+  private val CupedThetaE6Sql: String =
+    s"CAST(floor(${CupedMomentsSql._5} * 1000000.0) AS BIGINT)"
+  private val CupedVarRedBpSql: String = {
+    val (_, varx, vary, cov, _) = CupedMomentsSql
+    s"CASE WHEN $varx <= 0.0 OR $vary <= 0.0 THEN CAST(0 AS BIGINT) " +
+      s"ELSE CAST(floor($cov * $cov / ($varx * $vary) * 10000.0) AS BIGINT) END"
+  }
+  private val CupedLiftRawE4Sql: String =
+    """CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |     ELSE CAST(floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |        - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)) * 10000.0) AS BIGINT)
+      |END""".stripMargin
+  private val CupedLiftAdjE4Sql: String = {
+    val theta = CupedMomentsSql._5
+    s"""CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |     ELSE CAST(floor((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |        - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |        - $theta * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |            - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))) * 10000.0)
+       |       AS BIGINT)
+       |END""".stripMargin
+  }
+
   /** q151's per-time-point ln((n-d)/n) x 1e6, shared VERBATIM with the
     * oracle. NULL (not -inf) when the at-risk set empties — the survival
     * output handles that arm explicitly. */
@@ -1738,6 +1776,42 @@ object Stats {
         .orderBy("l_returnflag")
     }),
 
+    // ---- CUPED variance reduction for the A/B readout --------------------
+    // q124's experiment analysis with the industry-standard pre-period
+    // adjustment: theta = cov(y, x)/var(x) over per-user (pre, experiment)
+    // value sums, y_adj = y − theta·(x − mean x). Every moment is an exact
+    // BIGINT power sum from ONE aggregation pass; theta, the achieved
+    // variance reduction (= rho², the theoretical CUPED gain), and the
+    // raw-vs-adjusted arm lift are shared-verbatim double expressions.
+    // Arms use q124's md5 hash split; the period split is the fixtures'
+    // mid-window date.
+    "q224_cuped" -> ((s: SparkSession, dir: String) => {
+      val cents = expr("CAST(round(value * 100.0) AS BIGINT)")
+      val pre = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val perUser = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(pre, cents).otherwise(0L)).as("x"),
+          sum(when(!pre, cents).otherwise(0L)).as("y"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      perUser.agg(
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(when(col("bucket") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("bucket") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("bucket") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("bucket") === 1, col("y")).otherwise(0L)).as("syb"))
+        .withColumn("theta_e6", expr(CupedThetaE6Sql))
+        .withColumn("var_red_bp", expr(CupedVarRedBpSql))
+        .withColumn("lift_raw_e4", expr(CupedLiftRawE4Sql))
+        .withColumn("lift_cuped_e4", expr(CupedLiftAdjE4Sql))
+        .select("n_a", "n_b", "theta_e6", "var_red_bp",
+          "lift_raw_e4", "lift_cuped_e4")
+    }),
+
     // ---- incremental aggregate maintenance -------------------------------
     // The daily-ETL contract: yesterday's per-type state (n, sum, min, max
     // — all MERGEABLE partials) plus today's delta must equal a full
@@ -2941,6 +3015,35 @@ object Stats {
         |  CAST(CASE WHEN m.n = f.fn AND m.s = f.fs AND m.mn = f.fmn
         |            AND m.mx = f.fmx THEN 1 ELSE 0 END AS BIGINT) AS consistent
         |FROM m JOIN f USING (event_type)
-        |ORDER BY m.event_type""".stripMargin
+        |ORDER BY m.event_type""".stripMargin,
+
+    "q224_cuped" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+         |         THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS x,
+         |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+         |         THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS y,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+         |      AS bucket
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(CASE WHEN bucket = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+         |    CAST(sum(CASE WHEN bucket = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+         |    CAST(sum(CASE WHEN bucket = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+         |    CAST(sum(CASE WHEN bucket = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+         |  FROM u)
+         |SELECT n_a, n_b,
+         |  $CupedThetaE6Sql AS theta_e6,
+         |  $CupedVarRedBpSql AS var_red_bp,
+         |  $CupedLiftRawE4Sql AS lift_raw_e4,
+         |  $CupedLiftAdjE4Sql AS lift_cuped_e4
+         |FROM a""".stripMargin
   )
 }

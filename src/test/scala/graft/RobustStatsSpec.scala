@@ -887,6 +887,18 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q224 CUPED: arms partition users, variance reduction bounded, adjustment applied") {
+    val r = SparkEntry.queries("q224_cuped")(spark, dir).collect().head
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users, "arms must partition the users")
+    val varRed = r.getLong(3)
+    assert(varRed >= 0L && varRed <= 10000L, s"var_red_bp $varRed out of [0, 10000]")
+    assert(!r.isNullAt(4) && !r.isNullAt(5), "both arms non-empty => lifts defined")
+    // pre-period value predicts experiment value in this corpus, so CUPED
+    // must actually engage (theta != 0) rather than silently no-op
+    assert(r.getLong(2) != 0L, "theta collapsed to zero on correlated data")
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

@@ -54,8 +54,11 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = cut(sym0)
 
-    var cur = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed at min(id, min neighbor) — round 1's hop result computed from
+    // the aggregate alone (no join), so the loop starts one round ahead;
+    // sym is symmetrized, so every incident node appears as src
+    var cur = sym.groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cur.count()
     e.unpersist()

@@ -1289,6 +1289,35 @@ object Relational {
         .select(col("lines_per_order").cast("long").as("lines_per_order"),
           col("n_orders"), col("total_qty").cast("long").as("total_qty"))
         .orderBy("lines_per_order")
+    }),
+
+    // ---- join-cardinality pre-flight -------------------------------------
+    // The planner question answered WITHOUT executing the join: exact
+    // |orders ⋈ lineitem| from the two per-key histograms — Σ over common
+    // keys of cntA·cntB IS the equi-join size. Histograms are one
+    // aggregation per side (tiny vs the join's shuffle of every row) and
+    // their join carries one row per key. Also reports the single
+    // heaviest key's contribution — the q192-style number that decides
+    // salting/AQE before the real join ships. At 100 TB the same pass
+    // runs on samples or q117's CMS counts with the plan unchanged.
+    "q225_join_cardest" -> ((s: SparkSession, dir: String) => {
+      val ha = Tables(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val hb = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      val joined = ha.join(hb, Seq("k"), "full_outer")
+      joined.agg(
+          sum(when(col("ca").isNotNull, 1L).otherwise(0L)).as("n_keys_a"),
+          sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_keys_b"),
+          sum(when(col("ca").isNotNull && col("cb").isNotNull, 1L).otherwise(0L))
+            .as("n_common"),
+          sum(when(col("ca").isNotNull && col("cb").isNotNull,
+            col("ca") * col("cb")).otherwise(0L)).as("join_rows"),
+          max(when(col("ca").isNotNull && col("cb").isNotNull,
+            col("ca") * col("cb")).otherwise(0L)).as("max_key_rows"))
+        .select(col("n_keys_a"), col("n_keys_b"), col("n_common"),
+          col("join_rows").cast("long").as("join_rows"),
+          col("max_key_rows").cast("long").as("max_key_rows"))
     })
   )
 
@@ -2161,6 +2190,26 @@ object Relational {
         |SELECT CAST(n AS BIGINT) AS lines_per_order,
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(sum_q) AS BIGINT) AS total_qty
-        |FROM per GROUP BY n ORDER BY lines_per_order""".stripMargin
+        |FROM per GROUP BY n ORDER BY lines_per_order""".stripMargin,
+
+    "q225_join_cardest" ->
+      """WITH ha AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |            FROM orders GROUP BY o_orderkey),
+        |hb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |       FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT ha.ca, hb.cb
+        |      FROM ha FULL OUTER JOIN hb ON ha.k = hb.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keys_a,
+        |  CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keys_b,
+        |  CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+        |           THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
+        |  CAST(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+        |           THEN ca * cb ELSE 0 END) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin
   )
 }

@@ -1318,6 +1318,32 @@ object Relational {
         .select(col("n_keys_a"), col("n_keys_b"), col("n_common"),
           col("join_rows").cast("long").as("join_rows"),
           col("max_key_rows").cast("long").as("max_key_rows"))
+    }),
+
+    // ---- hierarchical percent-of-parent ----------------------------------
+    // The drill-down report shape q141's flat share-of-total doesn't cover:
+    // each nation's revenue as a share of ITS REGION, and each region as a
+    // share of the grand total — two window levels over the 25-row nation
+    // aggregate (windows touch aggregate rows only, never the fact table).
+    // Exact integer basis points at both levels.
+    "q226_pct_of_parent" -> ((s: SparkSession, dir: String) => {
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"), col("n_regionkey"))
+      val reg = Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val perNation = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("nk"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("rev_c"))
+      perNation
+        .withColumn("region_rev_c", sum("rev_c").over(Window.partitionBy("r_name")))
+        .withColumn("total_rev_c", sum("rev_c").over(Window.partitionBy(lit(1))))
+        .select(col("r_name"), col("n_name"), col("rev_c").cast("long").as("rev_c"),
+          expr("CAST((rev_c * 10000) DIV region_rev_c AS BIGINT)").as("of_region_bp"),
+          expr("CAST((region_rev_c * 10000) DIV total_rev_c AS BIGINT)").as("region_of_total_bp"))
+        .orderBy("r_name", "n_name")
     })
   )
 
@@ -2210,6 +2236,25 @@ object Relational {
         |           THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
         |  CAST(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
         |           THEN ca * cb ELSE 0 END) AS BIGINT) AS max_key_rows
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q226_pct_of_parent" ->
+      """WITH pn AS (SELECT r_name, n_name,
+        |              CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+        |                AS BIGINT) AS rev_c
+        |            FROM orders
+        |            JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |            GROUP BY r_name, n_name),
+        |w AS (SELECT r_name, n_name, rev_c,
+        |        sum(rev_c) OVER (PARTITION BY r_name) AS region_rev_c,
+        |        sum(rev_c) OVER () AS total_rev_c
+        |      FROM pn)
+        |SELECT r_name, n_name, rev_c,
+        |  CAST((rev_c * 10000) // region_rev_c AS BIGINT) AS of_region_bp,
+        |  CAST((region_rev_c * 10000) // total_rev_c AS BIGINT)
+        |    AS region_of_total_bp
+        |FROM w ORDER BY r_name, n_name""".stripMargin
   )
 }

@@ -1812,6 +1812,30 @@ object Stats {
           "lift_raw_e4", "lift_cuped_e4")
     }),
 
+    // ---- audience overlap matrix -----------------------------------------
+    // Which event types share users: pairwise Jaccard of the per-type
+    // distinct-user sets, computed from ONE (type, user) distinct pass —
+    // the pair counts come from the user-keyed self-join of that compact
+    // table (each user contributes its type combinations, never raw
+    // events), and set sizes broadcast back. Exact basis points. The
+    // segmentation/cannibalization readout beside q107's flow matrix.
+    "q228_audience_overlap" -> ((s: SparkSession, dir: String) => {
+      val tu = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+      val common = tu.join(tu.select(col("t").as("t2"), col("user_id")), Seq("user_id"))
+        .filter(col("t") < col("t2"))
+        .groupBy("t", "t2").agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("t"), col("n").as("n_a"))), Seq("t"))
+        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("n_b"))), Seq("t2"))
+        .select(col("t").as("type_a"), col("t2").as("type_b"),
+          col("n_a"), col("n_b"), col("n_common").cast("long").as("n_common"),
+          expr("CAST((n_common * 10000) DIV (n_a + n_b - n_common) AS BIGINT)")
+            .as("jaccard_bp"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- incremental aggregate maintenance -------------------------------
     // The daily-ETL contract: yesterday's per-type state (n, sum, min, max
     // — all MERGEABLE partials) plus today's delta must equal a full
@@ -3044,6 +3068,20 @@ object Stats {
          |  $CupedVarRedBpSql AS var_red_bp,
          |  $CupedLiftRawE4Sql AS lift_raw_e4,
          |  $CupedLiftAdjE4Sql AS lift_cuped_e4
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    "q228_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
+        |cm AS (SELECT a.t, b.t AS t2, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM tu a JOIN tu b
+        |         ON a.user_id = b.user_id AND a.t < b.t
+        |       GROUP BY a.t, b.t)
+        |SELECT cm.t AS type_a, cm.t2 AS type_b,
+        |  sa.n AS n_a, sb.n AS n_b, cm.n_common,
+        |  CAST((cm.n_common * 10000) // (sa.n + sb.n - cm.n_common) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM cm JOIN sz sa ON cm.t = sa.t JOIN sz sb ON cm.t2 = sb.t
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

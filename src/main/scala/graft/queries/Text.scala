@@ -986,6 +986,32 @@ object Text {
         .select(col("lang"), col("t").as("term"), col("y").cast("long").as("y"),
           col("delta_e6"), col("rn").cast("long").as("rn"))
         .orderBy("lang", "rn")
+    }),
+
+    // ---- keyword-in-context concordance ----------------------------------
+    // Corpus exploration: the ±3-token windows around every occurrence of
+    // the corpus's top term, ranked by how often the same context repeats
+    // (repeated KWIC contexts = collocations/boilerplate candidates).
+    // Occurrences ride one posexplode; context extraction is slice math on
+    // the already-materialized token array (per-row, no second scan); the
+    // dynamic query term comes broadcast from the same token counts
+    // (q217's discipline).
+    "q227_kwic" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("w"))
+      val tok = docs.select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("pos0", "t")))
+        .withColumn("pos", col("pos0") + 1)
+      val top = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("t")).limit(1)
+        .select(col("t").as("qterm"))
+      tok.join(broadcast(top), col("t") === col("qterm"))
+        .withColumn("s", greatest(col("pos") - 3, lit(1)))
+        .withColumn("e", least(col("pos") + 3, size(col("w"))))
+        .select(array_join(
+          slice(col("w"), col("s"), col("e") - col("s") + 1), " ").as("context"))
+        .groupBy("context").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("context")).limit(15)
     })
   )
 
@@ -1569,7 +1595,23 @@ object Text {
            |                 ORDER BY delta_e6 DESC, t) AS BIGINT) AS rn
            |       FROM d)
            |SELECT lang, term, y, delta_e6, rn FROM rk
-           |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
+           |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+
+      "q227_kwic" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |tok AS (SELECT doc_id, w, CAST(s.pos AS BIGINT) AS pos, s.tok AS t
+           |        FROM (SELECT doc_id, w, unnest([{'pos': i, 'tok': w[i]}
+           |                for i in range(1, len(w) + 1)]) AS s FROM t)),
+           |top AS (SELECT t AS qterm FROM tok GROUP BY t
+           |        ORDER BY count(*) DESC, t LIMIT 1),
+           |hits AS (SELECT w, pos FROM tok JOIN top ON tok.t = top.qterm),
+           |ctx AS (SELECT array_to_string(
+           |          w[greatest(pos - 3, 1) : least(pos + 3, len(w))], ' ')
+           |          AS context
+           |        FROM hits)
+           |SELECT context, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM ctx GROUP BY context
+           |ORDER BY n_occurrences DESC, context LIMIT 15""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines

@@ -1836,6 +1836,51 @@ object Stats {
         .orderBy("type_a", "type_b")
     }),
 
+    // ---- KMV sketch set operations ---------------------------------------
+    // What q228 CANNOT do at 100 TB (the exact self-join shuffles every
+    // (type, user) pair): estimate union and intersection cardinalities
+    // from per-type bottom-16 hash sketches alone. The union sketch is the
+    // bottom-16 of the two merged lists (KMV closure under union — the
+    // property theta sketches industrialize), the intersection comes by
+    // inclusion-exclusion, and the EXACT intersection is computed beside
+    // it so the error is part of the verified output. Deterministic: md5
+    // hashes, min/sort merges — no rand anywhere (q111's discipline).
+    "q229_kmv_setops" -> ((s: SparkSession, dir: String) => {
+      val tu = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val hashed = tu.select(col("t"),
+        expr("CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("h"))
+      val perType = hashed.groupBy("t")
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.TopKByScore.top_k(16)(col("h"), negate(col("h").cast("double"))).as("mins"))
+        .select(col("t"), col("n_exact"),
+          transform(col("mins"), m => m.getField("id")).as("ids"))
+      val pairs = perType.select(col("t").as("ta"), col("n_exact").as("na"), col("ids").as("ia"))
+        .crossJoin(broadcast(
+          perType.select(col("t").as("tb"), col("n_exact").as("nb"), col("ids").as("ib"))))
+        .filter(col("ta") < col("tb"))
+      val withUnion = pairs
+        .withColumn("iu", slice(array_sort(array_distinct(concat(col("ia"), col("ib")))), 1, 16))
+        .withColumn("est_a", when(size(col("ia")) < 16, col("na"))
+          .otherwise(expr("CAST((15 * 72057594037927936) DIV element_at(ia, 16) AS BIGINT)")))
+        .withColumn("est_b", when(size(col("ib")) < 16, col("nb"))
+          .otherwise(expr("CAST((15 * 72057594037927936) DIV element_at(ib, 16) AS BIGINT)")))
+        .withColumn("est_union", when(size(col("iu")) < 16, size(col("iu")).cast("long"))
+          .otherwise(expr("CAST((15 * 72057594037927936) DIV element_at(iu, 16) AS BIGINT)")))
+        .withColumn("est_inter",
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      val exactInter = tu.join(tu.select(col("t").as("t2"), col("user_id")), Seq("user_id"))
+        .filter(col("t") < col("t2"))
+        .groupBy(col("t").as("ta"), col("t2").as("tb"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      withUnion.join(exactInter, Seq("ta", "tb"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("est_a"), col("est_b"), col("est_union"),
+          col("est_inter").cast("long").as("est_inter"),
+          col("n_inter_exact").cast("long").as("n_inter_exact"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- incremental aggregate maintenance -------------------------------
     // The daily-ETL contract: yesterday's per-type state (n, sum, min, max
     // — all MERGEABLE partials) plus today's delta must equal a full
@@ -3082,6 +3127,45 @@ object Stats {
         |  CAST((cm.n_common * 10000) // (sa.n + sb.n - cm.n_common) AS BIGINT)
         |    AS jaccard_bp
         |FROM cm JOIN sz sa ON cm.t = sa.t JOIN sz sb ON cm.t2 = sb.t
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q229_kmv_setops" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |h AS (SELECT t,
+        |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+        |          AS h
+        |      FROM tu),
+        |bk AS (SELECT t, h FROM h
+        |       QUALIFY row_number() OVER (PARTITION BY t ORDER BY h) <= 16),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY t),
+        |ls AS (SELECT bk.t, pt.n_exact, list(bk.h ORDER BY bk.h) AS ids
+        |       FROM bk JOIN pt ON bk.t = pt.t GROUP BY bk.t, pt.n_exact),
+        |pr AS (SELECT a.t AS ta, a.n_exact AS na, a.ids AS ia,
+        |              b.t AS tb, b.n_exact AS nb, b.ids AS ib
+        |       FROM ls a JOIN ls b ON a.t < b.t),
+        |u AS (SELECT ta, tb, na, nb, ia, ib,
+        |        list_sort(list_distinct(ia || ib))[1:16] AS iu
+        |      FROM pr),
+        |est AS (SELECT ta, tb,
+        |    CASE WHEN len(ia) < 16 THEN na
+        |         ELSE CAST((15 * 72057594037927936) // ia[16] AS BIGINT) END
+        |      AS est_a,
+        |    CASE WHEN len(ib) < 16 THEN nb
+        |         ELSE CAST((15 * 72057594037927936) // ib[16] AS BIGINT) END
+        |      AS est_b,
+        |    CASE WHEN len(iu) < 16 THEN CAST(len(iu) AS BIGINT)
+        |         ELSE CAST((15 * 72057594037927936) // iu[16] AS BIGINT) END
+        |      AS est_union
+        |  FROM u),
+        |xi AS (SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT)
+        |         AS n_inter_exact
+        |       FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+        |       GROUP BY a.t, b.t)
+        |SELECT est.ta AS type_a, est.tb AS type_b,
+        |  est_a, est_b, est_union,
+        |  CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter,
+        |  xi.n_inter_exact
+        |FROM est JOIN xi ON est.ta = xi.ta AND est.tb = xi.tb
         |ORDER BY type_a, type_b""".stripMargin
   )
 }

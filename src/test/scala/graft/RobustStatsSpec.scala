@@ -899,6 +899,22 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(r.getLong(2) != 0L, "theta collapsed to zero on correlated data")
   }
 
+  test("q229 KMV set ops: union dominates sides, intersection near exact") {
+    val rows = SparkEntry.queries("q229_kmv_setops")(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ea, eb, eu, ei, exact) =>
+      // merged bottom-16's 16th element <= each side's: structural domination
+      assert(eu >= math.max(ea, eb) && eu <= ea + eb,
+        s"union estimate $eu outside [max($ea,$eb), $ea+$eb]")
+      assert(ei <= math.min(ea, eb), s"intersection $ei above a side")
+      // k=16 KMV has ~27% std error; inclusion-exclusion compounds it —
+      // a loose 2x band still catches sign/scale bugs
+      if (exact >= 32) assert(ei > exact / 3 && ei < exact * 3,
+        s"est_inter $ei vs exact $exact beyond the error band")
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

@@ -1344,6 +1344,35 @@ object Relational {
           expr("CAST((rev_c * 10000) DIV region_rev_c AS BIGINT)").as("of_region_bp"),
           expr("CAST((region_rev_c * 10000) DIV total_rev_c AS BIGINT)").as("region_of_total_bp"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // ---- compaction (OPTIMIZE) planner -----------------------------------
+    // The small-files answer as a query: per-day "files" (modeled as one
+    // file per order date, sized by its rows × an avg row width) packed
+    // into ~1 MB output bins by the q74 concatenate-then-chunk trick —
+    // running byte total DIV target = bin id, assigned in date order so
+    // each bin covers a contiguous date span (clustering survives the
+    // rewrite). One window over |days| rows; the report a compaction job
+    // executes from. Target sized to the fixtures; at scale the same plan
+    // uses 128 MB bins over real file-footer sizes.
+    "q230_compaction_plan" -> ((s: SparkSession, dir: String) => {
+      val target = 1048576L // 1 MB bins at fixture scale
+      val files = Tables(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg((count(lit(1)) * 96L).as("bytes")) // 96 B/row model
+      val w = Window.partitionBy(lit(1)).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("end_b", sum("bytes").over(w))
+        .withColumn("bin", expr(s"(end_b - bytes) div $target"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+          date_format(min("day"), "yyyy-MM-dd").as("from_day"),
+          date_format(max("day"), "yyyy-MM-dd").as("to_day"))
+        .select(col("bin").cast("long").as("bin"), col("n_files"),
+          col("total_bytes").cast("long").as("total_bytes"),
+          col("from_day"), col("to_day"))
+        .orderBy("bin")
     })
   )
 
@@ -2255,6 +2284,21 @@ object Relational {
         |  CAST((rev_c * 10000) // region_rev_c AS BIGINT) AS of_region_bp,
         |  CAST((region_rev_c * 10000) // total_rev_c AS BIGINT)
         |    AS region_of_total_bp
-        |FROM w ORDER BY r_name, n_name""".stripMargin
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+    "q230_compaction_plan" ->
+      """WITH f AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |             CAST(count(*) * 96 AS BIGINT) AS bytes
+        |           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+        |r AS (SELECT day, bytes,
+        |        sum(bytes) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_b
+        |      FROM f),
+        |b AS (SELECT day, bytes, (end_b - bytes) // 1048576 AS bin FROM r)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  strftime(min(day), '%Y-%m-%d') AS from_day,
+        |  strftime(max(day), '%Y-%m-%d') AS to_day
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -1012,6 +1012,63 @@ object Text {
           slice(col("w"), col("s"), col("e") - col("s") + 1), " ").as("context"))
         .groupBy("context").agg(count(lit(1)).as("n_occurrences"))
         .orderBy(desc("n_occurrences"), asc("context")).limit(15)
+    }),
+
+    // ---- n-gram novelty over ingestion order -----------------------------
+    // The diminishing-returns question for dataset growth: as docs arrive
+    // (doc_id order), what fraction of each decile's 3-grams was never
+    // seen before? Per gram, the first carrier is ONE min aggregate; a
+    // decile's novelty is new-gram instances over total instances, exact
+    // bp. Falling novelty = the corpus is saturating; flat = still
+    // diverse. Same (doc, gram) aggregate shape as q215 — one shuffle
+    // feeds first-carrier and the join-back.
+    "q231_novelty" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.count() // decile width: one scalar, computed once
+      val grams = docs
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(Dedup.shingles3(col("t"))).as("g"))
+        .select(col("doc_id"), Dedup.tokHash(col("g")).as("h"))
+      val firstCarrier = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+      grams.join(firstCarrier, Seq("h"))
+        .withColumn("decile", expr(s"least(doc_id * 10 div $nDocs, 9)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("doc_id") === col("first_doc")).cast("long")).as("n_new"))
+        .select(col("decile").cast("long").as("decile"),
+          col("n_grams"), col("n_new").cast("long").as("n_new"),
+          expr("(n_new * 10000) div n_grams").as("novelty_bp"))
+        .orderBy("decile")
+    }),
+
+    // ---- vocabulary growth curve (Heaps' law) ----------------------------
+    // Distinct 3-gram vocabulary as a function of corpus position: new
+    // DISTINCT grams contributed per doc-id decile and the cumulative
+    // vocabulary — the curve that says when more data stops buying more
+    // diversity. Rides the same first-carrier aggregate as q231; the
+    // cumulative window runs over 10 rows.
+    "q232_heaps_curve" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.count()
+      val grams = docs
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(Dedup.shingles3(col("t"))).as("g"))
+        .select(col("doc_id"), Dedup.tokHash(col("g")).as("h"))
+      val perDecile = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+        .withColumn("decile", expr(s"least(first_doc * 10 div $nDocs, 9)"))
+        .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+      val w = Window.partitionBy(lit(1)).orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDecile
+        .withColumn("cum_vocab", sum("new_vocab").over(w))
+        .select(col("decile").cast("long").as("decile"),
+          col("new_vocab").cast("long").as("new_vocab"),
+          col("cum_vocab").cast("long").as("cum_vocab"))
+        .orderBy("decile")
     })
   )
 
@@ -1611,7 +1668,57 @@ object Text {
            |        FROM hits)
            |SELECT context, CAST(count(*) AS BIGINT) AS n_occurrences
            |FROM ctx GROUP BY context
-           |ORDER BY n_occurrences DESC, context LIMIT 15""".stripMargin
+           |ORDER BY n_occurrences DESC, context LIMIT 15""".stripMargin,
+
+      "q231_novelty" ->
+        """WITH tk AS (SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN []
+          |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+          | FROM documents),
+          |sh AS (SELECT doc_id,
+          |  CASE WHEN len(t) < 3 THEN []
+          |       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                           for i in range(1, len(t) - 1)]) END AS w
+          | FROM tk),
+          |g AS (SELECT doc_id,
+          |        ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h
+          |      FROM (SELECT doc_id, unnest(w) AS g FROM sh)),
+          |fc AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+          |nd AS (SELECT count(*) AS n FROM documents),
+          |j AS (SELECT g.doc_id, g.h, fc.first_doc,
+          |        least(g.doc_id * 10 // nd.n, 9) AS decile
+          |      FROM g JOIN fc ON g.h = fc.h CROSS JOIN nd)
+          |SELECT CAST(decile AS BIGINT) AS decile,
+          |  CAST(count(*) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_new,
+          |  CAST((sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 10000)
+          |    // count(*) AS BIGINT) AS novelty_bp
+          |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
+
+      "q232_heaps_curve" ->
+        """WITH tk AS (SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN []
+          |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+          | FROM documents),
+          |sh AS (SELECT doc_id,
+          |  CASE WHEN len(t) < 3 THEN []
+          |       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          |                           for i in range(1, len(t) - 1)]) END AS w
+          | FROM tk),
+          |g AS (SELECT doc_id,
+          |        ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h
+          |      FROM (SELECT doc_id, unnest(w) AS g FROM sh)),
+          |fc AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+          |nd AS (SELECT count(*) AS n FROM documents),
+          |pd AS (SELECT least(first_doc * 10 // nd.n, 9) AS decile,
+          |         CAST(count(*) AS BIGINT) AS new_vocab
+          |       FROM fc CROSS JOIN nd GROUP BY 1)
+          |SELECT CAST(decile AS BIGINT) AS decile, new_vocab,
+          |  CAST(sum(new_vocab) OVER (ORDER BY decile
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_vocab
+          |FROM pd ORDER BY decile""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines

@@ -915,6 +915,24 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q231/q232: decile-0 novelty is total, growth curve telescopes to the vocabulary") {
+    val nov = SparkEntry.queries("q231_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(nov.map(_._1).toSeq == (0L to 9L))
+    // the first decile's grams are all first-sightings of themselves or
+    // of earlier docs in the same decile — novelty must dominate later deciles
+    assert(nov.head._4 > nov.last._4, "novelty should fall as the corpus grows")
+    nov.foreach { case (_, g, n, bp) =>
+      assert(n <= g && bp == n * 10000 / g)
+    }
+    val heaps = SparkEntry.queries("q232_heaps_curve")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // cumulative telescopes and ends at the full distinct-3-gram vocabulary
+    assert(heaps.map(_._1).sum == heaps.last._2)
+    // total new grams across deciles equals total novelty count
+    assert(heaps.map(_._1).sum == nov.map(_._3).sum)
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

@@ -124,7 +124,9 @@ object Dedup {
         least(m, (c.getField("a") * x + c.getField("b")) % lit(P))))
     hashedDocsOf(docs)
       .filter(size(col("w")) > 0) // empty shingle sets would fold to NULL sigs
-      .select(col("doc_id"), array_distinct(col("h")).as("hs"))
+      // hs sorted ascending: the verify joins use the codegen'd two-pointer
+      // sorted_intersect_size, whose contract is sorted duplicate-free input
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"), sigArr.as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -163,7 +165,7 @@ object Dedup {
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
       .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
       .dropDuplicates("d1", "d2")
-    val inter = size(array_intersect(col("h1"), col("h2")))
+    val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
     pairs
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
@@ -193,7 +195,7 @@ object Dedup {
       // are several× cheaper than on ~20-char strings, and |A∪B| is derived
       // arithmetically (|A|+|B|-|A∩B|) instead of building the union array.
       val d = hashedDocs(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id"), array_distinct(col("h")).as("hs"))
+        .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("hs"))
         .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
       val a = d.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1"))
       val b = d.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2"))
@@ -201,7 +203,7 @@ object Dedup {
       // >= 0.7 — an integer predicate that prunes pairs before any array op.
       // repartition: the filtered sample is one parquet split, which would
       // run the nested-loop join on a single core; broadcast the build side.
-      val inter = size(array_intersect(col("h1"), col("h2")))
+      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
       val jacc = round(
         inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4)
       // The threshold goes INTO the join condition, after the cheap
@@ -839,7 +841,7 @@ object Dedup {
         .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
         .dropDuplicates("d1", "d2")
-      val inter = size(array_intersect(col("h1"), col("h2")))
+      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
       val out = pairs
         .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
         .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))

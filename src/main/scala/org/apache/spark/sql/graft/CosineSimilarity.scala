@@ -131,6 +131,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HistRegs].getCanonicalName, "hist_regs"),
       (exprs: Seq[Expression]) => HistRegs(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getCanonicalName,
+        "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getCanonicalName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0),

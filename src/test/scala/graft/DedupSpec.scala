@@ -110,5 +110,8 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(prefix), s"LSH phantom pairs: ${lsh -- prefix}")
     assert(prefix.nonEmpty)
+    // q37 leaves its minhash base persisted (bench/Verify clear it);
+    // drop it so cache-sensitive suites (CorpusMainSpec) start clean
+    spark.catalog.clearCache()
   }
 }

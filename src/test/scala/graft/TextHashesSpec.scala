@@ -143,4 +143,33 @@ class TextHashesSpec extends SparkSpec {
         .as("a")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     df.collect().foreach(r => assert(r.getLong(1) == hof(r.getLong(0))))
   }
+
+  test("sorted_intersect_size matches size(array_intersect) on sorted sets") {
+    // real-corpus shingle-hash sets (the actual verify-join operand) plus
+    // adversarial edges: empty, disjoint, identical, subset
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .selectExpr("doc_id",
+        "array_sort(array_distinct(transform(split(lower(trim(text)), '\\\\s+'), " +
+          "t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT)))) AS hs")
+    // SQL-surface + codegen path over a parquet-backed self-join
+    d.createOrReplaceTempView("sis_docs")
+    val rows = spark.sql(
+      """SELECT a.doc_id, b.doc_id,
+        |  sorted_intersect_size(a.hs, b.hs) AS native,
+        |  size(array_intersect(a.hs, b.hs)) AS builtin
+        |FROM sis_docs a JOIN sis_docs b ON a.doc_id < b.doc_id AND b.doc_id < 40
+        |""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) == r.getInt(3),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}): native ${r.getInt(2)} != builtin ${r.getInt(3)}"))
+    // edges via the interpreted path
+    import spark.implicits._
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), (Seq(2L, 3L), Seq(1L, 2L, 3L, 4L)))
+      .toDF("a", "b")
+    val got = edges.select(TextHashes.sorted_intersect_size(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 3, 2))
+  }
 }

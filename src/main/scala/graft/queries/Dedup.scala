@@ -239,16 +239,16 @@ object Dedup {
       val rawT = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
         .otherwise(split(lower(trim(col("text"))), "\\s+"))
       val host = hashedDocsOf(docs)
-        .select(col("doc_id").as("d2"), array_distinct(col("h")).as("h2"))
+        .select(col("doc_id").as("d2"), array_sort(array_distinct(col("h"))).as("h2"))
         .select(col("d2"), col("h2"), size(col("h2")).as("sz2"))
       val snip = docs.filter(col("doc_id") % 7 === 0)
         .withColumn("t", rawT)
         .withColumn("ht", slice(col("t"), lit(1), expr("(size(t) + 1) div 2")))
         .select((col("doc_id") + lit(1000000L)).as("d1"),
-          array_distinct(transform(shingles3(col("ht")), x => tokHash(x))).as("h1"))
+          array_sort(array_distinct(transform(shingles3(col("ht")), x => tokHash(x)))).as("h1"))
         .select(col("d1"), col("h1"), size(col("h1")).as("sz1"))
         .filter(col("sz1") > 0)
-      val inter = size(array_intersect(col("h1"), col("h2")))
+      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
       snip.repartition(col("d1"))
         .join(broadcast(host),
           col("sz2") * 10 >= col("sz1") * 8 && inter * 10 >= col("sz1") * 8)
@@ -273,13 +273,13 @@ object Dedup {
       val rawT = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
         .otherwise(split(lower(trim(col("text"))), "\\s+"))
       val host = hashedDocsOf(docs)
-        .select(col("doc_id").as("d2"), array_distinct(col("h")).as("h2"))
+        .select(col("doc_id").as("d2"), array_sort(array_distinct(col("h"))).as("h2"))
         .select(col("d2"), col("h2"), size(col("h2")).as("sz2"))
       val snip = docs.filter(col("doc_id") % 7 === 0)
         .withColumn("t", rawT)
         .withColumn("ht", slice(col("t"), lit(1), expr("(size(t) + 1) div 2")))
         .select((col("doc_id") + lit(1000000L)).as("d1"),
-          array_distinct(transform(shingles3(col("ht")), x => tokHash(x))).as("h1"))
+          array_sort(array_distinct(transform(shingles3(col("ht")), x => tokHash(x)))).as("h1"))
         .select(col("d1"), col("h1"), size(col("h1")).as("sz1"))
         .filter(col("sz1") > 0)
       // inverted index of host hashes; probe = bottom-4 sketch per snippet
@@ -287,7 +287,7 @@ object Dedup {
       val probes = snip.select(col("d1"),
         explode(slice(array_sort(col("h1")), 1, 4)).as("h"))
       val cand = probes.join(inv, Seq("h")).select("d1", "d2").distinct()
-      val inter = size(array_intersect(col("h1"), col("h2")))
+      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
       cand
         .join(snip, Seq("d1"))
         .join(host.select(col("d2"), col("h2"), col("sz2")), Seq("d2"))

@@ -853,6 +853,38 @@ object Dedup {
         .localCheckpoint(eager = true)
       base.unpersist()
       out
+    }),
+
+    // ---- LSH evaluated against EXACT ground truth ------------------------
+    // q171 measured recall against a bounded brute-force sample; with the
+    // prefix join the full-corpus truth is affordable, so the banded+capped
+    // LSH gets a complete scoreboard: TP/FN/FP with precision and recall
+    // in exact basis points. FP is structurally zero (LSH verifies true
+    // Jaccard before emitting) — the report proves it rather than assuming
+    // it. This is the number that tunes BANDS/ROWS/LshBucketCap.
+    "q233_lsh_eval" -> ((s: SparkSession, dir: String) => {
+      val lsh = queries("q37_minhash_lsh")(s, dir).select("d1", "d2")
+        .withColumn("in_lsh", lit(1L))
+      val exact = queries("q220_prefix_join")(s, dir).select("d1", "d2")
+        .withColumn("in_exact", lit(1L))
+      lsh.join(exact, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+          sum(when(col("in_lsh").isNotNull && col("in_exact").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("in_lsh").isNull && col("in_exact").isNotNull, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("in_lsh").isNotNull && col("in_exact").isNull, 1L)
+            .otherwise(0L)).as("fp"))
+        .select(col("n_exact").cast("long").as("n_exact"),
+          col("n_lsh").cast("long").as("n_lsh"),
+          col("tp").cast("long").as("tp"), col("fn").cast("long").as("fn"),
+          col("fp").cast("long").as("fp"),
+          expr("CASE WHEN n_lsh = 0 THEN NULL " +
+            "ELSE (tp * 10000) div n_lsh END").as("precision_bp"),
+          expr("CASE WHEN n_exact = 0 THEN NULL " +
+            "ELSE (tp * 10000) div n_exact END").as("recall_bp"))
     })
   )
 
@@ -1368,7 +1400,53 @@ object Dedup {
            |  round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
            |FROM j
            |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
-           |ORDER BY d1, d2""".stripMargin
+           |ORDER BY d1, d2""".stripMargin,
+
+      // the LSH pipeline (pr) and a renamed prefix-join chain share the
+      // lshPairCtes hd table, then full-outer compare
+      "q233_lsh_eval" ->
+        s"""WITH $lshPairCtes,
+           |pfr AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM (SELECT doc_id, unnest(hs) AS h FROM hd) GROUP BY h),
+           |ptok AS (SELECT t.doc_id, t.sz, t.h, pfr.cnt
+           |         FROM (SELECT doc_id, sz, unnest(hs) AS h FROM hd) t
+           |         JOIN pfr USING (h)),
+           |ppre AS (SELECT doc_id, h FROM (
+           |           SELECT doc_id, h,
+           |             row_number() OVER (PARTITION BY doc_id ORDER BY cnt, h)
+           |               AS rn,
+           |             sz - (7 * sz + 9) // 10 + 1 AS l
+           |           FROM ptok) WHERE rn <= l),
+           |pcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |          FROM ppre a JOIN ppre b
+           |            ON a.h = b.h AND a.doc_id < b.doc_id),
+           |pj AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+           |         x.sz AS sz1, y.sz AS sz2
+           |       FROM pcand JOIN hd x ON pcand.d1 = x.doc_id
+           |       JOIN hd y ON pcand.d2 = y.doc_id),
+           |px AS (SELECT d1, d2 FROM pj
+           |       WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4)
+           |             >= 0.7),
+           |m AS (SELECT
+           |        CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+           |        CASE WHEN x.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+           |      FROM (SELECT d1, d2 FROM pr) l
+           |      FULL OUTER JOIN px x ON l.d1 = x.d1 AND l.d2 = x.d2),
+           |ag AS (SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+           |         CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           |         CAST(sum(CASE WHEN in_lsh = 1 AND in_exact = 1 THEN 1
+           |              ELSE 0 END) AS BIGINT) AS tp,
+           |         CAST(sum(CASE WHEN in_lsh = 0 AND in_exact = 1 THEN 1
+           |              ELSE 0 END) AS BIGINT) AS fn,
+           |         CAST(sum(CASE WHEN in_lsh = 1 AND in_exact = 0 THEN 1
+           |              ELSE 0 END) AS BIGINT) AS fp
+           |       FROM m)
+           |SELECT n_exact, n_lsh, tp, fn, fp,
+           |  CAST(CASE WHEN n_lsh = 0 THEN NULL
+           |       ELSE (tp * 10000) // n_lsh END AS BIGINT) AS precision_bp,
+           |  CAST(CASE WHEN n_exact = 0 THEN NULL
+           |       ELSE (tp * 10000) // n_exact END AS BIGINT) AS recall_bp
+           |FROM ag""".stripMargin
     )
   }
 }

@@ -174,6 +174,45 @@ object Dedup {
       .select("d1", "d2", "jacc")
   }
 
+  /** EXACT Jaccard >= 0.7 pairs over a [[minhashBase]] table via prefix
+    * filtering (AllPairs/PPJoin; see q220's scaladoc). Shares the base with
+    * whatever else the caller computes from it (q233 grades lshPairs
+    * against this on ONE base). */
+  def prefixPairs(base: DataFrame): DataFrame = {
+    val freq = base.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    val tokens = base.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .join(freq, Seq("h"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("cnt", "h")
+    val prefixes = tokens
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
+      .select("doc_id", "h", "sz")
+    val buckets = prefixes.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+      // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
+      // — an integer predicate that prunes candidates BEFORE the
+      // intersect verify; provably output-neutral
+      .filter(least(col("x.sz"), col("y.sz")) * 10 >=
+        greatest(col("x.sz"), col("y.sz")) * 7)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .dropDuplicates("d1", "d2")
+    val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
+    pairs
+      .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
+      .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jacc", round(
+        inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
+      .filter(col("jacc") >= 0.7)
+      .select("d1", "d2", "jacc")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
@@ -817,38 +856,7 @@ object Dedup {
     // are the known next pruning steps at higher skew.
     "q220_prefix_join" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
-      val freq = base.select(explode(col("hs")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("cnt"))
-      val tokens = base.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-        .join(freq, Seq("h"))
-      val byRarity = Window.partitionBy("doc_id").orderBy("cnt", "h")
-      val prefixes = tokens
-        .withColumn("rn", row_number().over(byRarity))
-        .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
-        .select("doc_id", "h", "sz")
-      val buckets = prefixes.groupBy("h")
-        .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      val pairs = buckets
-        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
-        .select(col("x"),
-          explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
-        // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
-        // — an integer predicate that prunes candidates BEFORE the
-        // array-intersect verify; provably output-neutral
-        .filter(least(col("x.sz"), col("y.sz")) * 10 >=
-          greatest(col("x.sz"), col("y.sz")) * 7)
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-        .dropDuplicates("d1", "d2")
-      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
-      val out = pairs
-        .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
-        .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
-        .withColumn("jacc", round(
-          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
-        .filter(col("jacc") >= 0.7)
-        .select("d1", "d2", "jacc")
+      val out = prefixPairs(base)
         .orderBy("d1", "d2")
         .localCheckpoint(eager = true)
       base.unpersist()
@@ -863,11 +871,15 @@ object Dedup {
     // Jaccard before emitting) — the report proves it rather than assuming
     // it. This is the number that tunes BANDS/ROWS/LshBucketCap.
     "q233_lsh_eval" -> ((s: SparkSession, dir: String) => {
-      val lsh = queries("q37_minhash_lsh")(s, dir).select("d1", "d2")
+      // ONE minhash base feeds both the LSH pipeline and the exact prefix
+      // join — the corpus is scanned and hashed once for the whole grade
+      val base = minhashBase(Tables(s, dir, "documents"))
+      val lsh = lshPairs(base, LshBucketCap).select("d1", "d2")
         .withColumn("in_lsh", lit(1L))
-      val exact = queries("q220_prefix_join")(s, dir).select("d1", "d2")
+      val exact = prefixPairs(base).select("d1", "d2")
         .withColumn("in_exact", lit(1L))
-      lsh.join(exact, Seq("d1", "d2"), "full_outer")
+      val joined = lsh.join(exact, Seq("d1", "d2"), "full_outer")
+      val out = joined
         .agg(
           sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
           sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
@@ -885,6 +897,9 @@ object Dedup {
             "ELSE (tp * 10000) div n_lsh END").as("precision_bp"),
           expr("CASE WHEN n_exact = 0 THEN NULL " +
             "ELSE (tp * 10000) div n_exact END").as("recall_bp"))
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
     })
   )
 

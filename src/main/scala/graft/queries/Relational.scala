@@ -1373,6 +1373,28 @@ object Relational {
           col("total_bytes").cast("long").as("total_bytes"),
           col("from_day"), col("to_day"))
         .orderBy("bin")
+    }),
+
+    // ---- rank-based top-k WITH ties (WindowGroupLimit path) --------------
+    // Top-3 order prices per return flag keeping ties — rank() <= k, which
+    // q09's LIMIT and q56's bounded heap (both tie-breaking) can't express.
+    // Spark 4 plans the rank filter as WindowGroupLimitExec: each partition
+    // pre-prunes to its local top-k BEFORE the shuffle and sort, so k rows
+    // per group per partition move — the optimizer doing what TopKByScore
+    // does by hand (plan pinned in ScaleOpsSpec). Cents pinned; ties then
+    // ordered by orderkey for a deterministic hash.
+    "q234_rank_topk" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(desc("price_c"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("price_c"),
+          col("o_orderkey"))
+        .distinct()
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("rk"), col("price_c"), col("o_orderkey"))
+        .orderBy("l_returnflag", "rk", "o_orderkey")
     })
   )
 
@@ -2299,6 +2321,19 @@ object Relational {
         |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
         |  strftime(min(day), '%Y-%m-%d') AS from_day,
         |  strftime(max(day), '%Y-%m-%d') AS to_day
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q234_rank_topk" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag,
+        |             CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_c,
+        |             o_orderkey
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT l_returnflag, price_c, o_orderkey,
+        |        CAST(rank() OVER (PARTITION BY l_returnflag
+        |                          ORDER BY price_c DESC) AS BIGINT) AS rk
+        |      FROM d)
+        |SELECT l_returnflag, rk, price_c, o_orderkey
+        |FROM r WHERE rk <= 3
+        |ORDER BY l_returnflag, rk, o_orderkey""".stripMargin
   )
 }

@@ -53,4 +53,39 @@ class FormatsSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]"),
       s"no ORC pushdown:\n$scan")
   }
+
+  test("parquet schema evolution: mergeSchema unifies old and new batches") {
+    import spark.implicits._
+    val path = tmp("merge_schema")
+    // batch 1 ships without the column a later producer adds
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(path + "/d=1")
+    Seq((3L, "c", 9L), (4L, "d", 8L)).toDF("id", "v", "extra")
+      .write.parquet(path + "/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "v", "extra", "d"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // old rows surface the new column as null, new rows carry it
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")))
+    assert(rows(2).getLong(rows(2).fieldIndex("extra")) == 9L)
+  }
+
+  test("CSV corrupt records are captured, not dropped or fatal (PERMISSIVE)") {
+    val path = tmp("corrupt_csv")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "part.csv"),
+      "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n")
+    val schema = "id LONG, name STRING, qty LONG, _corrupt STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .cache() // corrupt-column access requires the full row to be retained
+    assert(df.count() == 3)
+    val bad = df.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getString(1) == "beta")
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+    df.unpersist()
+  }
 }

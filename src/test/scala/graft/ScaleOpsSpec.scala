@@ -370,6 +370,30 @@ class ScaleOpsSpec extends SparkSpec {
     est.foreach { case (flag, (e50, _, _)) => assert(viaSql(flag) == e50) }
   }
 
+  test("q234 rank<=k plans as WindowGroupLimit (partition-local top-k pre-prune)") {
+    val plan = SparkEntry.queries("q234_rank_topk")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not optimized to a group-limit pre-prune:\n$plan")
+  }
+
+  test("Dataset.observe delivers pipeline metrics from the write job itself") {
+    import org.apache.spark.sql.Observation
+    // the zero-extra-job form of a funnel count: metrics ride the action
+    // that materializes the data, no second aggregation pass (at 100 TB a
+    // separate .count() is a full re-read)
+    val obs = Observation("curation")
+    val df = Tables(spark, sf("sf0.001"), "documents")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .filter(length(col("text")) >= 0)
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val direct = Tables(spark, sf("sf0.001"), "documents").count()
+    assert(m("n_rows") == direct)
+    assert(m("n_en").asInstanceOf[Long] <= direct)
+  }
+
   test("q205 disjunctive predicate pushes per-side conjunct unions to both scans") {
     // the Q19 scale contract: Catalyst must not evaluate the OR-of-ANDs
     // only post-join — each side's union of its conjuncts reaches its

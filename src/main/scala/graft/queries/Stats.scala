@@ -90,6 +90,18 @@ object Stats {
        |END""".stripMargin
   }
 
+  /** q235's CI rank positions, shared VERBATIM with the oracle: the
+    * binomial order-statistic interval of the median, clamped into [1, n].
+    * floor/ceil over one sqrt — identical IEEE sequence both engines. */
+  private val CiLoPosSql: String =
+    """greatest(CAST(1 AS BIGINT),
+      |  CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+      |    AS BIGINT))""".stripMargin
+  private val CiHiPosSql: String =
+    """least(CAST(n AS BIGINT),
+      |  CAST(ceil((CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+      |    AS BIGINT) + 1)""".stripMargin
+
   /** q151's per-time-point ln((n-d)/n) x 1e6, shared VERBATIM with the
     * oracle. NULL (not -inf) when the at-risk set empties — the survival
     * output handles that arm explicitly. */
@@ -1881,6 +1893,36 @@ object Stats {
         .orderBy("type_a", "type_b")
     }),
 
+    // ---- median with a distribution-free 95% CI --------------------------
+    // The binomial order-statistic interval: for n samples the 95% CI of
+    // the median is the pair of values at ranks (n ± 1.96·√n)/2 — no
+    // distributional assumption, just counting. Rank arithmetic is a
+    // shared-verbatim floor/ceil expression over exact counts; the VALUES
+    // at a multiset position are engine-independent (the q164 trick), so
+    // the whole CI is hash-exact. One per-type sort + one tiny aggregate.
+    "q235_median_ci" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val ranked = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      ranked
+        .withColumn("m_pos", expr("(n + 1) div 2"))
+        .withColumn("lo_pos", expr(CiLoPosSql))
+        .withColumn("hi_pos", expr(CiHiPosSql))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === col("m_pos"), col("cents"))).as("median_c"),
+          max(when(col("rn") === col("lo_pos"), col("cents"))).as("ci_lo_c"),
+          max(when(col("rn") === col("hi_pos"), col("cents"))).as("ci_hi_c"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("median_c").cast("long").as("median_c"),
+          col("ci_lo_c").cast("long").as("ci_lo_c"),
+          col("ci_hi_c").cast("long").as("ci_hi_c"))
+        .orderBy("event_type")
+    }),
+
     // ---- incremental aggregate maintenance -------------------------------
     // The daily-ETL contract: yesterday's per-type state (n, sum, min, max
     // — all MERGEABLE partials) plus today's delta must equal a full
@@ -3128,6 +3170,26 @@ object Stats {
         |    AS jaccard_bp
         |FROM cm JOIN sz sa ON cm.t = sa.t JOIN sz sb ON cm.t2 = sb.t
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q235_median_ci" ->
+      s"""WITH e AS (SELECT event_type,
+         |             CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+         |           FROM events),
+         |r AS (SELECT event_type, cents,
+         |        CAST(row_number() OVER (PARTITION BY event_type
+         |               ORDER BY cents, event_id) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM e),
+         |p AS (SELECT event_type, cents, rn, n,
+         |        (n + 1) // 2 AS m_pos,
+         |        $CiLoPosSql AS lo_pos,
+         |        $CiHiPosSql AS hi_pos
+         |      FROM r)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(max(CASE WHEN rn = m_pos THEN cents END) AS BIGINT) AS median_c,
+         |  CAST(max(CASE WHEN rn = lo_pos THEN cents END) AS BIGINT) AS ci_lo_c,
+         |  CAST(max(CASE WHEN rn = hi_pos THEN cents END) AS BIGINT) AS ci_hi_c
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q229_kmv_setops" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),

@@ -933,6 +933,16 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(heaps.map(_._1).sum == nov.map(_._3).sum)
   }
 
+  test("q235 median CI: brackets the median, narrows with n") {
+    val rows = SparkEntry.queries("q235_median_ci")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, med, lo, hi) =>
+      assert(lo <= med && med <= hi, s"$t: CI [$lo, $hi] does not bracket $med")
+      assert(n > 0)
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

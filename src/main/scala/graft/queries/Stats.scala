@@ -1862,11 +1862,15 @@ object Stats {
         .select(col("event_type").as("t"), col("user_id")).distinct()
       val hashed = tu.select(col("t"),
         expr("CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("h"))
+      // eagerly materialized: BOTH self-join sides read this |types|-row
+      // table — without the barrier each side re-runs the sketch aggregate
+      // over the events scan
       val perType = hashed.groupBy("t")
         .agg(count(lit(1)).as("n_exact"),
           graft.functions.TopKByScore.top_k(16)(col("h"), negate(col("h").cast("double"))).as("mins"))
         .select(col("t"), col("n_exact"),
           transform(col("mins"), m => m.getField("id")).as("ids"))
+        .localCheckpoint(eager = true)
       val pairs = perType.select(col("t").as("ta"), col("n_exact").as("na"), col("ids").as("ia"))
         .crossJoin(broadcast(
           perType.select(col("t").as("tb"), col("n_exact").as("nb"), col("ids").as("ib"))))

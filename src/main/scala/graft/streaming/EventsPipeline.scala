@@ -305,6 +305,30 @@ object EventsPipeline {
         col("v_ts") < col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits — matched rows as
+    * they pair up, UNMATCHED purchases only once the watermark passes the
+    * end of their match window (Spark must prove no qualifying view can
+    * still arrive before it may emit the null row). This is the streaming
+    * form of the attribution query's "organic purchase" arm (q122's
+    * unattributed rows); the inner form above silently drops them. Same
+    * event-time bounds, so view state still expires. */
+  def purchasesWithViewOrOrganic(purchases: DataFrame, views: DataFrame,
+                                 watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"),
+        col("v_id").isNull.as("organic"))
+  }
+
   /** Stream-static enrichment: the event stream left-joined to a static
     * dimension. Completes the streaming join family next to the
     * stream-stream join — stream-static needs NO watermark and NO state

@@ -336,6 +336,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join: organic purchases emit after the watermark") {
+    implicit val sc = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = EventsPipeline.purchasesWithViewOrOrganic(pIn.toDF(), vIn.toDF(),
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("ssleft").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      vIn.addData(Ev(10, t("2024-01-01 09:30:00"), 1, "view", 0.0))
+      pIn.addData(
+        Ev(100, t("2024-01-01 10:00:00"), 1, "purchase", 9.99), // attributed
+        Ev(101, t("2024-01-01 10:00:00"), 2, "purchase", 5.0))  // organic
+      q.processAllAvailable()
+      // before the watermark passes, the organic row must NOT have emitted
+      // (a qualifying view could still arrive late)
+      val early = spark.table("ssleft").select("p_id").as[Long].collect().toSet
+      assert(!early.contains(101L),
+        s"organic purchase emitted before its match window closed: $early")
+      // push both watermarks far past the window
+      vIn.addData(Ev(13, t("2024-01-01 20:00:00"), 9, "view", 0.0))
+      pIn.addData(Ev(102, t("2024-01-01 20:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft")
+        .select("p_id", "organic")
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows.contains((100L, false)), s"attributed pair missing: $rows")
+      assert(rows.contains((101L, true)), s"organic purchase never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins without watermark or state store") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")

@@ -1897,6 +1897,41 @@ object Stats {
         .orderBy("type_a", "type_b")
     }),
 
+    // ---- nearest-direction as-of join ------------------------------------
+    // pandas merge_asof(direction='nearest') completed from the native
+    // operator: BACKWARD is asofPriorWithin as-is; FORWARD is the same
+    // exec over negated event seconds (prior in negated time = next in
+    // real time — no new physical code); the closer match wins, ties to
+    // backward (pandas semantics). Both passes are the co-partitioned
+    // merge; the pick is per-row arithmetic. 1-hour tolerance each way.
+    "q236_asof_nearest" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.AsOfJoin
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      val back = AsOfJoin.asofPriorWithin(p, v,
+        "user_id" -> "user_id", "sec" -> "sec", tolerance = 3600L, rightPrefix = "b_")
+        .select(col("event_id"), col("b_view_id"), col("b_sec"))
+      val fwd = AsOfJoin.asofPriorWithin(
+        p.withColumn("nsec", -col("sec")),
+        v.withColumn("nsec", -col("sec")),
+        "user_id" -> "user_id", "nsec" -> "nsec", tolerance = 3600L, rightPrefix = "f_")
+        .select(col("event_id"), col("f_view_id"), col("f_sec"))
+      p.join(back, Seq("event_id")).join(fwd, Seq("event_id"))
+        .withColumn("db", col("sec") - col("b_sec"))
+        .withColumn("df", col("f_sec") - col("sec"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(when(col("b_sec").isNotNull &&
+            (col("f_sec").isNull || col("db") <= col("df")), col("b_view_id"))
+            .otherwise(col("f_view_id")), lit(-1L)).as("nearest_view"),
+          coalesce(when(col("b_sec").isNotNull &&
+            (col("f_sec").isNull || col("db") <= col("df")), -col("db"))
+            .otherwise(col("df")).cast("long"), lit(0L)).as("delta_sec"))
+        .orderBy("event_id")
+    }),
+
     // ---- median with a distribution-free 95% CI --------------------------
     // The binomial order-statistic interval: for n samples the 95% CI of
     // the median is the pair of values at ranks (n ± 1.96·√n)/2 — no
@@ -3174,6 +3209,41 @@ object Stats {
         |    AS jaccard_bp
         |FROM cm JOIN sz sa ON cm.t = sa.t JOIN sz sb ON cm.t2 = sb.t
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q236_asof_nearest" ->
+      """WITH st AS (SELECT event_id, user_id, event_type,
+        |              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |            FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (SELECT event_id, user_id, event_type, sec,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_id,
+        |  last_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_sec,
+        |  first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_id,
+        |  first_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_sec
+        |      FROM st),
+        |pq AS (SELECT event_id, user_id,
+        |    CASE WHEN b_sec IS NOT NULL AND sec - b_sec <= 3600
+        |         THEN b_id END AS b_id,
+        |    CASE WHEN b_sec IS NOT NULL AND sec - b_sec <= 3600
+        |         THEN sec - b_sec END AS db,
+        |    CASE WHEN f_sec IS NOT NULL AND f_sec - sec <= 3600
+        |         THEN f_id END AS f_id,
+        |    CASE WHEN f_sec IS NOT NULL AND f_sec - sec <= 3600
+        |         THEN f_sec - sec END AS df
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CAST(coalesce(CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+        |       THEN b_id ELSE f_id END, -1) AS BIGINT) AS nearest_view,
+        |  CAST(coalesce(CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+        |       THEN -db ELSE df END, 0) AS BIGINT) AS delta_sec
+        |FROM pq ORDER BY event_id""".stripMargin,
 
     "q235_median_ci" ->
       s"""WITH e AS (SELECT event_type,

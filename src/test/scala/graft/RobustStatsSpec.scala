@@ -943,6 +943,29 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q236 nearest as-of: matches a driver-side exact recompute") {
+    val got = SparkEntry.queries("q236_asof_nearest")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    ev.filter(_._3 == "purchase").foreach { case (pid, u, _, psec) =>
+      val cands = viewsByUser.getOrElse(u, Array.empty)
+        .filter(v => math.abs(v._4 - psec) <= 3600 && v._4 != psec)
+      val expect =
+        if (cands.isEmpty) (-1L, 0L)
+        else {
+          // nearest; tie -> backward (the view BEFORE the purchase)
+          val best = cands.minBy(v => (math.abs(v._4 - psec), v._4 - psec))
+          (best._1, best._4 - psec)
+        }
+      assert(got(pid) == expect, s"purchase $pid: got ${got(pid)}, expect $expect")
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

@@ -863,6 +863,43 @@ object Dedup {
       out
     }),
 
+    // ---- semantic train/test decontamination -----------------------------
+    // The embedding-space sibling of q84 (exact digests) and q85 (8-gram
+    // overlap): heldout vectors whose nearest TRAIN vector is too close in
+    // cosine leak the heldout set semantically even when no n-gram
+    // matches. Same deterministic md5 split as q73, candidates restricted
+    // to shared IVF buckets (q59's discipline — same-centroid pairs only,
+    // never all-pairs), threshold inside the join condition after the
+    // cheap conjuncts, best match per heldout vec via map-side argmax.
+    "q237_semantic_decontam" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100"))
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val assign = e.join(broadcast(cent))
+        .withColumn("ascore", cosine_sim(col("centv"), col("embedding")))
+        .groupBy("vec_id", "b")
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+          struct(col("ascore"), -col("centroid_id"))).as("x"))
+        .select(col("vec_id"), col("b"), col("x.centroid_id").as("cid"),
+          col("x.embedding").as("embedding"))
+      val held = assign.filter(col("b") >= 90)
+        .select(col("vec_id").as("hv"), col("cid"), col("embedding").as("he"))
+      val train = assign.filter(col("b") < 90)
+        .select(col("vec_id").as("tv"), col("cid"), col("embedding").as("te"))
+      val cos = round(cosine_sim(col("he"), col("te")), 4)
+      held.join(train, Seq("cid"))
+        .filter(cos >= 0.35)
+        .groupBy("hv")
+        .agg(max_by(struct(col("tv"), cos.as("cos")),
+          struct(cos, -col("tv"))).as("m"))
+        .select(col("hv").as("heldout_vec"), col("m.tv").as("nearest_train"),
+          col("m.cos").as("cos"))
+        .orderBy("heldout_vec")
+    }),
+
     // ---- LSH evaluated against EXACT ground truth ------------------------
     // q171 measured recall against a bounded brute-force sample; with the
     // prefix join the full-corpus truth is affordable, so the banded+capped
@@ -1416,6 +1453,37 @@ object Dedup {
            |FROM j
            |WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7
            |ORDER BY d1, d2""".stripMargin,
+
+      "q237_semantic_decontam" -> {
+        def nrm(t: String, c: String) =
+          s"sqrt(list_sum([$t.$c[i]::DOUBLE * $t.$c[i]::DOUBLE for i in range(1, 65)]))"
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100
+           |      AS b
+           |  FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, embedding AS centv
+           |         FROM e WHERE vec_id < 8),
+           |assign AS (SELECT vec_id, b, cid, embedding FROM (
+           |  SELECT e.vec_id, e.b, c.cid, e.embedding,
+           |    list_sum([c.centv[i]::DOUBLE * e.embedding[i]::DOUBLE
+           |              for i in range(1, 65)])
+           |    / (${nrm("c", "centv")} * ${nrm("e", "embedding")}) AS s
+           |  FROM e, cent c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |                             ORDER BY s DESC, cid) = 1),
+           |p AS (SELECT h.vec_id AS hv, t.vec_id AS tv,
+           |    round(list_sum([h.embedding[i]::DOUBLE * t.embedding[i]::DOUBLE
+           |                    for i in range(1, 65)])
+           |      / (${nrm("h", "embedding")} * ${nrm("t", "embedding")}), 4)
+           |      AS cos
+           |  FROM assign h JOIN assign t
+           |    ON h.cid = t.cid AND h.b >= 90 AND t.b < 90)
+           |SELECT hv AS heldout_vec, tv AS nearest_train, cos
+           |FROM p WHERE cos >= 0.35
+           |QUALIFY row_number() OVER (PARTITION BY hv
+           |                           ORDER BY cos DESC, tv) = 1
+           |ORDER BY heldout_vec""".stripMargin
+      },
 
       // the LSH pipeline (pr) and a renamed prefix-join chain share the
       // lshPairCtes hd table, then full-outer compare

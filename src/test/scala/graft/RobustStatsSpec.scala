@@ -966,6 +966,22 @@ class RobustStatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("q237 semantic decontamination: flags cross the split boundary only") {
+    val rows = SparkEntry.queries("q237_semantic_decontam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    rows.foreach { case (hv, tv, cos) =>
+      assert(bucket(hv) >= 90, s"flagged vec $hv is not heldout")
+      assert(bucket(tv) < 90, s"nearest match $tv is not train")
+      assert(cos >= 0.35 && cos <= 1.0)
+    }
+  }
+
   test("q206 majority suppliers genuinely hold >20% of some part") {
     import spark.implicits._
     val got = SparkEntry.queries("q206_majority_supp")(spark, dir)

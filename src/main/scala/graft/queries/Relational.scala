@@ -1375,6 +1375,26 @@ object Relational {
         .orderBy("bin")
     }),
 
+    // ---- aggregate FILTER clause (modern SQL surface) --------------------
+    // Like q176's GROUP BY ALL: the SAME query text runs verbatim on
+    // Spark 4 and DuckDB. FILTER is the standard form of the conditional
+    // aggregate this library elsewhere writes as sum(CASE WHEN ...) —
+    // Catalyst plans both identically (one pass, no extra scan per
+    // predicate).
+    "q238_filter_clause" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("q238_lineitem")
+      s.sql("""
+        |SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 25.0) AS BIGINT) AS n_heavy,
+        |  CAST(count(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_nodisc,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25.0)
+        |    AS BIGINT) AS heavy_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM q238_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // ---- rank-based top-k WITH ties (WindowGroupLimit path) --------------
     // Top-3 order prices per return flag keeping ties — rank() <= k, which
     // q09's LIMIT and q56's bounded heap (both tie-breaking) can't express.
@@ -2322,6 +2342,17 @@ object Relational {
         |  strftime(min(day), '%Y-%m-%d') AS from_day,
         |  strftime(max(day), '%Y-%m-%d') AS to_day
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q238_filter_clause" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 25.0) AS BIGINT) AS n_heavy,
+        |  CAST(count(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_nodisc,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25.0)
+        |    AS BIGINT) AS heavy_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q234_rank_topk" ->
       """WITH d AS (SELECT DISTINCT l_returnflag,

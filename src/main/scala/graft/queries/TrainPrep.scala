@@ -458,16 +458,17 @@ object TrainPrep {
         |        ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
         |     AS n
         |  FROM documents),
-        |a AS (SELECT source, count(*) AS n_docs, sum(n) AS n_tokens
+        |a AS (SELECT source, count(*) AS n_docs,
+        |      CAST(sum(n) AS BIGINT) AS n_tokens
         |      FROM tk GROUP BY source),
         |w AS (SELECT source, n_docs, n_tokens,
-        |   sum(n_tokens) OVER () AS total,
-        |   sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |   CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM a)
         |SELECT source, n_docs, n_tokens,
-        | (n_tokens * 10000) // total AS share_bp,
-        | (cum * 10000) // total AS cum_share_bp
+        | CAST((n_tokens * 10000) // total AS BIGINT) AS share_bp,
+        | CAST((cum * 10000) // total AS BIGINT) AS cum_share_bp
         |FROM w ORDER BY n_tokens DESC, source""".stripMargin,
 
     "q96_temp_mix" ->

@@ -2057,10 +2057,10 @@ object Stats {
         |        CAST(count(*) AS BIGINT) AS c
         |      FROM events GROUP BY 1, 2),
         |tr AS (SELECT day, iso_dow, c,
-        |         (sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |         CAST((sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |          * 10000)
         |         // count(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-        |           AS trend_e4
+        |           AS BIGINT) AS trend_e4
         |       FROM d),
         |r AS (SELECT day, iso_dow, c, trend_e4,
         |        c * 10000 - trend_e4 AS resid0_e4 FROM tr),

@@ -1363,9 +1363,9 @@ object Text {
            |sel AS (SELECT prev, nxt, cnt FROM pc
            |        QUALIFY row_number() OVER (PARTITION BY prev
            |                                   ORDER BY cnt DESC, nxt) = 1),
-           |tot AS (SELECT prev, sum(cnt) AS n_prev FROM pc GROUP BY prev)
+           |tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS n_prev FROM pc GROUP BY prev)
            |SELECT tot.prev, sel.nxt AS top_next, sel.cnt AS n_pair, tot.n_prev,
-           | (sel.cnt * 10000) // tot.n_prev AS p_next_bp
+           | CAST((sel.cnt * 10000) // tot.n_prev AS BIGINT) AS p_next_bp
            |FROM tot JOIN sel ON tot.prev = sel.prev
            |ORDER BY tot.prev""".stripMargin,
 

@@ -19,6 +19,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def type_key(t):
+    """Canonical arrow-type string for parity checks.
+
+    The driver's hasher is type-sensitive (e.g. DuckDB HUGEINT ->
+    decimal128(38,0) vs Spark int64 flips hash_match even when every value is
+    equal), so value-equality alone gives false passes. Only differences that
+    cannot affect the driver's typed hash are normalized away: the
+    string/large_string and list/large_list storage variants.
+    """
+    import pyarrow as pa
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    return str(t)
+
+
 def norm(v):
     if v is None:
         return None
@@ -33,7 +50,13 @@ def norm(v):
     return v
 
 
+EXPECTED_DUCKDB = "1.0.0"
+
+
 def main(sf_dir, out_dir):
+    if duckdb.__version__ != EXPECTED_DUCKDB:
+        print(f"WARNING: duckdb {duckdb.__version__} != pinned "
+              f"{EXPECTED_DUCKDB}; oracle typing/rounding may drift")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -59,6 +82,19 @@ def main(sf_dir, out_dir):
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
             print(f"  ✗ {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        type_mismatch = []
+        for c in s_cols:
+            st = type_key(spark_tbl.schema.field(c).type)
+            dt = type_key(duck.schema.field(c).type)
+            if st != dt:
+                type_mismatch.append((c, st, dt))
+        if type_mismatch:
+            det = ", ".join(f"{c}: spark={st} duck={dt}"
+                            for c, st, dt in type_mismatch)
+            print(f"  ✗ {name}: column TYPE drift ({det}) — driver hash "
+                  f"is type-sensitive; CAST the oracle SQL")
             n_fail += 1
             continue
         s_rows = sorted(tuple(norm(r[c]) for c in s_cols)

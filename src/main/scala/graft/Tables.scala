@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -10,11 +10,24 @@ import org.apache.spark.sql.types.LongType
   * predicate pushdown apply automatically, so every query that filters or
   * projects these tables gets `PushedFilters`/`ReadSchema` for free.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-  * by default; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (see [[graft.GraftSession]]) and the loader converts the nanos-long back
-  * to a microsecond TIMESTAMP (floor division — matches DuckDB's own ns→µs
-  * truncation, so oracle comparisons line up).
+  * Timestamp normalization: the driver has written the fixtures with two
+  * different parquet timestamp encodings across regenerations —
+  * TIMESTAMP(NANOS) (which Spark 4 only reads as a nanos LONG under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[graft.GraftSession]])
+  * and plain TIMESTAMP(MICROS) without timezone (surfacing as
+  * TIMESTAMP_NTZ). Query code assumes `events.ts` is a session-timezone
+  * TIMESTAMP (it feeds `unix_micros`/`window`/watermarks), so the loader
+  * normalizes both encodings to TimestampType for that one column. With the
+  * session pinned to UTC the NTZ→LTZ cast is wall-clock identity, and the
+  * nanos path floor-divides to µs — matching DuckDB's own ns→µs truncation,
+  * so oracle comparisons line up either way.
+  *
+  * Deliberately NOT normalized: `o_orderdate`/`l_shipdate` stay NTZ when
+  * written that way. Queries only apply date arithmetic to them (NTZ-safe),
+  * and queries that project them raw must emit the same arrow type DuckDB
+  * does for the shared parquet — naive timestamp[us], which is exactly
+  * Spark's TIMESTAMP_NTZ; an LTZ cast would flip the output schema to
+  * isAdjustedToUTC=true and break the driver's type-sensitive hash.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -23,9 +36,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }
 

@@ -49,6 +49,13 @@ object PlanLint {
     }
     val nodes = walk(plan)
     def head(p: SparkPlan): String = p.simpleStringWithNodeId().take(120)
+    // under AQE a consumer's child is a ShuffleQueryStageExec wrapping the
+    // exchange, not the exchange itself — unwrap before identity checks
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other
+    }
 
     nodes.flatMap {
       case c: CartesianProductExec =>
@@ -60,7 +67,7 @@ object PlanLint {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         // only flag when real per-row work sits on top (sort/window);
         // a final single-partition exchange under a global agg is benign
-        val consumers = nodes.filter(_.children.exists(_ eq e))
+        val consumers = nodes.filter(_.children.exists(c => unwrap(c) eq e))
         val hot = consumers.exists {
           case _: SortExec | _: WindowExec => true
           case _ => false

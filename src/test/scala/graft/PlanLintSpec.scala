@@ -52,6 +52,60 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("full SparkEntry surface: findings only where a reviewer signed off") {
+    // Standing regression net: EVERY query's physical plan is audited. A
+    // finding is only tolerated when its (query, rule) pair is recorded
+    // here with the reason a reviewer accepted it — anything new fails.
+    // (a) nested-loop joins whose build side is a deliberately broadcast
+    // tiny frame — k query vectors, K centroids/codebooks, a 1-row global
+    // aggregate, or a bounded eval sample. The |big|·|tiny| scan is the
+    // intended plan (VERDICT r6 plan audit); the lint can't see size, the
+    // reviewer can.
+    val tinyBroadcastJoin = Seq(
+      "q36_jaccard_pairs", "q39_cosine_topk", "q40_ivf_assign",
+      "q49_edit_distance", "q51_ivf_search", "q55_ivf_recall",
+      "q56_topk_agg", "q59_cosine_neardup", "q76_pq_assign", "q78_kmeans",
+      "q79_trained_ivf", "q83_containment", "q99_pq_search",
+      "q100_pq_recall", "q106_rolling_dau", "q109_bm25", "q113_silhouette",
+      "q119_pmi", "q153_baskets", "q154_cramers_v", "q156_jsd",
+      "q169_kmeans_shift", "q171_lsh_recall", "q174_label_agreement",
+      "q179_value_drift", "q192_key_skew", "q195_calibration",
+      "q218_log_odds", "q221_incremental", "q229_kmv_setops",
+      "q237_semantic_decontam")
+    // (b) unpartitioned windows (and the SinglePartition exchange feeding
+    // them) that run over post-aggregate domains — |days|, |sources|,
+    // |deciles|, |clusters|, vocabulary heads — or over semantics that are
+    // inherently global-order (exact Gini/Lorenz/AUC/ntile). Bounded row
+    // counts at any corpus scale; reviewed in VERDICT r6.
+    val smallDomainWindow = Seq(
+      "q86_domain_mix", "q92_zipf", "q94_vocab_coverage", "q96_temp_mix",
+      "q123_gini", "q129_skyline", "q130_rfm", "q141_share_of_total",
+      "q142_moving_avg", "q149_benford", "q151_kaplan_meier", "q165_lorenz",
+      "q177_hour_heatmap", "q181_auc", "q189_mutual_info", "q192_key_skew",
+      "q195_calibration", "q196_decompose", "q198_er_eval", "q208_apportion",
+      "q217_rrf", "q218_log_odds", "q226_pct_of_parent",
+      "q230_compaction_plan", "q232_heaps_curve")
+    val allow: Map[String, Set[String]] =
+      (tinyBroadcastJoin.map(_ -> Set("nested-loop-join")) ++
+        smallDomainWindow.map(_ ->
+          Set("single-partition-window", "single-partition-exchange")))
+        .groupMapReduce(_._1)(_._2)(_ ++ _)
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val findings =
+        try PlanLint.audit(fn(spark, dir))
+        catch { case e: Exception => Seq(PlanLint.Finding("audit-error", e.toString.take(120))) }
+      val unexpected = findings
+        .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.rule))
+      if (unexpected.nonEmpty) bad += s"$name: ${unexpected.mkString("; ")}"
+      // queries may persist/localCheckpoint during construction — drop all
+      // blocks so the sweep's memory stays flat (the bench-sweep lesson)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
+
   test("q74's distributed prefix sum is exactly the fix for the flagged window form") {
     import org.apache.spark.sql.expressions.Window
     val toksDf = Tables(spark, dir, "documents")

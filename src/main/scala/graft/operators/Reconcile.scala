@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
+  /** Modular checksum term: folded through DECIMAL(38,0) so the aggregate
+    * cannot overflow — a BIGINT sum of `fp % 1e8` terms wraps once the
+    * table passes ~9.2e10 rows, well inside the 100 TB design point. The
+    * decimal sum holds up to 1e38 ≫ (max Long rows)·1e8 ≈ 9e26, and the
+    * final `% M` lands the result back in BIGINT range. */
+  private val ModM = 100000000L
+  private def sumFpMod(fp: String): org.apache.spark.sql.Column =
+    (sum(expr(s"CAST($fp % $ModM AS DECIMAL(38,0))") ) % ModM).cast("long")
+
   /** (n_rows, xor_fp, sum_fp_mod) one-row summary for one side. */
   private def sideSummary(df: DataFrame): DataFrame = {
     val canon = to_json(struct(df.columns.sorted.map(col): _*))
@@ -29,7 +38,7 @@ object Reconcile {
       .select(expr(
         "CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT)").as("fp"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
-        sum(expr("fp % 100000000")).as("sum_fp_mod"))
+        sumFpMod("fp").as("sum_fp_mod"))
   }
 
   /** One report row per table: counts + fingerprints of both sides and a
@@ -51,24 +60,33 @@ object Reconcile {
       n_rows_a == n_rows_b && xor_fp_a == xor_fp_b && sum_fp_mod_a == sum_fp_mod_b
   }
 
-  /** Per-key diff classification (q178 generalized): one full-outer join
-    * on `key`, non-key columns compared via the canonical row hash.
-    * Returns (status, n, min_key, max_key) with statuses
-    * added/removed/changed/same. */
+  /** Per-key diff classification (q178 generalized): each side is first
+    * reduced to ONE row per key — (row count, xor-fold, modular sum of the
+    * canonical row hashes) — and the full-outer join compares those
+    * per-key digests. Pre-aggregating is what makes duplicate keys safe: a
+    * key appearing m× on one side and n× on the other would otherwise fan
+    * out to m·n joined rows (quadratic in the hottest key), and the digest
+    * triple also CLASSIFIES multiplicity drift as "changed" rather than
+    * miscounting it. Returns (status, n, min_key, max_key) with statuses
+    * added/removed/changed/same, one counted unit per KEY. */
   def keyedDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
-    // canonical hash built before the join: each side is one projection
-    def hashed(df: DataFrame, h: String): DataFrame = {
+    // canonical per-key digest built before the join: one scan + one
+    // partial-aggregated shuffle per side
+    def digest(df: DataFrame, s: String): DataFrame = {
       val rest = df.columns.filterNot(_ == key).sorted.map(col)
       df.select(col(key).as("k"), to_json(struct(rest: _*)).as("c"))
         .select(col("k"),
           expr("CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
-            .as(h))
+            .as("fp"))
+        .groupBy("k")
+        .agg(struct(count(lit(1)).as("n"), expr("bit_xor(fp)").as("x"),
+          sumFpMod("fp").as("s")).as(s"d_$s"))
     }
-    hashed(a, "h_old").join(hashed(b, "h_new"), Seq("k"), "full_outer")
+    digest(a, "old").join(digest(b, "new"), Seq("k"), "full_outer")
       .select(col("k"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") =!= col("h_new"), "changed")
+        when(col("d_old").isNull, "added")
+          .when(col("d_new").isNull, "removed")
+          .when(col("d_old") =!= col("d_new"), "changed")
           .otherwise("same").as("status"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))

@@ -63,6 +63,37 @@ class ReconcileSpec extends SparkSpec {
     assert(tbl == reports.map { case (k, v) => k -> v.matches })
   }
 
+  test("keyedDiff pre-aggregates: duplicate keys neither fan out nor miscount") {
+    // 100 keys; 40 appear 3× on side A and 2× on side B (identical
+    // payloads), the rest once each. The naive row-level full outer would
+    // fan the drifted keys out to 3·2 rows apiece and call every pairing
+    // "same"; the digest form counts one unit per key and classifies
+    // multiplicity drift as changed.
+    val o = spark.read.parquet(s"$dirA/orders.parquet")
+      .orderBy("o_orderkey").limit(100).localCheckpoint(true)
+    val dup = o.orderBy("o_orderkey").limit(40).localCheckpoint(true)
+    val tripled = o.unionByName(dup).unionByName(dup)
+    val doubled = o.unionByName(dup)
+    val diff = graft.operators.Reconcile.keyedDiff(tripled, doubled, "o_orderkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff == Map("changed" -> 40L, "same" -> 60L), s"got $diff")
+  }
+
+  test("modular checksum folds in decimal: result in range and exact") {
+    // the checksum must equal the directly computed modular sum and stay
+    // inside [0, 1e8) — the BIGINT-overflow fix routes the fold through
+    // DECIMAL(38,0), which this pins behaviorally
+    val a = spark.read.parquet(s"$dirA/nation.parquet")
+    val Seq(r) = graft.operators.Reconcile.report(Seq(("nation", a, a)))
+    assert(r.sum_fp_mod_a == r.sum_fp_mod_b)
+    assert(r.sum_fp_mod_a >= 0L && r.sum_fp_mod_a < 100000000L)
+    val expected = a
+      .select(to_json(struct(a.columns.sorted.map(col): _*)).as("c"))
+      .selectExpr("CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT) % 100000000 AS m")
+      .collect().map(_.getLong(0)).sum % 100000000L
+    assert(r.sum_fp_mod_a == expected)
+  }
+
   test("fingerprint catches an even-multiplicity duplication xor alone misses") {
     val a = spark.read.parquet(s"$dirA/nation.parquet")
     val doubled = a.unionByName(a) // every row twice: xor folds back to equal

@@ -192,7 +192,15 @@ object EventsPipeline {
     * are processed in ts order within each batch; cross-batch stragglers
     * older than the open bucket are counted into it rather than
     * re-opening closed history (bounded staleness under the input
-    * watermark, documented divergence from an exact batch recount). */
+    * watermark, documented divergence from an exact batch recount).
+    * Quiet periods close through the same path: every empty bucket
+    * between the last observed one and a new row's bucket is scored and
+    * Welford-folded as count 0, so silence both alerts (once stats are
+    * warm) and depresses the reference mean the way a batch recount
+    * over the full timeline would. A gap only closes when a LATER row
+    * arrives for the key — a stream that dies emits no final alert
+    * (data-driven closing; a timer variant would trade that for clock
+    * coupling). */
   class DriftProcessor(bucketMs: Long, zThresh: Double)
       extends StatefulProcessor[String, EventRow, DriftAlert] {
     @transient private var st: ValueState[DriftState] = _
@@ -227,7 +235,20 @@ object EventsPipeline {
         else if (b > s.curBucket) {
           val (alert, folded) = close(key, s)
           out += alert
-          s = folded.copy(curBucket = b, curN = 1L)
+          // quiet-period buckets between the closed one and b: each EMPTY
+          // bucket is scored (a drop to zero against an established mean
+          // is exactly the anomaly a drift monitor must catch) and folded
+          // into the reference stats, so a gap neither vanishes from the
+          // history nor suppresses the dead-stream alert
+          var g = s.curBucket + 1
+          s = folded
+          while (g < b) {
+            val (a0, f0) = close(key, s.copy(curBucket = g, curN = 0L))
+            out += a0
+            s = f0
+            g += 1
+          }
+          s = s.copy(curBucket = b, curN = 1L)
         } else s = s.copy(curN = s.curN + 1) // current bucket or straggler
       }
       if (s != null) st.update(s)

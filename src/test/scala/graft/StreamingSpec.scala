@@ -210,6 +210,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drift monitor: quiet-period buckets are scored as zero and alert") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.EventRow]
+    val q = EventsPipeline.driftAlerts(in.toDS(), bucketMs = 3600L * 1000,
+        zThresh = 2.0)
+      .writeStream.format("memory").queryName("driftgap").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      def add(hour: Int, n: Int): Unit = {
+        in.addData((0 until n).map { i =>
+          id += 1
+          graft.streaming.EventRow(id, t(f"2024-01-01 $hour%02d:00:${i % 60}%02d"),
+            1, "view", 1.0)
+        })
+        q.processAllAvailable()
+      }
+      // five steady hours, then SILENCE for hours 5-7, then hour 8 resumes
+      add(0, 5); add(1, 6); add(2, 5); add(3, 6); add(4, 5)
+      add(8, 5)
+      val views = spark.table("driftgap")
+        .as[graft.streaming.EventsPipeline.DriftAlert]
+        .collect().filter(_.event_type == "view").sortBy(_.bucket_start)
+      // hours 0..7 closed when hour 8's first row arrived (8 still open):
+      // three synthesized zero-count buckets fill the gap
+      assert(views.map(_.n).toSeq == Seq(5L, 6L, 5L, 6L, 5L, 0L, 0L, 0L),
+        views.mkString("; "))
+      // the first silent hour scores 0 against mean≈5.4 → alert fires
+      val firstGap = views(5)
+      assert(firstGap.alert && firstGap.z < -2.0, s"gap not flagged: $firstGap")
+      assert(math.abs(firstGap.ref_mean - 5.4) < 1e-9 && firstGap.ref_windows == 5L)
+      // each zero bucket FOLDS into the reference stats: the next gap
+      // bucket sees a lower mean and one more reference window
+      val secondGap = views(6)
+      assert(secondGap.ref_windows == 6L && secondGap.ref_mean < firstGap.ref_mean)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and stops (cron-equivalent run)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

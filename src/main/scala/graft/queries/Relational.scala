@@ -1415,6 +1415,78 @@ object Relational {
         .filter(col("rk") <= 3)
         .select(col("l_returnflag"), col("rk"), col("price_c"), col("o_orderkey"))
         .orderBy("l_returnflag", "rk", "o_orderkey")
+    }),
+
+    // ---- QUALIFY migration shape ----------------------------------------
+    // DuckDB/Snowflake QUALIFY filters on a window result in-clause; Spark
+    // has no QUALIFY token (checked against the 4.1.2 SqlBaseLexer), so the
+    // migration rewrite is the subquery-then-filter form below — top-2
+    // account balances per nation. The oracle runs the ORIGINAL QUALIFY
+    // text in DuckDB: same rows proves the rewrite is the right mapping.
+    "q239_qualify" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q239_customer")
+      s.sql("""
+        |SELECT c_nationkey, c_custkey, bal_c, rn FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(round(c_acctbal*100.0) AS BIGINT) AS bal_c,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |         ORDER BY CAST(round(c_acctbal*100.0) AS BIGINT) DESC, c_custkey)
+        |      AS BIGINT) AS rn
+        |  FROM q239_customer)
+        |WHERE rn <= 2 ORDER BY c_nationkey, rn""".stripMargin)
+    }),
+
+    // ---- TABLESAMPLE ----------------------------------------------------
+    // Bernoulli sampling is seeded-deterministic WITHIN each engine but the
+    // RNG streams differ across engines, so the cross-engine contract is
+    // the sample's statistical envelope, not its membership: both engines
+    // draw their own 50% sample (Spark TABLESAMPLE..REPEATABLE, DuckDB
+    // USING SAMPLE bernoulli) and assert the size lands in 40–60% of the
+    // exact total — >8σ wide at every fixture SF, so a sampler regression,
+    // a double-scan, or a seed change flips the boolean. At scale
+    // TABLESAMPLE prunes at the scan (no full materialization); the
+    // membership-deterministic alternative for reproducible pipelines is
+    // q73's hash-split.
+    "q240_tablesample" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("q240_orders")
+      s.sql("""
+        |WITH s AS (SELECT count(*) AS ns
+        |           FROM q240_orders TABLESAMPLE (50 PERCENT) REPEATABLE (377)),
+        |     t AS (SELECT count(*) AS nt FROM q240_orders)
+        |SELECT CAST(t.nt AS BIGINT) AS n_total,
+        |       s.ns*10 BETWEEN t.nt*4 AND t.nt*6 AS sample_in_range
+        |FROM s, t""".stripMargin)
+    }),
+
+    // ---- DISTRIBUTE BY / SORT BY ----------------------------------------
+    // The explicit-repartition SQL form: the subquery hash-distributes on
+    // the aggregation key, so EnsureRequirements finds the aggregate's
+    // required distribution already satisfied — ONE exchange in the plan,
+    // owned by the user (ScaleOpsSpec pins it). The 100 TB use is staging
+    // one distribution and running several same-key consumers without
+    // re-shuffling. Values are distribution-independent, so the oracle is
+    // the plain GROUP BY.
+    "q241_distribute_by" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q241_customer")
+      s.sql("""
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM (SELECT * FROM q241_customer
+        |      DISTRIBUTE BY c_nationkey SORT BY c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
+    // ---- CLUSTER BY ------------------------------------------------------
+    // CLUSTER BY k ≡ DISTRIBUTE BY k SORT BY k — the shorthand migrating
+    // Hive/Spark-SQL users reach for; same single-exchange plan shape as
+    // q241 (pinned in ScaleOpsSpec).
+    "q242_cluster_by" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("q242_orders")
+      s.sql("""
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM (SELECT * FROM q242_orders CLUSTER BY o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     })
   )
 
@@ -2365,6 +2437,36 @@ object Relational {
         |      FROM d)
         |SELECT l_returnflag, rk, price_c, o_orderkey
         |FROM r WHERE rk <= 3
-        |ORDER BY l_returnflag, rk, o_orderkey""".stripMargin
+        |ORDER BY l_returnflag, rk, o_orderkey""".stripMargin,
+
+    // the ORIGINAL QUALIFY text a DuckDB user would bring — matching rows
+    // proves q239's subquery-filter rewrite is the faithful Spark mapping
+    "q239_qualify" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(round(c_acctbal*100.0) AS BIGINT) AS bal_c,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |       ORDER BY CAST(round(c_acctbal*100.0) AS BIGINT) DESC, c_custkey)
+        |    AS BIGINT) AS rn
+        |FROM customer QUALIFY rn <= 2 ORDER BY c_nationkey, rn""".stripMargin,
+
+    // each engine draws its OWN seeded 50% bernoulli sample; the compared
+    // values are the exact total and the statistical-envelope boolean
+    "q240_tablesample" ->
+      """WITH s AS (SELECT count(*) AS ns
+        |           FROM orders USING SAMPLE 50% (bernoulli, 377)),
+        |     t AS (SELECT count(*) AS nt FROM orders)
+        |SELECT CAST(t.nt AS BIGINT) AS n_total,
+        |       s.ns*10 BETWEEN t.nt*4 AND t.nt*6 AS sample_in_range
+        |FROM s, t""".stripMargin,
+
+    "q241_distribute_by" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q242_cluster_by" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

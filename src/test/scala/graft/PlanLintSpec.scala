@@ -71,7 +71,8 @@ class PlanLintSpec extends SparkSpec {
       "q169_kmeans_shift", "q171_lsh_recall", "q174_label_agreement",
       "q179_value_drift", "q192_key_skew", "q195_calibration",
       "q218_log_odds", "q221_incremental", "q229_kmv_setops",
-      "q237_semantic_decontam")
+      "q237_semantic_decontam",
+      "q240_tablesample") // two 1-row CTEs (sample count × total count)
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

@@ -377,6 +377,19 @@ class ScaleOpsSpec extends SparkSpec {
       s"rank filter not optimized to a group-limit pre-prune:\n$plan")
   }
 
+  test("q241/q242: explicit DISTRIBUTE/CLUSTER BY owns the aggregation exchange") {
+    // the user-staged distribution must SATISFY the aggregate's required
+    // distribution — exactly one hash exchange in the plan (the explicit
+    // one), not repartition-then-shuffle-again. This is the scale
+    // contract: stage one distribution, run same-key consumers free.
+    for (q <- Seq("q241_distribute_by", "q242_cluster_by")) {
+      val plan = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges == 1, s"$q: expected the single user-owned exchange:\n$plan")
+    }
+  }
+
   test("Dataset.observe delivers pipeline metrics from the write job itself") {
     import org.apache.spark.sql.Observation
     // the zero-extra-job form of a funnel count: metrics ride the action

@@ -1069,6 +1069,31 @@ object Text {
           col("new_vocab").cast("long").as("new_vocab"),
           col("cum_vocab").cast("long").as("cum_vocab"))
         .orderBy("decile")
+    }),
+
+    // ---- RAG/training-prep document chunking -----------------------------
+    // Overlapping token windows per document: width 64, stride 48 (16-token
+    // overlap so no boundary context is lost), last window ragged. What an
+    // embedding/retrieval pipeline feeds its encoder — q74 packs ACROSS
+    // documents for training batches; this splits WITHIN documents for
+    // retrieval. Pure per-row flatMap — one scan, no shuffle (the ORDER BY
+    // exists for the oracle hash only), output rows ≈ n_tokens/48 —
+    // embarrassingly linear at any corpus size. Chunk identity is
+    // (doc_id, chunk_idx) plus an md5 content digest so a downstream join
+    // can detect chunk-level drift without carrying the text.
+    "q243_chunk_windows" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("nc", expr("1 + (greatest(0, n - 64) + 47) DIV 48"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("nc") - 1)))
+        .withColumn("tok_start", (col("chunk_idx") * 48).cast("long"))
+        .withColumn("ctoks", expr("slice(w, CAST(tok_start + 1 AS INT), 64)"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("tok_start"), size(col("ctoks")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("ctoks")).cast("binary")).as("digest"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -1718,7 +1743,24 @@ object Text {
           |  CAST(sum(new_vocab) OVER (ORDER BY decile
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS cum_vocab
-          |FROM pd ORDER BY decile""".stripMargin
+          |FROM pd ORDER BY decile""".stripMargin,
+
+      // width/stride integer math is shared verbatim; DuckDB list slices
+      // are inclusive-inclusive 1-based, so w[s+1 : s+64] ≡ Spark
+      // slice(w, s+1, 64). The comprehension-unnest sits in a subquery
+      // SELECT per the established struct-unnest discipline.
+      "q243_chunk_windows" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |c AS (SELECT doc_id, w,
+           |      1 + (greatest(0, len(w) - 64) + 47) // 48 AS nc
+           |      FROM t WHERE len(w) > 0),
+           |e AS (SELECT doc_id, w,
+           |        unnest([{'ci': i} for i in range(0, nc)]) AS s FROM c)
+           |SELECT doc_id, CAST(s.ci AS BIGINT) AS chunk_idx,
+           |  CAST(s.ci * 48 AS BIGINT) AS tok_start,
+           |  CAST(len(w[s.ci*48+1 : s.ci*48+64]) AS BIGINT) AS n_tok,
+           |  md5(array_to_string(w[s.ci*48+1 : s.ci*48+64], ' ')) AS digest
+           |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Compaction
+
+/** Table-maintenance OPTIMIZE as one runnable job:
+  *
+  * ```
+  * runMain graft.OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey]
+  * ```
+  *
+  * Rewrites every parquet table under `<inDir>` into `<outDir>/<table>`
+  * at the target file size (q230 plans these bins from metadata; this
+  * executes the rewrite), bounding parquet row-group size so scans split
+  * across tasks even inside one file. Each table's rewrite is
+  * fingerprint-validated against its input (order-independent xor +
+  * modular-sum folds via Reconcile) and the job fails loudly on any
+  * mismatch — an OPTIMIZE that changes content must never be swapped in.
+  *
+  * Prints one summary line per table:
+  * `table files_in->files_out bytes_in->bytes_out rows match`.
+  */
+object OptimizeMain {
+
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long, sortKey: Option[String] = None
+      ): Seq[(String, Compaction.CompactStats)] = {
+    val tables = Option(new java.io.File(inDir).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted
+    tables.map { t =>
+      val stats = Compaction.compact(spark, s"$inDir/$t.parquet",
+        s"$outDir/$t", targetFileBytes,
+        rowGroupBytes = math.max(1L << 20, targetFileBytes / 8), sortKey)
+      t -> stats
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey]")
+    val target = (if (args.length >= 3) args(2).toLong else 128L) << 20
+    val sortKey = if (args.length >= 4) Some(args(3)) else None
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = run(spark, args(0), args(1), target, sortKey)
+    results.foreach { case (t, s) =>
+      println(f"$t%-12s files ${s.n_files_in}->${s.n_files_out}  " +
+        f"bytes ${s.bytes_in}->${s.bytes_out}  rows ${s.n_rows}  match ${s.content_match}")
+    }
+    val bad = results.filterNot(_._2.content_match)
+    spark.stop()
+    if (bad.nonEmpty)
+      sys.error(s"content mismatch after compaction: ${bad.map(_._1).mkString(",")}")
+  }
+}

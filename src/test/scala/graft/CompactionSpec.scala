@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Compaction
+
+/** The OPTIMIZE executor: content-preserving by fingerprint, layout
+  * actually improved (file sizing, row-group splitting, key clustering). */
+class CompactionSpec extends SparkSpec {
+
+  private val dirA = sf("sf0.001")
+
+  test("compaction preserves content exactly and hits the file-size plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    // stage a pathological MANY-SMALL-FILES layout (the ingest problem)
+    Tables(spark, dirA, "lineitem").repartition(37)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stats = Compaction.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 1L << 20, rowGroupBytes = 256L << 10)
+    assert(stats.content_match, s"content drifted: $stats")
+    assert(stats.n_files_in == 37L)
+    assert(stats.n_files_out < stats.n_files_in, s"no consolidation: $stats")
+    // sizing comes from bytes, not file count: ceil(bytes/target)
+    val expect = math.max(1L, (stats.bytes_in + (1L << 20) - 1) / (1L << 20))
+    assert(stats.n_files_out == expect, s"bin plan missed: $stats expected $expect")
+    assert(stats.n_rows == Tables(spark, dirA, "lineitem").count())
+  }
+
+  test("single-row-group input gains scan parallelism after compaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("compactrg").toString
+    // the round-8 fixture pathology: one file, one giant row group
+    Tables(spark, dirA, "lineitem").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1L << 30).toString)
+      .parquet(s"$tmp/in")
+    val stats = Compaction.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 4L << 20, rowGroupBytes = 16L << 10)
+    assert(stats.content_match)
+    // Spark parallelizes parquet at ROW-GROUP granularity: with the same
+    // split sizing, count splits that actually carry rows. The input's
+    // single row group rides ONE split however the byte ranges fall; the
+    // compacted output's small row groups spread across several.
+    def effectiveTasks(path: String): Int = {
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (16L << 10).toString)
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        spark.read.parquet(path).rdd
+          .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).collect().sum
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    }
+    val inParts = effectiveTasks(s"$tmp/in")
+    val outParts = effectiveTasks(s"$tmp/out")
+    assert(inParts == 1, s"fixture staging expected one effective task, got $inParts")
+    assert(outParts > inParts, s"no parallelism gained: $inParts -> $outParts")
+  }
+
+  test("sort-key clustering gives each output file a near-disjoint key span") {
+    val tmp = java.nio.file.Files.createTempDirectory("compactsort").toString
+    Tables(spark, dirA, "orders").repartition(11)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stats = Compaction.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 8L << 10, rowGroupBytes = 4L << 10,
+      sortKey = Some("o_orderkey"))
+    assert(stats.content_match && stats.n_files_out > 1)
+    // per-file [min,max] key ranges must not overlap (range clustering):
+    // that is what makes min/max stats selective for key-range scans
+    val spans = spark.read.parquet(s"$tmp/out")
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"overlapping file spans: ${spans.mkString(",")}")
+      case _ =>
+    }
+  }
+}

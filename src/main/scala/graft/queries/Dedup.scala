@@ -145,16 +145,23 @@ object Dedup {
   /** The pre-verification candidate pair set (banding output, scored but
     * unfiltered) — what [[lshPairs]] gates at jacc ≥ 0.7. Exposed so the
     * banding's false-positive rate is itself measurable (q194). */
-  def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
+  /** One (doc_id, bi, bh) row per band of each signature — the LSH index
+    * key layout, shared by the self-join candidates (below) and the
+    * incremental probe (q244). */
+  private[queries] def bandKeys(base: DataFrame): DataFrame = {
     val bandCols = (0 until BANDS).map { bi =>
       struct(lit(bi).as("bi"),
         md5(concat_ws(",",
           (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
           .cast("binary")).as("bh"))
     }
-    val buckets = base
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .groupBy(col("band.bi"), col("band.bh"))
+    base.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+  }
+
+  def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
+    val buckets = bandKeys(base)
+      .groupBy(col("bi"), col("bh"))
       .agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")).between(2, cap))
     // all i<j position pairs of the bucket array; orient by value so the
@@ -937,6 +944,51 @@ object Dedup {
         .localCheckpoint(eager = true)
       base.unpersist()
       out
+    }),
+
+    // ---- incremental near-dup: delta batch vs corpus index ---------------
+    // The PRODUCTION dedup shape at 100 TB: nobody re-runs the all-corpus
+    // self-join per ingest — the daily delta (here the deterministic 10%
+    // slice doc_id%10=7) probes the standing corpus LSH index (band keys of
+    // everyone else; the minhashBase+bandKeys table you'd keep as parquet
+    // across snapshots). Asymmetry is the scale win: the delta's band rows
+    // are tiny (AQE broadcasts them), the index is touched only at its
+    // colliding buckets, and no corpus-corpus pair is ever formed. The
+    // bucket cap applies to INDEX buckets (degenerate boilerplate families;
+    // singleton buckets stay probe-able — `<= cap`, not `between(2,cap)`).
+    // Verified candidates reduce per batch doc to (match count, best match
+    // by jacc desc / id asc) in ONE partial-aggregating shuffle via
+    // max_by(struct) — no window over the verify output.
+    "q244_incremental_neardup" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = minhashBase(docs.filter(col("doc_id") % 10 =!= 7))
+      val prb = minhashBase(docs.filter(col("doc_id") % 10 === 7))
+      val idxBuckets = bandKeys(idx).groupBy("bi", "bh")
+        .agg(collect_list("doc_id").as("ds"))
+        .filter(size(col("ds")) <= LshBucketCap)
+      val cands = bandKeys(prb)
+        .join(idxBuckets, Seq("bi", "bh"))
+        .select(col("doc_id").as("b"), explode(col("ds")).as("c"))
+        .dropDuplicates("b", "c")
+      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
+      val verified = cands
+        .join(prb.select(col("doc_id").as("b"), col("hs").as("h1"),
+          col("sz").as("sz1")), Seq("b"))
+        .join(idx.select(col("doc_id").as("c"), col("hs").as("h2"),
+          col("sz").as("sz2")), Seq("c"))
+        .withColumn("jacc", round(
+          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
+        .filter(col("jacc") >= 0.7)
+      val out = verified.groupBy(col("b").as("batch_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max_by(struct(col("c"), col("jacc")),
+            struct(col("jacc"), (-col("c")).as("tb"))).as("best"))
+        .select(col("batch_id"), col("n_matches").cast("long").as("n_matches"),
+          col("best.c").as("match_id"), col("best.jacc").as("jacc_best"))
+        .orderBy("batch_id")
+        .localCheckpoint(eager = true)
+      idx.unpersist(); prb.unpersist()
+      out
     })
   )
 
@@ -987,17 +1039,21 @@ object Dedup {
         |                           for i in range(1, len(t) - 1)]) END AS w
         | FROM tk)""".stripMargin
 
+    // shared MinHash SQL pieces: per-permutation signature minima and the
+    // per-band bucket keys (used by the self-join chain below AND the
+    // incremental probe q244)
+    val sigExprs = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
+    }
+    val bandSelects = (0 until BANDS).map { bi =>
+      val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
+    }
+
     // the full MinHash→bands→capped-buckets→Jaccard-verified pair set (the
     // q37 pipeline) as a reusable CTE chain ending in pr(d1, d2, jacc) —
     // shared by the q37 oracle and q70's transitive closure over it
     val lshPairCtes: String = {
-      val sigExprs = AB.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
-      }
-      val bandSelects = (0 until BANDS).map { bi =>
-        val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
-        s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
-      }
       s"""$shinglesSql,
          |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
          |       FROM sh WHERE len(w) > 0),
@@ -1529,7 +1585,40 @@ object Dedup {
            |       ELSE (tp * 10000) // n_lsh END AS BIGINT) AS precision_bp,
            |  CAST(CASE WHEN n_exact = 0 THEN NULL
            |       ELSE (tp * 10000) // n_exact END AS BIGINT) AS recall_bp
-           |FROM ag""".stripMargin
+           |FROM ag""".stripMargin,
+
+      // bands for ALL docs, then the corpus/batch split: index buckets
+      // capped on corpus membership only (WHERE runs before QUALIFY's
+      // window, so the count sees just corpus rows); probe bands uncapped;
+      // best match = jacc desc then id asc — mirrors max_by(struct) exactly
+      "q244_incremental_neardup" ->
+        s"""WITH $shinglesSql,
+           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+           |       FROM sh WHERE len(w) > 0),
+           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+           |bandsAll AS (${bandSelects.mkString(" UNION ALL ")}),
+           |cb AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 != 7
+           |       QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
+           |pb AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 = 7),
+           |cand AS (SELECT DISTINCT pb.doc_id AS b, cb.doc_id AS c
+           |         FROM pb JOIN cb USING (bi, bh)),
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs2,
+           |              len(list_distinct(h)) AS sz FROM hs),
+           |j AS (SELECT b, c, len(list_intersect(x.hs2, y.hs2)) AS i,
+           |             x.sz AS sz1, y.sz AS sz2
+           |      FROM cand JOIN hd x ON cand.b = x.doc_id
+           |                JOIN hd y ON cand.c = y.doc_id),
+           |v AS (SELECT b, c,
+           |        round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
+           |      FROM j
+           |      WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7),
+           |r AS (SELECT b, c, jacc,
+           |        row_number() OVER (PARTITION BY b ORDER BY jacc DESC, c) AS rn,
+           |        count(*) OVER (PARTITION BY b) AS nm
+           |      FROM v)
+           |SELECT b AS batch_id, CAST(nm AS BIGINT) AS n_matches,
+           |       c AS match_id, jacc AS jacc_best
+           |FROM r WHERE rn = 1 ORDER BY batch_id""".stripMargin
     )
   }
 }

@@ -1476,6 +1476,24 @@ object Relational {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // ---- optimizer join hints --------------------------------------------
+    // /*+ BROADCAST(alias) */ — the hint a migrating user carries in their
+    // SQL text. Spark honors it (BroadcastHashJoin pinned in ScaleOpsSpec,
+    // including the MERGE variant that FORCES a sort-merge join where AQE
+    // would broadcast); DuckDB reads the hint as the block comment it
+    // syntactically is — so the SAME query text runs verbatim on both
+    // engines and must agree on values (q176's discipline). Hints never
+    // change results, only plans: that invariant IS the oracle here.
+    "q245_join_hints" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("q245_customer")
+      Tables(s, dir, "nation").createOrReplaceTempView("q245_nation")
+      s.sql("""
+        |SELECT /*+ BROADCAST(n) */ n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM q245_customer c JOIN q245_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
     // ---- CLUSTER BY ------------------------------------------------------
     // CLUSTER BY k ≡ DISTRIBUTE BY k SORT BY k — the shorthand migrating
     // Hive/Spark-SQL users reach for; same single-exchange plan shape as
@@ -2467,6 +2485,15 @@ object Relational {
     "q242_cluster_by" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS total_c
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical text modulo view names: DuckDB parses the hint as a block
+    // comment and ignores it — values must match, proving hints are
+    // plan-only
+    "q245_join_hints" ->
+      """SELECT /*+ BROADCAST(n) */ n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -390,6 +390,22 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q245: join hints steer the physical join, never the values") {
+    val plan = SparkEntry.queries("q245_join_hints")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n$plan")
+    // the inverse direction is the real proof the hint surface is honored:
+    // MERGE must FORCE a sort-merge join on a join AQE would broadcast
+    Tables(spark, sf("sf0.001"), "customer").createOrReplaceTempView("hint_c")
+    Tables(spark, sf("sf0.001"), "nation").createOrReplaceTempView("hint_n")
+    val merged = spark.sql("""
+      |SELECT /*+ MERGE(n) */ n_name, count(*) AS n_cust
+      |FROM hint_c c JOIN hint_n n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name""".stripMargin)
+    val mPlan = merged.queryExecution.executedPlan.toString
+    assert(mPlan.contains("SortMergeJoin"), s"MERGE hint ignored:\n$mPlan")
+  }
+
   test("Dataset.observe delivers pipeline metrics from the write job itself") {
     import org.apache.spark.sql.Observation
     // the zero-extra-job form of a funnel count: metrics ride the action

@@ -960,9 +960,13 @@ object Dedup {
     // by jacc desc / id asc) in ONE partial-aggregating shuffle via
     // max_by(struct) — no window over the verify output.
     "q244_incremental_neardup" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables(s, dir, "documents")
-      val idx = minhashBase(docs.filter(col("doc_id") % 10 =!= 7))
-      val prb = minhashBase(docs.filter(col("doc_id") % 10 === 7))
+      // one corpus scan + one persisted base; the split is a filter on the
+      // cached signatures (per-doc minhash is side-independent). In
+      // production the index side already EXISTS as a standing table — the
+      // per-ingest cost is the batch slice alone.
+      val base = minhashBase(Tables(s, dir, "documents"))
+      val idx = base.filter(col("doc_id") % 10 =!= 7)
+      val prb = base.filter(col("doc_id") % 10 === 7)
       val idxBuckets = bandKeys(idx).groupBy("bi", "bh")
         .agg(collect_list("doc_id").as("ds"))
         .filter(size(col("ds")) <= LshBucketCap)
@@ -987,7 +991,7 @@ object Dedup {
           col("best.c").as("match_id"), col("best.jacc").as("jacc_best"))
         .orderBy("batch_id")
         .localCheckpoint(eager = true)
-      idx.unpersist(); prb.unpersist()
+      base.unpersist()
       out
     })
   )

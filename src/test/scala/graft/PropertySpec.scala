@@ -42,6 +42,36 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q243 chunking: full coverage, exact stride, bounded width on random docs") {
+    // the chunker's contract: every token lands in at least one chunk
+    // (coverage), starts advance by exactly the stride, widths cap at 64,
+    // and the chunk count matches the closed form — over random token
+    // counts including the 1, 63..65, exact-multiple edges
+    val nGen = Gen.frequency(
+      6 -> Gen.choose(1, 300),
+      1 -> Gen.oneOf(1, 47, 48, 49, 63, 64, 65, 112, 113, 160))
+    passes(Prop.forAll(Gen.listOfN(8, nGen)) { ns =>
+      val tmp = java.nio.file.Files.createTempDirectory("chunkprop").toString
+      ns.zipWithIndex.map { case (n, i) =>
+        val text = (0 until n).map(j => s"t${i}x$j").mkString(" ")
+        (i.toLong, text, "en", "gen", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = SparkEntry.queries("q243_chunk_windows")(spark, tmp)
+        .select("doc_id", "chunk_idx", "tok_start", "n_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      ns.zipWithIndex.forall { case (n, i) =>
+        val cs = rows(i.toLong).sortBy(_._2)
+        val expectChunks = 1 + math.max(0, (n - 64 + 47) / 48)
+        cs.length == expectChunks &&
+          cs.zipWithIndex.forall { case ((_, ci, st, nt), k) =>
+            ci == k && st == 48L * k && nt == math.min(64, n - st) && nt > 0 } &&
+          (cs.last._3 + cs.last._4) == n.toLong  // coverage: last chunk ends at n
+      }
+    })
+  }
+
   test("A4: first-non-null per key is partition-count invariant and order-correct") {
     val rowsGen = Gen.listOfN(60,
       Gen.zip(Gen.choose(0L, 4L), Gen.option(Gen.choose(0L, 1000L))))

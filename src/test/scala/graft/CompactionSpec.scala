@@ -58,6 +58,30 @@ class CompactionSpec extends SparkSpec {
     assert(outParts > inParts, s"no parallelism gained: $inParts -> $outParts")
   }
 
+  test("streaming sink output (many small files + metadata log) compacts clean") {
+    // the canonical compaction customer: a micro-batch parquet sink leaves
+    // one-plus files per trigger and a _spark_metadata log; the rewrite
+    // must read through the log, consolidate, and fingerprint-match
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("compactstream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .format("parquet").option("path", s"$tmp/in")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      for (b <- 0 until 5) {
+        in.addData((0 until 200).map(i => (b * 200L + i, s"v$b-$i")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val nIn = Compaction.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 64L << 20)
+    assert(nIn.n_files_in >= 5, s"expected one-plus files per micro-batch: $nIn")
+    assert(nIn.n_files_out == 1L && nIn.n_rows == 1000L && nIn.content_match, s"$nIn")
+  }
+
   test("sort-key clustering gives each output file a near-disjoint key span") {
     val tmp = java.nio.file.Files.createTempDirectory("compactsort").toString
     Tables(spark, dirA, "orders").repartition(11)

@@ -35,12 +35,23 @@ object Compaction {
       n_files_in: Long, bytes_in: Long, n_files_out: Long, bytes_out: Long,
       n_rows: Long, content_match: Boolean)
 
+  /** All data files under `dir`, recursively — a table may be a single
+    * file, a flat directory, or hive-partitioned (key=value subdirs), and
+    * byte sizing must see the leaves in every case. Metadata artifacts
+    * (_spark_metadata, _SUCCESS, dotfiles) are skipped like Spark's own
+    * file index does. */
   private def listParquet(dir: String): Seq[java.io.File] = {
-    val f = new java.io.File(dir)
-    val all: Seq[java.io.File] =
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    all.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) {
+        if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      } else if (f.getName.startsWith("_") || f.getName.startsWith(".")) {
+        Seq.empty
+      } else {
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      }
+    val root = new java.io.File(dir)
+    if (root.isFile) Seq(root).filter(_.getName.endsWith(".parquet"))
+    else Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
   }
 
   /** Rewrite `inDir`'s parquet into `outDir` targeting `targetFileBytes`

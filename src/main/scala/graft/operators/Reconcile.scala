@@ -74,16 +74,20 @@ object Reconcile {
     // partial-aggregated shuffle per side
     def digest(df: DataFrame, s: String): DataFrame = {
       val rest = df.columns.filterNot(_ == key).sorted.map(col)
-      df.select(col(key).as("k"), to_json(struct(rest: _*)).as("c"))
-        .select(col("k"),
+      df.select(col(key).as(s"k_$s"), to_json(struct(rest: _*)).as("c"))
+        .select(col(s"k_$s"),
           expr("CAST(conv(substring(md5(CAST(c AS BINARY)), 1, 14), 16, 10) AS BIGINT)")
             .as("fp"))
-        .groupBy("k")
+        .groupBy(s"k_$s")
         .agg(struct(count(lit(1)).as("n"), expr("bit_xor(fp)").as("x"),
           sumFpMod("fp").as("s")).as(s"d_$s"))
     }
-    digest(a, "old").join(digest(b, "new"), Seq("k"), "full_outer")
-      .select(col("k"),
+    // null-safe key equality: a NULL-keyed group exists at most once per
+    // side after the pre-aggregation and must compare LIKE A KEY (a plain
+    // equi-join would misreport it as one added + one removed forever)
+    digest(a, "old").join(digest(b, "new"),
+        col("k_old") <=> col("k_new"), "full_outer")
+      .select(coalesce(col("k_old"), col("k_new")).as("k"),
         when(col("d_old").isNull, "added")
           .when(col("d_new").isNull, "removed")
           .when(col("d_old") =!= col("d_new"), "changed")

@@ -203,6 +203,10 @@ object EventsPipeline {
     * coupling). */
   class DriftProcessor(bucketMs: Long, zThresh: Double)
       extends StatefulProcessor[String, EventRow, DriftAlert] {
+    // bound on zero-count buckets synthesized per bucket advance: generous
+    // enough for any sane quiet period (a week of minute buckets), small
+    // enough that corrupt future timestamps can't stall the batch
+    private val MaxGapBuckets = 10000L
     @transient private var st: ValueState[DriftState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[DriftState](
@@ -239,10 +243,16 @@ object EventsPipeline {
           // bucket is scored (a drop to zero against an established mean
           // is exactly the anomaly a drift monitor must catch) and folded
           // into the reference stats, so a gap neither vanishes from the
-          // history nor suppresses the dead-stream alert
+          // history nor suppresses the dead-stream alert. The synthesis is
+          // CAPPED: the watermark bounds lateness but nothing bounds
+          // future skew, and one corrupt far-future timestamp must not
+          // spin this loop for millions of buckets and flood the output —
+          // beyond MaxGapBuckets the remaining gap is skipped (the jump is
+          // visible in the emitted bucket_start sequence).
           var g = s.curBucket + 1
+          val gEnd = math.min(b, s.curBucket + 1 + MaxGapBuckets)
           s = folded
-          while (g < b) {
+          while (g < gEnd) {
             val (a0, f0) = close(key, s.copy(curBucket = g, curN = 0L))
             out += a0
             s = f0

@@ -82,6 +82,21 @@ class CompactionSpec extends SparkSpec {
     assert(nIn.n_files_out == 1L && nIn.n_rows == 1000L && nIn.content_match, s"$nIn")
   }
 
+  test("hive-partitioned input is sized from its leaf files, not the top level") {
+    val tmp = java.nio.file.Files.createTempDirectory("compactpart").toString
+    Tables(spark, dirA, "orders")
+      .withColumn("bucket", col("o_orderkey") % 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/in")
+    val stats = Compaction.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 16L << 10)
+    // the key=value subdirs hold the data: byte sizing must see them, so
+    // more than one output bin results (a flat listFiles saw 0 bytes here)
+    assert(stats.bytes_in > 0 && stats.n_files_in > 0, s"leaf files unseen: $stats")
+    assert(stats.n_files_out > 1, s"whole table crammed into one file: $stats")
+    assert(stats.content_match && stats.n_rows ==
+      Tables(spark, dirA, "orders").count())
+  }
+
   test("sort-key clustering gives each output file a near-disjoint key span") {
     val tmp = java.nio.file.Files.createTempDirectory("compactsort").toString
     Tables(spark, dirA, "orders").repartition(11)

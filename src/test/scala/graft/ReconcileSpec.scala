@@ -79,6 +79,22 @@ class ReconcileSpec extends SparkSpec {
     assert(diff == Map("changed" -> 40L, "same" -> 60L), s"got $diff")
   }
 
+  test("keyedDiff treats NULL keys as a comparable key, not phantom churn") {
+    import spark.implicits._
+    // identical NULL-keyed payloads on both sides must read "same"; a
+    // NULL-keyed payload edit must read "changed" — a plain equi-join
+    // reports one added + one removed forever
+    val a = Seq((Some(1L), "x"), (None, "p")).toDF("k", "v")
+    val sameB = Seq((Some(1L), "x"), (None, "p")).toDF("k", "v")
+    val d1 = graft.operators.Reconcile.keyedDiff(a, sameB, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == Map("same" -> 2L), s"got $d1")
+    val editB = Seq((Some(1L), "x"), (None, "q")).toDF("k", "v")
+    val d2 = graft.operators.Reconcile.keyedDiff(a, editB, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2 == Map("changed" -> 1L, "same" -> 1L), s"got $d2")
+  }
+
   test("modular checksum folds in decimal: result in range and exact") {
     // the checksum must equal the directly computed modular sum and stay
     // inside [0, 1e8) — the BIGINT-overflow fix routes the fold through

@@ -974,21 +974,24 @@ object Dedup {
         .join(idxBuckets, Seq("bi", "bh"))
         .select(col("doc_id").as("b"), explode(col("ds")).as("c"))
         .dropDuplicates("b", "c")
-      val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
+      // all-integer score: threshold as i*10 >= union*7 (≡ J >= 0.7
+      // exactly) and basis points via integer division — round() on an
+      // exact integer ratio can tie the last digit and split Spark
+      // half-up from DuckDB half-even (the r4 q86/q87 lesson)
       val verified = cands
         .join(prb.select(col("doc_id").as("b"), col("hs").as("h1"),
           col("sz").as("sz1")), Seq("b"))
         .join(idx.select(col("doc_id").as("c"), col("hs").as("h2"),
           col("sz").as("sz2")), Seq("c"))
-        .withColumn("jacc", round(
-          inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
-        .filter(col("jacc") >= 0.7)
+        .withColumn("i", TextHashes.sorted_intersect_size(col("h1"), col("h2")))
+        .filter(expr("i * 10 >= (sz1 + sz2 - i) * 7"))
+        .withColumn("jacc_bp", expr("CAST((i * 10000) div (sz1 + sz2 - i) AS BIGINT)"))
       val out = verified.groupBy(col("b").as("batch_id"))
         .agg(count(lit(1)).as("n_matches"),
-          max_by(struct(col("c"), col("jacc")),
-            struct(col("jacc"), (-col("c")).as("tb"))).as("best"))
+          max_by(struct(col("c"), col("jacc_bp")),
+            struct(col("jacc_bp"), (-col("c")).as("tb"))).as("best"))
         .select(col("batch_id"), col("n_matches").cast("long").as("n_matches"),
-          col("best.c").as("match_id"), col("best.jacc").as("jacc_best"))
+          col("best.c").as("match_id"), col("best.jacc_bp").as("jacc_bp"))
         .orderBy("batch_id")
         .localCheckpoint(eager = true)
       base.unpersist()
@@ -1612,16 +1615,14 @@ object Dedup {
            |             x.sz AS sz1, y.sz AS sz2
            |      FROM cand JOIN hd x ON cand.b = x.doc_id
            |                JOIN hd y ON cand.c = y.doc_id),
-           |v AS (SELECT b, c,
-           |        round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) AS jacc
-           |      FROM j
-           |      WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7),
-           |r AS (SELECT b, c, jacc,
-           |        row_number() OVER (PARTITION BY b ORDER BY jacc DESC, c) AS rn,
+           |v AS (SELECT b, c, (i * 10000) // (sz1 + sz2 - i) AS jacc_bp
+           |      FROM j WHERE i * 10 >= (sz1 + sz2 - i) * 7),
+           |r AS (SELECT b, c, jacc_bp,
+           |        row_number() OVER (PARTITION BY b ORDER BY jacc_bp DESC, c) AS rn,
            |        count(*) OVER (PARTITION BY b) AS nm
            |      FROM v)
            |SELECT b AS batch_id, CAST(nm AS BIGINT) AS n_matches,
-           |       c AS match_id, jacc AS jacc_best
+           |       c AS match_id, CAST(jacc_bp AS BIGINT) AS jacc_bp
            |FROM r WHERE rn = 1 ORDER BY batch_id""".stripMargin
     )
   }

@@ -882,11 +882,13 @@ object Text {
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // top-50 by (df desc, t): orderBy+limit plans as a distributed
+      // TakeOrderedAndProject (per-partition heaps) — the row_number-
+      // over-global-window form funnels EVERY distinct term through one
+      // task, which the full-surface PlanLint sweep rightly flags
       val vocab = tok.select("doc_id", "t").distinct()
         .groupBy("t").agg(count(lit(1)).as("df"))
-        .withColumn("rk",
-          row_number().over(Window.orderBy(desc("df"), asc("t"))).cast("long"))
-        .filter(col("rk") <= 50).select("t")
+        .orderBy(desc("df"), asc("t")).limit(50).select("t")
       val priors = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       val pri = priors

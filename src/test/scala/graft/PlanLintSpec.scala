@@ -72,7 +72,8 @@ class PlanLintSpec extends SparkSpec {
       "q179_value_drift", "q192_key_skew", "q195_calibration",
       "q218_log_odds", "q221_incremental", "q229_kmv_setops",
       "q237_semantic_decontam",
-      "q240_tablesample") // two 1-row CTEs (sample count × total count)
+      "q240_tablesample", // two 1-row CTEs (sample count × total count)
+      "q185_naive_bayes") // prior vs broadcast 1-row total (listener-visible)
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are
@@ -91,19 +92,50 @@ class PlanLintSpec extends SparkSpec {
         smallDomainWindow.map(_ ->
           Set("single-partition-window", "single-partition-exchange")))
         .groupMapReduce(_._1)(_._2)(_ ++ _)
-    val bad = scala.collection.mutable.ListBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val findings =
-        try PlanLint.audit(fn(spark, dir))
-        catch { case e: Exception => Seq(PlanLint.Finding("audit-error", e.toString.take(120))) }
-      val unexpected = findings
-        .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.rule))
-      if (unexpected.nonEmpty) bad += s"$name: ${unexpected.mkString("; ")}"
-      // queries may persist/localCheckpoint during construction — drop all
-      // blocks so the sweep's memory stays flat (the bench-sweep lesson)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // ~18 queries execute their pipeline during construction and return a
+    // localCheckpoint — auditing only the returned frame would walk a
+    // trivial LogicalRDD scan and miss exactly the heaviest plans. A
+    // QueryExecutionListener captures every plan EXECUTED while fn() runs
+    // (checkpoint jobs, eager counts) so those are audited too.
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
+    def drainListenerBus(): Unit = {
+      // the execution-listener bus is async: wait until the capture count
+      // is stable across two polls (bounded at 3 s)
+      val deadline = System.nanoTime() + 3000000000L
+      var prev = -1
+      while (prev != captured.size && System.nanoTime() < deadline) {
+        prev = captured.size; Thread.sleep(100)
+      }
+    }
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    spark.listenerManager.register(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        captured.clear()
+        val findings =
+          try {
+            val direct = PlanLint.audit(fn(spark, dir))
+            drainListenerBus()
+            import scala.jdk.CollectionConverters._
+            direct ++ captured.asScala.toSeq.flatMap(PlanLint.audit)
+          } catch { case e: Exception => Seq(PlanLint.Finding("audit-error", e.toString.take(120))) }
+        val unexpected = findings.distinct
+          .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.rule))
+        if (unexpected.nonEmpty) bad += s"$name: ${unexpected.mkString("; ")}"
+        // queries may persist/localCheckpoint during construction — drop all
+        // blocks so the sweep's memory stays flat (the bench-sweep lesson)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    } finally spark.listenerManager.unregister(listener)
     assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
   }
 

@@ -30,6 +30,29 @@ object ExplainMain {
           (System.nanoTime() - t0) / 1e9
         }
         println(s"cold=${run()}s warm=${run()}s")
+        // Per-scan task counts from an EXECUTED plan: parquet parallelism
+        // is decided by file/row-group layout (Spark splits at row-group
+        // granularity), so a fixture regeneration that collapses a table
+        // to one row group shows up here as scan_tasks=1 — visible in one
+        // run instead of an A/B probe (the round-8 1.40x investigation).
+        locally {
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val executed = SparkEntry.queries(name)(spark, dir)
+          executed.write.format("noop").mode("overwrite").save()
+          def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+            case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+            case q: QueryStageExec        => p +: walk(q.plan)
+            case _                        => p +: p.children.flatMap(walk)
+          }
+          walk(executed.queryExecution.executedPlan).collect {
+            case f: FileSourceScanExec =>
+              val table = f.relation.location.rootPaths.headOption
+                .map(_.getName).getOrElse("?")
+              println(s"scan_tasks=${f.inputRDD.getNumPartitions} table=$table " +
+                s"files=${f.relation.location.inputFiles.length}")
+          }
+        }
       case None => println("usage: ExplainMain <query> [sfDir]")
     }
     spark.stop()

@@ -30,9 +30,16 @@ object OptimizeMain {
       .filter(f => f.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet")).sorted
     tables.map { t =>
-      val stats = Compaction.compact(spark, s"$inDir/$t.parquet",
+      val path = s"$inDir/$t.parquet"
+      // one CLI sortKey over a directory of heterogeneous tables: apply it
+      // only to tables that actually carry the column (a footer-only schema
+      // read) — otherwise repartitionByRange on table 1 would fail the
+      // whole multi-table job; the rest compact unclustered
+      val cols = spark.read.parquet(path).schema.fieldNames.toSet
+      val stats = Compaction.compact(spark, path,
         s"$outDir/$t", targetFileBytes,
-        rowGroupBytes = math.max(1L << 20, targetFileBytes / 8), sortKey)
+        rowGroupBytes = math.max(1L << 20, targetFileBytes / 8),
+        sortKey.filter(cols.contains))
       t -> stats
     }
   }

@@ -56,6 +56,15 @@ object GraftSession {
       .master(s"local[$cpus]")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE headroom: shuffles START wider than the core count and let
+      // coalescePartitions shrink them from runtime sizes — at 100 TB a
+      // fixed shuffle.partitions=cores either under-splits the big shuffles
+      // or over-splits the small ones; starting at 4× cores and coalescing
+      // down lets the SAME config serve both (parallelismFirst keeps the
+      // coalesced count at or above default parallelism, so local[32]
+      // timings stay within noise)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        scala.util.Try(cpus.trim.toInt * 4).getOrElse(128).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,36 +35,31 @@ object Compaction {
       n_files_in: Long, bytes_in: Long, n_files_out: Long, bytes_out: Long,
       n_rows: Long, content_match: Boolean)
 
-  /** All data files under `dir`, recursively — a table may be a single
-    * file, a flat directory, or hive-partitioned (key=value subdirs), and
-    * byte sizing must see the leaves in every case. Metadata artifacts
-    * (_spark_metadata, _SUCCESS, dotfiles) are skipped like Spark's own
-    * file index does. */
-  private def listParquet(dir: String): Seq[java.io.File] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isFile) {
-        if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-      } else if (f.getName.startsWith("_") || f.getName.startsWith(".")) {
-        Seq.empty
-      } else {
-        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
-      }
-    val root = new java.io.File(dir)
-    if (root.isFile) Seq(root).filter(_.getName.endsWith(".parquet"))
-    else Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
-  }
-
   /** Rewrite `inDir`'s parquet into `outDir` targeting `targetFileBytes`
     * per file (and `rowGroupBytes` per row group within each file).
     * `sortKey` range-clusters rows so each output file owns a contiguous
     * key span — scan filters on that key then prune whole files/row
     * groups via min/max stats. */
+  /** Sizes of the files a materialized DataFrame actually reads —
+    * `df.inputFiles` honors the `_spark_metadata` commit log for
+    * streaming-sink directories, so orphaned/uncommitted batch files never
+    * inflate the stats (a raw directory listing would count them). */
+  private def inputFileSizes(df: DataFrame): Seq[Long] =
+    df.inputFiles.toSeq.map(p => new java.io.File(new java.net.URI(p)).length())
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L << 20, rowGroupBytes: Long = 16L << 20,
       sortKey: Option[String] = None): CompactStats = {
-    val inFiles = listParquet(inDir)
-    val bytesIn = inFiles.map(_.length()).sum
+    // an OPTIMIZE "in place" would delete the input under the reader before
+    // the fingerprint validation could ever run; Spark's own self-overwrite
+    // check can be defeated by path normalization (relative vs absolute,
+    // trailing slash, symlink), so resolve both to canonical form here
+    require(new java.io.File(inDir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"compact: outDir must differ from inDir ($inDir)")
     val df = spark.read.parquet(inDir)
+    val inSizes = inputFileSizes(df)
+    val bytesIn = inSizes.sum
     val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
     val shaped = sortKey match {
       case Some(k) => df.repartitionByRange(nOut, col(k))
@@ -73,11 +68,11 @@ object Compaction {
     shaped.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(outDir)
-    val outFiles = listParquet(outDir)
     val out = spark.read.parquet(outDir)
+    val outSizes = inputFileSizes(out)
     val Seq(rep) = Reconcile.report(Seq(("compact", df, out)))
-    CompactStats(inFiles.size.toLong, bytesIn,
-      outFiles.size.toLong, outFiles.map(_.length()).sum,
+    CompactStats(inSizes.size.toLong, bytesIn,
+      outSizes.size.toLong, outSizes.sum,
       rep.n_rows_b, rep.matches)
   }
 }

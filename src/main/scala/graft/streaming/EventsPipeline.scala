@@ -258,6 +258,21 @@ object EventsPipeline {
             s = f0
             g += 1
           }
+          // buckets beyond the emission cap are not alert-scored (that is
+          // the flood bound), but their zero counts ARE folded into the
+          // reference stats in closed form — Chan's pairwise merge of
+          // (rem, mean 0, M2 0) into (nW, mean, m2) — so the running
+          // mean/variance stay recount-equivalent even across an extreme
+          // gap or one far-future timestamp; only the alert stream shows
+          // the bucket_start jump
+          val rem = b - gEnd
+          if (rem > 0L) {
+            val n1 = s.nW + rem
+            val d0 = 0.0 - s.mean
+            val mean1 = s.mean + d0 * rem.toDouble / n1.toDouble
+            val m21 = s.m2 + d0 * d0 * s.nW.toDouble * rem.toDouble / n1.toDouble
+            s = s.copy(nW = n1, mean = mean1, m2 = m21)
+          }
           s = s.copy(curBucket = b, curN = 1L)
         } else s = s.copy(curN = s.curN + 1) // current bucket or straggler
       }

@@ -255,6 +255,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drift monitor: an extreme gap folds the skipped zero buckets in closed form") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[graft.streaming.EventRow]
+    val q = EventsPipeline.driftAlerts(in.toDS(), bucketMs = 3600L * 1000,
+        zThresh = 2.0)
+      .writeStream.format("memory").queryName("driftbiggap").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      var id = 0L
+      def add(hour: Long, n: Int): Unit = {
+        in.addData((0 until n).map { i =>
+          id += 1
+          graft.streaming.EventRow(id,
+            new java.sql.Timestamp(base + hour * 3600000L + i * 1000L),
+            1, "view", 1.0)
+        })
+        q.processAllAvailable()
+      }
+      // five steady hours, then a gap 50 buckets WIDER than the emission
+      // cap (MaxGapBuckets = 10000): the first 10000 quiet buckets are
+      // scored and emitted, the 50 beyond the cap are skipped from the
+      // alert stream but must still fold into the reference stats
+      Seq(5, 6, 5, 6, 5).zipWithIndex.foreach { case (n, h) => add(h.toLong, n) }
+      val resume = 4L + 1L + 10000L + 50L
+      add(resume, 5)
+      add(resume + 1, 1) // closes the resume bucket
+      val views = spark.table("driftbiggap")
+        .as[graft.streaming.EventsPipeline.DriftAlert]
+        .collect().filter(_.event_type == "view").sortBy(_.bucket_start)
+      // 5 steady + exactly 10000 gap buckets + the resume bucket; the 50
+      // skipped buckets appear only as the bucket_start jump
+      assert(views.length == 5 + 10000 + 1, s"got ${views.length}")
+      val last = views.last
+      assert(last.n == 5L &&
+        last.bucket_start == ((base + resume * 3600000L) / 3600000L) * 3600000L)
+      // recount equivalence: the resume bucket's reference stats must
+      // equal a batch recount over ALL closed buckets including the 50
+      // skipped zeros (ref_windows counts them, mean/z fold them)
+      assert(last.ref_windows == 5L + 10000L + 50L, s"ref_windows=${last.ref_windows}")
+      val seq = Seq(5.0, 6.0, 5.0, 6.0, 5.0) ++ Seq.fill(10050)(0.0)
+      val mean = seq.sum / seq.size
+      assert(math.abs(last.ref_mean - mean) < 1e-9, s"ref_mean=${last.ref_mean}")
+      val m2 = seq.map(v => (v - mean) * (v - mean)).sum
+      val zExp = (5.0 - mean) / math.sqrt(m2 / (seq.size - 1))
+      assert(math.abs(last.z - zExp) < 1e-6, s"z=${last.z} expected=$zExp")
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and stops (cron-equivalent run)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -51,8 +51,8 @@ object Tables {
   * sized to cores rather than the 200 default).
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,4 +69,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // ad-hoc experiment overrides without a rebuild, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.foo=bar" —
+    // applied LAST so they win over the defaults above
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k.trim, v.trim)
+      }
+  }
 }

@@ -91,13 +91,16 @@ object Dedup {
   private def hashedDocs(s: SparkSession, dir: String): DataFrame =
     hashedDocsOf(Tables(s, dir, "documents"))
 
-  /** LSH bucket-size cap: a band bucket with more members than this is
-    * dropped before the candidate self-join. A degenerate bucket (boiler-
-    * plate or near-empty docs sharing a signature) makes that join quadratic
-    * in the bucket — the one quadratic blowup this pipeline can hit at
-    * 100 TB. Mega-clusters of identical docs are exact-dedup's job (q35);
-    * near-dup pairing inside a >CAP bucket is noise, not signal. The oracle
-    * SQL applies the same cap (QUALIFY), so semantics match at every sf. */
+  /** LSH bucket-size cap: a band bucket with more members than this never
+    * pairs directly — a degenerate bucket (boilerplate or near-empty docs
+    * sharing a signature) would make the candidate self-join quadratic in
+    * the bucket, the one quadratic blowup this pipeline can hit at 100 TB.
+    * The cap is TIERED (r9): an oversized bucket is re-keyed by the
+    * SECONDARY band hash (bh2) and its sub-buckets pair under the same
+    * cap, so true near-dup pairs inside a big bucket survive; only
+    * sub-buckets still over the cap are dropped (mega-clusters of
+    * identical docs are exact-dedup's job, q35). The oracle SQL applies
+    * the same two tiers (QUALIFY), so semantics match at every sf. */
   val LshBucketCap = 32
 
   /** (doc_id, hs, sz, sig) in ONE pass over the corpus: distinct shingle-
@@ -145,28 +148,52 @@ object Dedup {
   /** The pre-verification candidate pair set (banding output, scored but
     * unfiltered) — what [[lshPairs]] gates at jacc ≥ 0.7. Exposed so the
     * banding's false-positive rate is itself measurable (q194). */
-  /** One (doc_id, bi, bh) row per band of each signature — the LSH index
-    * key layout, shared by the self-join candidates (below) and the
-    * incremental probe (q244). */
+  /** One (doc_id, bi, bh, bh2) row per band of each signature — the LSH
+    * index key layout, shared by the self-join candidates (below) and the
+    * incremental probe (q244). `bh2` is the NEXT band's hash ((bi+1) mod
+    * BANDS): the tiered cap uses it as a secondary key to SPLIT oversized
+    * buckets instead of dropping them — genuinely similar docs tend to
+    * collide on the secondary band too, while a degenerate boilerplate
+    * family spreads across sub-buckets. */
   private[queries] def bandKeys(base: DataFrame): DataFrame = {
+    def bandHash(bi: Int): Column =
+      md5(concat_ws(",",
+        (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
+        .cast("binary"))
     val bandCols = (0 until BANDS).map { bi =>
-      struct(lit(bi).as("bi"),
-        md5(concat_ws(",",
-          (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
-          .cast("binary")).as("bh"))
+      struct(lit(bi).as("bi"), bandHash(bi).as("bh"),
+        bandHash((bi + 1) % BANDS).as("bh2"))
     }
     base.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+      .select(col("doc_id"), col("band.bi").as("bi"),
+        col("band.bh").as("bh"), col("band.bh2").as("bh2"))
   }
 
   def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
     val buckets = bandKeys(base)
       .groupBy(col("bi"), col("bh"))
+      .agg(collect_list(struct(col("doc_id"), col("bh2"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    // tier 1: buckets within the cap pair directly. tier 2: OVERSIZED
+    // buckets are re-keyed by the secondary band hash instead of dropped
+    // (a second, tiny shuffle — only oversized-bucket members move), and
+    // the resulting sub-buckets pair under the same cap; sub-buckets still
+    // over the cap are the degenerate residue that stays dropped. This
+    // recovers true pairs that the flat cap lost (q233's 40 bp recall gap)
+    // while keeping every pair expansion bounded at cap·(cap−1)/2.
+    val small = buckets.filter(size(col("ms")) <= cap)
+      .select(transform(col("ms"), m => m.getField("doc_id")).as("ds"))
+    val big = buckets.filter(size(col("ms")) > cap)
+      .select(col("bi"), col("bh"), explode(col("ms")).as("m"))
+      .select(col("bi"), col("bh"), col("m.doc_id").as("doc_id"),
+        col("m.bh2").as("bh2"))
+      .groupBy(col("bi"), col("bh"), col("bh2"))
       .agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")).between(2, cap))
-    // all i<j position pairs of the bucket array; orient by value so the
+      .select(col("ds"))
+    // all i<j position pairs of each bucket array; orient by value so the
     // (d1 < d2) contract holds regardless of collect_list order
-    val pairs = buckets
+    val pairs = small.unionByName(big)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
@@ -1053,8 +1080,11 @@ object Dedup {
       s"list_min(list_transform(h, x -> (${a} * x + ${b}) % 2147483647)) AS m$i"
     }
     val bandSelects = (0 until BANDS).map { bi =>
-      val cat = (0 until ROWS).map(r => s"m${bi * ROWS + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, w, $bi AS bi, md5($cat) AS bh FROM sig"
+      def cat(b: Int) =
+        (0 until ROWS).map(r => s"m${b * ROWS + r}").mkString(" || ',' || ")
+      // bh2 = the NEXT band's hash — the tiered cap's secondary bucket key
+      s"SELECT doc_id, w, $bi AS bi, md5(${cat(bi)}) AS bh, " +
+        s"md5(${cat((bi + 1) % BANDS)}) AS bh2 FROM sig"
     }
 
     // the full MinHash→bands→capped-buckets→Jaccard-verified pair set (the
@@ -1065,11 +1095,20 @@ object Dedup {
          |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
          |       FROM sh WHERE len(w) > 0),
          |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
-         |bands AS (SELECT * FROM (${bandSelects.mkString(" UNION ALL ")})
-         |          QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bands a JOIN bands b
-         |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |b0 AS (SELECT doc_id, bi, bh, bh2,
+         |         count(*) OVER (PARTITION BY bi, bh) AS bsz
+         |       FROM (${bandSelects.mkString(" UNION ALL ")})),
+         |bsmall AS (SELECT doc_id, bi, bh FROM b0 WHERE bsz <= $LshBucketCap),
+         |bbig AS (SELECT doc_id, bi, bh, bh2 FROM b0 WHERE bsz > $LshBucketCap
+         |         QUALIFY count(*) OVER (PARTITION BY bi, bh, bh2) <= $LshBucketCap),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bsmall a JOIN bsmall b
+         |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |         UNION
+         |         SELECT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bbig a JOIN bbig b
+         |           ON a.bi = b.bi AND a.bh = b.bh AND a.bh2 = b.bh2
+         |          AND a.doc_id < b.doc_id),
          |hd AS (SELECT doc_id, list_distinct(h) AS hs, len(list_distinct(h)) AS sz FROM hs),
          |j AS (SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
          |             x.sz AS sz1, y.sz AS sz2

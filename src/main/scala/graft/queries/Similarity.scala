@@ -264,6 +264,37 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // ---- IVF-PQ refine: ADC shortlist → exact re-rank --------------------
+    // The standard two-stage ANN read path q99 stops short of: the
+    // compressed scan RANKS (ADC over 4-byte codes, corpus never touches
+    // floats), then only the top-32 shortlist per query is re-scored
+    // EXACTLY against the raw vectors and the top-5 of that re-rank is
+    // served. At 100 TB the economics: stage 1 reads |corpus|×4 bytes,
+    // stage 2 reads 32 raw vectors per query — the full-precision table is
+    // probed, never scanned. Plan shape: the shortlist (k·|queries| rows)
+    // and the query vectors are both broadcast, so the single corpus scan
+    // semi-reduces to candidates map-side with zero shuffle of the big
+    // side. Recall@5 can only improve on q100's ADC-only number: the exact
+    // top-1 is found whenever it survives the shortlist, and any exact
+    // top-5 member ranked by ADC within 32 is recovered (measured: see
+    // SimilaritySpec's rerank-recall case).
+    "q247_pq_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cand = pqAdcTopK(s, dir, 32).select(col("qid"), col("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.select(col("vec_id"), col("embedding").as("ce"))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("d", l2HOF(col("qe"), col("ce")))
+        .groupBy("qid")
+        .agg(graft.functions.TopKByScore.top_k(5)(col("vec_id"), -col("d")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("idx", "sc")))
+        .select(col("qid"), (col("idx") + 1).cast("long").as("rank"),
+          col("sc.id").as("vec_id"), round(-col("sc.score"), 4).as("l2"))
+        .orderBy("qid", "rank")
+    }),
+
 
     // ---- distributed k-means (2 Lloyd iterations) ------------------------
     // The training step IVF (q40) and PQ (q76) codebooks actually come
@@ -470,9 +501,16 @@ object Similarity {
     })
   )
 
-  /** q99's plan: PQ-encode the corpus, broadcast per-query LUTs, ADC top-5
-    * via the bounded-heap aggregator. Shared by q99 and q100. */
-  private def pqTop5(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** q99's plan: PQ-encode the corpus, broadcast per-query LUTs, ADC top-k
+    * via the bounded-heap aggregator. Shared by q99/q100 (k=5, rounded
+    * output) and q247's re-rank stage (k=32, raw candidate set). */
+  private def pqTop5(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    pqAdcTopK(s, dir, 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy("qid", "rank")
+
+  private def pqAdcTopK(s: SparkSession, dir: String, k: Int): org.apache.spark.sql.DataFrame = {
       val e = Tables(s, dir, "embeddings")
       val cw = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("code"), col("embedding").as("cv"))
@@ -509,11 +547,10 @@ object Similarity {
           sum(when(col("subspace") === 3, col("d"))).as("d3"))
         .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
         .groupBy("qid")
-        .agg(graft.functions.TopKByScore.top_k(5)(col("vec_id"), -col("adc")).as("top"))
+        .agg(graft.functions.TopKByScore.top_k(k)(col("vec_id"), -col("adc")).as("top"))
         .select(col("qid"), posexplode(col("top")).as(Seq("idx", "sc")))
         .select(col("qid"), (col("idx") + 1).cast("long").as("rank"),
-          col("sc.id").as("vec_id"), round(-col("sc.score"), 4).as("adc_dist"))
-        .orderBy("qid", "rank")
+          col("sc.id").as("vec_id"), (-col("sc.score")).as("adc"))
     }
 
   private lazy val q39Sql: String =
@@ -556,8 +593,10 @@ object Similarity {
        | FROM sc)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  private val q99Sql: String =
-    """WITH cw AS (SELECT vec_id AS code, embedding AS cv
+  /** The PQ ADC scoring chain ending in a(qid, vec_id, adc) — shared by
+    * the q99 oracle and q247's re-rank oracle. */
+  private val pqAdcCtes: String =
+    """cw AS (SELECT vec_id AS code, embedding AS cv
         |            FROM embeddings WHERE vec_id < 4),
         |sub AS (SELECT vec_id, embedding, unnest(range(0, 4)) AS subspace
         |        FROM embeddings),
@@ -583,13 +622,37 @@ object Similarity {
         |        sum(CASE WHEN subspace = 3 THEN d END) AS d3
         |       FROM codes JOIN dt USING (subspace, code)
         |       WHERE qid <> vec_id GROUP BY qid, vec_id),
-        |a AS (SELECT qid, vec_id, d0 + d1 + d2 + d3 AS adc FROM sc),
-        |r AS (SELECT qid, vec_id, adc,
-        |        CAST(row_number() OVER (PARTITION BY qid
-        |               ORDER BY adc, vec_id) AS BIGINT) AS rank
-        |      FROM a)
-        |SELECT qid, rank, vec_id, round(adc, 4) AS adc_dist
-        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |a AS (SELECT qid, vec_id, d0 + d1 + d2 + d3 AS adc FROM sc)""".stripMargin
+
+  private val q99Sql: String =
+    s"""WITH $pqAdcCtes,
+       |r AS (SELECT qid, vec_id, adc,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc, vec_id) AS BIGINT) AS rank
+       |      FROM a)
+       |SELECT qid, rank, vec_id, round(adc, 4) AS adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // ADC top-32 shortlist → exact L2 re-rank → top-5 (q247). The exact
+  // distance is the same sequential-fold list comprehension as q100's
+  // ground truth, so the raw doubles are bit-equal to l2HOF's.
+  private val q247Sql: String =
+    s"""WITH $pqAdcCtes,
+       |cand AS (SELECT qid, vec_id FROM a
+       |         QUALIFY row_number() OVER (PARTITION BY qid
+       |                  ORDER BY adc, vec_id) <= 32),
+       |rer AS (SELECT c.qid, c.vec_id,
+       |  list_sum([ (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE)
+       |           * (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE)
+       |            for i in range(1, len(q.embedding) + 1)]) AS d
+       | FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+       |             JOIN embeddings v ON v.vec_id = c.vec_id)
+       |SELECT qid, rank, vec_id, round(d, 4) AS l2 FROM (
+       | SELECT qid, vec_id, d,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d, vec_id)
+       |       AS BIGINT) AS rank
+       | FROM rer)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q39_cosine_topk" -> q39Sql,
@@ -633,6 +696,8 @@ object Similarity {
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     "q99_pq_search" -> q99Sql,
+
+    "q247_pq_rerank" -> q247Sql,
 
     "q100_pq_recall" ->
       s"""WITH ex AS (

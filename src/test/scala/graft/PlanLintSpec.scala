@@ -73,7 +73,8 @@ class PlanLintSpec extends SparkSpec {
       "q218_log_odds", "q221_incremental", "q229_kmv_setops",
       "q237_semantic_decontam",
       "q240_tablesample", // two 1-row CTEs (sample count × total count)
-      "q185_naive_bayes") // prior vs broadcast 1-row total (listener-visible)
+      "q185_naive_bayes", // prior vs broadcast 1-row total (listener-visible)
+      "q247_pq_rerank") // q99's 4-row codebook cartesian feeds the shortlist
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

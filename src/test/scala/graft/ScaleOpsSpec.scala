@@ -209,6 +209,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort crept into ADC ranking:\n$plan")
   }
 
+  test("q247 PQ re-rank: candidates broadcast, corpus never shuffled; recall >= ADC-only") {
+    val dir = sf("sf0.001")
+    val plan = SparkEntry.queries("q247_pq_rerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the refine stage must probe the raw-vector table with BROADCAST
+    // joins (shortlist + query vectors are tiny); the corpus side neither
+    // shuffles for a join nor feeds a window sort
+    assert(plan.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side shuffled for a join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKByScore not in the re-rank path:\n$plan")
+    // recall@5 against the exact brute force can only improve on the
+    // ADC-only ranking: any exact top-5 member whose ADC rank is within
+    // the 32-candidate shortlist is recovered by the exact re-score
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val l2 = expr("aggregate(zip_with(qe, ce, (x, y) -> " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "0.0D, (acc, v) -> acc + v)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("cid"))
+    val exact = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("d", l2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid").as("vec_id"))
+    val rr = SparkEntry.queries("q247_pq_rerank")(spark, dir)
+    assert(rr.count() == 50L) // 10 queries x top-5
+    val rrHits = rr.join(exact, Seq("qid", "vec_id")).count()
+    val adcHits = SparkEntry.queries("q100_pq_recall")(spark, dir)
+      .agg(sum("n_hits")).head.getLong(0)
+    assert(rrHits >= adcHits, s"re-rank recall $rrHits < ADC-only $adcHits")
+  }
+
   test("q109 BM25: query terms and totals broadcast, doc sums map-side combined") {
     // the scale contract: the 3-term query set and the 1-row totals never
     // shuffle the tf side; per-doc score sums combine before the exchange

@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{SparkPlan, SortExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
@@ -74,6 +75,69 @@ object PlanLint {
         }
         if (hot) Some(Finding("single-partition-exchange", head(e))) else None
       case _ => None
+    }
+  }
+
+  /** The broadcast side's row count for every BroadcastNestedLoopJoin in
+    * `plan` — the number the "reviewer says the side is tiny" sign-off
+    * asserts instead of trusting. Already-executed plans answer from the
+    * exchange's populated `numOutputRows` metric; unexecuted ones execute
+    * the build-side subtree directly (stripped of its exchange), bounded
+    * at `probeLimit + 1` rows so an unexpectedly fat side costs one probe,
+    * not a full materialization. `None` means the count could not be
+    * determined — callers must treat that as a FAILURE (fail-closed), or
+    * an unverifiable allow-map entry silently becomes a trusted one. */
+  def broadcastSideRows(plan: SparkPlan, probeLimit: Int): Seq[Option[Long]] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec        => p +: walk(q.plan)
+      case _                        => p +: p.children.flatMap(walk)
+    }
+    // codegen'd plans interpose InputAdapter/WholeStageCodegen between the
+    // join and its broadcast exchange — transparent for this purpose
+    def findExchange(p: SparkPlan): Option[BroadcastExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec                         => findExchange(a.executedPlan)
+      case q: QueryStageExec                                => findExchange(q.plan)
+      case r: ReusedExchangeExec                            => findExchange(r.child)
+      case i: org.apache.spark.sql.execution.InputAdapter   => findExchange(i.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => findExchange(w.child)
+      case e: BroadcastExchangeExec                         => Some(e)
+      case _                                                => None
+    }
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec                         => strip(a.executedPlan)
+      case q: QueryStageExec                                => strip(q.plan)
+      case r: ReusedExchangeExec                            => strip(r.child)
+      case i: org.apache.spark.sql.execution.InputAdapter   => strip(i.child)
+      case e: BroadcastExchangeExec                         => strip(e.child)
+      case other                                            => other
+    }
+    walk(plan).collect { case j: BroadcastNestedLoopJoinExec =>
+      val side = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      val fromMetrics = findExchange(side)
+        .flatMap(_.metrics.get("numOutputRows"))
+        .map(_.value)
+        .filter(_ > 0) // an unexecuted metric reads 0 — indistinguishable
+      fromMetrics.orElse {
+        try {
+          // an AQE broadcast subtree carries NO columnar transitions (they
+          // are inserted at stage materialization, which we bypass) — its
+          // batched parquet scan would surface ColumnarBatch where a row
+          // is expected. Re-insert ColumnarToRow above every columnar node.
+          def rowify(p: SparkPlan): SparkPlan = {
+            val c =
+              if (p.children.isEmpty) p
+              else p.withNewChildren(p.children.map(rowify))
+            if (c.supportsColumnar)
+              org.apache.spark.sql.execution.ColumnarToRowExec(c)
+            else c
+          }
+          Some(rowify(strip(side)).executeTake(probeLimit + 1).length.toLong)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
     }
   }
 }

@@ -116,6 +116,11 @@ class PlanLintSpec extends SparkSpec {
         prev = captured.size; Thread.sleep(100)
       }
     }
+    // The tiny-broadcast sign-off is CHECKED, not trusted: every tolerated
+    // nested-loop-join must prove its broadcast side holds under this many
+    // rows (metrics on executed plans, a bounded probe on lazy ones) — an
+    // undeterminable count fails the sweep just like a fat side would.
+    val BnljBound = 5000L
     val bad = scala.collection.mutable.ListBuffer[String]()
     spark.listenerManager.register(listener)
     try {
@@ -123,10 +128,23 @@ class PlanLintSpec extends SparkSpec {
         captured.clear()
         val findings =
           try {
-            val direct = PlanLint.audit(fn(spark, dir))
+            val directPlan = fn(spark, dir).queryExecution.executedPlan
+            val direct = PlanLint.audit(directPlan)
             drainListenerBus()
             import scala.jdk.CollectionConverters._
-            direct ++ captured.asScala.toSeq.flatMap(PlanLint.audit)
+            val capturedPlans = captured.asScala.toSeq
+            if (allow.getOrElse(name, Set.empty).contains("nested-loop-join")) {
+              val sides = (directPlan +: capturedPlans)
+                .flatMap(PlanLint.broadcastSideRows(_, BnljBound.toInt))
+              sides.foreach {
+                case Some(n) if n > BnljBound =>
+                  bad += s"$name: allow-listed BNLJ broadcast side has >= $n rows (bound $BnljBound)"
+                case None =>
+                  bad += s"$name: allow-listed BNLJ broadcast side row count undeterminable"
+                case _ => ()
+              }
+            }
+            direct ++ capturedPlans.flatMap(PlanLint.audit)
           } catch { case e: Exception => Seq(PlanLint.Finding("audit-error", e.toString.take(120))) }
         val unexpected = findings.distinct
           .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.rule))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.DedupIndex
+
+/** The standing near-dup index's operational surface:
+  *
+  * ```
+  * runMain graft.DedupIndexMain build    <docsParquet> <indexDir>
+  * runMain graft.DedupIndexMain append   <docsParquet> <indexDir>
+  * runMain graft.DedupIndexMain probe    <docsParquet> <indexDir> <outDir>
+  * runMain graft.DedupIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
+  * ```
+  *
+  * `<docsParquet>` is any parquet with (doc_id BIGINT, text STRING) — a
+  * testdata `documents.parquet` works directly. The production loop is:
+  * `build` once from the corpus snapshot, then per ingest batch `probe`
+  * (matches land in `<outDir>` as parquet — the rows to drop or link) and
+  * `append`; `optimize` periodically folds the accumulated small append
+  * files back to size-targeted ones (fingerprint-validated, writes to a
+  * NEW dir so a failed rewrite never harms the live index).
+  */
+object DedupIndexMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: DedupIndexMain build|append|probe|optimize <in> <indexDir> [out|targetMB]")
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs(path: String) =
+      spark.read.parquet(path).select(col("doc_id"), col("text"))
+    args(0) match {
+      case "build" =>
+        DedupIndex.build(docs(args(1)), args(2))
+        println(s"built index at ${args(2)}")
+      case "append" =>
+        require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        DedupIndex.append(docs(args(1)), args(2))
+        println(s"appended ${args(1)} to ${args(2)}")
+      case "probe" =>
+        require(args.length >= 4, "probe needs <docsParquet> <indexDir> <outDir>")
+        require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        val matches = DedupIndex.probe(spark, docs(args(1)), args(2))
+        matches.write.mode("overwrite").parquet(args(3))
+        println(s"probe matches: ${matches.count()} -> ${args(3)}")
+      case "optimize" =>
+        val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
+        DedupIndex.optimize(spark, args(1), args(2), target)
+        println(s"optimized ${args(1)} -> ${args(2)}")
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

@@ -155,7 +155,7 @@ object Dedup {
     * buckets instead of dropping them — genuinely similar docs tend to
     * collide on the secondary band too, while a degenerate boilerplate
     * family spreads across sub-buckets. */
-  private[queries] def bandKeys(base: DataFrame): DataFrame = {
+  private[graft] def bandKeys(base: DataFrame): DataFrame = {
     def bandHash(bi: Int): Column =
       md5(concat_ws(",",
         (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
@@ -990,39 +990,40 @@ object Dedup {
       // one corpus scan + one persisted base; the split is a filter on the
       // cached signatures (per-doc minhash is side-independent). In
       // production the index side already EXISTS as a standing table — the
-      // per-ingest cost is the batch slice alone.
+      // per-ingest cost is the batch slice alone. The probe joins (capped
+      // index buckets, all-integer i*10 >= union*7 gate, max_by best
+      // match) live in DedupIndex.probeBase, shared with the persisted
+      // standing-index lifecycle (q246 / DedupIndexMain / CorpusStream).
       val base = minhashBase(Tables(s, dir, "documents"))
       val idx = base.filter(col("doc_id") % 10 =!= 7)
       val prb = base.filter(col("doc_id") % 10 === 7)
-      val idxBuckets = bandKeys(idx).groupBy("bi", "bh")
-        .agg(collect_list("doc_id").as("ds"))
-        .filter(size(col("ds")) <= LshBucketCap)
-      val cands = bandKeys(prb)
-        .join(idxBuckets, Seq("bi", "bh"))
-        .select(col("doc_id").as("b"), explode(col("ds")).as("c"))
-        .dropDuplicates("b", "c")
-      // all-integer score: threshold as i*10 >= union*7 (≡ J >= 0.7
-      // exactly) and basis points via integer division — round() on an
-      // exact integer ratio can tie the last digit and split Spark
-      // half-up from DuckDB half-even (the r4 q86/q87 lesson)
-      val verified = cands
-        .join(prb.select(col("doc_id").as("b"), col("hs").as("h1"),
-          col("sz").as("sz1")), Seq("b"))
-        .join(idx.select(col("doc_id").as("c"), col("hs").as("h2"),
-          col("sz").as("sz2")), Seq("c"))
-        .withColumn("i", TextHashes.sorted_intersect_size(col("h1"), col("h2")))
-        .filter(expr("i * 10 >= (sz1 + sz2 - i) * 7"))
-        .withColumn("jacc_bp", expr("CAST((i * 10000) div (sz1 + sz2 - i) AS BIGINT)"))
-      val out = verified.groupBy(col("b").as("batch_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          max_by(struct(col("c"), col("jacc_bp")),
-            struct(col("jacc_bp"), (-col("c")).as("tb"))).as("best"))
-        .select(col("batch_id"), col("n_matches").cast("long").as("n_matches"),
-          col("best.c").as("match_id"), col("best.jacc_bp").as("jacc_bp"))
+      val out = graft.operators.DedupIndex.probeBase(prb,
+          bandKeys(idx).select("doc_id", "bi", "bh"),
+          idx.select("doc_id", "hs", "sz"))
         .orderBy("batch_id")
         .localCheckpoint(eager = true)
       base.unpersist()
       out
+    }),
+
+    // ---- standing-index lifecycle: build -> append -> probe --------------
+    // Same semantics as q244 but the index is a PERSISTED TABLE driven
+    // through its real lifecycle: built from the first corpus slice,
+    // extended by a second batch (blind parquet appends — the first slice
+    // is never rescanned), then probed by the delta. The final answer
+    // depends only on index CONTENT, so the q244 oracle verifies the whole
+    // build/append/probe path end-to-end at every sf.
+    "q246_standing_index" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-standing-index-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.operators.DedupIndex.build(
+        docs.filter(col("doc_id") % 10 < 5), idxDir)
+      graft.operators.DedupIndex.append(
+        docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 =!= 7), idxDir)
+      graft.operators.DedupIndex.probe(
+        s, docs.filter(col("doc_id") % 10 === 7), idxDir)
     })
   )
 
@@ -1119,7 +1120,7 @@ object Dedup {
          | WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
     }
 
-    Map(
+    val m = Map(
       "q35_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
           | md5(lower(trim(text))) AS text_hash
@@ -1664,5 +1665,9 @@ object Dedup {
            |       c AS match_id, CAST(jacc_bp AS BIGINT) AS jacc_bp
            |FROM r WHERE rn = 1 ORDER BY batch_id""".stripMargin
     )
+    // q246 drives the PERSISTED index through build/append/probe; the
+    // answer depends only on index content, which equals q244's in-query
+    // split — the oracle is shared verbatim (the q190 -> q126 pattern)
+    m + ("q246_standing_index" -> m("q244_incremental_neardup"))
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Redaction
+import graft.operators.DedupIndex
+import graft.queries.Dedup
 
 /** The corpus-curation gates as a STREAMING intake — the shape a crawler
   * feed takes before it lands in the corpus store, mirroring CorpusMain's
@@ -19,10 +21,15 @@ import graft.functions.Redaction
   *    expressions to the batch funnel;
   *  - PII scrub (q81's operator) is per-row.
   *
-  * Near-dup LSH clustering is deliberately NOT here: candidate pairing
-  * needs the corpus-wide bucket state, which is a batch/compaction concern
-  * (run CorpusMain over the landed files); a streaming approximation would
-  * silently miss pairs straddling micro-batches.
+  * Near-dup dedup IS here, but NOT as stream state: the corpus-wide LSH
+  * bucket state lives in the standing [[graft.operators.DedupIndex]]
+  * table, and [[nearDupBatch]] probes/extends it per micro-batch inside
+  * `foreachBatch` — exactly the batch index q244/q246 verify, consulted
+  * incrementally. A paraphrase arriving batches after its original (a
+  * shape `dropDuplicatesWithinWatermark` can never catch — different
+  * digest) is dropped by the index probe; pairs straddling micro-batches
+  * are caught because every batch's survivors enter the index before the
+  * next batch probes it.
   */
 object CorpusStream {
 
@@ -67,4 +74,60 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark("text_hash")
       .withColumn("text", Redaction.redactPii(col("text")))
       .drop("w", "text_hash")
+
+  /** Near-dup curation against the standing index, as a `foreachBatch`
+    * sink for the [[curated]] stream:
+    *
+    * {{{
+    * curated(docs).writeStream
+    *   .foreachBatch(CorpusStream.nearDupBatch(indexDir, outDir) _)
+    * }}}
+    *
+    * Per micro-batch: one MinHash base over the batch, then
+    *  1. probe the standing [[DedupIndex]] — a batch doc whose best index
+    *     match clears J >= 0.7 is a near-dup of an already-landed doc;
+    *  2. within-batch LSH pairing ([[Dedup.lshPairs]]) — of two batch
+    *     near-dups the smaller doc_id survives (keep-first, the q35
+    *     discipline);
+    *  3. survivors append to BOTH the index (their signatures/bands — the
+    *     next batch probes against them) and `outDir` parquet.
+    *
+    * Scale: every step is sized by the BATCH — the probe touches only
+    * colliding index buckets, the append is a blind write, and the corpus
+    * is never rescanned. The index accumulates small files at streaming
+    * cadence; run [[DedupIndex.optimize]] on compaction cadence.
+    *
+    * Exactly-once caveat: the index append itself is not transactional
+    * with the sink write — a batch replayed after a crash between the two
+    * re-probes an index that already contains its survivors and drops
+    * them as self-matches. That fails SAFE for curation (never a dup
+    * landed twice, at worst a replayed batch under-admits); a stricter
+    * pipeline would stage appends under `batchId` and commit atomically.
+    */
+  def nearDupBatch(indexDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.persist()
+    try {
+      if (!docs.isEmpty) {
+        val base = Dedup.minhashBase(docs)
+        val idxMatches =
+          if (DedupIndex.exists(indexDir))
+            DedupIndex.probePersisted(spark, base, indexDir)
+              .select(col("batch_id").as("doc_id"))
+          else base.select("doc_id").limit(0)
+        val batchDups = Dedup.lshPairs(base, Dedup.LshBucketCap)
+          .select(col("d2").as("doc_id")).distinct()
+        val dropIds = idxMatches.unionByName(batchDups).distinct()
+          .localCheckpoint(eager = true)
+        val survivors = docs.join(dropIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        val survivorBase = base.join(dropIds, Seq("doc_id"), "left_anti")
+        DedupIndex.writeBase(survivorBase, indexDir,
+          if (DedupIndex.exists(indexDir)) "append" else "overwrite")
+        survivors.write.mode("append").parquet(outDir)
+        base.unpersist()
+      }
+    } finally docs.unpersist()
+  }
 }

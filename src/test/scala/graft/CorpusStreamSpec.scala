@@ -102,4 +102,44 @@ class CorpusStreamSpec extends SparkSpec {
       assert(hits.getOrDefault("/ingest/4", 0) == 1, s"doc 4: $hits")
     } finally { q.stop(); server.stop(0) }
   }
+
+  test("near-dup paraphrase arriving in a later batch is dropped via the standing index") {
+    implicit val sc = spark.sqlContext
+    // a PARAPHRASE of `good`: last word swapped — different digest (exact
+    // dedup is blind to it), 3-shingle Jaccard ~0.73 (>= 0.7)
+    val paraphrase = good.replaceAll("table$", "ledger")
+    val fresh = "a completely different report text about weekly shipment " +
+      "volumes and the carriers that move them across the region every day"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString + "/landed"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val in = MemoryStream[Doc]
+    val q = CorpusStream.curated(in.toDF(), watermark = "10 minutes")
+      .writeStream
+      .foreachBatch(CorpusStream.nearDupBatch(idxDir, outDir) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val sigsAfterB1 = spark.read.parquet(s"$idxDir/sigs").count()
+      assert(sigsAfterB1 == 1L, s"index after batch 1: $sigsAfterB1")
+      in.addData(
+        Doc(2, paraphrase, "en", "crawl", t("2024-01-01 10:05:00")),
+        Doc(3, fresh, "en", "crawl", t("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 3L),
+        s"paraphrase must be dropped by the index probe, got $landed")
+      // the index grew per batch: doc 1, then batch 2's survivor (doc 3)
+      val sigs = spark.read.parquet(s"$idxDir/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(sigs == Seq(1L, 3L), s"index must hold survivors only: $sigs")
+    } finally {
+      q.stop()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
 }

@@ -49,7 +49,12 @@ object ExplainMain {
             case f: FileSourceScanExec =>
               val table = f.relation.location.rootPaths.headOption
                 .map(_.getName).getOrElse("?")
-              println(s"scan_tasks=${f.inputRDD.getNumPartitions} table=$table " +
+              // a DPP'd scan in this (never-directly-executed) plan
+              // instance has an unfinished dynamic-pruning subquery —
+              // forcing its partition listing throws; report what's known
+              val tasks = scala.util.Try(f.inputRDD.getNumPartitions)
+                .map(_.toString).getOrElse("?(dynamic-pruned)")
+              println(s"scan_tasks=$tasks table=$table " +
                 s"files=${f.relation.location.inputFiles.length}")
           }
         }

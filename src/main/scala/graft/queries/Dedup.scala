@@ -1024,6 +1024,56 @@ object Dedup {
         docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 =!= 7), idxDir)
       graft.operators.DedupIndex.probe(
         s, docs.filter(col("doc_id") % 10 === 7), idxDir)
+    }),
+
+    // ---- embedding-cosine near-dup via random-hyperplane LSH -------------
+    // The untrained scale path beside q59's IVF bucketing: 24 sign bits
+    // (dot against fixed Rademacher hyperplanes) banded 4×6 — vectors
+    // sharing any 6-bit band bucket are candidates, then exact cosine
+    // verifies. Needs no centroid training and no corpus statistics, so
+    // it is the shape an ingest pipeline runs on day one. The hyperplane
+    // components (±1 from md5(p,j) parity) and the dot-product fold order
+    // are shared VERBATIM with the oracle, so the 24-bit signatures agree
+    // bit-for-bit across engines. One broadcast 24× expansion + one
+    // vec_id shuffle for signatures, a 4× band explode + one (band,
+    // bucket) shuffle for candidates, capped buckets — linear end to end,
+    // no all-pairs anywhere.
+    "q252_rhp_neardup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+      val e = Tables(s, dir, "embeddings")
+      val planes = s.range(24).select(col("id").cast("int").as("p"))
+        .withColumn("comp", expr(
+          "transform(sequence(0, 63), j -> CASE WHEN " +
+            "substring(md5(concat('rhp_', p, '_', j)), 1, 1) < '8' " +
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"))
+      val sig = e.join(broadcast(planes))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(embedding, comp, (x, y) -> x * y), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") > 0d,
+            expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("sg"),
+          first(col("embedding")).as("embedding"))
+      val bands = sig.select(col("vec_id"), col("embedding"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+          expr(s"(sg >> ${6 * i}) & 63").as("bv"))): _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val buckets = bands.groupBy("bi", "bv")
+        .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
+        .filter(size(col("ds")).between(2, 128))
+      buckets
+        .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(slice(col("ds"), col("i") + lit(2),
+            size(col("ds")) - col("i") - 1)).as("y"))
+        .select(
+          least(col("x.vec_id"), col("y.vec_id")).as("v1"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("v2"),
+          round(cosine_sim(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .dropDuplicates("v1", "v2")
+        .orderBy("v1", "v2")
     })
   )
 
@@ -1399,6 +1449,39 @@ object Dedup {
            | FROM assign x JOIN assign y
            |   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
            |SELECT v1, v2, cos FROM p WHERE cos >= 0.45
+           |ORDER BY v1, v2""".stripMargin
+      },
+
+      "q252_rhp_neardup" -> {
+        val dot = "list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)])"
+        def nrm(t: String) =
+          s"sqrt(list_sum([$t.embedding[i]::DOUBLE * $t.embedding[i]::DOUBLE for i in range(1, 65)]))"
+        s"""WITH planes AS (
+           | SELECT p, [CASE WHEN substr(md5('rhp_' || p || '_' || j), 1, 1) < '8'
+           |                 THEN 1.0 ELSE -1.0 END for j in range(0, 64)] AS comp
+           | FROM (SELECT unnest(range(0, 24)) AS p)),
+           |dots AS (
+           | SELECT e.vec_id, e.embedding, pl.p,
+           |   list_sum([e.embedding[j]::DOUBLE * pl.comp[j] for j in range(1, 65)]) AS dot
+           | FROM embeddings e, planes pl),
+           |sig AS (
+           | SELECT vec_id, any_value(embedding) AS embedding,
+           |   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+           |     AS BIGINT) AS sg
+           | FROM dots GROUP BY vec_id),
+           |bands AS (SELECT * FROM (
+           |  SELECT vec_id, embedding, bi, (sg >> (6 * bi)) & 63 AS bv
+           |  FROM sig, (SELECT unnest(range(0, 4)) AS bi))
+           | QUALIFY count(*) OVER (PARTITION BY bi, bv) BETWEEN 2 AND 128),
+           |cand AS (SELECT DISTINCT
+           |   least(a.vec_id, b.vec_id) AS v1, greatest(a.vec_id, b.vec_id) AS v2
+           | FROM bands a JOIN bands b
+           |   ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id)
+           |SELECT v1, v2,
+           |  round($dot / (${nrm("x")} * ${nrm("y")}), 4) AS cos
+           |FROM cand JOIN embeddings x ON v1 = x.vec_id
+           |          JOIN embeddings y ON v2 = y.vec_id
+           |WHERE round($dot / (${nrm("x")} * ${nrm("y")}), 4) >= 0.45
            |ORDER BY v1, v2""".stripMargin
       },
 

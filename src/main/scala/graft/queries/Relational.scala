@@ -1505,6 +1505,115 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS total_c
         |FROM (SELECT * FROM q242_orders CLUSTER BY o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- TPC-H Q2 (adapted): minimum-cost supplier -----------------------
+    // The correlated-min shape: for each mid-size LARGE part, the EUROPE
+    // supplier(s) offering it at the lowest cost. The fixtures carry no
+    // partsupp table, so the supply catalog is derived from shipment
+    // history — per (part, supplier) minimum line price in exact cents
+    // (one (part,supp) shuffle). The correlated "cost = (SELECT min ...)"
+    // subquery is a window min over partkey — no second aggregate + self
+    // join, no per-part re-scan. supplier⋈nation⋈region is broadcast; the
+    // part filter is pushed to the parquet scan before the join.
+    "q248_tpch2" -> ((s: SparkSession, dir: String) => {
+      val euSupp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)")).as("cost_c"))
+      val eps = ps.join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "part")
+            .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")),
+          col("l_partkey") === col("p_partkey"))
+      eps.withColumn("mc", min("cost_c").over(Window.partitionBy("p_partkey")))
+        .filter(col("cost_c") === col("mc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost_c").cast("long").as("cost_c"))
+        .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_name"))
+    }),
+
+    // ---- TPC-H Q4 (adapted): order priority checking ---------------------
+    // Orders of one quarter with at least one late line, counted by
+    // priority. "Late" is shipped >60 days after order date (the fixtures
+    // carry no commit/receipt dates). The correlated EXISTS carries the
+    // cross-table date comparison INTO the subquery — Catalyst decorrelates
+    // it into a left-semi join on orderkey with the date predicate riding
+    // the join condition, so each order is counted once no matter how many
+    // of its lines are late (a plain join would double-count).
+    "q249_tpch4" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("q249_orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("q249_lineitem")
+      s.sql("""
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM q249_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM q249_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- TPC-H Q11 (adapted): important stock ----------------------------
+    // Parts whose ASIA-supplied shipment value exceeds twice the mean part
+    // value of that region — the HAVING-against-a-global-scalar shape.
+    // (Q11's literal fraction is scale-dependent — 1/1000 of total selects
+    // nothing once the part count passes 1000 — so the threshold is stated
+    // against the mean, which survives any SF; still exact-integer via
+    // cross-multiplication with the part count, no float ratio.) The value
+    // aggregate is one partkey shuffle over the region-filtered lines
+    // (supplier⋈nation⋈region broadcast-semi prunes before the shuffle);
+    // the global (total, count) re-aggregates the SAME per-part rows (tiny
+    // input) and broadcasts one row into the threshold filter.
+    "q250_tpch11" -> ((s: SparkSession, dir: String) => {
+      val asia = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables(s, dir, "lineitem")
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)")).as("value_c"))
+      val total = perPart.agg(sum("value_c").as("total_c"),
+        count(lit(1)).as("part_cnt"))
+      perPart.join(broadcast(total))
+        .filter(col("value_c") * col("part_cnt") > col("total_c") * 2)
+        .select(col("l_partkey"), col("value_c").cast("long").as("value_c"))
+        .orderBy(desc("value_c"), asc("l_partkey"))
+    }),
+
+    // ---- TPC-H Q12 (adapted): shipping-mode priority mix -----------------
+    // Per return-flag class (the fixtures' stand-in for shipmode): how many
+    // 1996-shipped late lines belong to critical-priority orders vs not —
+    // the two-branch conditional aggregate over one orders⋈lineitem pass
+    // (never two scans). The year filter is pushed to the lineitem scan;
+    // the late predicate needs both sides so it rides the join output.
+    "q251_tpch12" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .select(col("l_returnflag"),
+          col("high_line_count").cast("long").as("high_line_count"),
+          col("low_line_count").cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2494,6 +2603,65 @@ object Relational {
       """SELECT /*+ BROADCAST(n) */ n_name, CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(CAST(round(c_acctbal*100.0) AS BIGINT)) AS BIGINT) AS bal_c
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q248_tpch2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eps AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, cost_c,
+        |         min(cost_c) OVER (PARTITION BY p_partkey) AS mc
+        |  FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        |    AND p_type = 'LARGE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |       CAST(cost_c AS BIGINT) AS cost_c
+        |FROM eps WHERE cost_c = mc
+        |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin,
+
+    "q249_tpch4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q250_tpch11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'ASIA')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+        |FROM v, (SELECT sum(value_c) AS total_c, count(*) AS part_cnt FROM v) t
+        |WHERE value_c * part_cnt > total_c * 2
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+
+    "q251_tpch12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -111,33 +111,43 @@ object Similarity {
     }),
 
     // ---- IVF search: probe top-2 centroids, search only their members ----
+    // Assignment (map-side argmax, see q40) and search are the SHARED
+    // AnnIndex shapes — the persisted-index path (q253) runs this exact
+    // code over parquet instead of an in-query frame, so the two cannot
+    // drift apart.
     "q51_ivf_search" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      // full-corpus assignment: map-side argmax (see q40); the tiny query
-      // side keeps its top-2 window below
-      val assign = e.join(broadcast(cent))
-        .withColumn("ascore", round(cosine_sim(col("centv"), col("embedding")), 4))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("centroid_id"), col("embedding")),
-          struct(col("ascore"), -col("centroid_id"))).as("b"))
-        .select(col("vec_id").as("cid"), col("b.centroid_id").as("ccid"),
-          col("b.embedding").as("ce"))
+      val assign = graft.operators.AnnIndex
+        .assignCosine(e.select("vec_id", "embedding"), cent)
+        .select(col("vec_id").as("cid"), col("centroid_id").as("ccid"),
+          col("embedding").as("ce"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wQ = Window.partitionBy("qid").orderBy(desc("qscore"), asc("centroid_id"))
-      val probes = q.join(broadcast(cent))
-        .withColumn("qscore", round(cosine_sim(col("centv"), col("qe")), 4))
-        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 2)
-        .select(col("qid"), col("qe"), col("centroid_id").as("pcid"))
-      val wS = Window.partitionBy("qid").orderBy(desc("score"), asc("cid"))
-      probes.join(assign, col("pcid") === col("ccid") && col("qid") =!= col("cid"))
-        .withColumn("score", round(cosine_sim(col("qe"), col("ce")), 4))
-        .withColumn("rank", row_number().over(wS).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("qid", "rank", "cid", "score")
-        .orderBy("qid", "rank")
+      graft.operators.AnnIndex.searchAssigned(q, cent, assign, nprobe = 2, topK = 5)
+    }),
+
+    // ---- standing ANN index: build -> append -> probe --------------------
+    // q51's semantics with the index driven through its real PERSISTED
+    // lifecycle: quantizer frozen at build, first slice written, second
+    // batch appended blind (assigned against the frozen centroids — the
+    // first slice is never rescanned), then the q51 query set probes the
+    // standing table. The answer depends only on index CONTENT, so q51's
+    // own oracle verifies the whole build/append/probe path at every sf.
+    "q253_ann_index" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ann-index-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.operators.AnnIndex.build(e.filter(col("vec_id") % 10 < 5), cent, idxDir)
+      graft.operators.AnnIndex.append(s, e.filter(col("vec_id") % 10 >= 5), idxDir)
+      graft.operators.AnnIndex.probe(s,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idxDir)
     }),
 
     // ---- recall@5 of IVF vs brute force (ANN quality measurement) --------
@@ -675,6 +685,10 @@ object Similarity {
          |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
 
     "q51_ivf_search" -> q51Sql,
+
+    // the standing-index lifecycle answers depend only on index content,
+    // which build+append make identical to q51's in-query assignment
+    "q253_ann_index" -> q51Sql,
 
     "q55_ivf_recall" ->
       s"""SELECT bf.qid AS qid, CAST(count(ivf.cid) AS BIGINT) AS n_hit,

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+import graft.operators.AnnIndex
+
+/** The standing ANN index's lifecycle contract (the DedupIndex
+  * discipline, vector-space edition): incremental maintenance must be
+  * INVISIBLE — an index grown over batches against its frozen quantizer
+  * answers probes exactly like one built from scratch over the union,
+  * an optimize rewrite answers exactly like the dir it rewrote, and the
+  * persisted path agrees with q51's oracle-verified in-query search. */
+class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
+
+  private val dir = sf("sf0.001")
+
+  override def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ann_index").toString
+
+  private def emb = Tables(spark, dir, "embeddings")
+
+  private def cent = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+
+  private def queriesDf = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  private def probeRows(indexDir: String) =
+    AnnIndex.probe(spark, queriesDf, indexDir)
+      .collect().map(_.toSeq).toSeq
+
+  test("two-batch incremental index answers exactly like from-scratch") {
+    val b1 = emb.filter(col("vec_id") % 10 < 5)
+    val b2 = emb.filter(col("vec_id") % 10 >= 5)
+
+    val incDir = tmp()
+    AnnIndex.build(b1, cent, incDir)
+    AnnIndex.append(spark, b2, incDir)
+
+    val fullDir = tmp()
+    AnnIndex.build(b1.unionByName(b2), cent, fullDir)
+
+    val inc = probeRows(incDir)
+    assert(inc.nonEmpty, "probe returned nothing — split constants broke")
+    assert(inc == probeRows(fullDir))
+  }
+
+  test("full-corpus standing index agrees with q51's in-query search") {
+    val idxDir = tmp()
+    AnnIndex.build(emb, cent, idxDir)
+    val q51 = SparkEntry.queries("q51_ivf_search")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(probeRows(idxDir) == q51)
+  }
+
+  test("optimize compacts appended small files without changing answers") {
+    val idxDir = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") % 10 < 5), cent, idxDir)
+    for (m <- Seq(5, 6, 7, 8, 9))
+      AnnIndex.append(spark, emb.filter(col("vec_id") % 10 === m), idxDir)
+    val before = probeRows(idxDir)
+
+    val optDir = tmp()
+    AnnIndex.optimize(spark, idxDir, optDir)
+    assert(probeRows(optDir) == before)
+
+    def leafParquet(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(leafParquet(optDir) < leafParquet(idxDir),
+      s"optimize did not reduce file count: ${leafParquet(idxDir)} -> ${leafParquet(optDir)}")
+  }
+
+  test("vectors table is centroid-partitioned and a centroid filter prunes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idxDir = tmp()
+    AnnIndex.build(emb, cent, idxDir)
+    val vecDir = new java.io.File(s"$idxDir/vectors")
+    val partDirs = vecDir.listFiles().count(_.getName.startsWith("centroid_id="))
+    assert(partDirs == 8, s"expected 8 centroid partitions, got $partDirs")
+    // the layout the probe relies on: restricting to probed centroids
+    // reaches the scan as a PartitionFilter, not a post-scan filter
+    val pruned = spark.read.parquet(vecDir.toString)
+      .filter(col("centroid_id").isin(3, 5))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters: ["), "no partition filter")
+    assert(pruned.count() > 0)
+  }
+}

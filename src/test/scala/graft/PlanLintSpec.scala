@@ -74,7 +74,10 @@ class PlanLintSpec extends SparkSpec {
       "q237_semantic_decontam",
       "q240_tablesample", // two 1-row CTEs (sample count × total count)
       "q185_naive_bayes", // prior vs broadcast 1-row total (listener-visible)
-      "q247_pq_rerank") // q99's 4-row codebook cartesian feeds the shortlist
+      "q247_pq_rerank", // q99's 4-row codebook cartesian feeds the shortlist
+      "q250_tpch11", // 1-row global (total, count) threshold broadcast
+      "q252_rhp_neardup", // 24-row hyperplane table cross into signatures
+      "q253_ann_index") // q51's 8-row centroid cross (build/append/probe)
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

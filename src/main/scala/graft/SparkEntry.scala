@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Stats.queries ++
-      TrainPrep.queries
+      TrainPrep.queries ++ Lifecycle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Text.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Stats.oracles ++
-      TrainPrep.oracles
+      TrainPrep.oracles ++ Lifecycle.oracles
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO / upsert and SCD Type-2 — the table-maintenance half of a
+  * warehouse that the reference performs imperatively (its sync scripts
+  * GET the current remote state, diff against the desired rows, then POST
+  * only the changes — `sync.py`'s fetch-compare-send loop is a hand-rolled
+  * keyed merge). Re-expressed as set operations so the SAME code runs on a
+  * 60 k-row fixture and a 100 TB fact table:
+  *
+  *  - [[latestByKey]]: a change feed usually carries several versions of
+  *    one key (retries, out-of-order producers, multi-update batches).
+  *    MERGE requires at most ONE source row per key, so the feed is first
+  *    collapsed last-writer-wins. One partial-aggregating shuffle —
+  *    `max_by(struct(payload), version)` — never a window over the feed.
+  *  - [[merge]]: keyed full-outer join of target vs deduped changes, then
+  *    a row-level verdict: matched+delete drops, matched+upsert rewrites
+  *    the payload, unmatched change inserts, unmatched target persists.
+  *    Both sides shuffle once on the key (sort-merge at scale; AQE
+  *    broadcasts a small change batch on its own). No driver state, no
+  *    collect — the delta can be as big as the table.
+  *  - [[scd2]]: dimension history from an ordered change log. Consecutive
+  *    duplicate attribute rows are collapsed first (lag ≠ current opens a
+  *    run — the "only changes open a version" rule), then each run becomes
+  *    one version row with [effective_from, effective_to) bounds via lead.
+  *    All windows are keyed by the dimension key — nothing global.
+  */
+object Merge {
+
+  /** Collapse a change feed to one row per key, keeping the row with the
+    * highest `versionCol` (ties broken inside the struct comparison by the
+    * payload order — pass a unique version for full determinism). */
+  def latestByKey(changes: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val payload = changes.columns.filterNot(keys.contains)
+    changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(versionCol)).as("__p"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  /** Keyed MERGE of `changes` into `target`.
+    *
+    * `changes` must be key-unique (run [[latestByKey]] first). Rows where
+    * `opCol` = 'D' delete their key; anything else upserts the `payload`
+    * columns. Returns the post-merge table plus an `action` column
+    * (`keep` / `update` / `insert`) so callers can audit the merge —
+    * deleted keys simply do not appear.
+    *
+    * Target columns outside `payload` are carried through unchanged on
+    * update (an insert leaves them NULL — project defaults before calling
+    * if the table has NOT NULL columns beyond the payload). */
+  def merge(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "merge: payload columns required")
+    val t = target.select(
+      keys.map(col) :+ struct(target.columns.filterNot(keys.contains).map(col): _*).as("__t"): _*)
+    val c = changes.select(
+      keys.map(col) :+ struct((opCol +: payload).map(col): _*).as("__c"): _*)
+    val joined = t.join(c, keys, "full_outer")
+    val isDelete = col(s"__c.$opCol") === lit("D")
+    val targetCols = target.columns.filterNot(keys.contains)
+    joined
+      // matched+D deletes; unmatched-change+D is a no-op (nothing to delete)
+      .filter(col("__c").isNull || !isDelete)
+      .withColumn("action",
+        when(col("__c").isNull, "keep")
+          .when(col("__t").isNull, "insert")
+          .otherwise("update"))
+      .select(keys.map(col) ++ targetCols.map { n =>
+        val fromChange = payload.contains(n)
+        (if (fromChange) when(col("__c").isNotNull, col(s"__c.$n")).otherwise(col(s"__t.$n"))
+         else col(s"__t.$n")).as(n)
+      } :+ col("action"): _*)
+  }
+
+  /** SCD Type-2 history from a change log: one output row per run of
+    * consecutive identical `attrCol` values per `key`, with half-open
+    * validity bounds. `orderCols` must totally order each key's changes
+    * (pass a unique tie-break). `effective_to` of the current version is
+    * NULL — callers needing a sentinel (the oracle-hash convention bans
+    * NULLs in sort keys) should coalesce it themselves. */
+  def scd2(changes: DataFrame, key: String, orderCols: Seq[Column],
+      attrCol: String): DataFrame = {
+    val wSeq = Window.partitionBy(key).orderBy(orderCols: _*)
+    val runs = changes
+      // the first row must always open a run: a NULL attribute in row 1
+      // would null-safely equal lag's out-of-frame NULL and never version
+      .withColumn("__chg",
+        when(row_number().over(wSeq) === 1, 1L)
+          .when(col(attrCol) <=> lag(col(attrCol), 1).over(wSeq), 0L)
+          .otherwise(1L))
+      .withColumn("__run", sum("__chg").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = runs.groupBy(col(key), col("__run"))
+      .agg(first(col(attrCol)).as(attrCol),          // constant within a run
+        min(orderCols.head).as("effective_from"),
+        count(lit(1)).as("n_changes"))
+    val wVer = Window.partitionBy(key).orderBy(col("__run"))
+    versions
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wVer))
+      .withColumn("version", row_number().over(wVer).cast("long"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("__run")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Merge
+
+/** Table-lifecycle operators — the maintenance half of a warehouse: keyed
+  * MERGE/upsert of a change feed, SCD Type-2 dimension history. The
+  * reference's sync scripts do this imperatively (GET current state, diff,
+  * POST the changes — `sync.py`'s fetch-compare-send loop is a hand-rolled
+  * keyed merge); here the same semantics are set operations that scale to
+  * a 100 TB fact table: every step is a keyed shuffle or a keyed window,
+  * nothing global, nothing on the driver.
+  *
+  * The change feed for q254 is derived deterministically from `orders`
+  * (the fixtures carry no CDC table): multiples of 3 are "changed" (+100),
+  * multiples of 12 changed AGAIN in the same batch (+200, exercising
+  * last-writer-wins), multiples of 9 deleted; the target snapshot is
+  * missing all multiples of 10, so changes to those keys become inserts —
+  * together the feed exercises every MERGE verdict including the
+  * unmatched-delete no-op (key 90: deleted but never present).
+  */
+object Lifecycle {
+
+  val queries: Map[String, Q] = Map(
+    // ---- keyed MERGE / upsert with last-writer-wins feed dedup -----------
+    // operators/Merge: feed → one row per key by max version (one partial-
+    // aggregating shuffle), then ONE full-outer keyed join decides
+    // keep/update/insert/delete row-locally. Scale: both sides shuffle
+    // once on the key; a small delta batch broadcasts under AQE on its
+    // own; the feed dedup is max_by, never a feed-wide window.
+    "q254_merge_upsert" -> ((s: SparkSession, dir: String) => {
+      val orders = Tables(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val feed = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"), col("o_orderstatus"),
+          when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"),
+          lit(1L).as("version"))
+        .unionAll(orders.filter(col("o_orderkey") % 12 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 200.0).as("o_totalprice"), col("o_orderstatus"),
+            lit("U").as("op"), lit(2L).as("version")))
+      val latest = Merge.latestByKey(feed, Seq("o_orderkey"), "version")
+      Merge.merge(target, latest, Seq("o_orderkey"),
+          opCol = "op", payload = Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- SCD Type-2 dimension history ------------------------------------
+    // operators/Merge.scd2 over the events change log: consecutive equal
+    // attribute rows collapse into one version (only CHANGES open a new
+    // one), [effective_from, effective_to) half-open bounds via lead, the
+    // open version flagged current. All windows keyed by user_id — the
+    // per-key history is the unit of parallelism. NULL effective_to maps
+    // to the 9999-12-31 sentinel (NULLs break the oracle's row sort).
+    "q255_scd2" -> ((s: SparkSession, dir: String) => {
+      val changes = Tables(s, dir, "events")
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      Merge.scd2(changes, "user_id", Seq(col("ts"), col("event_id")), "event_type")
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          coalesce(date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("effective_to"),
+          col("n_changes"),
+          when(col("is_current"), 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "version")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q254_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |           FROM orders WHERE o_orderkey % 10 <> 0),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_orderstatus,
+        |         CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS version
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 200.0, o_orderstatus, 'U', 2
+        |  FROM orders WHERE o_orderkey % 12 = 0),
+        |c AS (SELECT o_orderkey, o_totalprice, o_orderstatus, op FROM feed
+        |      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1),
+        |m AS (SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+        |             ELSE t.o_totalprice END AS o_totalprice,
+        |        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+        |             ELSE t.o_orderstatus END AS o_orderstatus,
+        |        CASE WHEN c.o_orderkey IS NULL THEN 'keep'
+        |             WHEN t.o_orderkey IS NULL THEN 'insert'
+        |             ELSE 'update' END AS action,
+        |        c.op AS op, c.o_orderkey AS ck
+        |      FROM t FULL OUTER JOIN c ON t.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, action
+        |FROM m WHERE ck IS NULL OR op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q255_scd2" ->
+      """WITH ch AS (SELECT user_id, ts, event_id, event_type
+        |            FROM events WHERE user_id % 7 = 0),
+        |r AS (SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+        |                     WHEN event_type = lag(event_type) OVER w THEN 0
+        |                     ELSE 1 END AS chg
+        |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM r),
+        |v AS (SELECT user_id, run, min(event_type) AS event_type,
+        |        min(ts) AS eff_from, count(*) AS n_changes
+        |      FROM s GROUP BY user_id, run),
+        |f AS (SELECT user_id, event_type, eff_from, n_changes,
+        |        lead(eff_from) OVER (PARTITION BY user_id ORDER BY run) AS eff_to,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY run) AS version
+        |      FROM v)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  coalesce(strftime(eff_to, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+        |    AS effective_to,
+        |  CAST(n_changes AS BIGINT) AS n_changes,
+        |  CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — a standing partial-aggregate table
+  * kept current by blind appends, the third member of the standing-state
+  * family (DedupIndex: near-dup bands; AnnIndex: vector buckets; here:
+  * algebraic aggregates). Reference analog: the audit script recomputes
+  * its per-project counts from scratch every run (`app.py`'s groupby over
+  * the full pull) — at 100 TB the daily recount IS the bottleneck, and
+  * the fix is to persist the aggregate's PARTIAL state and fold only the
+  * delta.
+  *
+  * The state table holds one row per key per ingested slice:
+  * (keys..., __n, __sum, __min, __max). Every stored measure is
+  * ALGEBRAIC — partials merge by sum/sum/min/max — so:
+  *
+  *  - `append` is a blind parquet write of the delta's partials (no
+  *    read-modify-write, no corpus rescan: ingest cost is O(|delta|));
+  *  - `merged` folds however many slice rows exist into the exact final
+  *    aggregate — bit-identical to a from-scratch groupBy over the full
+  *    data (spec-proved), because count/sum/min/max are order- and
+  *    grouping-insensitive (integer sums: no float reassociation);
+  *  - `optimize` collapses accumulated slice rows to one row per key —
+  *    validated by fingerprint equality of the MERGED view before/after,
+  *    the only invariant compaction must preserve.
+  *
+  * Non-algebraic measures (exact distincts, medians) deliberately do not
+  * fit this table; their mergeable forms are the sketch family
+  * (HllRegs/HistRegs), which would store regs blobs in the same layout.
+  */
+object AggState {
+
+  private def statePath(stateDir: String): String = s"$stateDir/state"
+
+  def exists(stateDir: String): Boolean = new File(statePath(stateDir)).isDirectory
+
+  /** One partial-aggregate row per key for `df` — the unit both `build`
+    * and `append` write. One partial-aggregating shuffle on the keys. */
+  def partials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__sum"),
+        min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
+
+  def build(df: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    partials(df, keys, valueCol).write.mode("overwrite").parquet(statePath(stateDir))
+
+  def append(delta: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    partials(delta, keys, valueCol).write.mode("append").parquet(statePath(stateDir))
+
+  /** The exact current aggregate: fold all slice rows per key. */
+  def merged(spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
+    mergeRows(spark.read.parquet(statePath(stateDir)), keys)
+
+  private def mergeRows(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(sum("__n").cast("long").as("n"), sum("__sum").as("sum"),
+        min("__min").as("min"), max("__max").as("max"))
+
+  /** Collapse accumulated slice rows to one row per key (and size-target
+    * the files). The rewrite is valid iff the merged view is unchanged —
+    * checked by fingerprint, failing loudly on mismatch. */
+  def optimize(spark: SparkSession, stateDir: String, outStateDir: String,
+      keys: Seq[String], targetFileBytes: Long = 128L << 20): Unit = {
+    require(new File(stateDir).getCanonicalPath !=
+        new File(outStateDir).getCanonicalPath,
+      s"optimize: outStateDir must differ from stateDir ($stateDir)")
+    val state = spark.read.parquet(statePath(stateDir))
+    val collapsed = mergeRows(state, keys)
+      .select(keys.map(col) ++ Seq(col("n").as("__n"), col("sum").as("__sum"),
+        col("min").as("__min"), col("max").as("__max")): _*)
+    val bytesIn = state.inputFiles.toSeq
+      .map(p => new File(new java.net.URI(p)).length()).sum
+    val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    collapsed.repartition(nOut).write.mode("overwrite").parquet(statePath(outStateDir))
+    val Seq(rep) = Reconcile.report(Seq(("agg_state",
+      mergeRows(state, keys),
+      merged(spark, outStateDir, keys))))
+    require(rep.matches, s"optimize: merged view changed after rewrite: $rep")
+  }
+}

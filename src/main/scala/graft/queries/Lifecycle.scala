@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Merge
+import graft.operators.{AggState, Merge}
 
 /** Table-lifecycle operators — the maintenance half of a warehouse: keyed
   * MERGE/upsert of a change feed, SCD Type-2 dimension history. The
@@ -68,6 +68,70 @@ object Lifecycle {
           col("n_changes"),
           when(col("is_current"), 1L).otherwise(0L).as("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    // ---- data-quality expectations: the one-pass audit -------------------
+    // Six declarative checks over lineitem evaluated in ONE partial-
+    // aggregated scan (every row-level predicate folds into the same
+    // aggregate; uniqueness is a two-phase countDistinct in the same
+    // pass), plus one referential anti-join vs orders. The two 1-row
+    // branches cross-join (broadcast) and unpivot via stack — at 100 TB
+    // this is one fact scan + one keyed anti-join, nothing else. The
+    // uniqueness check FAILS on the fixtures by design: (l_orderkey,
+    // l_linenumber) is genuinely non-unique in the synthetic data, so the
+    // audit demonstrably measures, not rubber-stamps.
+    "q256_expectations" -> ((s: SparkSession, dir: String) => {
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      val rowChecks = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull_orderkey"),
+        (count(lit(1)) - countDistinct(
+          concat_ws("|", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")))).cast("long").as("v_unique_pk"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.05, 1L)
+          .otherwise(0L)).as("v_range_discount"),
+        sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("v_positive_qty"),
+        when(date_format(max(col("l_shipdate")), "yyyy-MM-dd") < "2001-01-01", 1L)
+          .otherwise(0L).as("v_freshness"))
+      val refCheck = li.join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_ref_orders"))
+      rowChecks.crossJoin(refCheck)
+        .selectExpr("""stack(6,
+            'notnull_orderkey', v_notnull_orderkey,
+            'unique_pk', v_unique_pk,
+            'range_discount_le_5pct', v_range_discount,
+            'positive_quantity', v_positive_qty,
+            'freshness_shipdate', v_freshness,
+            'ref_orderkey_in_orders', v_ref_orders) AS (check_name, violations)""")
+        .select(col("check_name"), col("violations").cast("long").as("violations"),
+          when(col("violations") === 0, "pass").otherwise("fail").as("status"))
+        .orderBy("check_name")
+    }),
+
+    // ---- incremental aggregate maintenance (standing partial state) ------
+    // operators/AggState: the per-(source, lang) document profile kept as
+    // a partial-aggregate TABLE — three deterministic slices of the corpus
+    // land as build + two blind appends, and the merged read equals a
+    // from-scratch groupBy bit-for-bit (count/sum/min/max are algebraic;
+    // integer sums don't reassociate). The oracle IS that from-scratch
+    // groupBy, so the equivalence is hash-checked, not asserted. At scale
+    // the daily recount becomes a delta-sized fold.
+    "q257_agg_state" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-agg-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val keys = Seq("source", "lang")
+      AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
+      AggState.append(docs.filter(col("doc_id") % 3 === 1), keys, "n_chars", stateDir)
+      AggState.append(docs.filter(col("doc_id") % 3 === 2), keys, "n_chars", stateDir)
+      AggState.merged(s, stateDir, keys)
+        .select(col("source"), col("lang"), col("n").as("n_docs"),
+          col("sum").cast("long").as("sum_chars"),
+          col("min").cast("long").as("min_chars"),
+          col("max").cast("long").as("max_chars"))
+        .orderBy("source", "lang")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +184,36 @@ object Lifecycle {
         |    AS effective_to,
         |  CAST(n_changes AS BIGINT) AS n_changes,
         |  CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin)
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    "q256_expectations" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_notnull_orderkey,
+        |    count(*) - count(DISTINCT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)
+        |      AS v_unique_pk,
+        |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS v_range_discount,
+        |    sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS v_positive_qty,
+        |    CASE WHEN strftime(max(l_shipdate), '%Y-%m-%d') < '2001-01-01'
+        |         THEN 1 ELSE 0 END AS v_freshness
+        |  FROM lineitem),
+        |r AS (SELECT count(*) AS v_ref_orders FROM lineitem l
+        |      ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (
+        |  SELECT 'notnull_orderkey' AS check_name, v_notnull_orderkey AS violations FROM a
+        |  UNION ALL SELECT 'unique_pk', v_unique_pk FROM a
+        |  UNION ALL SELECT 'range_discount_le_5pct', v_range_discount FROM a
+        |  UNION ALL SELECT 'positive_quantity', v_positive_qty FROM a
+        |  UNION ALL SELECT 'freshness_shipdate', v_freshness FROM a
+        |  UNION ALL SELECT 'ref_orderkey_in_orders', v_ref_orders FROM r)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM u ORDER BY check_name""".stripMargin,
+
+    "q257_agg_state" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
 }

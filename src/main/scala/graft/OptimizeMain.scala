@@ -9,6 +9,10 @@ import graft.operators.Compaction
   * runMain graft.OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey]
   * ```
   *
+  * `sortKey` may be a comma-separated list — two or more columns select
+  * Z-ORDER clustering ([[Compaction.zvalue]]: multi-dimension data
+  * skipping) instead of single-key range clustering.
+  *
   * Rewrites every parquet table under `<inDir>` into `<outDir>/<table>`
   * at the target file size (q230 plans these bins from metadata; this
   * executes the rewrite), bounding parquet row-group size so scans split
@@ -36,10 +40,16 @@ object OptimizeMain {
       // read) — otherwise repartitionByRange on table 1 would fail the
       // whole multi-table job; the rest compact unclustered
       val cols = spark.read.parquet(path).schema.fieldNames.toSet
+      // a comma in the key list means Z-ORDER clustering over those
+      // columns (multi-dimension data skipping); a single name is plain
+      // range clustering — either applies only where every column exists
+      val keys = sortKey.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val applicable = keys.nonEmpty && keys.forall(cols.contains)
       val stats = Compaction.compact(spark, path,
         s"$outDir/$t", targetFileBytes,
         rowGroupBytes = math.max(1L << 20, targetFileBytes / 8),
-        sortKey.filter(cols.contains))
+        sortKey = if (applicable && keys.size == 1) Some(keys.head) else None,
+        zorderKeys = if (applicable && keys.size > 1) keys else Nil)
       t -> stats
     }
   }

@@ -47,9 +47,38 @@ object Compaction {
   private def inputFileSizes(df: DataFrame): Seq[Long] =
     df.inputFiles.toSeq.map(p => new java.io.File(new java.net.URI(p)).length())
 
+  /** Quantile-bucketed Z-value over `keys` — the multi-column clustering
+    * coordinate. Each key is bucketed into 2^`bits` quantile ranks (the
+    * boundaries come from `approxQuantile`, a mergeable sketch over one
+    * pass — driver receives only the 2^bits-element boundary array), then
+    * the rank bits interleave LSB-first across keys into one integer.
+    * Sorting by that integer places rows so any contiguous z-range is a
+    * bounded BLOCK in every key dimension — per-file min/max stats become
+    * selective for filters on ANY of the keys, not just the leading one
+    * (single-key range clustering gives the trailing keys full-span
+    * stats). Quantile (not uniform-width) bucketing keeps the curve
+    * balanced under skew. The per-row bucket lookup is a fold over the
+    * boundary array — interpreted, but this is an IO-bound OPTIMIZE job,
+    * not a query hot path. */
+  def zvalue(df: DataFrame, keys: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(keys.size >= 2, "zvalue: needs at least 2 keys (use sortKey for 1)")
+    require(keys.size * bits <= 62, s"zvalue: ${keys.size} keys x $bits bits overflows a long")
+    val n = 1 << bits
+    val bucketCols = keys.map { k =>
+      val bounds = df.stat.approxQuantile(k, (1 until n).map(_.toDouble / n).toArray, 0.001)
+      val arr = array(bounds.map(lit(_)): _*)
+      aggregate(arr, lit(0L), (acc, b) => acc + when(col(k).cast("double") > b, 1L).otherwise(0L))
+    }
+    bucketCols.zipWithIndex.map { case (bucket, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * keys.size + i)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L << 20, rowGroupBytes: Long = 16L << 20,
-      sortKey: Option[String] = None): CompactStats = {
+      sortKey: Option[String] = None, zorderKeys: Seq[String] = Nil): CompactStats = {
     // an OPTIMIZE "in place" would delete the input under the reader before
     // the fingerprint validation could ever run; Spark's own self-overwrite
     // check can be defeated by path normalization (relative vs absolute,
@@ -61,9 +90,19 @@ object Compaction {
     val inSizes = inputFileSizes(df)
     val bytesIn = inSizes.sum
     val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
-    val shaped = sortKey match {
-      case Some(k) => df.repartitionByRange(nOut, col(k))
-      case None    => df.repartition(nOut)
+    require(sortKey.isEmpty || zorderKeys.isEmpty,
+      "compact: sortKey and zorderKeys are mutually exclusive")
+    val shaped = (sortKey, zorderKeys) match {
+      case (Some(k), _) => df.repartitionByRange(nOut, col(k))
+      case (None, ks) if ks.nonEmpty =>
+        // range-partition AND sort within partitions by the z-value, then
+        // project it away: each file owns a contiguous z-range, i.e. a
+        // bounded block in EVERY clustered dimension
+        df.withColumn("__z", zvalue(df, ks))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      case _ => df.repartition(nOut)
     }
     shaped.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)

@@ -23,6 +23,18 @@ import graft.operators.{AggState, Merge}
   */
 object Lifecycle {
 
+  /** 8-bit Z-curve cell from two 4-bit keys, as an integer-only SQL
+    * expression — shared VERBATIM between the Spark plan and the DuckDB
+    * oracle (`divOp` is the only dialect difference: `div` vs `//`; both
+    * operands are non-negative so the operators agree). This is the same
+    * bit interleave `operators/Compaction.zvalue` clusters files by;
+    * q258 proves the curve math cross-engine. */
+  def zCellExpr(divOp: String): String =
+    (0 until 4).map { b =>
+      s"(((l_partkey % 16) $divOp ${1 << b}) % 2) * ${1 << (2 * b)} + " +
+        s"(((l_suppkey % 16) $divOp ${1 << b}) % 2) * ${1 << (2 * b + 1)}"
+    }.mkString(" + ")
+
   val queries: Map[String, Q] = Map(
     // ---- keyed MERGE / upsert with last-writer-wins feed dedup -----------
     // operators/Merge: feed → one row per key by max version (one partial-
@@ -132,6 +144,22 @@ object Lifecycle {
           col("min").cast("long").as("min_chars"),
           col("max").cast("long").as("max_chars"))
         .orderBy("source", "lang")
+    }),
+
+    // ---- Z-order cell assignment (the clustering coordinate) -------------
+    // The bit-interleave behind Compaction.zvalue, proved cross-engine:
+    // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
+    // the per-cell profile hash-matches DuckDB computing the same integer
+    // expression. One partial-aggregated scan; the cell id is pure row-
+    // local integer math (codegen'd, no lookup structure).
+    "q258_zorder_cells" -> ((s: SparkSession, dir: String) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(expr(zCellExpr("div")).cast("long").as("z_cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          min("l_partkey").as("min_partkey"),
+          max("l_partkey").as("max_partkey"))
+        .orderBy("z_cell")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +243,12 @@ object Lifecycle {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "q258_zorder_cells" ->
+      s"""SELECT CAST(${zCellExpr("//")} AS BIGINT) AS z_cell,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+         |FROM lineitem GROUP BY 1 ORDER BY z_cell""".stripMargin)
 }

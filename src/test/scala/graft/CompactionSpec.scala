@@ -117,4 +117,46 @@ class CompactionSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("z-order clustering bounds per-file spans in BOTH dimensions") {
+    val tmp = java.nio.file.Files.createTempDirectory("compactz").toString
+    // the full 256x256 (x, y) grid: x and y are exactly independent, so
+    // single-key clustering can never help the trailing key
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"),
+      (col("id") / 256).cast("long").as("y"),
+      col("id").as("payload"))
+    grid.repartition(7).write.mode("overwrite").parquet(s"$tmp/in")
+    def fileSpans(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("x"), col("y"))
+        .groupBy("f").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // z-order on (x, y): every file's span is a bounded block in BOTH dims
+    val statsZ = Compaction.compact(spark, s"$tmp/in", s"$tmp/z",
+      targetFileBytes = 16L << 10, rowGroupBytes = 8L << 10,
+      zorderKeys = Seq("x", "y"))
+    assert(statsZ.content_match && statsZ.n_files_out >= 16)
+    val zSpans = fileSpans(s"$tmp/z")
+    // a contiguous range of a 2^16 z-curve over 2 x 8-bit keys is a block
+    // of bounded extent in each dim. Individual files CAN go full-span
+    // when an unaligned range boundary crosses a high curve bit, so the
+    // assertion is on the average: ~64-128 blocks out of the 256 space
+    // (observed ~80) vs 255 everywhere without clustering
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    assert(avg(zSpans.map(_._1)) <= 140 && avg(zSpans.map(_._2)) <= 140,
+      s"z-order file spans too wide on average: $zSpans")
+    // single-key clustering on x: y stays full-span in (nearly) every file
+    Compaction.compact(spark, s"$tmp/in", s"$tmp/x",
+      targetFileBytes = 16L << 10, rowGroupBytes = 8L << 10,
+      sortKey = Some("x"))
+    val xSpans = fileSpans(s"$tmp/x")
+    assert(avg(xSpans.map(_._2)) >= 220,
+      s"expected full y-spans under x-only clustering: $xSpans")
+    // guard: the two clustering modes are mutually exclusive
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$tmp/in", s"$tmp/bad",
+        sortKey = Some("x"), zorderKeys = Seq("x", "y"))
+    }
+  }
 }

@@ -1995,6 +1995,54 @@ object Stats {
             col("mn") === col("fmn") && col("mx") === col("fmx"))
             .cast("long").as("consistent"))
         .orderBy("event_type")
+    }),
+
+    // ---- time-series gap fill + linear interpolation ---------------------
+    // Regularize an irregular event stream onto an hourly grid: per user,
+    // every hour between the first and last observed hour exists in the
+    // output, observed hours carry their integer-cents sum, missing hours
+    // are linearly interpolated between the flanking observations.
+    // Scale shape: one keyed aggregation to hourly buckets, one per-user
+    // min/max, a sequence() explode of the spine (rows ∝ hours, bounded),
+    // one keyed left join, and two keyed window passes (last/first
+    // ignoreNulls) — everything partitioned by user_id. Exactness:
+    // per-bucket values are integer cents (floor(value*100) — identical
+    // IEEE double math both engines, then exact BIGINT sums), and the
+    // interpolation numerator/denominator are integers with ONE
+    // floor(double division) at the end (floor, not div: a falling
+    // segment makes the numerator negative, where div truncates toward
+    // zero but // floors — the q172 lesson).
+    "q260_gapfill" -> ((s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir, "events")
+        .filter(col("user_id") % 31 === 0)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val wPrev = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("pv", last("cents", ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("cents").isNotNull, col("h")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first("cents", ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("cents").isNotNull, col("h")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("filled", when(col("cents").isNull, 1L).otherwise(0L))
+        .withColumn("out_cents",
+          when(col("cents").isNotNull, col("cents")).otherwise(
+            col("pv") + expr("""CAST(floor(
+              CAST((nv - pv) * ((unix_timestamp(h) - unix_timestamp(ph)) div 3600) AS DOUBLE)
+              / ((unix_timestamp(nh) - unix_timestamp(ph)) div 3600)) AS BIGINT)""")))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("out_cents").cast("long").as("cents"), col("filled"))
+        .orderBy("user_id", "hour")
     })
   )
 
@@ -2034,6 +2082,38 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q260_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE user_id % 31 = 0 GROUP BY 1, 2),
+        |mm AS (SELECT user_id, min(h) AS h0,
+        |         (CAST(epoch(max(h)) AS BIGINT) - CAST(epoch(min(h)) AS BIGINT)) // 3600 AS span
+        |       FROM hourly GROUP BY user_id),
+        |spine AS (SELECT user_id,
+        |            unnest([h0 + INTERVAL 1 HOUR * i for i in range(0, span + 1)]) AS h
+        |          FROM mm),
+        |j AS (SELECT s.user_id, s.h, hr.cents FROM spine s
+        |      LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h),
+        |w AS (SELECT *,
+        |   last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |   last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        |   first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |   first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE pv + CAST(floor(CAST((nv - pv) *
+        |              ((CAST(epoch(h) AS BIGINT) - CAST(epoch(ph) AS BIGINT)) // 3600) AS DOUBLE)
+        |            / ((CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT)) // 3600))
+        |          AS BIGINT) END AS BIGINT) AS cents,
+        |  CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM w ORDER BY user_id, hour""".stripMargin,
+
     "q195_calibration" ->
       """WITH ev AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v, event_id,
         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos

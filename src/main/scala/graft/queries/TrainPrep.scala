@@ -343,10 +343,48 @@ object TrainPrep {
         .select(col("source"), col("mass").cast("long").as("mass"),
           col("seats").cast("long").as("seats"))
         .orderBy("source")
+    }),
+
+    // ---- systematic PPS sampling per stratum -----------------------------
+    // Probability-proportional-to-size sampling without randomness: lay
+    // each stratum's docs along their cumulative weight (n_chars) in
+    // doc_id order and take the k=10 systematic slots — doc i is selected
+    // iff the running weight crosses a multiple of T/k inside it, i.e.
+    // floor(cum_i*k/T) > floor((cum_i-w_i)*k/T). All-integer (the
+    // apportionment lesson: never round a ratio), so reruns, retries and
+    // both engines agree exactly; units heavier than T/k are certain
+    // inclusions, the textbook PPS property. Two keyed windows per
+    // stratum (running sum + stratum total), no shuffle beyond them —
+    // the sampling weights-mixes shape for building training mixes at
+    // any scale.
+    "q259_pps_sample" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("source")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .withColumn("total", sum("n_chars").over(all))
+        .filter(expr("(cum * 10) div total > ((cum - n_chars) * 10) div total"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr("CAST((cum * 10) div total AS BIGINT)").as("pick_idx"))
+        .orderBy("source", "doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q259_pps_sample" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS total
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |  CAST((cum * 10) // total AS BIGINT) AS pick_idx
+        |FROM c
+        |WHERE (cum * 10) // total > ((cum - n_chars) * 10) // total
+        |ORDER BY source, doc_id""".stripMargin,
+
     "q208_apportion" ->
       """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
         |           FROM documents GROUP BY source),

@@ -1096,6 +1096,48 @@ object Text {
           col("tok_start"), size(col("ctoks")).cast("long").as("n_tok"),
           md5(concat_ws(" ", col("ctoks")).cast("binary")).as("digest"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- retrieval evaluation: hits@10 / MRR against judgments -----------
+    // The eval harness for the BM25 ranker: per query term (the q109 query
+    // set), rank the posting list by the per-term BM25 partial, take the
+    // top 10, and score against a deterministic relevance judgment
+    // (tf >= 3 — content-derived, rank-independent). Reported per query:
+    // corpus relevant count, hits@10, first relevant rank, and MRR in
+    // integer basis points (10000 div rank — 1/3 would tie a rounded 4th
+    // digit). Scale: the candidate set is each term's posting list; the
+    // rank filter is rn <= 10 on a keyed window, which Spark 4 plans as
+    // WindowGroupLimit (per-partition bounded heap, no full sort of the
+    // posting list), and the judgment aggregate is one keyed pass.
+    "q261_retrieval_eval" -> ((s: SparkSession, dir: String) => {
+      val ex = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = ex.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfx.orderBy(col("df").desc, col("term")).limit(3)
+      val scored = tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score_e6", expr(Bm25ScoreE6Sql))
+        .withColumn("rel", when(col("tf") >= 3, 1L).otherwise(0L))
+      val w = Window.partitionBy("term").orderBy(col("score_e6").desc, col("doc_id").asc)
+      val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
+      // judgment count over the FULL posting list (pre-window branch; its
+      // exchanges are identical to the ranked branch's and get reused)
+      val nrel = scored.groupBy("term").agg(sum("rel").as("n_rel"))
+      ranked.filter(col("rank") <= 10)
+        .groupBy("term")
+        .agg(sum("rel").as("hits_at_10"),
+          coalesce(min(when(col("rel") === 1, col("rank"))), lit(0L)).as("first_rel_rank"))
+        .join(nrel, Seq("term"))
+        .select(col("term"), col("n_rel").cast("long").as("n_rel"),
+          col("hits_at_10").cast("long").as("hits_at_10"),
+          col("first_rel_rank").cast("long").as("first_rel_rank"),
+          expr("CAST(CASE WHEN first_rel_rank > 0 THEN 10000 div first_rel_rank ELSE 0 END AS BIGINT)")
+            .as("mrr_bp"))
+        .orderBy("term")
     })
   )
 
@@ -1106,6 +1148,35 @@ object Text {
       s"CAST(len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT)"
 
     val m = Map(
+      "q261_retrieval_eval" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |ex AS (SELECT doc_id, unnest(w) AS term FROM t),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |       FROM ex GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |          CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |qt AS (SELECT term, df FROM dfx
+           |       QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 3),
+           |sc AS (SELECT tf.doc_id, term, tf,
+           |         $Bm25ScoreE6Sql AS score_e6,
+           |         CASE WHEN tf >= 3 THEN 1 ELSE 0 END AS rel
+           |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), tot),
+           |r AS (SELECT term, doc_id, rel,
+           |        row_number() OVER (PARTITION BY term
+           |                           ORDER BY score_e6 DESC, doc_id) AS rank
+           |      FROM sc),
+           |nrel AS (SELECT term, CAST(sum(rel) AS BIGINT) AS n_rel FROM r GROUP BY term),
+           |top AS (SELECT term, CAST(sum(rel) AS BIGINT) AS hits_at_10,
+           |          CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+           |            AS first_rel_rank
+           |        FROM r WHERE rank <= 10 GROUP BY term)
+           |SELECT term, n_rel, hits_at_10, first_rel_rank,
+           |  CAST(CASE WHEN first_rel_rank > 0 THEN 10000 // first_rel_rank
+           |       ELSE 0 END AS BIGINT) AS mrr_bp
+           |FROM top JOIN nrel USING (term) ORDER BY term""".stripMargin,
+
       "q109_bm25" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
            |ex AS (SELECT doc_id, unnest(w) AS term FROM t),

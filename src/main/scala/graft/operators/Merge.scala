@@ -75,6 +75,28 @@ object Merge {
       } :+ col("action"): _*)
   }
 
+  /** Snapshot-diff CDC — the inverse of [[merge]]: compare two keyed
+    * snapshots and emit the replayable change feed that turns `oldDf`
+    * into `newDf`. One full-outer keyed join; the verdict is row-local:
+    * key only in new → 'I', only in old → 'D', in both with a (null-safe)
+    * payload difference → 'U'; unchanged rows are dropped, so the feed is
+    * delta-sized. Feed rows carry the NEW payload ('D' rows carry NULLs —
+    * a delete needs only its key), which is exactly what [[merge]]
+    * consumes: `merge(oldDf, cdcDiff(oldDf, newDf), keys, "op", payload)`
+    * reproduces `newDf` (the roundtrip law, spec-proved). */
+  def cdcDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val o = oldDf.select(keys.map(col) :+ struct(payload.map(col): _*).as("__o"): _*)
+    val n = newDf.select(keys.map(col) :+ struct(payload.map(col): _*).as("__n"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__n").isNull, "D")
+          .when(col("__o").isNull, "I")
+          .when(!(col("__o") <=> col("__n")), "U"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ payload.map(p => col(s"__n.$p").as(p)) :+ col("op"): _*)
+  }
+
   /** SCD Type-2 history from a change log: one output row per run of
     * consecutive identical `attrCol` values per `key`, with half-open
     * validity bounds. `orderCols` must totally order each key's changes

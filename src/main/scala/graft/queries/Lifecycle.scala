@@ -160,6 +160,58 @@ object Lifecycle {
           min("l_partkey").as("min_partkey"),
           max("l_partkey").as("max_partkey"))
         .orderBy("z_cell")
+    }),
+
+    // ---- snapshot-diff CDC (the inverse of MERGE) ------------------------
+    // operators/Merge.cdcDiff: two keyed snapshots in, the delta-sized
+    // replayable change feed out (I/U/D; unchanged rows dropped). The
+    // roundtrip law merge(old, cdcDiff(old, new)) == new is spec-proved;
+    // here the feed itself is oracle-checked. One full-outer keyed join —
+    // the CDC-between-snapshots shape for tables whose source can't emit
+    // a change log. 'D' rows carry NULL payload by design (a delete needs
+    // only its key); NULLs sit in value columns, never sort keys.
+    "q262_snapshot_cdc" -> ((s: SparkSession, dir: String) => {
+      val orders = Tables(s, dir, "orders")
+      def snap(f: org.apache.spark.sql.Column) = orders.filter(f)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val old = snap(col("o_orderkey") % 10 =!= 0)
+      val nw = snap(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 50.0)
+            .otherwise(col("o_totalprice")))
+      Merge.cdcDiff(old, nw, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- schema-drift reconciliation (mergeSchema union) -----------------
+    // Two parquet generations of one table — an old slice without
+    // o_orderpriority, a new slice with it — land in one directory; the
+    // read reconciles via mergeSchema (per-file footer union, missing
+    // columns NULL-filled) and the query normalizes the gap with an
+    // explicit default before aggregating. This is the additive-column
+    // evolution every long-lived 100 TB table goes through; the oracle
+    // reproduces the same union from the base table, so the reconciled
+    // semantics (not just the IO) are hash-checked. Generation writes are
+    // deterministic slices — rerunning the query rewrites identical data.
+    "q263_schema_drift" -> ((s: SparkSession, dir: String) => {
+      val orders = Tables(s, dir, "orders")
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-schema-drift-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+        .withColumn("o_orderpriority",
+          coalesce(col("o_orderpriority"), lit("UNKNOWN")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +302,37 @@ object Lifecycle {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
          |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
-         |FROM lineitem GROUP BY 1 ORDER BY z_cell""".stripMargin)
+         |FROM lineitem GROUP BY 1 ORDER BY z_cell""".stripMargin,
+
+    "q262_snapshot_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |           FROM orders WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderstatus
+        |      FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |        n.o_totalprice AS n_price, n.o_orderstatus AS n_status,
+        |        CASE WHEN n.o_orderkey IS NULL THEN 'D'
+        |             WHEN o.o_orderkey IS NULL THEN 'I'
+        |             WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |               OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'U'
+        |        END AS op
+        |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, n_price AS o_totalprice, n_status AS o_orderstatus, op
+        |FROM j WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q263_schema_drift" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, 'UNKNOWN') AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM u GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

@@ -53,6 +53,25 @@ class MergeSpec extends SparkSpec {
     assert(seq2.exceptAll(once).isEmpty && once.exceptAll(seq2).isEmpty)
   }
 
+  test("cdcDiff roundtrip law: merge(old, cdcDiff(old, new)) == new") {
+    val orders = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+    def snap(f: org.apache.spark.sql.Column) = orders.filter(f)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val old = snap(col("o_orderkey") % 10 =!= 0)
+    val nw = snap(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")))
+    val feed = Merge.cdcDiff(old, nw, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderstatus"))
+    // the feed is delta-sized: unchanged keys never appear
+    assert(feed.filter(col("op") === "U").count() > 0)
+    assert(feed.count() < old.count())
+    val replayed = Merge.merge(old, feed, Seq("o_orderkey"), "op",
+      Seq("o_totalprice", "o_orderstatus")).drop("action")
+    assert(replayed.exceptAll(nw).isEmpty && nw.exceptAll(replayed).isEmpty)
+  }
+
   test("scd2 collapses runs, bounds versions half-open, flags current") {
     val log = Seq(
       (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"), (1L, 4L, "x"),

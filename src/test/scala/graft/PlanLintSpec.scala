@@ -77,7 +77,9 @@ class PlanLintSpec extends SparkSpec {
       "q247_pq_rerank", // q99's 4-row codebook cartesian feeds the shortlist
       "q250_tpch11", // 1-row global (total, count) threshold broadcast
       "q252_rhp_neardup", // 24-row hyperplane table cross into signatures
-      "q253_ann_index") // q51's 8-row centroid cross (build/append/probe)
+      "q253_ann_index", // q51's 8-row centroid cross (build/append/probe)
+      "q256_expectations", // 1-row checks aggregate × 1-row anti-join count
+      "q261_retrieval_eval") // q109's 1-row (n_docs, sum_dl) totals cross
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

@@ -86,6 +86,32 @@ object Bench {
       name -> (if (failed) None else Some(timed.min))
     }
 
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  private def burn(iters: Long): Long = {
+    var s = 0L; var i = 0L
+    while (i < iters) { s += i * i + (s >> 3); i += 1 }
+    s
+  }
+
+  /** HOST-speed calibration: a fixed integer workload timed at 1 thread
+    * and at the sweep's thread count, emitted alongside the totals. The
+    * bench already made itself layout-immune (compacted sweep); this makes
+    * cross-round comparisons HOST-immune: the same container ran the r9
+    * re-measure ~1.5× slower than the r8 driver sweep with zero plan
+    * change (shared-host capacity — a 32-process probe showed ~20
+    * effective cores), and without a recorded calibration that reads as an
+    * engine regression. total/calib_mt is the machine-independent figure
+    * of merit. The sink defeats dead-code elimination. */
+  def calibrate(threads: Int): Double = {
+    val iters = 400000000L
+    calibSink.addAndGet(burn(iters / 8)) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => calibSink.addAndGet(burn(iters))))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Compact every table of `sfDir` into `outDir`/<t>.parquet with small
     * files + bounded row groups (sf0.1 is ~15 MB total, so a 1 MB target
     * restores the multi-task scans a production 128 MB/16 MB layout has at
@@ -129,6 +155,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // host calibration BEFORE any sweep: untimed work hasn't heated the
+    // JVM heap yet and the machine state is what the sweep will see
+    val calibThreads = scala.util.Try(cpus.trim.toInt).getOrElse(4)
+    val calib1 = calibrate(1)
+    val calibN = calibrate(calibThreads)
+
     val compactDir = "/tmp/graft_bench_compact"
     val compacted: Option[Seq[(String, Option[Double])]] =
       if (sweeps == "raw") None
@@ -147,7 +179,8 @@ object Bench {
         rawF.map { case (_, _, t, _, _) => s""""total_raw":$t""" },
         rawF.filter(_ => comp.nonEmpty)
           .map { case (qs, es, _, _, _) => s""""queries_raw":$qs,"errors_raw":$es""" },
-        Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}"""")
+        Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}""""),
+        Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads""")
       ).flatten.mkString(",")
       s"""{"metric":"total","value":$hTotal,"unit":"sec","queries":$hQs,"errors":$hErrs,"sf":"$sfDir",$extras}"""
     }
@@ -171,7 +204,7 @@ object Bench {
     val (_, _, hTotal, hN, hE) = compacted.orElse(raw).map(fmt).get
     val tc = compacted.map(fmt(_)._3).map(t => s""","total_compacted":$t""").getOrElse("")
     val tr = raw.map(fmt(_)._3).map(t => s""","total_raw":$t""").getOrElse("")
-    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"sf":"$sfDir","full":"/tmp/bench.json"}""")
+    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"calib_mt_sec":$calibN,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }
 }

@@ -51,4 +51,53 @@ class AggStateSpec extends SparkSpec {
       AggState.optimize(spark, dir, dir, keys)
     }
   }
+
+  test("streaming foreachBatch appends keep the state recount-exact") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the DedupIndex/CorpusStream discipline applied to aggregates: each
+    // micro-batch blindly appends its partials; the merged read must equal
+    // a recount over everything ingested so far (integer cents — exact)
+    val dir = tmp()
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withCents = batch.withColumn("cents",
+          expr("CAST(floor(value * 100) AS BIGINT)"))
+        if (AggState.exists(dir))
+          AggState.append(withCents, Seq("event_type"), "cents", dir)
+        else AggState.build(withCents, Seq("event_type"), "cents", dir)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def check(): Unit = {
+      val merged = AggState.merged(spark, dir, Seq("event_type"))
+        .select("event_type", "n", "sum")
+        .as[(String, Long, Long)].collect()
+        .map { case (k, n, s) => k -> (n, s) }.toMap
+      val recount = seen.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.size.toLong, vs.map(_._2).sum)
+      }
+      assert(merged === recount)
+    }
+    try {
+      def add(evs: Ev*): Unit = {
+        in.addData(evs: _*)
+        q.processAllAvailable()
+        seen ++= evs.map(e => e.event_type -> math.floor(e.value * 100).toLong)
+      }
+      add(Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.25),
+        Ev(2, t("2024-01-01 10:01:00"), 2, "view", 2.5))
+      check()
+      add(Ev(3, t("2024-01-01 10:02:00"), 1, "click", 4.75),
+        Ev(4, t("2024-01-01 10:03:00"), 3, "buy", 10.0))
+      check()
+      add(Ev(5, t("2024-01-01 10:04:00"), 2, "view", 0.01))
+      check()
+    } finally q.stop()
+  }
 }

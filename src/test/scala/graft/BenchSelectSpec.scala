@@ -20,4 +20,13 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(Bench.parseOnly(Some("q101_pagerank, q102_triangles")) ===
       Some(Set("q101_pagerank", "q102_triangles")))
   }
+
+  test("host calibration measures positive wall seconds at any thread count") {
+    val t1 = Bench.calibrate(1)
+    val t2 = Bench.calibrate(2)
+    assert(t1 > 0 && t2 > 0)
+    // 2 threads of the same per-thread workload can't run faster than one
+    // thread of it (equal only on >= 2 truly free cores)
+    assert(t2 >= t1 * 0.8)
+  }
 }

@@ -97,6 +97,70 @@ object Merge {
       .select(keys.map(col) ++ payload.map(p => col(s"__n.$p").as(p)) :+ col("op"): _*)
   }
 
+  /** Incremental SCD2 maintenance — apply a NEW batch of changes to an
+    * existing [[scd2]] dimension without rebuilding it. Precondition: every
+    * delta row orders strictly AFTER all of its key's already-applied
+    * changes (the normal append-only ingest; violated input would need the
+    * rebuild path). Semantics are defined by the equivalence
+    * `scd2Apply(scd2(logA), logB) == scd2(logA ++ logB)` (spec-proved and
+    * oracle-checked by q264), which pins the two edge rules:
+    *
+    *  - a delta whose first run carries the SAME attribute as the key's
+    *    open version extends that version (n_changes accumulates, no new
+    *    version row) — the run was never really closed;
+    *  - otherwise the open version closes at the first delta run's
+    *    effective_from and the delta runs append as new versions.
+    *
+    * Cost is delta-sized: closed versions stream through untouched; only
+    * each touched key's ONE open row joins the delta's first run. */
+  def scd2Apply(dim: DataFrame, delta: DataFrame, key: String,
+      orderCols: Seq[Column], attrCol: String): DataFrame = {
+    val newRuns = scd2(delta, key, orderCols, attrCol)
+    val closed = dim.filter(!col("is_current"))
+    val open = dim.filter(col("is_current"))
+    val first = newRuns.filter(col("version") === 1).select(col(key),
+      col(attrCol).as("__fa"), col("effective_from").as("__ff"),
+      col("effective_to").as("__ft"), col("n_changes").as("__fn"))
+    // the open version: untouched / extended by an equal-attr first run /
+    // closed by a differing first run
+    val openResolved = open.join(first, Seq(key), "left")
+      .withColumn("__absorb", col("__fa").isNotNull && (col(attrCol) <=> col("__fa")))
+      .select(col(key), col(attrCol),
+        col("effective_from"),
+        when(col("__fa").isNull, col("effective_to"))       // no delta
+          .when(col("__absorb"), col("__ft"))               // extended
+          .otherwise(col("__ff")).as("effective_to"),       // closed
+        (col("n_changes") + when(col("__absorb"), col("__fn")).otherwise(0L))
+          .as("n_changes"),
+        col("version"),
+        (col("__fa").isNull || (col("__absorb") && col("__ft").isNull))
+          .as("is_current"))
+    // delta runs that become NEW version rows: run 1 only if not absorbed;
+    // keys absent from the dimension keep every run. The absorb flag is a
+    // PER-KEY property of run 1 vs the open attr — computed per run it
+    // would also fire on any later run that merely revisits the open
+    // attribute, silently shifting every subsequent version number down
+    // (caught by the incremental≡scratch spec: duplicate version 15)
+    val base = open.select(col(key), col(attrCol).as("__oa"),
+      col("version").as("__ov"))
+    val firstAttr = newRuns.filter(col("version") === 1)
+      .select(col(key), col(attrCol).as("__fa1"))
+    val appended = newRuns.join(base, Seq(key), "left")
+      .join(firstAttr, Seq(key))
+      .withColumn("__absorb", col("__oa").isNotNull && (col("__fa1") <=> col("__oa")))
+      .filter(col("version") > 1 || !col("__absorb"))
+      .select(col(key), col(attrCol), col("effective_from"), col("effective_to"),
+        col("n_changes"),
+        (col("version") + coalesce(col("__ov"), lit(0L))
+          - when(col("__absorb"), 1L).otherwise(0L)).as("version"),
+        col("is_current"))
+    closed.select(col(key), col(attrCol), col("effective_from"),
+        col("effective_to"), col("n_changes"), col("version"), col("is_current"))
+      .unionByName(openResolved.select(col(key), col(attrCol), col("effective_from"),
+        col("effective_to"), col("n_changes"), col("version"), col("is_current")))
+      .unionByName(appended)
+  }
+
   /** SCD Type-2 history from a change log: one output row per run of
     * consecutive identical `attrCol` values per `key`, with half-open
     * validity bounds. `orderCols` must totally order each key's changes

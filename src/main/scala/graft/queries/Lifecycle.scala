@@ -146,6 +146,35 @@ object Lifecycle {
         .orderBy("source", "lang")
     }),
 
+    // ---- incremental SCD2 maintenance ------------------------------------
+    // The production dimension-update loop: the pre-cutoff log builds the
+    // standing dimension, the post-cutoff batch arrives as a delta, and
+    // Merge.scd2Apply folds it in WITHOUT rebuilding — closed versions
+    // stream through untouched, each touched key's one open row joins the
+    // delta's first run (equal-attr first runs extend it; differing ones
+    // close it), delta runs append with shifted version numbers. The
+    // oracle is the FROM-SCRATCH build over the full log, so the
+    // incremental ≡ rebuild equivalence is hash-checked in the gate
+    // itself, not just spec-asserted. Delta-sized cost at any scale.
+    "q264_scd2_incremental" -> ((s: SparkSession, dir: String) => {
+      val changes = Tables(s, dir, "events")
+        .filter(col("user_id") % 7 === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val dim = Merge.scd2(
+        changes.filter(expr("ts < TIMESTAMP '2024-01-10 00:00:00'")),
+        "user_id", Seq(col("ts"), col("event_id")), "event_type")
+      Merge.scd2Apply(dim,
+          changes.filter(expr("ts >= TIMESTAMP '2024-01-10 00:00:00'")),
+          "user_id", Seq(col("ts"), col("event_id")), "event_type")
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          coalesce(date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("effective_to"),
+          col("n_changes"),
+          when(col("is_current"), 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -334,5 +363,32 @@ object Lifecycle {
         |SELECT coalesce(o_orderpriority, 'UNKNOWN') AS o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM u GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |FROM u GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the from-scratch SCD2 build over the FULL log — hash equality proves
+    // the Spark side's incremental scd2Apply ≡ rebuild
+    "q264_scd2_incremental" ->
+      """WITH ch AS (SELECT user_id, ts, event_id, event_type
+        |            FROM events WHERE user_id % 7 = 1),
+        |r AS (SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+        |                     WHEN event_type = lag(event_type) OVER w THEN 0
+        |                     ELSE 1 END AS chg
+        |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM r),
+        |v AS (SELECT user_id, run, min(event_type) AS event_type,
+        |        min(ts) AS eff_from, count(*) AS n_changes
+        |      FROM s GROUP BY user_id, run),
+        |f AS (SELECT user_id, event_type, eff_from, n_changes,
+        |        lead(eff_from) OVER (PARTITION BY user_id ORDER BY run) AS eff_to,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY run) AS version
+        |      FROM v)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  coalesce(strftime(eff_to, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+        |    AS effective_to,
+        |  CAST(n_changes AS BIGINT) AS n_changes,
+        |  CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin)
 }

@@ -88,6 +88,27 @@ class MergeSpec extends SparkSpec {
       Row(2L, 1L, "z", 1L, null, 1L, true)))
   }
 
+  test("scd2Apply incremental == from-scratch over the concatenated log") {
+    val ev = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .filter(col("user_id") % 3 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // time split: everything before the cutoff is the standing dimension,
+    // the rest arrives as the delta batch. Some users sit entirely on one
+    // side (untouched-open and absent-key paths both exercised); with 5
+    // event types the equal-attr absorb path occurs naturally too.
+    val a = ev.filter(expr("ts < TIMESTAMP '2024-01-05 00:00:00'"))
+    val b = ev.filter(expr("ts >= TIMESTAMP '2024-01-05 00:00:00'"))
+    assert(a.count() > 0 && b.count() > 0)
+    val cols = Seq("user_id", "event_type", "effective_from", "effective_to",
+      "n_changes", "version", "is_current").map(col)
+    val inc = Merge.scd2Apply(
+      Merge.scd2(a, "user_id", Seq(col("ts"), col("event_id")), "event_type"),
+      b, "user_id", Seq(col("ts"), col("event_id")), "event_type").select(cols: _*)
+    val scratch = Merge.scd2(ev, "user_id", Seq(col("ts"), col("event_id")),
+      "event_type").select(cols: _*)
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty)
+  }
+
   test("scd2: leading NULL attribute still opens version 1") {
     val log = Seq((1L, 1L, null: String), (1L, 2L, "a"))
       .toDF("k", "seq", "attr")

@@ -175,6 +175,34 @@ object Lifecycle {
         .orderBy("user_id", "version")
     }),
 
+    // ---- point-in-time (as-of) read over the SCD2 dimension --------------
+    // The consumption side of q255's history: probes (event times shifted
+    // +30 min, so answers straddle version boundaries non-trivially) look
+    // up the version active at probe time via from <= t < to. Expressed as
+    // a keyed join (equi on user_id) with the validity range as a residual
+    // predicate — per-key version counts are small and bounded, so the
+    // range residual never explodes; at larger per-key histories this is
+    // exactly the as-of join shape (AsOfJoinExec / union + last-non-null)
+    // the engine already ships for event streams.
+    "q265_asof_dimension" -> ((s: SparkSession, dir: String) => {
+      val changes = Tables(s, dir, "events")
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val dim = Merge.scd2(changes, "user_id",
+        Seq(col("ts"), col("event_id")), "event_type")
+      val probes = changes
+        .select(col("user_id"), col("event_id"),
+          expr("ts + INTERVAL 30 MINUTES").as("pt"))
+      probes.join(dim,
+          probes("user_id") === dim("user_id") &&
+            dim("effective_from") <= probes("pt") &&
+            (dim("effective_to").isNull || probes("pt") < dim("effective_to")))
+        .select(probes("user_id"), col("event_id"),
+          date_format(col("pt"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+          col("version"), col("event_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -390,5 +418,31 @@ object Lifecycle {
         |    AS effective_to,
         |  CAST(n_changes AS BIGINT) AS n_changes,
         |  CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin)
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    "q265_asof_dimension" ->
+      """WITH ch AS (SELECT user_id, ts, event_id, event_type
+        |            FROM events WHERE user_id % 7 = 0),
+        |r AS (SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+        |                     WHEN event_type = lag(event_type) OVER w THEN 0
+        |                     ELSE 1 END AS chg
+        |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM r),
+        |v AS (SELECT user_id, run, min(event_type) AS event_type,
+        |        min(ts) AS eff_from
+        |      FROM s GROUP BY user_id, run),
+        |dim AS (SELECT user_id, event_type, eff_from,
+        |          lead(eff_from) OVER (PARTITION BY user_id ORDER BY run) AS eff_to,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY run) AS version
+        |        FROM v),
+        |p AS (SELECT user_id, event_id, ts + INTERVAL 30 MINUTE AS pt FROM ch)
+        |SELECT p.user_id, p.event_id,
+        |  strftime(p.pt, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+        |  CAST(dim.version AS BIGINT) AS version, dim.event_type
+        |FROM p JOIN dim ON p.user_id = dim.user_id
+        |  AND dim.eff_from <= p.pt
+        |  AND (dim.eff_to IS NULL OR p.pt < dim.eff_to)
+        |ORDER BY p.user_id, p.event_id""".stripMargin)
 }

@@ -167,4 +167,61 @@ class PropertySpec extends SparkSpec {
       parsed.forall { case (e, got) => got == e }
     })
   }
+
+  test("cdcDiff roundtrip + minimality on random keyed snapshots") {
+    import graft.operators.Merge
+    // snapshots over a small key space with NULL-able payload (the <=>
+    // compare must treat NULL == NULL as unchanged, NULL vs value as a
+    // change); law: merge(old, cdcDiff(old, new)) == new, and the feed
+    // never carries an unchanged key (minimality)
+    val vGen: Gen[Option[String]] = Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+    val snapGen = Gen.mapOfN(12, Gen.zip(Gen.choose(0L, 19L), Gen.zip(vGen, vGen)))
+    passes(Prop.forAll(snapGen, snapGen) { (o, n) =>
+      val oldDf = o.toSeq.map { case (k, (v1, v2)) => (k, v1, v2) }.toDF("k", "v1", "v2")
+      val newDf = n.toSeq.map { case (k, (v1, v2)) => (k, v1, v2) }.toDF("k", "v1", "v2")
+      val feed = Merge.cdcDiff(oldDf, newDf, Seq("k"), Seq("v1", "v2"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), Option(r.getString(2)), r.getString(3)))
+      val expectedOps = (o.keySet ++ n.keySet).flatMap { k =>
+        (o.get(k), n.get(k)) match {
+          case (Some(_), None)              => Some(k -> "D")
+          case (None, Some(_))              => Some(k -> "I")
+          case (Some(a), Some(b)) if a != b => Some(k -> "U")
+          case _                            => None
+        }
+      }
+      val gotOps = feed.map(f => f._1 -> f._4).toSet
+      val replay = Merge.merge(oldDf,
+        Merge.cdcDiff(oldDf, newDf, Seq("k"), Seq("v1", "v2")),
+        Seq("k"), "op", Seq("v1", "v2")).drop("action")
+      gotOps == expectedOps &&
+        replay.exceptAll(newDf).isEmpty && newDf.exceptAll(replay).isEmpty
+    })
+  }
+
+  test("scd2Apply == from-scratch scd2 on random split change logs") {
+    import graft.operators.Merge
+    // random per-key logs over a tiny attribute alphabet (maximizing
+    // adjacent-duplicate runs and equal-attr boundary absorptions), split
+    // at a random cutoff; law: incremental apply == full rebuild
+    val logGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 3L), Gen.oneOf("x", "y", "z")))
+      cut <- Gen.choose(0, n)
+    } yield (rows.zipWithIndex.map { case ((k, a), i) => (k, i.toLong, a) }, cut)
+    val cols = Seq("k", "attr", "effective_from", "effective_to",
+      "n_changes", "version", "is_current").map(col)
+    passes(Prop.forAll(logGen) { case (rows, cut) =>
+      val (a, b) = rows.splitAt(cut)
+      val full = rows.toDF("k", "seq", "attr")
+      val scratch = Merge.scd2(full, "k", Seq(col("seq")), "attr").select(cols: _*)
+      val inc =
+        if (a.isEmpty || b.isEmpty) scratch // nothing to split
+        else Merge.scd2Apply(
+          Merge.scd2(a.toDF("k", "seq", "attr"), "k", Seq(col("seq")), "attr"),
+          b.toDF("k", "seq", "attr"), "k", Seq(col("seq")), "attr").select(cols: _*)
+      inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty
+    })
+  }
 }

@@ -270,6 +270,29 @@ object CorpusMain {
       })
   }
 
+  /** Publish gate — q256's expectations shape applied to the ARTIFACT: one
+    * aggregate pass over the curated frame re-verifies the pipeline's core
+    * output invariants (non-empty; digest-unique — i.e. stage 1's contract
+    * still holds on what ships, including after redaction; no PII pattern
+    * survives the scrub; every split tag valid). Returns (check,
+    * violations) pairs; main fails the build on any non-zero, BEFORE the
+    * write — a corrupt corpus never lands where a trainer can read it. */
+  def publishGate(curated: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+    import graft.functions.Redaction
+    val r = curated.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(
+        md5(lower(trim(col("text"))).cast("binary")))).as("dups"),
+      coalesce(sum(when(Redaction.redactPii(col("text")) =!= col("text"), 1L)
+        .otherwise(0L)), lit(0L)).as("pii"),
+      coalesce(sum(when(!col("split").isin("train", "val", "test"), 1L)
+        .otherwise(0L)), lit(0L)).as("bad_split")).head()
+    Seq("non_empty" -> (if (r.getLong(0) > 0) 0L else 1L),
+      "unique_digest" -> r.getLong(1),
+      "pii_scrubbed" -> r.getLong(2),
+      "valid_split" -> r.getLong(3))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam]")
@@ -281,6 +304,11 @@ object CorpusMain {
       .find(a => !a.startsWith("keep=") && a != "decontam").map(_.toLong)
     val (curated, funnel, release) =
       curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest, decontam)
+    val gate = publishGate(curated)
+    gate.foreach { case (c, v) => println(s"gate $c: $v") }
+    require(gate.forall(_._2 == 0L),
+      s"publish gate failed, corpus NOT written: " +
+        gate.filter(_._2 != 0).map { case (c, v) => s"$c=$v" }.mkString(","))
     curated.write.mode("overwrite").partitionBy("lang").parquet(args(1))
     // Composition report of the build that actually shipped (q86's operator
     // over the CURATED set, not the input): the next mix/resample decision

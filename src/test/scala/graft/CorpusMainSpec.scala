@@ -240,4 +240,22 @@ class CorpusMainSpec extends SparkSpec {
     assert(back.count() == curated.count())
     release()
   }
+
+  test("publish gate passes a real build and flags each doctored violation") {
+    val (curated, _, release) = CorpusMain.curate(spark, Tables(spark, sf("sf0.001"), "documents"))
+    assert(CorpusMain.publishGate(curated).forall(_._2 == 0L))
+    // doctor the artifact: an exact duplicate, an unscrubbed PII doc, a
+    // bogus split tag — each check must count its own violation
+    val doctored = curated.unionByName(
+      curated.limit(1).withColumn("doc_id", col("doc_id") + 900000L))
+      .unionByName(curated.limit(1)
+        .withColumn("doc_id", col("doc_id") + 900001L)
+        .withColumn("text", lit("contact me at leaked@example.com please"))
+        .withColumn("split", lit("shadow")))
+    val gate = CorpusMain.publishGate(doctored).toMap
+    assert(gate("unique_digest") >= 1L, gate.toString)
+    assert(gate("pii_scrubbed") === 1L, gate.toString)
+    assert(gate("valid_split") === 1L, gate.toString)
+    release()
+  }
 }

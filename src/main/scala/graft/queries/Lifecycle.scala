@@ -203,6 +203,37 @@ object Lifecycle {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- dead-letter routing (malformed-record quarantine) ---------------
+    // Ingest robustness: the props JSON column is deterministically
+    // corrupted two ways (truncated object for %97 ids, emptied for %101)
+    // and every row routes to ok / empty / malformed_json — bad records
+    // are QUARANTINED with a reason, never dropped silently and never
+    // allowed to fail the batch (from_json PERMISSIVE yields NULL, the
+    // row-local verdict classifies). One scan, one keyed aggregate; the
+    // DLQ is delta-sized by construction. Cross-engine: the corrupt forms
+    // are self-made, so Spark's null-on-parse-failure and DuckDB's
+    // json_valid agree on exactly which rows are bad.
+    "q266_dead_letter" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("props2",
+          when(col("event_id") % 97 === 0, expr("substring(props, 2)"))
+            .when(col("event_id") % 101 === 0, lit(""))
+            .otherwise(col("props")))
+        .withColumn("k",
+          from_json(col("props2"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .withColumn("reason",
+          when(length(col("props2")) === 0, "empty")
+            .when(col("k").isNull, "malformed_json")
+            .otherwise("ok"))
+      ev.groupBy("reason")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum("k"), lit(0L)).cast("long").as("sum_k"))
+        .orderBy("reason")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -444,5 +475,21 @@ object Lifecycle {
         |FROM p JOIN dim ON p.user_id = dim.user_id
         |  AND dim.eff_from <= p.pt
         |  AND (dim.eff_to IS NULL OR p.pt < dim.eff_to)
-        |ORDER BY p.user_id, p.event_id""".stripMargin)
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q266_dead_letter" ->
+      """WITH e AS (SELECT *, CASE WHEN event_id % 97 = 0 THEN substr(props, 2)
+        |                          WHEN event_id % 101 = 0 THEN ''
+        |                          ELSE props END AS props2 FROM events),
+        |c AS (SELECT event_id, user_id,
+        |        CASE WHEN length(props2) = 0 THEN 'empty'
+        |             WHEN NOT json_valid(props2) THEN 'malformed_json'
+        |             ELSE 'ok' END AS reason,
+        |        CASE WHEN length(props2) > 0 AND json_valid(props2)
+        |             THEN CAST(json_extract(props2, '$.k') AS BIGINT) END AS k
+        |      FROM e)
+        |SELECT reason, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+        |FROM c GROUP BY reason ORDER BY reason""".stripMargin)
 }

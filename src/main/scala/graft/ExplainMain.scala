@@ -38,14 +38,38 @@ object ExplainMain {
         locally {
           import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
           import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-          val executed = SparkEntry.queries(name)(spark, dir)
-          executed.write.format("noop").mode("overwrite").save()
+          // metrics live only on plan instances that actually RAN: the
+          // DataFrameWriter executes its own QueryExecution, so walking
+          // df.queryExecution after a write reads all-zero accumulators.
+          // Capture executed plans via listener (the PlanLintSpec pattern —
+          // also covers executions during query CONSTRUCTION).
+          val captured =
+            new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+              captured.add(qe.executedPlan)
+            override def onFailure(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(listener)
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          // listener bus is async — wait until the capture count is stable
+          val deadline = System.nanoTime() + 3000000000L
+          var prev = -1
+          while (prev != captured.size && System.nanoTime() < deadline) {
+            prev = captured.size; Thread.sleep(100)
+          }
+          spark.listenerManager.unregister(listener)
           def walk(p: SparkPlan): Seq[SparkPlan] = p match {
             case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
             case q: QueryStageExec        => p +: walk(q.plan)
             case _                        => p +: p.children.flatMap(walk)
           }
-          walk(executed.queryExecution.executedPlan).collect {
+          import scala.jdk.CollectionConverters._
+          val nodes = captured.asScala.toSeq.flatMap(walk)
+          nodes.collect {
             case f: FileSourceScanExec =>
               val table = f.relation.location.rootPaths.headOption
                 .map(_.getName).getOrElse("?")
@@ -57,6 +81,21 @@ object ExplainMain {
               println(s"scan_tasks=$tasks table=$table " +
                 s"files=${f.relation.location.inputFiles.length}")
           }
+          // Shuffle volume per exchange (and the total): THE scale number —
+          // a plan whose shuffles move gigabytes at sf0.1 moves petabytes
+          // at 100 TB. Metrics are populated because the plan above just
+          // executed; -1 means the metric key is absent in this build.
+          val shuffles = nodes.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+              def m(k: String): Long = e.metrics.get(k).map(_.value).getOrElse(-1L)
+              (m("shuffleBytesWritten"), m("shuffleRecordsWritten"), m("numPartitions"))
+          }
+          shuffles.foreach { case (b, r, p) =>
+            println(s"shuffle bytes=$b records=$r partitions=$p")
+          }
+          println(s"shuffle_total bytes=${shuffles.map(_._1).filter(_ >= 0).sum} " +
+            s"records=${shuffles.map(_._2).filter(_ >= 0).sum} " +
+            s"n_exchanges=${shuffles.size}")
         }
       case None => println("usage: ExplainMain <query> [sfDir]")
     }

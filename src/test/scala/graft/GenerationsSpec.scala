@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AggState, Generations}
+
+/** operators/Generations: the atomic CURRENT pointer over optimize-created
+  * generations — readers resolving through the pointer see identical
+  * content across a compaction switch, and an unpublished table fails
+  * loudly instead of guessing. */
+class GenerationsSpec extends SparkSpec {
+
+  test("publish switches readers atomically across an optimize generation") {
+    val table = Files.createTempDirectory("graft_gen_table").toString
+    val g1 = Files.createTempDirectory("graft_gen1").toString
+    val g2 = Files.createTempDirectory("graft_gen2").toString
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val keys = Seq("source")
+
+    intercept[RuntimeException] { Generations.resolve(table) }
+    intercept[IllegalArgumentException] {
+      Generations.publish(table, s"$g1/does-not-exist")
+    }
+
+    AggState.build(docs.filter(col("doc_id") < 250), keys, "n_chars", g1)
+    AggState.append(docs.filter(col("doc_id") >= 250), keys, "n_chars", g1)
+    Generations.publish(table, g1)
+    val before = AggState.merged(spark, Generations.resolve(table), keys)
+      .orderBy("source").collect().toSeq
+
+    // compact into a NEW generation, then switch the pointer — a reader
+    // resolving at any instant sees g1 or g2, both content-identical
+    AggState.optimize(spark, g1, g2, keys)
+    Generations.publish(table, g2)
+    assert(Generations.resolve(table) === new java.io.File(g2).getCanonicalPath)
+    val after = AggState.merged(spark, Generations.resolve(table), keys)
+      .orderBy("source").collect().toSeq
+    assert(after === before)
+  }
+}

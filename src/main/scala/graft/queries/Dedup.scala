@@ -148,45 +148,59 @@ object Dedup {
   /** The pre-verification candidate pair set (banding output, scored but
     * unfiltered) — what [[lshPairs]] gates at jacc ≥ 0.7. Exposed so the
     * banding's false-positive rate is itself measurable (q194). */
-  /** One (doc_id, bi, bh, bh2) row per band of each signature — the LSH
-    * index key layout, shared by the self-join candidates (below) and the
-    * incremental probe (q244). `bh2` is the NEXT band's hash ((bi+1) mod
-    * BANDS): the tiered cap uses it as a secondary key to SPLIT oversized
-    * buckets instead of dropping them — genuinely similar docs tend to
-    * collide on the secondary band too, while a degenerate boilerplate
-    * family spreads across sub-buckets. */
+  /** One (doc_id, bi, bh) row per band of each signature — the LSH index
+    * key layout, shared by the self-join candidates (below) and the
+    * incremental probe (q244). Deliberately does NOT carry the secondary
+    * band hash the tiered cap uses: computing it here (a second md5 string
+    * per band row) doubled the hash work and ~3×'d the bucket shuffle's
+    * row payload for EVERY document, while only oversized-bucket members —
+    * a rare residue — ever need it. [[lshCandidates]] recomputes it for
+    * exactly those members from the persisted base instead. */
   private[graft] def bandKeys(base: DataFrame): DataFrame = {
-    def bandHash(bi: Int): Column =
-      md5(concat_ws(",",
-        (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
-        .cast("binary"))
     val bandCols = (0 until BANDS).map { bi =>
-      struct(lit(bi).as("bi"), bandHash(bi).as("bh"),
-        bandHash((bi + 1) % BANDS).as("bh2"))
+      struct(lit(bi).as("bi"), bandHash(bi).as("bh"))
     }
     base.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"),
-        col("band.bh").as("bh"), col("band.bh2").as("bh2"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+  }
+
+  private def bandHash(bi: Int): Column =
+    md5(concat_ws(",",
+      (0 until ROWS).map(r => element_at(col("sig"), bi * ROWS + r + 1)): _*)
+      .cast("binary"))
+
+  /** The NEXT band's hash ((bi+1) mod BANDS) with `bi` as a runtime
+    * column — same formula as [[bandHash]], so the two produce identical
+    * strings for equal (sig, band) inputs. */
+  private def bandHash2(bi: Column): Column = {
+    val b2 = pmod(bi + 1, lit(BANDS))
+    md5(concat_ws(",",
+      (0 until ROWS).map(r => element_at(col("sig"), (b2 * ROWS + r + 1).cast("int"))): _*)
+      .cast("binary"))
   }
 
   def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
     val buckets = bandKeys(base)
       .groupBy(col("bi"), col("bh"))
-      .agg(collect_list(struct(col("doc_id"), col("bh2"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
     // tier 1: buckets within the cap pair directly. tier 2: OVERSIZED
-    // buckets are re-keyed by the secondary band hash instead of dropped
-    // (a second, tiny shuffle — only oversized-bucket members move), and
-    // the resulting sub-buckets pair under the same cap; sub-buckets still
-    // over the cap are the degenerate residue that stays dropped. This
-    // recovers true pairs that the flat cap lost (q233's 40 bp recall gap)
-    // while keeping every pair expansion bounded at cap·(cap−1)/2.
-    val small = buckets.filter(size(col("ms")) <= cap)
-      .select(transform(col("ms"), m => m.getField("doc_id")).as("ds"))
-    val big = buckets.filter(size(col("ms")) > cap)
-      .select(col("bi"), col("bh"), explode(col("ms")).as("m"))
-      .select(col("bi"), col("bh"), col("m.doc_id").as("doc_id"),
-        col("m.bh2").as("bh2"))
+    // buckets are re-keyed by the secondary band hash instead of dropped,
+    // and the resulting sub-buckets pair under the same cap; sub-buckets
+    // still over the cap are the degenerate residue that stays dropped.
+    // This recovers true pairs that the flat cap lost (q233's 40 bp recall
+    // gap) while keeping every pair expansion bounded at cap·(cap−1)/2.
+    // The secondary hash is computed HERE, for oversized-bucket members
+    // only, by joining back to the persisted base — carrying it on every
+    // band row cost a second md5 per row and tripled the bucket shuffle's
+    // payload for the whole corpus (measured ~1.5× on the LSH-graph
+    // queries), to serve a residue that is rare by construction.
+    val small = buckets.filter(size(col("ds")) <= cap)
+      .select(col("ds"))
+    val big = buckets.filter(size(col("ds")) > cap)
+      .select(col("bi"), col("bh"), explode(col("ds")).as("doc_id"))
+      .join(base.select(col("doc_id"), col("sig")), Seq("doc_id"))
+      .select(col("bi"), col("bh"), col("doc_id"), bandHash2(col("bi")).as("bh2"))
       .groupBy(col("bi"), col("bh"), col("bh2"))
       .agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")).between(2, cap))

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
@@ -42,6 +42,7 @@ object AnnIndex {
 
   private def centroidsPath(indexDir: String): String = s"$indexDir/centroids"
   private def vectorsPath(indexDir: String): String = s"$indexDir/vectors"
+  private def codebooksPath(indexDir: String): String = s"$indexDir/codebooks"
 
   def exists(indexDir: String): Boolean =
     new File(centroidsPath(indexDir)).isDirectory &&
@@ -49,25 +50,129 @@ object AnnIndex {
 
   /** Create the index: freeze `centroids` (centroid_id, centv) as the
     * coarse quantizer and write the assigned first slice, replacing any
-    * prior content at `indexDir`. */
-  def build(embeddings: DataFrame, centroids: DataFrame, indexDir: String): Unit = {
+    * prior content at `indexDir`. With `codebooks` (code, cv) the index
+    * ALSO stores each vector's PQ code array — frozen like the quantizer,
+    * so batch-grown code columns equal from-scratch ones by construction —
+    * enabling the compressed-domain [[probePq]] read path. */
+  def build(embeddings: DataFrame, centroids: DataFrame, indexDir: String,
+      codebooks: Option[DataFrame] = None): Unit = {
     centroids.select("centroid_id", "centv")
       .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    codebooks.foreach(_.select("code", "cv")
+      .write.mode("overwrite").parquet(codebooksPath(indexDir)))
     writeVectors(embeddings, centroids.select("centroid_id", "centv"),
-      indexDir, "overwrite")
+      indexDir, "overwrite", codebooks.map(_.select("code", "cv")))
   }
 
-  /** Add a batch to an existing index. The FROZEN quantizer is read back
-    * and the batch assigned against it — blind parquet appends, no
+  /** Add a batch to an existing index. The FROZEN quantizer (and PQ
+    * codebooks, when the index carries them) is read back and the batch
+    * assigned/encoded against it — blind parquet appends, no
     * read-modify-write. */
   def append(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit =
     writeVectors(embeddings, spark.read.parquet(centroidsPath(indexDir)),
-      indexDir, "append")
+      indexDir, "append",
+      if (new File(codebooksPath(indexDir)).isDirectory)
+        Some(spark.read.parquet(codebooksPath(indexDir))) else None)
 
   private def writeVectors(e: DataFrame, cent: DataFrame, indexDir: String,
-      mode: String): Unit =
-    assignCosine(e.select("vec_id", "embedding"), cent)
-      .write.mode(mode).partitionBy("centroid_id").parquet(vectorsPath(indexDir))
+      mode: String, codebooks: Option[DataFrame]): Unit = {
+    val assigned = assignCosine(e.select("vec_id", "embedding"), cent)
+    val out = codebooks match {
+      case Some(cw) =>
+        assigned.join(pqEncode(e.select("vec_id", "embedding"), cw), Seq("vec_id"))
+      case None => assigned
+    }
+    out.write.mode(mode).partitionBy("centroid_id").parquet(vectorsPath(indexDir))
+  }
+
+  // ---- PQ (compressed-domain) read path ----------------------------------
+
+  /** Squared L2 between one 16-dim subspace slice of `a` and the codeword
+    * column `cv` — q76/q99's shared formula (sequential fold, so the raw
+    * doubles are bit-equal to the oracle's list comprehension). Expects
+    * `subspace` and `cv` columns in scope. */
+  private def subL2(a: Column): Column = aggregate(
+    zip_with(
+      slice(a, col("subspace") * 16 + 1, lit(16)),
+      slice(col("cv"), col("subspace") * 16 + 1, lit(16)),
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+    lit(0.0), (acc, x) => acc + x)
+
+  private def subspaces: Column = explode(array((0 until 4).map(lit(_)): _*))
+
+  /** q76's per-subspace codeword argmin, emitted as one 4-int `codes`
+    * array per vector. Map-side: the codebook broadcast joins 16 rows per
+    * vector, the argmin is a partial min_by, the array rebuild is one more
+    * keyed aggregation. */
+  private[graft] def pqEncode(vectors: DataFrame, cw: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("subspace", subspaces)
+      .join(broadcast(cw))
+      .withColumn("dist", subL2(col("embedding")))
+      .groupBy("vec_id", "subspace")
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** IVF-PQ search against the standing index — the full production ANN
+    * read path: the probe prunes to the top-`nprobe` centroids' OWN
+    * partitions (the q253 DPP discipline), candidates are scored in the
+    * compressed domain (ADC: per-query LUT broadcast against the stored
+    * 4-byte codes — the embedding column is never read for scoring), the
+    * ADC top-`shortlistK` joins back to raw vectors for exact L2, and the
+    * re-rank's top-`topK` is served. The ADC sum is the fixed-order
+    * d0+d1+d2+d3 (q99's cross-engine determinism trick). */
+  def probePq(spark: SparkSession, queries: DataFrame, indexDir: String,
+      nprobe: Int = 2, shortlistK: Int = 32, topK: Int = 5): DataFrame = {
+    val cent = spark.read.parquet(centroidsPath(indexDir))
+    val cw = spark.read.parquet(codebooksPath(indexDir))
+    val vecs = spark.read.parquet(vectorsPath(indexDir))
+    val wQ = Window.partitionBy("qid").orderBy(desc("qscore"), asc("centroid_id"))
+    val probes = queries.join(broadcast(cent))
+      .withColumn("qscore", round(cosine_sim(col("centv"), col("qe")), 4))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("centroid_id").cast("long").as("pcid"))
+    val dt = queries.withColumn("subspace", subspaces)
+      .join(broadcast(cw))
+      .select(col("qid"), col("subspace"), col("code"), subL2(col("qe")).as("d"))
+    val cands = probes
+      .join(vecs.withColumn("ccid", col("centroid_id").cast("long")),
+        col("pcid") === col("ccid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+    val adc = cands.join(broadcast(dt), Seq("qid", "subspace", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(
+        sum(when(col("subspace") === 0, col("d"))).as("d0"),
+        sum(when(col("subspace") === 1, col("d"))).as("d1"),
+        sum(when(col("subspace") === 2, col("d"))).as("d2"),
+        sum(when(col("subspace") === 3, col("d"))).as("d3"))
+      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+    val shortlist = adc.groupBy("qid")
+      .agg(graft.functions.TopKByScore.top_k(shortlistK)(col("vec_id"), -col("adc")).as("top"))
+      .select(col("qid"), explode(col("top")).as("sc"))
+      .select(col("qid"), col("sc.id").as("vec_id"))
+    // exact re-rank: shortlist + query vectors broadcast, ONE map-side
+    // reduction of the vectors scan (q247's plan shape)
+    val l2 = aggregate(
+      zip_with(col("qe"), col("embedding"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val wR = Window.partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("dist", l2)
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("dist"), 4).as("l2"))
+      .orderBy("qid", "rank")
+  }
 
   /** Top-k search against the standing index: q51's probe discipline
     * (top-`nprobe` centroids per query, leaf top-`topK` by cosine) over

@@ -305,6 +305,33 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
+    // ---- standing IVF-PQ index (the full production ANN read path) -------
+    // AnnIndex with PQ codes stored alongside the vectors (both quantizer
+    // and codebooks FROZEN at build, so batch-grown ≡ from-scratch by
+    // construction): probe prunes to the top-2 centroids' partitions,
+    // scores candidates in the COMPRESSED domain (broadcast per-query LUT
+    // against the stored 4-byte codes — embeddings never read for
+    // scoring), re-ranks the ADC top-32 exactly, serves top-5. The oracle
+    // rebuilds the identical pipeline relationally (q51's assignment ∩
+    // q99's ADC chain ∩ q247's re-rank), so IVF pruning, compressed
+    // scoring and the refine stage are all hash-checked together.
+    "q267_ivfpq_index" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AnnIndex
+      val e = Tables(s, dir, "embeddings")
+      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-ivfpq-index-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      val cw = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code"), col("embedding").as("cv"))
+      AnnIndex.build(e.filter(col("vec_id") % 2 === 0), cent, idxDir, Some(cw))
+      AnnIndex.append(s, e.filter(col("vec_id") % 2 === 1), idxDir)
+      AnnIndex.probePq(s,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        idxDir)
+    }),
 
     // ---- distributed k-means (2 Lloyd iterations) ------------------------
     // The training step IVF (q40) and PQ (q76) codebooks actually come
@@ -664,7 +691,78 @@ object Similarity {
        | FROM rer)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // Standing IVF-PQ (q267): q51's rounded-cosine assignment decides the
+  // partitions, q99's ADC chain scores only candidates inside the probed
+  // partitions, q247's list-comprehension L2 re-ranks the ADC top-32.
+  private val q267Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+       |              FROM embeddings WHERE vec_id < 8),
+       |cw AS (SELECT vec_id AS code, embedding AS cv
+       |       FROM embeddings WHERE vec_id < 4),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, centroid_id,
+       |   round(${dotSql("centv", "embedding")}
+       |         / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
+       |  FROM embeddings e, cent)
+       | QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ascore DESC, centroid_id) = 1),
+       |probes AS (SELECT qid, centroid_id AS pcid FROM (
+       |  SELECT q.vec_id AS qid, centroid_id,
+       |   round(${dotSql("centv", "embedding")}
+       |         / (${normSql("centv")} * ${normSql("embedding")}), 4) AS qscore
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q(vec_id, embedding), cent)
+       | QUALIFY row_number() OVER (PARTITION BY qid
+       |                            ORDER BY qscore DESC, centroid_id) <= 2),
+       |sub AS (SELECT vec_id, embedding, unnest(range(0, 4)) AS subspace
+       |        FROM embeddings),
+       |enc AS (SELECT vec_id, subspace, code,
+       |  list_sum([ (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+       |           * (embedding[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+       |            for i in range(1, 17)]) AS dist
+       | FROM sub, cw),
+       |codes AS (SELECT vec_id, subspace, code FROM enc
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+       |                                     ORDER BY dist, code) = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe, unnest(range(0, 4)) AS subspace
+       |       FROM embeddings WHERE vec_id < 10),
+       |dt AS (SELECT qid, subspace, code,
+       |  list_sum([ (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+       |           * (qe[subspace*16 + i]::DOUBLE - cv[subspace*16 + i]::DOUBLE)
+       |            for i in range(1, 17)]) AS d
+       | FROM qs, cw),
+       |cand0 AS (SELECT p.qid, a.vec_id
+       |          FROM probes p JOIN assign a ON a.centroid_id = p.pcid
+       |          WHERE p.qid <> a.vec_id),
+       |sc AS (SELECT c.qid, c.vec_id,
+       |        sum(CASE WHEN k.subspace = 0 THEN d END) AS d0,
+       |        sum(CASE WHEN k.subspace = 1 THEN d END) AS d1,
+       |        sum(CASE WHEN k.subspace = 2 THEN d END) AS d2,
+       |        sum(CASE WHEN k.subspace = 3 THEN d END) AS d3
+       |       FROM cand0 c
+       |       JOIN codes k ON k.vec_id = c.vec_id
+       |       JOIN dt ON dt.qid = c.qid AND dt.subspace = k.subspace
+       |              AND dt.code = k.code
+       |       GROUP BY c.qid, c.vec_id),
+       |adc AS (SELECT qid, vec_id, d0 + d1 + d2 + d3 AS adc FROM sc),
+       |short AS (SELECT qid, vec_id FROM adc
+       |          QUALIFY row_number() OVER (PARTITION BY qid
+       |                   ORDER BY adc, vec_id) <= 32),
+       |rer AS (SELECT c.qid, c.vec_id,
+       |  list_sum([ (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE)
+       |           * (q.embedding[i]::DOUBLE - v.embedding[i]::DOUBLE)
+       |            for i in range(1, len(q.embedding) + 1)]) AS d
+       | FROM short c JOIN embeddings q ON q.vec_id = c.qid
+       |              JOIN embeddings v ON v.vec_id = c.vec_id)
+       |SELECT qid, rank, vec_id, round(d, 4) AS l2 FROM (
+       | SELECT qid, vec_id, d,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d, vec_id)
+       |       AS BIGINT) AS rank
+       | FROM rer)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q267_ivfpq_index" -> q267Sql,
+
     "q39_cosine_topk" -> q39Sql,
 
     // identical output contract to q39 — the aggregation strategy differs,

@@ -99,4 +99,24 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
     assert(scan.toString.contains("PartitionFilters: ["), "no partition filter")
     assert(pruned.count() > 0)
   }
+
+  test("IVF-PQ: batch-grown codes answer probePq exactly like from-scratch") {
+    val cw = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    val scratch = tmp(); val grown = tmp()
+    AnnIndex.build(emb, cent, scratch, Some(cw))
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), cent, grown, Some(cw))
+    AnnIndex.append(spark, emb.filter(col("vec_id") % 2 === 1), grown)
+    // the stored vectors carry the frozen-codebook code array
+    val vecs = spark.read.parquet(s"$grown/vectors")
+    assert(vecs.columns.contains("codes"))
+    assert(vecs.filter(size(col("codes")) =!= 4).count() === 0)
+    val a = AnnIndex.probePq(spark, queriesDf, scratch).collect().map(_.toSeq).toSeq
+    val b = AnnIndex.probePq(spark, queriesDf, grown).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // re-ranked exact top-1 should usually be the exact-cosine neighborhood;
+    // minimal sanity: every query answered with a full top-5
+    assert(a.groupBy(_.head).forall(_._2.size == 5))
+  }
 }

@@ -10,6 +10,8 @@ import graft.operators.DedupIndex
   * runMain graft.DedupIndexMain append   <docsParquet> <indexDir>
   * runMain graft.DedupIndexMain probe    <docsParquet> <indexDir> <outDir>
   * runMain graft.DedupIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
+  * runMain graft.DedupIndexMain publish  <tableDir> <generationDir>
+  * runMain graft.DedupIndexMain resolve  <tableDir>
   * ```
   *
   * `<docsParquet>` is any parquet with (doc_id BIGINT, text STRING) — a
@@ -18,13 +20,16 @@ import graft.operators.DedupIndex
   * (matches land in `<outDir>` as parquet — the rows to drop or link) and
   * `append`; `optimize` periodically folds the accumulated small append
   * files back to size-targeted ones (fingerprint-validated, writes to a
-  * NEW dir so a failed rewrite never harms the live index).
+  * NEW dir so a failed rewrite never harms the live index); `publish`
+  * atomically switches the table's CURRENT pointer to the optimized
+  * generation ([[graft.operators.Generations]]), and readers address the
+  * index through `resolve`.
   */
 object DedupIndexMain {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: DedupIndexMain build|append|probe|optimize <in> <indexDir> [out|targetMB]")
+    require(args.length >= 2 && (args(0) == "resolve" || args.length >= 3),
+      "usage: DedupIndexMain build|append|probe|optimize|publish|resolve <in> [<indexDir>] [out|targetMB]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,6 +53,12 @@ object DedupIndexMain {
         val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
         DedupIndex.optimize(spark, args(1), args(2), target)
         println(s"optimized ${args(1)} -> ${args(2)}")
+      case "publish" =>
+        require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
+        graft.operators.Generations.publish(args(1), args(2))
+        println(s"CURRENT of ${args(1)} -> ${args(2)}")
+      case "resolve" =>
+        println(graft.operators.Generations.resolve(args(1)))
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -62,6 +62,63 @@ object AggState {
       .agg(sum("__n").cast("long").as("n"), sum("__sum").as("sum"),
         min("__min").as("min"), max("__max").as("max"))
 
+  // ---- mergeable distinct-count state (KMV bottom-k) ---------------------
+  // Exact distincts are NOT algebraic — the scalar table above cannot hold
+  // them. The mergeable form is the sketch family; KMV is the member whose
+  // state is a tiny integer array the oracle can reproduce bit-for-bit
+  // (q111's shared 56-bit md5 hash): per key per slice, the k=16 smallest
+  // distinct hashes. Bottom-k of a union of bottom-ks IS the bottom-k of
+  // the union, so blind slice appends merge exactly and incremental ≡
+  // from-scratch by construction. Estimate: (k−1)·2^56 / h_k in pure
+  // integer math; fewer than k hashes collected means the count is exact.
+
+  val KmvK = 16
+  private val KmvNum = 15L * 72057594037927936L // (k-1) * 2^56
+
+  private def distinctStatePath(stateDir: String): String = s"$stateDir/distinct_state"
+
+  /** One KMV row per key for `df`: the bottom-k distinct hashes of
+    * `valueCol` (q111's 56-bit md5-prefix hash — md5 over the value's
+    * string bytes, so a DuckDB oracle's '0x' || substr(md5(v), 1, 14)
+    * reproduces it exactly). One dedup + one partial bottom-k shuffle. */
+  def distinctPartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.select(keys.map(col) :+
+        md5(col(valueCol).cast("string").cast("binary")).as("__m"): _*)
+      .select(keys.map(col) :+
+        expr("CAST(conv(substring(__m, 1, 14), 16, 10) AS BIGINT)").as("__h"): _*)
+      .dropDuplicates(keys :+ "__h")
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKByScore.top_k(KmvK)(col("__h"),
+        negate(col("__h").cast("double"))).as("__mins"))
+      .select(keys.map(col) :+
+        transform(col("__mins"), m => m.getField("id")).as("__kmv"): _*)
+
+  def buildDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    distinctPartials(df, keys, valueCol)
+      .write.mode("overwrite").parquet(distinctStatePath(stateDir))
+
+  def appendDistinct(delta: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    distinctPartials(delta, keys, valueCol)
+      .write.mode("append").parquet(distinctStatePath(stateDir))
+
+  /** The current distinct-count estimate per key: union the slice arrays,
+    * re-take the bottom-k, apply the KMV estimator. */
+  def mergedDistinct(spark: SparkSession, stateDir: String,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(distinctStatePath(stateDir))
+      .select(keys.map(col) :+ explode(col("__kmv")).as("__h"): _*)
+      .dropDuplicates(keys :+ "__h")
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKByScore.top_k(KmvK)(col("__h"),
+        negate(col("__h").cast("double"))).as("__mins"))
+      .withColumn("__h_k", element_at(col("__mins"), KmvK).getField("id"))
+      .select(keys.map(col) ++ Seq(
+        when(size(col("__mins")) < KmvK, size(col("__mins")).cast("long"))
+          .otherwise(expr(s"CAST($KmvNum DIV __h_k AS BIGINT)"))
+          .as("est_distinct")): _*)
+
   /** Collapse accumulated slice rows to one row per key (and size-target
     * the files). The rewrite is valid iff the merged view is unchanged —
     * checked by fingerprint, failing loudly on mismatch. */

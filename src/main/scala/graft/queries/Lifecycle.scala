@@ -234,6 +234,42 @@ object Lifecycle {
         .orderBy("reason")
     }),
 
+    // ---- standing DISTINCT-count state (KMV bottom-k) --------------------
+    // q257's scalar state can't hold distincts (not algebraic); the
+    // mergeable form is a sketch. AggState's KMV member stores the k=16
+    // smallest distinct 56-bit hashes per key per slice — bottom-k of a
+    // union of bottom-ks IS the bottom-k of the union, so three blind
+    // slice appends merge into exactly the from-scratch sketch, and the
+    // oracle (which computes the sketch from scratch, q111's idiom)
+    // hash-checks that equivalence in the gate. The exact count rides
+    // along for the error column (dropped at scale; the sketch is the
+    // point).
+    "q268_agg_state_distinct" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-agg-distinct-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      def toksOf(c: org.apache.spark.sql.Column) =
+        when(length(trim(c)) === 0, array().cast("array<string>"))
+          .otherwise(split(lower(trim(c)), "\\s+"))
+      def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+        .select(col("source"), explode(toksOf(col("text"))).as("term"))
+      AggState.buildDistinct(slice(0), Seq("source"), "term", stateDir)
+      AggState.appendDistinct(slice(1), Seq("source"), "term", stateDir)
+      AggState.appendDistinct(slice(2), Seq("source"), "term", stateDir)
+      val exact = docs
+        .select(col("source"), explode(toksOf(col("text"))).as("term"))
+        .groupBy("source")
+        .agg(countDistinct(col("term")).as("n_exact"))
+      AggState.mergedDistinct(s, stateDir, Seq("source"))
+        .join(exact, Seq("source"))
+        .select(col("source"), col("est_distinct"),
+          col("n_exact").cast("long").as("n_exact"),
+          expr("CAST((abs(est_distinct - n_exact) * 10000) DIV n_exact AS BIGINT)")
+            .as("err_bp"))
+        .orderBy("source")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -491,5 +527,30 @@ object Lifecycle {
         |SELECT reason, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
-        |FROM c GROUP BY reason ORDER BY reason""".stripMargin)
+        |FROM c GROUP BY reason ORDER BY reason""".stripMargin,
+
+    "q268_agg_state_distinct" ->
+      """WITH t AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |exd AS (SELECT DISTINCT source, term
+        |        FROM (SELECT source, unnest(w) AS term FROM t)),
+        |h AS (SELECT source, ('0x' || substr(md5(term), 1, 14))::BIGINT AS h
+        |      FROM exd),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY source),
+        |bk AS (SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |       FROM h),
+        |kk AS (SELECT source, max(CASE WHEN rn = 16 THEN h END) AS h_k,
+        |         CAST(count(*) AS BIGINT) AS k_got
+        |       FROM bk WHERE rn <= 16 GROUP BY source),
+        |e AS (SELECT st.source, st.n_exact,
+        |        CAST(CASE WHEN kk.k_got < 16 THEN kk.k_got
+        |             ELSE (15 * 72057594037927936) // kk.h_k END AS BIGINT)
+        |          AS est_distinct
+        |      FROM st JOIN kk USING (source))
+        |SELECT source, est_distinct, n_exact,
+        | CAST((abs(est_distinct - n_exact) * 10000) // n_exact AS BIGINT) AS err_bp
+        |FROM e ORDER BY source""".stripMargin)
 }

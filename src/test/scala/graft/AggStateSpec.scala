@@ -52,6 +52,34 @@ class AggStateSpec extends SparkSpec {
     }
   }
 
+  test("KMV distinct state: sliced appends merge to the from-scratch sketch") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    def terms(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val inc = tmp(); val scr = tmp()
+    AggState.buildDistinct(terms(col("doc_id") < 150), Seq("source"), "term", inc)
+    AggState.appendDistinct(terms(col("doc_id") >= 150 && col("doc_id") < 350),
+      Seq("source"), "term", inc)
+    AggState.appendDistinct(terms(col("doc_id") >= 350), Seq("source"), "term", inc)
+    AggState.buildDistinct(terms(lit(true)), Seq("source"), "term", scr)
+    val a = AggState.mergedDistinct(spark, inc, Seq("source"))
+    val b = AggState.mergedDistinct(spark, scr, Seq("source"))
+    // bottom-k of a union of bottom-ks == bottom-k of the union: exact
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // estimates are within KMV's expected error of the truth (k=16 →
+    // ~26% stderr; assert a loose 3-sigma envelope)
+    val exact = terms(lit(true)).distinct().groupBy("source").count()
+    val joined = a.join(exact, Seq("source"))
+      .select(col("est_distinct").cast("double"), col("count").cast("double"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, n) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(est - n) <= 0.8 * n + 16, s"est $est vs exact $n")
+    }
+  }
+
   test("streaming foreachBatch appends keep the state recount-exact") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -493,4 +493,61 @@ class ScaleOpsSpec extends SparkSpec {
         s"$q: a dim join fell back to sort-merge at test scale:\n$plan")
     }
   }
+
+  test("CBO: ANALYZE stats re-order a join written fact-first") {
+    // the fourth scale lever: COST-based join reorder. The query is
+    // written in the worst syntactic order (fact ⋈ orders first, the
+    // selective customer filter last); with table+column stats and CBO on,
+    // the optimizer should start from the SELECTIVE orders⋈customer pair
+    // so the big fact side joins a reduced build — at 100 TB the
+    // difference between shuffling the whole fact join twice and once.
+    // Results must be identical either way (reorder is cost-only).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val keep = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    def innermostJoinLeaves(df: org.apache.spark.sql.DataFrame): String = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.filter(j =>
+          j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+        .flatMap(_.collectLeaves()).mkString(";")
+    }
+    try {
+      Tables(spark, sf("sf0.01"), "lineitem")
+        .write.mode("overwrite").saveAsTable("cbo_li")
+      Tables(spark, sf("sf0.01"), "orders")
+        .write.mode("overwrite").saveAsTable("cbo_o")
+      Tables(spark, sf("sf0.01"), "customer")
+        .write.mode("overwrite").saveAsTable("cbo_c")
+      Seq("cbo_li", "cbo_o", "cbo_c").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val sql = """SELECT c.c_name, CAST(sum(l.l_quantity) AS BIGINT) AS q
+                  |FROM cbo_li l
+                  |JOIN cbo_o o ON l.l_orderkey = o.o_orderkey
+                  |JOIN cbo_c c ON o.o_custkey = c.c_custkey
+                  |WHERE c.c_custkey < 40
+                  |GROUP BY c.c_name""".stripMargin
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val without = spark.sql(sql)
+      val leavesWithout = innermostJoinLeaves(without)
+      assert(leavesWithout.contains("cbo_li"),
+        s"syntactic order should join the fact first:\n$leavesWithout")
+      val baseline = without.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = spark.sql(sql)
+      val leavesWith = innermostJoinLeaves(withCbo)
+      assert(!leavesWith.contains("cbo_li") && leavesWith.contains("cbo_c"),
+        s"CBO did not move the selective dim join innermost:\n$leavesWith")
+      val rows = withCbo.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == baseline && rows.nonEmpty)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq("cbo_li", "cbo_o", "cbo_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -119,6 +119,70 @@ object AggState {
           .otherwise(expr(s"CAST($KmvNum DIV __h_k AS BIGINT)"))
           .as("est_distinct")): _*)
 
+  // ---- mergeable quantile state (sub-log histogram buckets) --------------
+  // The third state member (scalars / distincts / QUANTILES): per key per
+  // slice one row per occupied bucket of q219's sub-log histogram (0-7
+  // exact, then 4 sub-buckets per octave, <=25% bucket width). Bucket
+  // COUNTS are plainly additive, so this is the scalar table's own
+  // discipline applied to a quantile sketch: blind appends, merge = sum,
+  // incremental ≡ from-scratch by arithmetic. The bucket index and the
+  // ceil(p·n) walk are integer-exact, so a DuckDB oracle reproduces the
+  // estimates bit-for-bit (the q219 lesson).
+
+  private def histStatePath(stateDir: String): String = s"$stateDir/hist_state"
+
+  // q219's bucket index / lower-bound expressions over a non-negative
+  // BIGINT column named __v / __idx (shared shape with the q219 oracle)
+  private val HistIdxSql =
+    """CASE WHEN __v < 8 THEN __v
+      |     ELSE 8 + 4 * (length(bin(__v)) - 4)
+      |          + (shiftright(__v, length(bin(__v)) - 3) % 4) END""".stripMargin
+  private val HistLowerSql =
+    """CASE WHEN __idx < 8 THEN __idx
+      |     ELSE (4 + (__idx - 8) % 4)
+      |          * shiftleft(CAST(1 AS BIGINT), (__idx - 8) DIV 4 + 1) END""".stripMargin
+
+  /** One (keys..., __idx, __cnt) row per occupied histogram bucket of
+    * `valueCol` (non-negative BIGINT) — the additive quantile state. */
+  def histPartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .select(keys.map(col) :+ expr(HistIdxSql).cast("long").as("__idx"): _*)
+      .groupBy(keys.map(col) :+ col("__idx"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+
+  def buildHist(df: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    histPartials(df, keys, valueCol)
+      .write.mode("overwrite").parquet(histStatePath(stateDir))
+
+  def appendHist(delta: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    histPartials(delta, keys, valueCol)
+      .write.mode("append").parquet(histStatePath(stateDir))
+
+  /** Current quantile estimates per key: fold the slice bucket rows (sum),
+    * walk the cumulative histogram to the ceil(p·n) crossings. The window
+    * runs over ~|keys|·|buckets| aggregate rows, never the data. */
+  def mergedHist(spark: SparkSession, stateDir: String,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val folded = spark.read.parquet(histStatePath(stateDir))
+      .groupBy(keys.map(col) :+ col("__idx"): _*)
+      .agg(sum("__cnt").as("__cnt"))
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy("__idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    folded
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .withColumn("__lower", expr(HistLowerSql).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(min("__n").cast("long").as("n"),
+        min(when(expr("__cum >= (__n + 1) DIV 2"), col("__lower"))).cast("long").as("p50_est"),
+        min(when(expr("__cum >= (9 * __n + 9) DIV 10"), col("__lower"))).cast("long").as("p90_est"),
+        min(when(expr("__cum >= (99 * __n + 99) DIV 100"), col("__lower"))).cast("long").as("p99_est"))
+  }
+
   /** Collapse accumulated slice rows to one row per key (and size-target
     * the files). The rewrite is valid iff the merged view is unchanged —
     * checked by fingerprint, failing loudly on mismatch. */

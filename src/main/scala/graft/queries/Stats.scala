@@ -1788,6 +1788,29 @@ object Stats {
         .orderBy("l_returnflag")
     }),
 
+    // ---- standing quantile state (AggState's third member) ---------------
+    // q219's histogram as an INCREMENTAL state table: three deterministic
+    // slices of lineitem land as build + two blind appends of per-bucket
+    // count rows (bucket counts are additive — the scalar-state discipline
+    // applied to a quantile sketch), and the merged read walks the folded
+    // cumulative histogram. The oracle is q219's from-scratch SQL
+    // verbatim, so incremental ≡ rebuild is the correctness gate itself.
+    "q269_agg_state_quantiles" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-agg-hist-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      def slice(r: Int) = li.filter(col("l_orderkey") % 3 === r)
+      AggState.buildHist(slice(0), Seq("l_returnflag"), "cents", stateDir)
+      AggState.appendHist(slice(1), Seq("l_returnflag"), "cents", stateDir)
+      AggState.appendHist(slice(2), Seq("l_returnflag"), "cents", stateDir)
+      AggState.mergedHist(s, stateDir, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- CUPED variance reduction for the A/B readout --------------------
     // q124's experiment analysis with the industry-standard pre-period
     // adjustment: theta = cov(y, x)/var(x) over per-user (pre, experiment)
@@ -2080,6 +2103,38 @@ object Stats {
       "kurt_e4" -> (s"CASE WHEN $m2 <= 0.0 THEN NULL ELSE " +
         s"CAST(floor(($m4 / ($m2 * $m2) - 3.0) * 10000.0) AS BIGINT) END"))
   }
+
+  /** q219's from-scratch sub-log-histogram quantile SQL — also the oracle
+    * of q269's STANDING quantile state (incremental merged read must equal
+    * this exactly; bucket counts are additive). */
+  private val Q219Sql: String =
+    """WITH x AS (SELECT l_returnflag,
+      |             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+      |           FROM lineitem),
+      |bk AS (SELECT l_returnflag,
+      |         CASE WHEN v < 8 THEN v
+      |              ELSE 8 + 4 * (length(bin(v)) - 4)
+      |                   + ((v >> (length(bin(v)) - 3)) % 4) END AS idx,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |       FROM x GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, idx, cnt,
+      |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+      |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM bk),
+      |lo AS (SELECT l_returnflag, cum, n,
+      |         CASE WHEN idx < 8 THEN idx
+      |              ELSE (4 + (idx - 8) % 4)
+      |                   * (CAST(1 AS BIGINT) << ((idx - 8) // 4 + 1)) END
+      |           AS lower
+      |       FROM c)
+      |SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lower END) AS BIGINT)
+      |    AS p50_est,
+      |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lower END) AS BIGINT)
+      |    AS p90_est,
+      |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lower END) AS BIGINT)
+      |    AS p99_est
+      |FROM lo GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q260_gapfill" ->
@@ -3191,34 +3246,13 @@ object Stats {
         |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
         |ORDER BY event_type, week""".stripMargin,
 
-    "q219_hist_quantiles" ->
-      """WITH x AS (SELECT l_returnflag,
-        |             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
-        |           FROM lineitem),
-        |bk AS (SELECT l_returnflag,
-        |         CASE WHEN v < 8 THEN v
-        |              ELSE 8 + 4 * (length(bin(v)) - 4)
-        |                   + ((v >> (length(bin(v)) - 3)) % 4) END AS idx,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |       FROM x GROUP BY 1, 2),
-        |c AS (SELECT l_returnflag, idx, cnt,
-        |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
-        |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
-        |      FROM bk),
-        |lo AS (SELECT l_returnflag, cum, n,
-        |         CASE WHEN idx < 8 THEN idx
-        |              ELSE (4 + (idx - 8) % 4)
-        |                   * (CAST(1 AS BIGINT) << ((idx - 8) // 4 + 1)) END
-        |           AS lower
-        |       FROM c)
-        |SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n,
-        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lower END) AS BIGINT)
-        |    AS p50_est,
-        |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lower END) AS BIGINT)
-        |    AS p90_est,
-        |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lower END) AS BIGINT)
-        |    AS p99_est
-        |FROM lo GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q219_hist_quantiles" -> Q219Sql,
+
+    // the standing quantile state's merged read is hash-checked against
+    // the SAME from-scratch computation — incremental ≡ rebuild is the
+    // gate itself (bucket counts are additive; the q190→q126 oracle-
+    // reuse pattern)
+    "q269_agg_state_quantiles" -> Q219Sql,
 
     "q221_incremental" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,

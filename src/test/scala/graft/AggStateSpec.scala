@@ -80,6 +80,33 @@ class AggStateSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile state: sliced appends merge to the from-scratch walk") {
+    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"),
+        col("l_orderkey"))
+    val inc = tmp(); val scr = tmp()
+    AggState.buildHist(li.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_returnflag"), "cents", inc)
+    AggState.appendHist(li.filter(col("l_orderkey") % 2 === 1),
+      Seq("l_returnflag"), "cents", inc)
+    AggState.buildHist(li, Seq("l_returnflag"), "cents", scr)
+    val a = AggState.mergedHist(spark, inc, Seq("l_returnflag"))
+    val b = AggState.mergedHist(spark, scr, Seq("l_returnflag"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the estimates bracket the exact percentiles within a bucket width
+    // (<= 25%): sanity on p50 vs the true median of cents
+    val est = a.select("l_returnflag", "p50_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(cents, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est.foreach { case (k, p) =>
+      assert(p <= exact(k) * 1.05 && p >= exact(k) * 0.7,
+        s"$k: p50_est $p vs exact median ${exact(k)}")
+    }
+  }
+
   test("streaming foreachBatch appends keep the state recount-exact") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

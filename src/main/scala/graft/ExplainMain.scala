@@ -55,12 +55,12 @@ object ExplainMain {
           spark.listenerManager.register(listener)
           SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
-          // listener bus is async — wait until the capture count is stable
-          val deadline = System.nanoTime() + 3000000000L
-          var prev = -1
-          while (prev != captured.size && System.nanoTime() < deadline) {
-            prev = captured.size; Thread.sleep(100)
-          }
+          // listener bus is async — drain it deterministically (a fixed
+          // stability poll undercounts whenever the terminal onSuccess
+          // lands late on a loaded host; the report's whole point is
+          // cross-round comparability)
+          if (!org.apache.spark.graft.ListenerBridge.drain(spark))
+            println("WARNING: listener bus not drained — report may undercount")
           spark.listenerManager.unregister(listener)
           def walk(p: SparkPlan): Seq[SparkPlan] = p match {
             case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)

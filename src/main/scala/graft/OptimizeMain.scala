@@ -39,12 +39,18 @@ object OptimizeMain {
       // only to tables that actually carry the column (a footer-only schema
       // read) — otherwise repartitionByRange on table 1 would fail the
       // whole multi-table job; the rest compact unclustered
-      val cols = spark.read.parquet(path).schema.fieldNames.toSet
+      val schema = spark.read.parquet(path).schema
+      val cols = schema.fieldNames.toSet
       // a comma in the key list means Z-ORDER clustering over those
       // columns (multi-dimension data skipping); a single name is plain
-      // range clustering — either applies only where every column exists
+      // range clustering — either applies only where every column exists,
+      // and Z-order additionally only where every key is NUMERIC (zvalue's
+      // quantile bucketing precondition) — a non-qualifying table compacts
+      // unclustered instead of aborting the whole multi-table job
       val keys = sortKey.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      val applicable = keys.nonEmpty && keys.forall(cols.contains)
+      val present = keys.nonEmpty && keys.forall(cols.contains)
+      val applicable = present && (keys.size == 1 || keys.forall(k =>
+        schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
       val stats = Compaction.compact(spark, path,
         s"$outDir/$t", targetFileBytes,
         rowGroupBytes = math.max(1L << 20, targetFileBytes / 8),

@@ -103,19 +103,28 @@ object AggState {
     distinctPartials(delta, keys, valueCol)
       .write.mode("append").parquet(distinctStatePath(stateDir))
 
-  /** The current distinct-count estimate per key: union the slice arrays,
-    * re-take the bottom-k, apply the KMV estimator. */
-  def mergedDistinct(spark: SparkSession, stateDir: String,
-      keys: Seq[String]): DataFrame =
-    spark.read.parquet(distinctStatePath(stateDir))
+  /** Collapse slice KMV rows to ONE bottom-k row per key — the state-side
+    * fold `mergedDistinct` estimates over, and the rewrite `optimize`
+    * persists (bottom-k of a union of bottom-ks is the bottom-k of the
+    * union, so collapsing is lossless by construction). */
+  private def kmvFold(state: DataFrame, keys: Seq[String]): DataFrame =
+    state
       .select(keys.map(col) :+ explode(col("__kmv")).as("__h"): _*)
       .dropDuplicates(keys :+ "__h")
       .groupBy(keys.map(col): _*)
       .agg(graft.functions.TopKByScore.top_k(KmvK)(col("__h"),
         negate(col("__h").cast("double"))).as("__mins"))
-      .withColumn("__h_k", element_at(col("__mins"), KmvK).getField("id"))
+      .select(keys.map(col) :+
+        transform(col("__mins"), m => m.getField("id")).as("__kmv"): _*)
+
+  /** The current distinct-count estimate per key: union the slice arrays,
+    * re-take the bottom-k, apply the KMV estimator. */
+  def mergedDistinct(spark: SparkSession, stateDir: String,
+      keys: Seq[String]): DataFrame =
+    kmvFold(spark.read.parquet(distinctStatePath(stateDir)), keys)
+      .withColumn("__h_k", element_at(col("__kmv"), KmvK))
       .select(keys.map(col) ++ Seq(
-        when(size(col("__mins")) < KmvK, size(col("__mins")).cast("long"))
+        when(size(col("__kmv")) < KmvK, size(col("__kmv")).cast("long"))
           .otherwise(expr(s"CAST($KmvNum DIV __h_k AS BIGINT)"))
           .as("est_distinct")): _*)
 
@@ -184,24 +193,48 @@ object AggState {
   }
 
   /** Collapse accumulated slice rows to one row per key (and size-target
-    * the files). The rewrite is valid iff the merged view is unchanged —
-    * checked by fingerprint, failing loudly on mismatch. */
+    * the files), for EVERY state subtable present under `stateDir` — the
+    * scalar `state/`, the KMV `distinct_state/` (re-take the bottom-k per
+    * key), and the histogram `hist_state/` (sum counts per key/bucket).
+    * Each rewrite is valid iff its merged view is unchanged — checked by
+    * fingerprint per subtable, failing loudly on mismatch. A stateDir that
+    * carries only a subset of the layouts rewrites exactly that subset, so
+    * a Generations publish over the output never drops a sketch a reader
+    * depends on. */
   def optimize(spark: SparkSession, stateDir: String, outStateDir: String,
       keys: Seq[String], targetFileBytes: Long = 128L << 20): Unit = {
     require(new File(stateDir).getCanonicalPath !=
         new File(outStateDir).getCanonicalPath,
       s"optimize: outStateDir must differ from stateDir ($stateDir)")
-    val state = spark.read.parquet(statePath(stateDir))
-    val collapsed = mergeRows(state, keys)
-      .select(keys.map(col) ++ Seq(col("n").as("__n"), col("sum").as("__sum"),
-        col("min").as("__min"), col("max").as("__max")): _*)
-    val bytesIn = state.inputFiles.toSeq
-      .map(p => new File(new java.net.URI(p)).length()).sum
-    val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
-    collapsed.repartition(nOut).write.mode("overwrite").parquet(statePath(outStateDir))
-    val Seq(rep) = Reconcile.report(Seq(("agg_state",
-      mergeRows(state, keys),
-      merged(spark, outStateDir, keys))))
-    require(rep.matches, s"optimize: merged view changed after rewrite: $rep")
+    def sized(df: DataFrame, bytesIn: Long): DataFrame =
+      df.repartition(math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt)
+    def bytesOf(df: DataFrame): Long =
+      df.inputFiles.toSeq.map(p => new File(new java.net.URI(p)).length()).sum
+    def rewrite(sub: String, path: String => String,
+        collapse: DataFrame => DataFrame,
+        view: String => DataFrame): Unit =
+      if (new File(path(stateDir)).isDirectory) {
+        val state = spark.read.parquet(path(stateDir))
+        sized(collapse(state), bytesOf(state))
+          .write.mode("overwrite").parquet(path(outStateDir))
+        val Seq(rep) = Reconcile.report(Seq((sub,
+          view(stateDir), view(outStateDir))))
+        require(rep.matches, s"optimize: $sub merged view changed after rewrite: $rep")
+      }
+    require(Seq(statePath _, distinctStatePath _, histStatePath _)
+        .exists(p => new File(p(stateDir)).isDirectory),
+      s"optimize: no state subtables under $stateDir")
+    rewrite("agg_state", statePath,
+      st => mergeRows(st, keys)
+        .select(keys.map(col) ++ Seq(col("n").as("__n"), col("sum").as("__sum"),
+          col("min").as("__min"), col("max").as("__max")): _*),
+      d => merged(spark, d, keys))
+    rewrite("distinct_state", distinctStatePath,
+      st => kmvFold(st, keys),
+      d => mergedDistinct(spark, d, keys))
+    rewrite("hist_state", histStatePath,
+      st => st.groupBy(keys.map(col) :+ col("__idx"): _*)
+        .agg(sum("__cnt").as("__cnt")),
+      d => mergedHist(spark, d, keys))
   }
 }

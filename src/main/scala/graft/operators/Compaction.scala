@@ -63,6 +63,16 @@ object Compaction {
   def zvalue(df: DataFrame, keys: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
     require(keys.size >= 2, "zvalue: needs at least 2 keys (use sortKey for 1)")
     require(keys.size * bits <= 62, s"zvalue: ${keys.size} keys x $bits bits overflows a long")
+    // approxQuantile throws IllegalArgumentException mid-job on a string
+    // column; fail the precondition HERE with the actionable message (the
+    // single-key repartitionByRange path handles strings fine — the
+    // asymmetry is quantile bucketing, which is inherently numeric)
+    keys.foreach { k =>
+      val dt = df.schema(k).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zvalue: key '$k' is $dt — quantile bucketing needs numeric keys " +
+          "(use sortKey range clustering for a string key)")
+    }
     val n = 1 << bits
     val bucketCols = keys.map { k =>
       val bounds = df.stat.approxQuantile(k, (1 until n).map(_.toDouble / n).toArray, 0.001)

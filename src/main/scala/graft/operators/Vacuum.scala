@@ -26,12 +26,27 @@ import org.apache.spark.sql.SparkSession
   * 100 TB posture: the listing is the only driver-side work (file paths,
   * not data); deletes are per-file and idempotent — a vacuum that dies
   * halfway leaves a directory vacuum can finish later.
+  *
+  * RETENTION: deletion is additionally gated on file AGE. A concurrent
+  * streaming batch's in-progress part files — written to disk but not yet
+  * recorded in `_spark_metadata` — are indistinguishable from orphans by
+  * the set-difference alone; deleting one mid-commit corrupts that batch.
+  * Delta VACUUM and Iceberg remove_orphan_files gate on age for exactly
+  * this race; we do the same: only orphans whose mtime is older than
+  * `retentionMs` (default 7 days) are eligible for deletion. Younger
+  * orphans are still REPORTED (`n_retained`) so the dry run shows the
+  * whole picture. Even so, vacuum with a shortened retention must not run
+  * concurrently with writers on the same directory — retention is a
+  * guard, not a lock.
   */
 object Vacuum {
 
+  /** Conservative default matching Delta's 7-day VACUUM retention. */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   final case class VacuumStats(
       n_committed: Long, n_orphans: Long, orphan_bytes: Long,
-      deleted: Seq[String])
+      n_retained: Long, deleted: Seq[String])
 
   private def leafParquet(dir: File): Seq[File] = {
     val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
@@ -48,12 +63,19 @@ object Vacuum {
     (committed, orphan)
   }
 
-  def vacuum(spark: SparkSession, dir: String, dryRun: Boolean = true): VacuumStats = {
+  def vacuum(spark: SparkSession, dir: String, dryRun: Boolean = true,
+      retentionMs: Long = DefaultRetentionMs): VacuumStats = {
     val (committed, orphan) = orphans(spark, dir)
     val bytes = orphan.map(_.length()).sum
+    // age gate: an orphan younger than the retention window may be a
+    // concurrent writer's not-yet-committed output — report it, never
+    // delete it (see the retention note in the object scaladoc)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val (eligible, retained) = orphan.partition(_.lastModified() <= cutoff)
     val deleted =
       if (dryRun) Seq.empty[String]
-      else orphan.filter(_.delete()).map(_.getCanonicalPath)
-    VacuumStats(committed.size.toLong, orphan.size.toLong, bytes, deleted)
+      else eligible.filter(_.delete()).map(_.getCanonicalPath)
+    VacuumStats(committed.size.toLong, orphan.size.toLong, bytes,
+      retained.size.toLong, deleted)
   }
 }

@@ -97,9 +97,16 @@ object Lifecycle {
       val orders = Tables(s, dir, "orders")
       val rowChecks = li.agg(
         sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull_orderkey"),
+        // explicit NULL sentinels pin the digest's NULL handling in BOTH
+        // engines: Spark's concat_ws SKIPS null elements while DuckDB's ||
+        // propagates NULL (vanishing from count DISTINCT) — without the
+        // coalesce a NULL key component diverges cross-engine. '<null>'
+        // can't collide with the numeric key strings.
         (count(lit(1)) - countDistinct(
-          concat_ws("|", col("l_orderkey").cast("string"),
-            col("l_linenumber").cast("string")))).cast("long").as("v_unique_pk"),
+          concat_ws("|",
+            coalesce(col("l_orderkey").cast("string"), lit("<null>")),
+            coalesce(col("l_linenumber").cast("string"), lit("<null>")))))
+          .cast("long").as("v_unique_pk"),
         sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.05, 1L)
           .otherwise(0L)).as("v_range_discount"),
         sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("v_positive_qty"),
@@ -393,7 +400,8 @@ object Lifecycle {
     "q256_expectations" ->
       """WITH a AS (SELECT
         |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_notnull_orderkey,
-        |    count(*) - count(DISTINCT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)
+        |    count(*) - count(DISTINCT coalesce(l_orderkey::VARCHAR, '<null>')
+        |      || '|' || coalesce(l_linenumber::VARCHAR, '<null>'))
         |      AS v_unique_pk,
         |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
         |      AS v_range_discount,

@@ -52,6 +52,53 @@ class AggStateSpec extends SparkSpec {
     }
   }
 
+  test("optimize rewrites EVERY subtable present: scalar + KMV + histogram") {
+    // a stateDir that carries all three layouts (the shape q257/q268/q269
+    // build) must come out of optimize with all three intact — a
+    // generation missing distinct_state/hist_state would fail every
+    // mergedDistinct/mergedHist read after a Generations publish switch
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp(); val out = tmp()
+    val keys = Seq("source")
+    def half(f: org.apache.spark.sql.Column) = docs.filter(f)
+    AggState.build(half(col("doc_id") < 250), keys, "n_chars", dir)
+    AggState.append(half(col("doc_id") >= 250), keys, "n_chars", dir)
+    def terms(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    AggState.buildDistinct(terms(col("doc_id") < 250), keys, "term", dir)
+    AggState.appendDistinct(terms(col("doc_id") >= 250), keys, "term", dir)
+    AggState.buildHist(half(col("doc_id") < 250), keys, "n_chars", dir)
+    AggState.appendHist(half(col("doc_id") >= 250), keys, "n_chars", dir)
+
+    val beforeD = AggState.mergedDistinct(spark, dir, keys).collect().toSet
+    val beforeH = AggState.mergedHist(spark, dir, keys).collect().toSet
+    AggState.optimize(spark, dir, out, keys)
+    // every subtable exists in the output generation...
+    assert(new java.io.File(s"$out/state").isDirectory)
+    assert(new java.io.File(s"$out/distinct_state").isDirectory)
+    assert(new java.io.File(s"$out/hist_state").isDirectory)
+    // ...collapsed (one KMV row per key; hist rows = occupied buckets,
+    // fewer than the two-slice input)...
+    val nKeys = AggState.merged(spark, out, keys).count()
+    assert(spark.read.parquet(s"$out/distinct_state").count() === nKeys)
+    assert(spark.read.parquet(s"$out/hist_state").count() <
+      spark.read.parquet(s"$dir/hist_state").count())
+    // ...and the merged views are unchanged
+    assert(AggState.mergedDistinct(spark, out, keys).collect().toSet === beforeD)
+    assert(AggState.mergedHist(spark, out, keys).collect().toSet === beforeH)
+  }
+
+  test("optimize on a sketch-only stateDir rewrites just that subtable") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp(); val out = tmp()
+    AggState.buildHist(docs, Seq("lang"), "n_chars", dir)
+    val before = AggState.mergedHist(spark, dir, Seq("lang")).collect().toSet
+    AggState.optimize(spark, dir, out, Seq("lang"))
+    assert(!new java.io.File(s"$out/state").isDirectory)
+    assert(AggState.mergedHist(spark, out, Seq("lang")).collect().toSet === before)
+  }
+
   test("KMV distinct state: sliced appends merge to the from-scratch sketch") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     def terms(f: org.apache.spark.sql.Column) = docs.filter(f)

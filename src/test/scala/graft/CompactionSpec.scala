@@ -159,4 +159,22 @@ class CompactionSpec extends SparkSpec {
         sortKey = Some("x"), zorderKeys = Seq("x", "y"))
     }
   }
+
+  test("z-order refuses non-numeric keys up front; OptimizeMain skips them") {
+    val tmp = java.nio.file.Files.createTempDirectory("compactznn").toString
+    val df = spark.range(1000).select(
+      col("id"), concat(lit("s"), col("id") % 7).as("tag"))
+    df.write.mode("overwrite").parquet(s"$tmp/in/t.parquet")
+    // direct zvalue on a string key: fail the PRECONDITION with an
+    // actionable message, not approxQuantile's mid-job IAE
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.zvalue(spark.read.parquet(s"$tmp/in/t.parquet"), Seq("id", "tag"))
+    }
+    assert(ex.getMessage.contains("tag"))
+    // the multi-table CLI path: a non-numeric z-key must not abort the
+    // job — the table compacts unclustered (the missing-column fallback)
+    val results = OptimizeMain.run(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 1L << 20, sortKey = Some("id,tag"))
+    assert(results.size === 1 && results.head._2.content_match)
+  }
 }

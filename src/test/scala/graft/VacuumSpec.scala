@@ -42,14 +42,22 @@ class VacuumSpec extends SparkSpec {
     assert(dry.n_orphans === 2 && dry.orphan_bytes > 0 && dry.deleted.isEmpty)
     assert(o1.exists() && o2.exists())
 
-    val real = Vacuum.vacuum(spark, s"$tmp/t", dryRun = false)
-    assert(real.n_orphans === 2 && real.deleted.size === 2)
+    // RETENTION GATE: under the default 7-day window the freshly planted
+    // orphans look like a concurrent writer's in-flight output — the
+    // destructive pass must report them as retained and delete nothing
+    val gated = Vacuum.vacuum(spark, s"$tmp/t", dryRun = false)
+    assert(gated.n_orphans === 2 && gated.n_retained === 2 && gated.deleted.isEmpty)
+    assert(o1.exists() && o2.exists())
+
+    // retention 0 = "no writers are live, everything uncommitted is junk"
+    val real = Vacuum.vacuum(spark, s"$tmp/t", dryRun = false, retentionMs = 0L)
+    assert(real.n_orphans === 2 && real.n_retained === 0 && real.deleted.size === 2)
     assert(!o1.exists() && !o2.exists())
 
     val after = spark.read.parquet(s"$tmp/t").orderBy("id").collect().toSeq
     assert(after === before)
     // idempotent: a second vacuum finds nothing
-    assert(Vacuum.vacuum(spark, s"$tmp/t", dryRun = false).n_orphans === 0)
+    assert(Vacuum.vacuum(spark, s"$tmp/t", dryRun = false, retentionMs = 0L).n_orphans === 0)
   }
 
   test("plain (non-streaming) directory is a safe no-op") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{AnnIndex, Generations}
+
+/** The standing ANN (IVF) index's operational surface — the
+  * [[DedupIndexMain]] lifecycle for vectors:
+  *
+  * ```
+  * runMain graft.AnnIndexMain build    <embParquet> <indexDir> [centroidsParquet]
+  * runMain graft.AnnIndexMain append   <embParquet> <indexDir>
+  * runMain graft.AnnIndexMain probe    <queriesParquet> <indexDir> <outDir>
+  * runMain graft.AnnIndexMain remove   <vecIdsParquetOrCsvIds> <indexDir>
+  * runMain graft.AnnIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
+  * runMain graft.AnnIndexMain publish  <tableDir> <generationDir>
+  * runMain graft.AnnIndexMain resolve  <tableDir>
+  * ```
+  *
+  * `<embParquet>` carries (vec_id BIGINT, embedding ARRAY) — a testdata
+  * `embeddings.parquet` works directly; `<queriesParquet>` the same shape
+  * (vec_id becomes qid). `build` freezes the coarse quantizer: pass a
+  * trained codebook as `[centroidsParquet]` (centroid_id, centv — e.g.
+  * q78's k-means output written to parquet), or omit it to bootstrap from
+  * the 8 lowest-id vectors (the q51 fixture convention — fine for a
+  * day-one index, replace via a fresh `build` once a trained quantizer
+  * exists). The production loop mirrors DedupIndexMain: build once, then
+  * append per batch, probe to serve, remove on takedown, optimize on
+  * compaction cadence into a NEW dir, publish to switch readers
+  * atomically, resolve to address the live generation.
+  */
+object AnnIndexMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2 && (args(0) == "resolve" || args.length >= 3),
+      "usage: AnnIndexMain build|append|probe|remove|optimize|publish|resolve <in> [<indexDir>] [out|targetMB]")
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def emb(path: String) =
+      spark.read.parquet(path).select(col("vec_id"), col("embedding"))
+    args(0) match {
+      case "build" =>
+        val cent =
+          if (args.length >= 4)
+            spark.read.parquet(args(3)).select("centroid_id", "centv")
+          else emb(args(1)).orderBy("vec_id").limit(8)
+            .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+        AnnIndex.build(emb(args(1)), cent, args(2))
+        println(s"built index at ${args(2)}")
+      case "append" =>
+        require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        AnnIndex.append(spark, emb(args(1)), args(2))
+        println(s"appended ${args(1)} to ${args(2)}")
+      case "probe" =>
+        require(args.length >= 4, "probe needs <queriesParquet> <indexDir> <outDir>")
+        require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        val out = AnnIndex.probe(spark, emb(args(1))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), args(2))
+        out.write.mode("overwrite").parquet(args(3))
+        println(s"probe results -> ${args(3)}")
+      case "remove" =>
+        require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        val ids =
+          if (new java.io.File(args(1)).exists())
+            spark.read.parquet(args(1)).select(col("vec_id"))
+          else {
+            import spark.implicits._
+            args(1).split(",").map(_.trim.toLong).toSeq.toDF("vec_id")
+          }
+        AnnIndex.remove(ids, args(2))
+        println(s"tombstoned ${args(1)} in ${args(2)}")
+      case "optimize" =>
+        val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
+        AnnIndex.optimize(spark, args(1), args(2), target)
+        println(s"optimized ${args(1)} -> ${args(2)}")
+      case "publish" =>
+        require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
+        Generations.publish(args(1), args(2))
+        println(s"CURRENT of ${args(1)} -> ${args(2)}")
+      case "resolve" =>
+        println(Generations.resolve(args(1)))
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

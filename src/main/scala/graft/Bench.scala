@@ -132,6 +132,84 @@ object Bench {
     ok
   }
 
+  /** The raw-layout sweep's fixed diagnostic subset (VERDICT r9 #7): two
+    * full sweeps cost ~27 min of driver budget while the raw side exists
+    * only to DETECT the next fixture-layout shift (the r8 single-row-group
+    * episode). ~30 queries spanning every scan shape do that: plain
+    * scan-aggs, broadcast/shuffle/as-of joins, windows, the LSH graph
+    * family (the heaviest scans), text pipelines, ANN probes, TPC-H
+    * classics, lifecycle state, and the sub-second queries where per-stage
+    * overhead dominates. A layout shift moves the raw/compacted ratio of
+    * these before anything else. SPARK_GRAFT_SWEEPS=rawfull restores the
+    * full raw sweep for ad-hoc investigation. */
+  val RawDiagnosticSubset: Set[String] = Set(
+    "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+    "q05_local_supplier", "q09_topk_orders", "q10_window_rank",
+    "q21_semi_join", "q30_token_stats", "q31_quality_score", "q33_fingerprint",
+    "q35_dedup_exact", "q37_minhash_lsh", "q51_ivf_search", "q52_window_frames",
+    "q58_native_asof", "q62_range_join", "q64_try_divide", "q67_simhash_pairs",
+    "q68_native_pivot", "q70_dup_clusters", "q85_decontaminate", "q91_lm_score",
+    "q99_pq_search", "q128_canonical", "q135_tpch18", "q188_profile",
+    "q213_profit", "q220_prefix_join", "q233_lsh_eval", "q244_incremental_neardup",
+    "q254_merge_upsert", "q267_ivfpq_index")
+
+  /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
+    * for the two transformWithState processors (running quantiles, drift
+    * monitor) on a MemoryStream feed of real event rows, RocksDB state
+    * store — the streaming half's first performance number beside the
+    * batch sweep. Feed size is bounded (20 k rows / 10 batches): this
+    * measures per-batch processor overhead and state-store throughput,
+    * not cluster scale (the collect is the MemoryStream harness, not the
+    * operator). Returns a compact JSON object; a failure degrades to None
+    * and never fails the bench. */
+  private def streamBench(spark: SparkSession, dir: String): Option[String] =
+    scala.util.Try {
+      import org.apache.spark.sql.Dataset
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rows = Tables(spark, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy("ts").limit(20000)
+          .as[graft.streaming.EventRow].collect()
+        val batches = rows.grouped(2000).toSeq
+        def one(mode: String,
+            mk: Dataset[graft.streaming.EventRow] => Dataset[_]): String = {
+          val in = MemoryStream[graft.streaming.EventRow]
+          val q = mk(in.toDS()).writeStream.format("noop")
+            .outputMode(mode).trigger(Trigger.ProcessingTime(0)).start()
+          try {
+            in.addData(batches.head: _*); q.processAllAvailable() // warmup
+            val lats = batches.tail.map { b =>
+              val t0 = System.nanoTime()
+              in.addData(b: _*); q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            val nRows = batches.tail.map(_.length).sum
+            val rps = math.round(nRows / (lats.sum / 1e3))
+            s"""{"rows_per_sec":$rps,"batch_ms_p50":${math.round(lats(lats.size / 2))},""" +
+              s""""n_batches":${lats.size}}"""
+          } finally q.stop()
+        }
+        val quant = one("update", ds => graft.streaming.EventsPipeline.runningQuantiles(ds))
+        val drift = one("append",
+          ds => graft.streaming.EventsPipeline.driftAlerts(ds, bucketMs = 3600L * 1000))
+        s"""{"running_quantiles":$quant,"drift_monitor":$drift}"""
+      } finally prev.fold(
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    }.recover { case e =>
+      System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+      null
+    }.toOption.flatMap(Option(_))
+
   private def fmt(rs: Seq[(String, Option[Double])]): (String, String, Double, Int, Int) = {
     val ok = rs.collect { case (k, Some(v)) => k -> v }
     val errors = rs.collect { case (k, None) => k }
@@ -168,18 +246,25 @@ object Bench {
         Some(sweep(spark, compactDir, selected, warmupEach = true))
       else None
 
-    def emit(raw: Option[Seq[(String, Option[Double])]]): String = {
+    def emit(raw: Option[Seq[(String, Option[Double])]],
+        rawIsSubset: Boolean, streamLine: Option[String]): String = {
       // headline value = compacted total when available (layout-immune);
-      // raw total rides along for continuity with pre-r9 BENCH files
+      // raw total rides along for continuity with pre-r9 BENCH files.
+      // When the raw side ran the fixed diagnostic SUBSET (the default
+      // beside a compacted sweep since r10), its total is named
+      // total_raw_subset — a subset total must never be compared against
+      // an earlier round's full total_raw.
       val comp = compacted.map(fmt)
       val rawF = raw.map(fmt)
       val (hQs, hErrs, hTotal, hN, hE) = comp.orElse(rawF).get
+      val rawKey = if (rawIsSubset) "total_raw_subset" else "total_raw"
       val extras = Seq(
         comp.map { case (_, _, t, _, _) => s""""total_compacted":$t""" },
-        rawF.map { case (_, _, t, _, _) => s""""total_raw":$t""" },
+        rawF.map { case (_, _, t, n, _) => s""""$rawKey":$t,"n_raw":$n""" },
         rawF.filter(_ => comp.nonEmpty)
           .map { case (qs, es, _, _, _) => s""""queries_raw":$qs,"errors_raw":$es""" },
         Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}""""),
+        streamLine.map(sl => s""""stream_bench":$sl"""),
         Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads""")
       ).flatten.mkString(",")
       s"""{"metric":"total","value":$hTotal,"unit":"sec","queries":$hQs,"errors":$hErrs,"sf":"$sfDir",$extras}"""
@@ -189,21 +274,38 @@ object Bench {
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // checkpoint the primary sweep to disk before the raw sweep runs, so a
     // killed/truncated run still leaves the layout-immune number behind
-    if (compacted.nonEmpty) persist(emit(None))
+    if (compacted.nonEmpty) persist(emit(None, rawIsSubset = false, None))
 
+    // beside a compacted primary, the raw side runs only the fixed
+    // diagnostic subset (layout-shift detector) — "rawfull" restores the
+    // full sweep; raw-primary mode (compaction failed or sweeps=raw)
+    // always runs everything
+    val rawIsSubset = compacted.nonEmpty && sweeps != "rawfull" && only.isEmpty
     val raw: Option[Seq[(String, Option[Double])]] =
       if (sweeps == "compacted") None
-      else Some(sweep(spark, sfDir, selected, warmupEach = compacted.isEmpty))
+      else {
+        val rawSel =
+          if (rawIsSubset) selected.filter(s => RawDiagnosticSubset.contains(s._1))
+          else selected
+        Some(sweep(spark, sfDir, rawSel, warmupEach = compacted.isEmpty))
+      }
 
-    val line = emit(raw)
+    val streamLine = streamBench(spark, sfDir)
+
+    val line = emit(raw, rawIsSubset, streamLine)
     println(line)
     persist(line)
+    // the stream bench also gets its own short line: the driver's log-tail
+    // capture (~2000 chars) would usually cut it out of the full line
+    streamLine.foreach(sl =>
+      println(s"""{"metric":"stream_bench","processors":$sl,"sf":"$sfDir"}"""))
     // The full line is ~20 KB at 245 queries; a log-tail capture (last ~2000
     // chars) would cut off the leading total. Repeat the headline metrics in
     // a short trailer line so any suffix of the output still carries them.
     val (_, _, hTotal, hN, hE) = compacted.orElse(raw).map(fmt).get
     val tc = compacted.map(fmt(_)._3).map(t => s""","total_compacted":$t""").getOrElse("")
-    val tr = raw.map(fmt(_)._3).map(t => s""","total_raw":$t""").getOrElse("")
+    val trKey = if (rawIsSubset) "total_raw_subset" else "total_raw"
+    val tr = raw.map(fmt(_)._3).map(t => s""","$trKey":$t""").getOrElse("")
     println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"calib_mt_sec":$calibN,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }

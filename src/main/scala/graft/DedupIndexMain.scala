@@ -9,6 +9,7 @@ import graft.operators.DedupIndex
   * runMain graft.DedupIndexMain build    <docsParquet> <indexDir>
   * runMain graft.DedupIndexMain append   <docsParquet> <indexDir>
   * runMain graft.DedupIndexMain probe    <docsParquet> <indexDir> <outDir>
+  * runMain graft.DedupIndexMain remove   <docIdsParquetOrCsvIds> <indexDir>
   * runMain graft.DedupIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
   * runMain graft.DedupIndexMain publish  <tableDir> <generationDir>
   * runMain graft.DedupIndexMain resolve  <tableDir>
@@ -49,6 +50,19 @@ object DedupIndexMain {
         val matches = DedupIndex.probe(spark, docs(args(1)), args(2))
         matches.write.mode("overwrite").parquet(args(3))
         println(s"probe matches: ${matches.count()} -> ${args(3)}")
+      case "remove" =>
+        // takedown: ids come as a parquet with a doc_id column, or inline
+        // as a comma-separated id list for the operational one-off
+        require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        val ids =
+          if (new java.io.File(args(1)).exists())
+            spark.read.parquet(args(1)).select(col("doc_id"))
+          else {
+            import spark.implicits._
+            args(1).split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
+          }
+        DedupIndex.remove(ids, args(2))
+        println(s"tombstoned ${args(1)} in ${args(2)}")
       case "optimize" =>
         val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
         DedupIndex.optimize(spark, args(1), args(2), target)

@@ -6,7 +6,7 @@ import graft.operators.Compaction
 /** Table-maintenance OPTIMIZE as one runnable job:
   *
   * ```
-  * runMain graft.OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey]
+  * runMain graft.OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey] [publish=<tableDir>]
   * ```
   *
   * `sortKey` may be a comma-separated list — two or more columns select
@@ -23,6 +23,12 @@ import graft.operators.Compaction
   *
   * Prints one summary line per table:
   * `table files_in->files_out bytes_in->bytes_out rows match`.
+  *
+  * With `publish=<tableDir>` the job finishes by atomically pointing that
+  * table's CURRENT at `<outDir>` ([[graft.operators.Generations]]) — and
+  * only after EVERY table's rewrite validated, so a reader resolving
+  * through the pointer can never land on a generation that failed its
+  * fingerprint check.
   */
 object OptimizeMain {
 
@@ -61,18 +67,27 @@ object OptimizeMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey]")
-    val target = (if (args.length >= 3) args(2).toLong else 128L) << 20
-    val sortKey = if (args.length >= 4) Some(args(3)) else None
+    require(args.length >= 2,
+      "usage: OptimizeMain <inDir> <outDir> [targetFileMB] [sortKey] [publish=<tableDir>]")
+    val (publishTable, rest) = args.partition(_.startsWith("publish=")) match {
+      case (ps, r) => (ps.headOption.map(_.stripPrefix("publish=")), r)
+    }
+    val target = (if (rest.length >= 3) rest(2).toLong else 128L) << 20
+    val sortKey = if (rest.length >= 4) Some(rest(3)) else None
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = run(spark, args(0), args(1), target, sortKey)
+    val results = run(spark, rest(0), rest(1), target, sortKey)
     results.foreach { case (t, s) =>
       println(f"$t%-12s files ${s.n_files_in}->${s.n_files_out}  " +
         f"bytes ${s.bytes_in}->${s.bytes_out}  rows ${s.n_rows}  match ${s.content_match}")
     }
     val bad = results.filterNot(_._2.content_match)
+    if (bad.isEmpty) publishTable.foreach { tbl =>
+      // only a fully-validated generation may become CURRENT
+      graft.operators.Generations.publish(tbl, rest(1))
+      println(s"CURRENT of $tbl -> ${rest(1)}")
+    }
     spark.stop()
     if (bad.nonEmpty)
       sys.error(s"content mismatch after compaction: ${bad.map(_._1).mkString(",")}")

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 10× scale smoke (VERDICT r9 #5) — the missing evidence tier
+  * between sf0.1 correctness and the 100 TB design claims: actually run
+  * the most expensive pipelines on ~10× the data and measure wall time,
+  * spill, and plan shape. NOT oracle-gated (the replicated fixture is a
+  * builder tool, not driver testdata).
+  *
+  * ```
+  * runMain graft.ScaleMain gen <srcSfDir> <outDir> [factor]   # replicate
+  * runMain graft.ScaleMain run <sfDir> <outJsonl>             # smoke
+  * ```
+  *
+  * `gen` writes `factor` (default 10) id-shifted copies of each table:
+  *  - fact/entity keys shift by `copy * 1e9` so every copy's join graph is
+  *    intact and disjoint from the others (cardinalities scale linearly,
+  *    per-key group sizes stay constant — the realistic scale-up shape);
+  *  - `region`/`nation` stay single (dimensions don't grow with volume);
+  *  - `documents.text` gets a per-copy token prefix, so each copy is its
+  *    own similarity universe: cross-copy shingle overlap is ZERO and the
+  *    near-dup graph replicates structurally instead of collapsing into
+  *    10-clique exact-dup blobs (which would measure the cap, not scale);
+  *  - `events.ts` is left as-is: event density per hour grows 10×, the
+  *    realistic shape for a 10× busier product;
+  *  - `embeddings` shift ids only (identical vectors across copies change
+  *    ANN answers, not ANN cost — this is a performance fixture).
+  *
+  * `run` executes the heaviest pipelines (the VERDICT r9 list) with the
+  * Bench methodology (noop sink, cache-cleared timed run), recording wall
+  * seconds, shuffle spill (memory + disk, from task metrics), and
+  * PlanLint findings on the EXECUTED plans. Compare against the same
+  * queries at sf0.1: ~10× data should cost ≲15× time with zero new lint
+  * findings — that table lands in SCALE.md.
+  */
+object ScaleMain {
+
+  private val Offset = 1000000000L
+
+  /** (table, key columns to shift per copy) */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def gen(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // dimensions: one copy, verbatim
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      (0 until factor).foreach { i =>
+        val shifted = keys.foldLeft(df) { (acc, k) =>
+          acc.withColumn(k, col(k) + lit(i * Offset))
+        }
+        val copy =
+          if (t == "documents")
+            // per-copy token prefix: zero cross-copy shingle overlap
+            shifted.withColumn("text",
+              concat_ws(" ", transform(split(col("text"), "\\s+"),
+                tok => concat(lit(s"c$i"), tok))))
+          else shifted
+        copy.write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$out/$t.parquet")
+      }
+      println(s"replicated $t x$factor")
+    }
+  }
+
+  /** The heaviest pipelines — VERDICT r9's list. */
+  val SmokeQueries: Seq[String] = Seq(
+    "q37_minhash_lsh", "q70_dup_clusters", "q85_decontaminate",
+    "q91_lm_score", "q101_pagerank", "q128_canonical", "q188_profile",
+    "q220_prefix_join", "q233_lsh_eval", "q267_ivfpq_index")
+
+  def run(spark: SparkSession, dir: String, outPath: String): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val memSpill = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled); ()
+        }
+    })
+    // lint the EXECUTED plans (localCheckpoint-ing queries return a
+    // LogicalRDD — the PlanLintSpec listener pattern sees the real work)
+    val lint = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        operators.PlanLint.audit(qe.executedPlan).foreach(x => lint.add(x.toString))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val lines = SmokeQueries.map { name =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      memSpill.set(0L); diskSpill.set(0L); lint.clear()
+      spark.listenerManager.register(ql)
+      val t0 = System.nanoTime()
+      val ok = scala.util.Try(
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()).isSuccess
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.drain(spark)
+      spark.listenerManager.unregister(ql)
+      import scala.jdk.CollectionConverters._
+      val findings = lint.asScala.toSeq.distinct
+      val l = s"""{"query":"$name","ok":$ok,"wall_sec":$wall,""" +
+        s""""spill_mem_bytes":${memSpill.get},"spill_disk_bytes":${diskSpill.get},""" +
+        s""""lint":[${findings.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]}"""
+      println(l)
+      l
+    }
+    val calib = Bench.calibrate(
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrElse(4))
+    val all = lines :+ s"""{"calib_mt_sec":$calib,"sf_dir":"$dir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      all.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $outPath")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleMain gen <srcSfDir> <outDir> [factor] | run <sfDir> <outJsonl>")
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "gen" => gen(spark, args(1), args(2),
+        if (args.length >= 4) args(3).toInt else 10)
+      case "run" => run(spark, args(1), args(2))
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

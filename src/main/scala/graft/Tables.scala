@@ -56,15 +56,19 @@ object GraftSession {
       .master(s"local[$cpus]")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE headroom: shuffles START wider than the core count and let
-      // coalescePartitions shrink them from runtime sizes — at 100 TB a
-      // fixed shuffle.partitions=cores either under-splits the big shuffles
-      // or over-splits the small ones; starting at 4× cores and coalescing
-      // down lets the SAME config serve both (parallelismFirst keeps the
-      // coalesced count at or above default parallelism, so local[32]
-      // timings stay within noise)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        scala.util.Try(cpus.trim.toInt * 4).getOrElse(128).toString)
+      // initialPartitionNum deliberately NOT inflated above the core count
+      // (round 9 set 4x cores as "AQE headroom ... within noise"; the
+      // round-10 isolation matrix measured otherwise: every exchange pays
+      // fixed per-task scheduling cost pre-coalesce, and iterative
+      // algorithms (ConnectedComponents: 3 shuffles x rounds) and
+      // sub-second queries pay it per exchange — q70 6.0->4.9 s, q67
+      // 1.14->0.91 s, q68 0.50->0.35 s at 32 vs 128, tier and layout held
+      // fixed, calibration matched). At cluster scale the right setting is
+      // sized from DATA VOLUME per deployment (or left to AQE's advisory
+      // partition size) — that is a deployment config, not an engine
+      // constant: raise it via SPARK_GRAFT_CONF=
+      // "spark.sql.adaptive.coalescePartitions.initialPartitionNum=N"
+      // where a real shuffle needs the width.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

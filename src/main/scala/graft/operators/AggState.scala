@@ -53,6 +53,26 @@ object AggState {
       stateDir: String): Unit =
     partials(delta, keys, valueCol).write.mode("append").parquet(statePath(stateDir))
 
+  /** RETRACT previously-ingested rows: a blind append of NEGATED partials
+    * — O(|deleted|), no state rewrite. Count and sum are group-invertible,
+    * so after retraction `merged`'s n/sum equal a from-scratch aggregate
+    * over the survivors EXACTLY, and a fully-retracted key disappears
+    * (n=0 rows are filtered from the merged view). min/max are NOT
+    * invertible — the retraction slice carries NULL min/max (ignored by
+    * the fold), so after a retraction has touched a key its min/max are
+    * LIFETIME bounds (conservative, still valid), exact again after the
+    * next `optimize`-less rebuild. Contract: retract only rows previously
+    * added — the caller owns that discipline, same as every CDC feed. */
+  def retract(deleted: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit = {
+    val p = partials(deleted, keys, valueCol)
+    p.select(keys.map(col) ++ Seq(
+        negate(col("__n")).as("__n"), negate(col("__sum")).as("__sum"),
+        lit(null).cast(p.schema("__min").dataType).as("__min"),
+        lit(null).cast(p.schema("__max").dataType).as("__max")): _*)
+      .write.mode("append").parquet(statePath(stateDir))
+  }
+
   /** The exact current aggregate: fold all slice rows per key. */
   def merged(spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
     mergeRows(spark.read.parquet(statePath(stateDir)), keys)
@@ -61,6 +81,9 @@ object AggState {
     state.groupBy(keys.map(col): _*)
       .agg(sum("__n").cast("long").as("n"), sum("__sum").as("sum"),
         min("__min").as("min"), max("__max").as("max"))
+      // a fully-retracted key has no live rows — it must vanish from the
+      // merged view exactly as it would from a from-scratch aggregate
+      .filter(col("n") > 0)
 
   // ---- mergeable distinct-count state (KMV bottom-k) ---------------------
   // Exact distincts are NOT algebraic — the scalar table above cannot hold
@@ -169,6 +192,20 @@ object AggState {
     histPartials(delta, keys, valueCol)
       .write.mode("append").parquet(histStatePath(stateDir))
 
+  /** RETRACT previously-ingested rows from the histogram state: bucket
+    * counts are ADDITIVE, so negated counts retract EXACTLY — after this,
+    * `mergedHist` equals a from-scratch histogram over the survivors
+    * (same contract as [[retract]]: only retract rows previously added).
+    * The KMV distinct state has NO retraction — a bottom-k sketch cannot
+    * un-insert; delete-on-distincts means rebuild (`buildDistinct` over
+    * the survivors), the honest contract for that sketch family. */
+  def retractHist(deleted: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit =
+    histPartials(deleted, keys, valueCol)
+      .select(keys.map(col) ++ Seq(col("__idx"),
+        negate(col("__cnt")).as("__cnt")): _*)
+      .write.mode("append").parquet(histStatePath(stateDir))
+
   /** Current quantile estimates per key: fold the slice bucket rows (sum),
     * walk the cumulative histogram to the ceil(p·n) crossings. The window
     * runs over ~|keys|·|buckets| aggregate rows, never the data. */
@@ -178,6 +215,8 @@ object AggState {
     val folded = spark.read.parquet(histStatePath(stateDir))
       .groupBy(keys.map(col) :+ col("__idx"): _*)
       .agg(sum("__cnt").as("__cnt"))
+      // a fully-retracted bucket vanishes, exactly as from scratch
+      .filter(col("__cnt") =!= 0)
     val wCum = Window.partitionBy(keys.map(col): _*).orderBy("__idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(keys.map(col): _*)
@@ -234,7 +273,8 @@ object AggState {
       d => mergedDistinct(spark, d, keys))
     rewrite("hist_state", histStatePath,
       st => st.groupBy(keys.map(col) :+ col("__idx"): _*)
-        .agg(sum("__cnt").as("__cnt")),
+        .agg(sum("__cnt").as("__cnt"))
+        .filter(col("__cnt") =!= 0), // retraction-zeroed buckets drop
       d => mergedHist(spark, d, keys))
   }
 }

@@ -43,6 +43,7 @@ object AnnIndex {
   private def centroidsPath(indexDir: String): String = s"$indexDir/centroids"
   private def vectorsPath(indexDir: String): String = s"$indexDir/vectors"
   private def codebooksPath(indexDir: String): String = s"$indexDir/codebooks"
+  private def tombstonesPath(indexDir: String): String = s"$indexDir/tombstones"
 
   def exists(indexDir: String): Boolean =
     new File(centroidsPath(indexDir)).isDirectory &&
@@ -73,6 +74,28 @@ object AnnIndex {
       indexDir, "append",
       if (new File(codebooksPath(indexDir)).isDirectory)
         Some(spark.read.parquet(codebooksPath(indexDir))) else None)
+
+  /** Delete vectors from the index: a blind append of their ids to the
+    * tombstone table — O(|removed|), no rewrite. Probes (both the cosine
+    * and the IVF-PQ path) exclude tombstoned vectors before scoring, so a
+    * grown-then-tombstoned index answers exactly like one built from the
+    * survivors (assignment is per-vector against the frozen quantizer, so
+    * no boundary interaction exists — proved in `AnnIndexSpec`).
+    * `optimize` physically drops tombstoned rows and emits a generation
+    * with no tombstone table. */
+  def remove(vecIds: DataFrame, indexDir: String): Unit =
+    vecIds.select(col("vec_id"))
+      .write.mode("append").parquet(tombstonesPath(indexDir))
+
+  /** The index's LIVE vectors: raw table minus tombstoned ids (the
+    * tombstone set is delta-sized — AQE broadcasts the anti join). */
+  private def liveVectors(spark: SparkSession, indexDir: String): DataFrame = {
+    val raw = spark.read.parquet(vectorsPath(indexDir))
+    if (new File(tombstonesPath(indexDir)).isDirectory)
+      raw.join(spark.read.parquet(tombstonesPath(indexDir))
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    else raw
+  }
 
   private def writeVectors(e: DataFrame, cent: DataFrame, indexDir: String,
       mode: String, codebooks: Option[DataFrame]): Unit = {
@@ -129,7 +152,7 @@ object AnnIndex {
       nprobe: Int = 2, shortlistK: Int = 32, topK: Int = 5): DataFrame = {
     val cent = spark.read.parquet(centroidsPath(indexDir))
     val cw = spark.read.parquet(codebooksPath(indexDir))
-    val vecs = spark.read.parquet(vectorsPath(indexDir))
+    val vecs = liveVectors(spark, indexDir)
     val wQ = Window.partitionBy("qid").orderBy(desc("qscore"), asc("centroid_id"))
     val probes = queries.join(broadcast(cent))
       .withColumn("qscore", round(cosine_sim(col("centv"), col("qe")), 4))
@@ -180,7 +203,7 @@ object AnnIndex {
   def probe(spark: SparkSession, queries: DataFrame, indexDir: String,
       nprobe: Int = 2, topK: Int = 5): DataFrame = {
     val cent = spark.read.parquet(centroidsPath(indexDir))
-    val assign = spark.read.parquet(vectorsPath(indexDir))
+    val assign = liveVectors(spark, indexDir)
       .select(col("vec_id").as("cid"),
         col("centroid_id").cast("long").as("ccid"), col("embedding").as("ce"))
     searchAssigned(queries, cent, assign, nprobe, topK)
@@ -218,9 +241,14 @@ object AnnIndex {
   }
 
   /** Compact the index's accumulated append files into `outIndexDir`
-    * (size-targeted; vectors keep their `centroid_id` partitioning —
-    * it is what prunes a probe to the probed centroids' files). Both
-    * rewrites are fingerprint-validated. */
+    * (size-targeted; vectors keep their `centroid_id` partitioning — it
+    * is what prunes a probe to the probed centroids' files), physically
+    * dropping tombstoned vectors — the output generation is the survivor
+    * set with NO tombstone table. The PQ `codebooks/` table — frozen
+    * state a probePq reader depends on — is carried over verbatim when
+    * present (a generation silently missing it would fail every
+    * compressed-domain probe after a publish switch). Rewrites are
+    * fingerprint-validated against the live view. */
   def optimize(spark: SparkSession, indexDir: String, outIndexDir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     require(new File(indexDir).getCanonicalPath !=
@@ -228,8 +256,11 @@ object AnnIndex {
       s"optimize: outIndexDir must differ from indexDir ($indexDir)")
     Compaction.compact(spark, centroidsPath(indexDir),
       centroidsPath(outIndexDir), targetFileBytes)
-    val vecs = spark.read.parquet(vectorsPath(indexDir))
-    val bytesIn = vecs.inputFiles.toSeq
+    if (new File(codebooksPath(indexDir)).isDirectory)
+      Compaction.compact(spark, codebooksPath(indexDir),
+        codebooksPath(outIndexDir), targetFileBytes)
+    val vecs = liveVectors(spark, indexDir)
+    val bytesIn = spark.read.parquet(vectorsPath(indexDir)).inputFiles.toSeq
       .map(p => new File(new java.net.URI(p)).length()).sum
     val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
     vecs.repartition(nOut, col("centroid_id"))

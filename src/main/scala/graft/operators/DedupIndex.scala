@@ -37,6 +37,7 @@ object DedupIndex {
 
   private def sigsPath(indexDir: String): String = s"$indexDir/sigs"
   private def bandsPath(indexDir: String): String = s"$indexDir/bands"
+  private def tombstonesPath(indexDir: String): String = s"$indexDir/tombstones"
 
   def exists(indexDir: String): Boolean =
     new File(sigsPath(indexDir)).isDirectory &&
@@ -69,12 +70,48 @@ object DedupIndex {
       .write.mode(mode).partitionBy("bi").parquet(bandsPath(indexDir))
   }
 
-  /** [[probeBase]] against the PERSISTED index at `indexDir`. */
+  /** Delete docs from the index: a blind append of their ids to the
+    * tombstone table — O(|removed|), no index rewrite, the first
+    * lifecycle operation after append that a standing index with takedown
+    * obligations needs. Probes consult the tombstone set BEFORE bucket
+    * capping, so a grown-then-tombstoned index answers exactly like one
+    * built from the survivors alone — including at the bucket-size
+    * boundary, where a removal can bring an over-cap bucket back under
+    * the cap (proved in `DedupIndexSpec`). `optimize` physically drops
+    * tombstoned rows and emits a generation with no tombstone table. */
+  def remove(docIds: DataFrame, indexDir: String): Unit =
+    docIds.select(col("doc_id"))
+      .write.mode("append").parquet(tombstonesPath(indexDir))
+
+  private def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    if (new File(tombstonesPath(indexDir)).isDirectory)
+      Some(spark.read.parquet(tombstonesPath(indexDir)).select("doc_id").distinct())
+    else None
+
+  /** The index's LIVE rows: raw table minus tombstoned docs. The
+    * tombstone set is delta-sized, so AQE broadcasts the anti join —
+    * map-side, no extra shuffle of the index. */
+  private def live(spark: SparkSession, indexDir: String,
+      path: String => String): DataFrame = {
+    val raw = spark.read.parquet(path(indexDir))
+    tombstones(spark, indexDir)
+      .map(ts => raw.join(ts, Seq("doc_id"), "left_anti")).getOrElse(raw)
+  }
+
+  /** The distinct LIVE doc ids the index currently answers for (sigs
+    * minus tombstones) — the reconciliation surface: comparing this
+    * against the corpus store's ids finds ghosts from the documented
+    * non-transactional crash window (index appended, sink write lost). */
+  def liveIds(spark: SparkSession, indexDir: String): DataFrame =
+    live(spark, indexDir, sigsPath).select("doc_id").distinct()
+
+  /** [[probeBase]] against the PERSISTED index at `indexDir` (tombstoned
+    * docs excluded before capping — see [[remove]]). */
   private[graft] def probePersisted(spark: SparkSession, base: DataFrame,
       indexDir: String): DataFrame =
     probeBase(base,
-      spark.read.parquet(bandsPath(indexDir)),
-      spark.read.parquet(sigsPath(indexDir)))
+      live(spark, indexDir, bandsPath),
+      live(spark, indexDir, sigsPath))
 
   /** Match `deltaDocs` against the standing index: q244's probe shape,
     * with the index read from parquet instead of derived in-query. Output
@@ -123,25 +160,33 @@ object DedupIndex {
   }
 
   /** Compact the index's accumulated append files into `outIndexDir`
-    * (size-targeted; bands keep their `bi` partitioning). Both rewrites
-    * are fingerprint-validated — a silent content change fails loudly. */
+    * (size-targeted; bands keep their `bi` partitioning), physically
+    * dropping tombstoned rows — the output generation is the survivor set
+    * and carries NO tombstone table. Both rewrites are fingerprint-
+    * validated against the LIVE view — a silent content change fails
+    * loudly. */
   def optimize(spark: SparkSession, indexDir: String, outIndexDir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     require(new File(indexDir).getCanonicalPath !=
         new File(outIndexDir).getCanonicalPath,
       s"optimize: outIndexDir must differ from indexDir ($indexDir)")
-    Compaction.compact(spark, sigsPath(indexDir), sigsPath(outIndexDir),
-      targetFileBytes)
-    // bands: size-targeted like Compaction, but the bi partitioning must
-    // survive the rewrite (it is what prunes a probe to one band's files)
-    val bands = spark.read.parquet(bandsPath(indexDir))
-    val bytesIn = bands.inputFiles.toSeq
-      .map(p => new File(new java.net.URI(p)).length()).sum
-    val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
-    bands.repartition(nOut, col("bi"), col("bh"))
+    def nOutFor(path: String): Int = {
+      val bytesIn = spark.read.parquet(path).inputFiles.toSeq
+        .map(p => new File(new java.net.URI(p)).length()).sum
+      math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    val sigs = live(spark, indexDir, sigsPath)
+    sigs.repartition(nOutFor(sigsPath(indexDir)))
+      .write.mode("overwrite").parquet(sigsPath(outIndexDir))
+    // bands: size-targeted, but the bi partitioning must survive the
+    // rewrite (it is what prunes a probe to one band's files)
+    val bands = live(spark, indexDir, bandsPath)
+    bands.repartition(nOutFor(bandsPath(indexDir)), col("bi"), col("bh"))
       .write.mode("overwrite").partitionBy("bi").parquet(bandsPath(outIndexDir))
-    val rewritten = spark.read.parquet(bandsPath(outIndexDir))
-    val Seq(rep) = Reconcile.report(Seq(("bands", bands, rewritten)))
-    require(rep.matches, s"optimize: bands content mismatch after rewrite: $rep")
+    val reps = Reconcile.report(Seq(
+      ("sigs", sigs, spark.read.parquet(sigsPath(outIndexDir))),
+      ("bands", bands, spark.read.parquet(bandsPath(outIndexDir)))))
+    reps.foreach(rep => require(rep.matches,
+      s"optimize: content mismatch after rewrite: $rep"))
   }
 }

@@ -179,6 +179,15 @@ object Dedup {
       .cast("binary"))
   }
 
+  /** DIAGNOSTIC toggle for bench isolation ONLY: `SPARK_GRAFT_LSH_TIER=off`
+    * reverts the tiered cap to the flat cap (oversized buckets drop whole,
+    * no secondary-hash pass). This CHANGES RESULTS (q233's recovered
+    * recall) — never set it for Verify/oracle runs; it exists so the
+    * tier's two extra shuffles can be costed independently of AQE config
+    * and host load in an A/B matrix (VERDICT r9 #1). */
+  private def tierEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_LSH_TIER").contains("off")
+
   def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
     val buckets = bandKeys(base)
       .groupBy(col("bi"), col("bh"))
@@ -197,7 +206,8 @@ object Dedup {
     // queries), to serve a residue that is rare by construction.
     val small = buckets.filter(size(col("ds")) <= cap)
       .select(col("ds"))
-    val big = buckets.filter(size(col("ds")) > cap)
+    val big0 = buckets.filter(size(col("ds")) > cap)
+    val big = (if (tierEnabled) big0 else big0.limit(0))
       .select(col("bi"), col("bh"), explode(col("ds")).as("doc_id"))
       .join(base.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .select(col("bi"), col("bh"), col("doc_id"), bandHash2(col("bi")).as("bh2"))

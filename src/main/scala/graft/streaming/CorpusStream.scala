@@ -104,6 +104,70 @@ object CorpusStream {
     * landed twice, at worst a replayed batch under-admits); a stricter
     * pipeline would stage appends under `batchId` and commit atomically.
     */
+  /** [[nearDupBatch]] under generation management — the long-running form.
+    * The index lives behind a [[graft.operators.Generations]] CURRENT
+    * pointer at `tableDir`; every `optimizeEvery` batches the active
+    * generation is compacted into a NEW generation dir
+    * ([[DedupIndex.optimize]] — fingerprint-validated, tombstones dropped
+    * physically), the CURRENT pointer swaps atomically, and the old
+    * generation is retired. Probes always resolve through CURRENT, so a
+    * reader never sees a half-compacted index — the unbounded small-file
+    * accumulation of a streaming append loop is capped at one optimize
+    * period. Retirement deletes the old generation immediately: this loop
+    * is the single writer AND (between batches) the only reader; a
+    * multi-reader deployment would hold old generations for a drain
+    * window instead.
+    */
+  def maintainedBatch(tableDir: String, outDir: String, optimizeEvery: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Generations
+    require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
+    val spark = batch.sparkSession
+    val gen = Generations.current(tableDir).getOrElse(s"$tableDir/gen-0")
+    nearDupBatch(gen, outDir)(batch, batchId)
+    if (Generations.current(tableDir).isEmpty && DedupIndex.exists(gen))
+      Generations.publish(tableDir, gen) // first batch creates generation 0
+    if (DedupIndex.exists(gen) && batchId % optimizeEvery == (optimizeEvery - 1)) {
+      val next = s"$tableDir/gen-${batchId + 1}"
+      DedupIndex.optimize(spark, gen, next)
+      Generations.publish(tableDir, next) // atomic — old or new, never torn
+      retire(gen)
+    }
+  }
+
+  private def retire(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  /** Recovery for the documented crash window (index appended, sink write
+    * lost): index entries whose doc never landed in the corpus store are
+    * GHOSTS — they suppress every future copy of their content while the
+    * content itself was never admitted. The repair tombstones them
+    * ([[DedupIndex.remove]]) so the next crawl of that content is
+    * admitted cleanly. Assumes ingest assigns fresh surrogate doc_ids per
+    * crawl (re-crawled content returns under a NEW id, so tombstoned
+    * ghost ids never resurface) — the standard ingest-id discipline.
+    * Run it at restart, before the stream resumes. Returns the ghost
+    * count; both sides of the anti join are id projections (delta-sized
+    * driver cost: none). */
+  def repairIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outDir: String): Long = {
+    if (!DedupIndex.exists(indexDir)) return 0L
+    val landed =
+      if (new java.io.File(outDir).exists())
+        spark.read.parquet(outDir).select("doc_id").distinct()
+      else spark.range(0).select(col("id").as("doc_id"))
+    val ghosts = DedupIndex.liveIds(spark, indexDir)
+      .join(landed, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val n = ghosts.count()
+    if (n > 0) DedupIndex.remove(ghosts, indexDir)
+    n
+  }
+
   def nearDupBatch(indexDir: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

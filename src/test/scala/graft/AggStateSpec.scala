@@ -99,6 +99,52 @@ class AggStateSpec extends SparkSpec {
     assert(AggState.mergedHist(spark, out, Seq("lang")).collect().toSet === before)
   }
 
+  test("retract: n/sum equal scratch-on-survivors; fully-retracted keys vanish") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp()
+    val keys = Seq("source")
+    AggState.build(docs.filter(col("doc_id") < 250), keys, "n_chars", dir)
+    AggState.append(docs.filter(col("doc_id") >= 250), keys, "n_chars", dir)
+    // retract a previously-added slice (the CDC delete shape)
+    val deleted = docs.filter(col("doc_id") % 5 === 2)
+    AggState.retract(deleted, keys, "n_chars", dir)
+
+    val survivors = docs.filter(col("doc_id") % 5 =!= 2)
+    val inc = AggState.merged(spark, dir, keys).select("source", "n", "sum")
+    val scratch = survivors.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"), sum("n_chars").as("sum"))
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty)
+
+    // full retraction: a key with every row retracted must disappear
+    val dir2 = tmp()
+    AggState.build(docs, Seq("source", "lang"), "n_chars", dir2)
+    val wipeKey = docs.select("source", "lang").limit(1).collect().head
+    val wiped = docs.filter(col("source") === wipeKey.getString(0) &&
+      col("lang") === wipeKey.getString(1))
+    assert(wiped.count() > 0)
+    AggState.retract(wiped, Seq("source", "lang"), "n_chars", dir2)
+    val left = AggState.merged(spark, dir2, Seq("source", "lang"))
+      .filter(col("source") === wipeKey.getString(0) &&
+        col("lang") === wipeKey.getString(1))
+    assert(left.count() === 0, "fully-retracted key still in the merged view")
+  }
+
+  test("retractHist: histogram counts retract exactly to scratch-on-survivors") {
+    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"),
+        col("l_orderkey"))
+    val dir = tmp(); val scr = tmp()
+    AggState.buildHist(li, Seq("l_returnflag"), "cents", dir)
+    val deleted = li.filter(col("l_orderkey") % 3 === 1)
+    AggState.retractHist(deleted, Seq("l_returnflag"), "cents", dir)
+    AggState.buildHist(li.filter(col("l_orderkey") % 3 =!= 1),
+      Seq("l_returnflag"), "cents", scr)
+    val a = AggState.mergedHist(spark, dir, Seq("l_returnflag"))
+    val b = AggState.mergedHist(spark, scr, Seq("l_returnflag"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("KMV distinct state: sliced appends merge to the from-scratch sketch") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     def terms(f: org.apache.spark.sql.Column) = docs.filter(f)

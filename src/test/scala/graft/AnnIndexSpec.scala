@@ -100,6 +100,51 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
     assert(pruned.count() > 0)
   }
 
+  test("remove: tombstoned vectors stop matching; equals scratch-on-survivors") {
+    import spark.implicits._
+    val idxDir = tmp()
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), cent, idxDir)
+    AnnIndex.append(spark, emb.filter(col("vec_id") % 2 === 1), idxDir)
+
+    // tombstone the current top-1 answers — the strongest possible
+    // perturbation of the result set
+    val victims = probeRows(idxDir).filter(_(1) == 1L)
+      .map(_(2).asInstanceOf[Long]).distinct
+    assert(victims.nonEmpty)
+    AnnIndex.remove(victims.toDF("vec_id"), idxDir)
+
+    val after = probeRows(idxDir)
+    assert(after.forall(r => !victims.contains(r(2).asInstanceOf[Long])),
+      "tombstoned vectors still served")
+
+    // equals an index built from the survivors against the same quantizer
+    val survDir = tmp()
+    AnnIndex.build(emb.filter(!col("vec_id").isin(victims: _*)), cent, survDir)
+    assert(after == probeRows(survDir))
+
+    // optimize drops them physically; no tombstone table in the generation
+    val optDir = tmp()
+    AnnIndex.optimize(spark, idxDir, optDir)
+    assert(!new java.io.File(s"$optDir/tombstones").exists())
+    val optIds = spark.read.parquet(s"$optDir/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !optIds.contains(v)))
+    assert(probeRows(optDir) == after)
+  }
+
+  test("optimize carries the PQ codebooks into the output generation") {
+    val cw = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    val idxDir = tmp(); val optDir = tmp()
+    AnnIndex.build(emb, cent, idxDir, Some(cw))
+    val before = AnnIndex.probePq(spark, queriesDf, idxDir).collect().map(_.toSeq).toSeq
+    AnnIndex.optimize(spark, idxDir, optDir)
+    // the frozen codebooks must survive the rewrite — without them every
+    // probePq on the published generation dies on a missing path
+    assert(new java.io.File(s"$optDir/codebooks").isDirectory)
+    assert(AnnIndex.probePq(spark, queriesDf, optDir).collect().map(_.toSeq).toSeq == before)
+  }
+
   test("IVF-PQ: batch-grown codes answer probePq exactly like from-scratch") {
     val cw = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("code"), col("embedding").as("cv"))

@@ -142,4 +142,82 @@ class CorpusStreamSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
   }
+
+  private val fresh = "a completely different report text about weekly shipment " +
+    "volumes and the carriers that move them across the region every day"
+  private val fresh2 = "quarterly revenue numbers for the hardware division " +
+    "show a steady climb in unit sales across all partner channels this year"
+
+  test("maintained loop: optimize + publish every N batches, probes survive the swap") {
+    import graft.operators.{DedupIndex, Generations}
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_gen_tbl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_gen_out").toString + "/landed"
+    def batch(docs: Doc*): org.apache.spark.sql.DataFrame =
+      docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
+    val run = CorpusStream.maintainedBatch(tableDir, outDir, optimizeEvery = 2) _
+    try {
+      // batch 0 creates generation 0 and publishes it
+      run(batch(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00"))), 0L)
+      val gen0 = Generations.resolve(tableDir)
+      assert(DedupIndex.exists(gen0))
+      // batch 1 appends, then the cadence fires: optimize -> NEW
+      // generation, atomic publish, old generation retired
+      run(batch(Doc(2, fresh, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      val gen2 = Generations.resolve(tableDir)
+      assert(gen2 != gen0, "optimize cadence did not publish a new generation")
+      assert(!new java.io.File(gen0).exists(), "retired generation still on disk")
+      // batch 2 probes the NEW generation: a paraphrase of doc 1 (landed
+      // two generations ago) is still caught — the swap lost nothing
+      val paraphrase = good.replaceAll("table$", "ledger")
+      run(batch(
+        Doc(3, paraphrase, "en", "crawl", t("2024-01-01 10:02:00")),
+        Doc(4, fresh2, "en", "crawl", t("2024-01-01 10:03:00"))), 2L)
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 2L, 4L), s"landed $landed")
+      val idxIds = DedupIndex.liveIds(spark, Generations.resolve(tableDir))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(idxIds == Seq(1L, 2L, 4L), s"index holds $idxIds")
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("crash repair: ghost index entries tombstoned, content re-admitted") {
+    import graft.operators.DedupIndex
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_repair_idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_repair_out").toString + "/landed"
+    def batch(docs: Doc*): org.apache.spark.sql.DataFrame =
+      docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
+    try {
+      // batch 0 lands doc 1 normally
+      CorpusStream.nearDupBatch(idxDir, outDir)(
+        batch(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00"))), 0L)
+      // CRASH WINDOW: batch 1's survivor (doc 10, fresh text) reached the
+      // index append but the sink write was lost
+      DedupIndex.append(Seq((10L, fresh)).toDF("doc_id", "text"), idxDir)
+      // replay of batch 1: the survivor now matches ITSELF in the index
+      // and is dropped — the documented fail-safe under-admission
+      CorpusStream.nearDupBatch(idxDir, outDir)(
+        batch(Doc(10, fresh, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      val landedBefore = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landedBefore == Seq(1L), s"expected under-admission, got $landedBefore")
+      // REPAIR: reconcile index vs corpus — doc 10 is a ghost (indexed,
+      // never landed); it gets tombstoned so its content is admittable again
+      assert(CorpusStream.repairIndex(spark, idxDir, outDir) === 1L)
+      // the re-crawl returns under a fresh ingest id and now lands
+      CorpusStream.nearDupBatch(idxDir, outDir)(
+        batch(Doc(11, fresh, "en", "crawl", t("2024-01-01 10:05:00"))), 2L)
+      val landedAfter = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landedAfter == Seq(1L, 11L), s"repair did not re-admit: $landedAfter")
+      // idempotent: a second repair finds nothing (11 landed, 10 tombstoned)
+      assert(CorpusStream.repairIndex(spark, idxDir, outDir) === 0L)
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
 }

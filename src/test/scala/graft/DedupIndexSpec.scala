@@ -73,6 +73,43 @@ class DedupIndexSpec extends SparkSpec with BeforeAndAfterEach {
       s"optimize did not reduce file count: ${leafParquet(idxDir)} -> ${leafParquet(optDir)}")
   }
 
+  test("remove: tombstoned docs stop matching; grown-with-deletes == scratch-on-survivors") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val idxDir = tmp()
+    DedupIndex.build(docs.filter(col("doc_id") % 10 < 5), idxDir)
+    DedupIndex.append(docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 =!= 7), idxDir)
+
+    // take the docs the probe currently matches, and tombstone them
+    val victims = probeRows(idxDir).map(_(2).asInstanceOf[Long]).distinct.toSeq
+    assert(victims.nonEmpty, "probe found no matches — split constants broke")
+    DedupIndex.remove(victims.toDF("doc_id"), idxDir)
+
+    // 1. no tombstoned doc ever appears as a match again
+    val after = probeRows(idxDir)
+    val matched = after.map(_(2).asInstanceOf[Long]).toSet
+    assert(victims.forall(v => !matched.contains(v)),
+      s"tombstoned docs still matching: ${victims.filter(matched.contains)}")
+
+    // 2. the tombstoned index answers EXACTLY like one built from the
+    // survivors alone (the from-scratch-on-survivors equivalence)
+    val survDir = tmp()
+    DedupIndex.build(docs
+      .filter(col("doc_id") % 10 =!= 7)
+      .filter(!col("doc_id").isin(victims: _*)), survDir)
+    assert(after.toSeq == probeRows(survDir).toSeq)
+
+    // 3. optimize physically drops tombstoned rows: the generation carries
+    // no tombstone table, its sigs lack the victims, answers unchanged
+    val optDir = tmp()
+    DedupIndex.optimize(spark, idxDir, optDir)
+    assert(!new java.io.File(s"$optDir/tombstones").exists())
+    val optSigIds = spark.read.parquet(s"$optDir/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(victims.forall(v => !optSigIds.contains(v)))
+    assert(probeRows(optDir).toSeq == after.toSeq)
+  }
+
   test("probe touches only the index, never forms corpus-corpus pairs") {
     // structural: q246's persisted lifecycle must agree with q244's
     // in-query split on the same data — both ride DedupIndex.probeBase

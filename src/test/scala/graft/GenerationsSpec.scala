@@ -38,4 +38,47 @@ class GenerationsSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(after === before)
   }
+
+  test("DedupIndex behind a CURRENT pointer: probe identical across the switch") {
+    import graft.operators.DedupIndex
+    val table = Files.createTempDirectory("graft_gen_didx_t").toString
+    val g1 = Files.createTempDirectory("graft_gen_didx1").toString
+    val g2 = Files.createTempDirectory("graft_gen_didx2").toString
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    DedupIndex.build(docs.filter(col("doc_id") % 10 < 5), g1)
+    DedupIndex.append(docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 =!= 7), g1)
+    Generations.publish(table, g1)
+    def probe() = DedupIndex.probe(spark,
+        docs.filter(col("doc_id") % 10 === 7), Generations.resolve(table))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    DedupIndex.optimize(spark, g1, g2)
+    Generations.publish(table, g2)
+    assert(probe() === before)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("AnnIndex behind a CURRENT pointer: probe identical across the switch") {
+    import graft.operators.AnnIndex
+    val table = Files.createTempDirectory("graft_gen_ann_t").toString
+    val g1 = Files.createTempDirectory("graft_gen_ann1").toString
+    val g2 = Files.createTempDirectory("graft_gen_ann2").toString
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), cent, g1)
+    AnnIndex.append(spark, emb.filter(col("vec_id") % 2 === 1), g1)
+    Generations.publish(table, g1)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def probe() = AnnIndex.probe(spark, queries, Generations.resolve(table))
+      .collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    AnnIndex.optimize(spark, g1, g2)
+    Generations.publish(table, g2)
+    assert(probe() === before)
+  }
 }

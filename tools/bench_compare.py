@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Calibration-normalized cross-round bench comparison (VERDICT r9 #2).
+
+Cross-round BENCH totals on this shared container are only comparable at
+matched host speed: round 9 measured the same plans ~1.4x slower than the
+round-8 driver sweep purely from host contention (~20 effective cores of
+32), and compounded raw ratios would trip the 2x gate on measurement
+drift alone.  Bench emits `calib_mt_sec` — a fixed integer workload timed
+at the sweep's thread count — precisely so totals can be divided by host
+speed.  This tool reads two bench JSON lines (BENCH_r*.json driver files,
+which wrap the line under a "tail"/"parsed" envelope, or a raw
+/tmp/bench.json) and prints per-query and total ratios both raw and
+calibration-normalized.  Rounds before r9 carry no calibration; their
+ratios print as raw-only with a loud note.
+
+Usage: tools/bench_compare.py <benchA.json> <benchB.json> [--top N]
+Ratios are B/A (A = baseline).
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    """Return the bench dict from either a raw Bench JSON line or a driver
+    BENCH_r*.json envelope ({n, rc, cpus, sf, tail, parsed})."""
+    with open(path) as f:
+        txt = f.read()
+    d = json.loads(txt)
+    if "queries" in d:
+        return d
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
+    # driver envelope: the full line (or its suffix) is in "tail" — find the
+    # last complete {"metric":...} object we can parse, else rebuild from
+    # the trailer + whatever query fragments the tail retains
+    tail = d.get("tail", "")
+    for m in re.finditer(r'\{"metric":"total".*', tail):
+        try:
+            return json.loads(m.group(0).splitlines()[0])
+        except json.JSONDecodeError:
+            continue
+    # fragment fallback: per-query "name":sec pairs + trailer metrics
+    qs = {k: float(v) for k, v in
+          re.findall(r'"(q[0-9]+[a-z0-9_]*)":([0-9.]+)', tail)}
+    out = {"queries": qs}
+    trailer = re.search(r'\{"metric":"total_trailer".*?\}', tail)
+    if trailer:
+        try:
+            out.update(json.loads(trailer.group(0)))
+        except json.JSONDecodeError:
+            pass
+    if not qs and "value" not in out:
+        sys.exit(f"{path}: no parseable bench line")
+    return out
+
+
+def fmt_ratio(r):
+    return f"{r:7.2f}x" if r is not None else "      --"
+
+
+def main():
+    argv = sys.argv[1:]
+    top = 15
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = argv
+    if len(args) != 2:
+        sys.exit(__doc__)
+    a, b = load(args[0]), load(args[1])
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    ca, cb = a.get("calib_mt_sec"), b.get("calib_mt_sec")
+    host = (cb / ca) if (ca and cb) else None
+
+    common = sorted(set(qa) & set(qb))
+    print(f"A={args[0]}  B={args[1]}")
+    print(f"common queries: {len(common)}  (A-only {len(set(qa)-set(qb))}, "
+          f"B-only {len(set(qb)-set(qa))})")
+    if host:
+        print(f"host factor (calib_mt B/A): {host:.3f} — normalized = raw / host")
+    else:
+        print("NOTE: calibration missing on one side — raw ratios only; "
+              "host drift is NOT separable from engine change")
+
+    ta = a.get("value", sum(qa.values()) if qa else None)
+    tb = b.get("value", sum(qb.values()) if qb else None)
+    if ta and tb:
+        raw = tb / ta
+        print(f"\ntotal: {ta:.1f}s -> {tb:.1f}s  raw {fmt_ratio(raw)}"
+              + (f"  normalized {fmt_ratio(raw / host)}" if host else ""))
+    cta = sum(qa[q] for q in common)
+    ctb = sum(qb[q] for q in common)
+    if common:
+        raw = ctb / cta
+        print(f"common-query total: {cta:.1f}s -> {ctb:.1f}s  raw {fmt_ratio(raw)}"
+              + (f"  normalized {fmt_ratio(raw / host)}" if host else ""))
+        rs = sorted((qb[q] / qa[q] for q in common if qa[q] > 0))
+        med = rs[len(rs) // 2]
+        print(f"per-query median ratio: raw {fmt_ratio(med)}"
+              + (f"  normalized {fmt_ratio(med / host)}" if host else ""))
+
+        print(f"\ntop {top} movers (by raw ratio, >=0.2s on either side):")
+        movers = [(qb[q] / qa[q], q) for q in common
+                  if qa[q] > 0 and max(qa[q], qb[q]) >= 0.2]
+        movers.sort(reverse=True)
+        for r, q in movers[:top]:
+            norm = f"  norm {fmt_ratio(r / host)}" if host else ""
+            print(f"  {q:32s} {qa[q]:7.2f}s -> {qb[q]:7.2f}s  raw {fmt_ratio(r)}{norm}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,9 @@ object AnnIndex {
     * enabling the compressed-domain [[probePq]] read path. */
   def build(embeddings: DataFrame, centroids: DataFrame, indexDir: String,
       codebooks: Option[DataFrame] = None): Unit = {
+    // a fresh build replaces everything — stale tombstones from a prior
+    // index at the same path would suppress legitimately re-used ids
+    DedupIndex.clearDir(tombstonesPath(indexDir))
     centroids.select("centroid_id", "centv")
       .write.mode("overwrite").parquet(centroidsPath(indexDir))
     codebooks.foreach(_.select("code", "cv")

@@ -44,9 +44,20 @@ object DedupIndex {
       new File(bandsPath(indexDir)).isDirectory
 
   /** Create the index from `docs` (doc_id, text), replacing any prior
-    * content at `indexDir`. */
-  def build(docs: DataFrame, indexDir: String): Unit =
+    * content at `indexDir` — including any tombstone table (a fresh build
+    * IS the survivor set; stale tombstones would silently suppress
+    * legitimately re-used ids). */
+  def build(docs: DataFrame, indexDir: String): Unit = {
+    clearDir(tombstonesPath(indexDir))
     write(docs, indexDir, "overwrite")
+  }
+
+  private[operators] def clearDir(path: String): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new File(path))
+  }
 
   /** Add a batch to an existing index. Blind parquet appends — no
     * read-modify-write, so ingest cost is O(|batch|). */

@@ -1050,6 +1050,32 @@ object Dedup {
         s, docs.filter(col("doc_id") % 10 === 7), idxDir)
     }),
 
+    // ---- standing-index DELETE lifecycle: tombstoned probe ---------------
+    // q246's build/append/probe with the takedown step in between: the
+    // doc_id%10==3 slice is tombstoned (a blind O(|removed|) append — no
+    // index rewrite), and the probe must answer exactly like an index
+    // built from the survivors alone. The tombstone filter applies BEFORE
+    // the bucket cap, so even at the cap boundary (a removal can bring an
+    // over-cap bucket back under it) semantics match from-scratch — the
+    // oracle IS q244's SQL with the survivor predicate in the corpus CTE,
+    // so that equivalence is hash-checked at every sf, not just
+    // spec-asserted. The first production lifecycle op after append for
+    // any index with takedown obligations.
+    "q270_tombstoned_index" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-tombstone-index-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.operators.DedupIndex.build(
+        docs.filter(col("doc_id") % 10 < 5), idxDir)
+      graft.operators.DedupIndex.append(
+        docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 =!= 7), idxDir)
+      graft.operators.DedupIndex.remove(
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), idxDir)
+      graft.operators.DedupIndex.probe(
+        s, docs.filter(col("doc_id") % 10 === 7), idxDir)
+    }),
+
     // ---- embedding-cosine near-dup via random-hyperplane LSH -------------
     // The untrained scale path beside q59's IVF bucketing: 24 sign bits
     // (dot against fixed Rademacher hyperplanes) banded 4×6 — vectors
@@ -1774,7 +1800,14 @@ object Dedup {
     )
     // q246 drives the PERSISTED index through build/append/probe; the
     // answer depends only on index content, which equals q244's in-query
-    // split — the oracle is shared verbatim (the q190 -> q126 pattern)
-    m + ("q246_standing_index" -> m("q244_incremental_neardup"))
+    // split — the oracle is shared verbatim (the q190 -> q126 pattern).
+    // q270 adds the tombstone step (doc_id%10==3 removed): its oracle is
+    // the SAME SQL with the survivor predicate added to the corpus CTE —
+    // before the QUALIFY cap window, exactly like the engine filters
+    // tombstones before capping.
+    m + ("q246_standing_index" -> m("q244_incremental_neardup")) +
+      ("q270_tombstoned_index" -> m("q244_incremental_neardup").replace(
+        "WHERE doc_id % 10 != 7\n",
+        "WHERE doc_id % 10 != 7 AND doc_id % 10 != 3\n"))
   }
 }

@@ -277,6 +277,30 @@ object Lifecycle {
         .orderBy("source")
     }),
 
+    // ---- standing-state RETRACTION (the CDC delete half) -----------------
+    // q257's scalar state with deletes: the doc_id%7==3 slice is retracted
+    // after the full build (a blind append of NEGATED n/sum partials —
+    // O(|deleted|), no state rewrite). Count and sum are group-invertible,
+    // so the merged read must equal a from-scratch aggregate over the
+    // SURVIVORS exactly — the oracle IS that survivor aggregate, so the
+    // equivalence is hash-checked in the gate. min/max are deliberately
+    // not output: they are non-invertible and become documented lifetime
+    // bounds once a retraction touches a key (AggState.retract scaladoc).
+    "q271_agg_state_retract" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-agg-retract-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val keys = Seq("source", "lang")
+      AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
+      AggState.append(docs.filter(col("doc_id") % 3 =!= 0), keys, "n_chars", stateDir)
+      AggState.retract(docs.filter(col("doc_id") % 7 === 3), keys, "n_chars", stateDir)
+      AggState.merged(s, stateDir, keys)
+        .select(col("source"), col("lang"), col("n").as("n_docs"),
+          col("sum").cast("long").as("sum_chars"))
+        .orderBy("source", "lang")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -421,6 +445,12 @@ object Lifecycle {
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM u ORDER BY check_name""".stripMargin,
+
+    "q271_agg_state_retract" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 != 3
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q257_agg_state" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

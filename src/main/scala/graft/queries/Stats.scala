@@ -1811,6 +1811,32 @@ object Stats {
         .orderBy("l_returnflag")
     }),
 
+    // ---- standing quantile state: RETRACTION (CDC deletes) ---------------
+    // q269 with the delete half of the contract: the l_orderkey%3==1 slice
+    // is retracted after the full build — bucket counts are ADDITIVE, so
+    // negated count rows retract EXACTLY, and the merged walk must equal
+    // the from-scratch histogram over the survivors. The oracle IS q219's
+    // SQL restricted to survivors, so grown-with-retractions ≡
+    // scratch-on-survivors is hash-checked in the gate (the q264/q270
+    // equivalence discipline).
+    "q272_hist_retract" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-agg-hist-retract-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      AggState.buildHist(li.filter(col("l_orderkey") % 3 === 0),
+        Seq("l_returnflag"), "cents", stateDir)
+      AggState.appendHist(li.filter(col("l_orderkey") % 3 =!= 0),
+        Seq("l_returnflag"), "cents", stateDir)
+      AggState.retractHist(li.filter(col("l_orderkey") % 3 === 1),
+        Seq("l_returnflag"), "cents", stateDir)
+      AggState.mergedHist(s, stateDir, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- CUPED variance reduction for the A/B readout --------------------
     // q124's experiment analysis with the industry-standard pre-period
     // adjustment: theta = cov(y, x)/var(x) over per-user (pre, experiment)
@@ -3253,6 +3279,10 @@ object Stats {
     // gate itself (bucket counts are additive; the q190→q126 oracle-
     // reuse pattern)
     "q269_agg_state_quantiles" -> Q219Sql,
+    // q272 = q219's SQL over the survivors (l_orderkey%3==1 retracted):
+    // hist retraction is exact by count additivity, and this gate proves it
+    "q272_hist_retract" -> Q219Sql.replace(
+      "FROM lineitem)", "FROM lineitem WHERE l_orderkey % 3 != 1)"),
 
     "q221_incremental" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.ClusterState
+
+/** The standing duplicate-cluster table's operational surface:
+  *
+  * ```
+  * runMain graft.ClusterStateMain build    <edgesParquet> <stateDir>
+  * runMain graft.ClusterStateMain append   <edgesParquet> <stateDir>
+  * runMain graft.ClusterStateMain clusters <stateDir> <outDir>
+  * ```
+  *
+  * `edgesParquet` carries two columns (src, dst) — e.g. the verified
+  * pairs a DedupIndex probe emits for an ingest batch. `build` clusters
+  * the initial edge set; `append` folds a batch's new edges into the
+  * standing labels (CC over label stars + the delta — the historical
+  * pair set is never re-clustered); `clusters` materializes the current
+  * assignment with sizes.
+  */
+object ClusterStateMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ClusterStateMain build|append|clusters ...")
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "build" =>
+        ClusterState.build(spark.read.parquet(args(1)), args(2))
+        println(s"built clusters ${args(2)}")
+      case "append" =>
+        ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2))
+        println(s"appended ${args(1)} -> ${args(2)}")
+      case "clusters" =>
+        ClusterState.clusters(spark, args(1))
+          .write.mode("overwrite").parquet(args(2))
+        println(s"clusters of ${args(1)} -> ${args(2)}")
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing duplicate-cluster assignment — the transitive-closure half of
+  * the near-dup lifecycle kept as a TABLE. DedupIndex answers "which docs
+  * does this batch nearly duplicate"; a corpus audit needs the CLUSTER
+  * (q70's connected components), and at 100 TB nobody re-clusters the
+  * whole corpus per ingest: the standing label table is folded forward
+  * with only the batch's new edges.
+  *
+  * State: `labels/` — (id, cluster_id), cluster_id = min doc id in the
+  * component (q70's canonical labeling).
+  *
+  * Maintenance rule: a component labeled by its min member is exactly
+  * reconstructible as a STAR (every member → label). Stars preserve old
+  * connectivity, so components(stars ∪ ΔE) on the union node set equals
+  * components(E ∪ ΔE) — the full historical edge set is never kept, and
+  * each maintenance run costs CC over |labels| + |ΔE| edges, not the
+  * corpus pair set. Because the old label IS a member id, min-label CC
+  * over the stars re-derives the global min id, so grown labels are
+  * IDENTICAL to from-scratch labels over the cumulative edge set (q275
+  * hash-checks this against DuckDB's recursive closure at every sf).
+  * Star diameter is ≤ 2, so rounds scale with the NEW merge chains only.
+  *
+  * A cluster merge (a new edge bridging two old components) relabels the
+  * losing component's rows on the next read — handled by the CC rewrite,
+  * no tombstones needed because labels are a FUNCTION of connectivity,
+  * not accumulated facts.
+  */
+object ClusterState {
+
+  private def labelsPath(stateDir: String): String = s"$stateDir/labels"
+
+  def exists(stateDir: String): Boolean =
+    new File(labelsPath(stateDir)).isDirectory
+
+  /** Initialize the label table from an edge set (src, dst). */
+  def build(edges: DataFrame, stateDir: String): Unit = {
+    val comp = ConnectedComponents.components(edges)
+    comp.write.mode("overwrite").parquet(labelsPath(stateDir))
+    comp.unpersist()
+    ()
+  }
+
+  /** Fold a batch of NEW edges into the standing labels: CC over the
+    * label stars plus the delta — O(|labels| + |ΔE|) keyed shuffles per
+    * round, never the historical pair set. New nodes (both endpoints
+    * previously unseen) enter as fresh components; bridging edges merge
+    * old components and the losing side relabels. */
+  def appendEdges(spark: SparkSession, newEdges: DataFrame, stateDir: String): Unit = {
+    val stars = spark.read.parquet(labelsPath(stateDir))
+      .select(col("id").as("src"), col("cluster_id").as("dst"))
+    val comp = ConnectedComponents.components(
+      stars.unionByName(newEdges.toDF("src", "dst")))
+    // the CC result is cache-backed with an RDD-only plan (no parquet
+    // scan), so overwriting the labels it was derived from is safe; the
+    // eager checkpoint pins the rows before the source files vanish
+    val out = comp.localCheckpoint(eager = true)
+    comp.unpersist()
+    out.write.mode("overwrite").parquet(labelsPath(stateDir))
+  }
+
+  /** The current assignment with cluster sizes: one window over the
+    * label table (never the corpus). */
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(labelsPath(stateDir))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+}

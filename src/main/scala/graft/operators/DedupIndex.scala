@@ -124,6 +124,15 @@ object DedupIndex {
       live(spark, indexDir, bandsPath),
       live(spark, indexDir, sigsPath))
 
+  /** [[probePairs]] against the PERSISTED index at `indexDir` (live rows
+    * only) — the per-batch edge feed for standing cluster maintenance
+    * (ClusterState / CorpusStream.clusterBatch). */
+  private[graft] def probePairsPersisted(spark: SparkSession, base: DataFrame,
+      indexDir: String): DataFrame =
+    probePairs(base,
+      live(spark, indexDir, bandsPath),
+      live(spark, indexDir, sigsPath))
+
   /** Match `deltaDocs` against the standing index: q244's probe shape,
     * with the index read from parquet instead of derived in-query. Output
     * is one row per delta doc with at least one verified match:
@@ -145,6 +154,19 @@ object DedupIndex {
     * all-integer i*10 >= union*7 gate with basis points via integer
     * division (no rounded-ratio ties). */
   private[graft] def probeBase(prbBase: DataFrame, idxBands: DataFrame,
+      idxSigs: DataFrame): DataFrame =
+    probePairs(prbBase, idxBands, idxSigs).groupBy(col("b").as("batch_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max_by(struct(col("c"), col("jacc_bp")),
+          struct(col("jacc_bp"), (-col("c")).as("tb"))).as("best"))
+      .select(col("batch_id"), col("n_matches").cast("long").as("n_matches"),
+        col("best.c").as("match_id"), col("best.jacc_bp").as("jacc_bp"))
+
+  /** The probe's VERIFIED PAIRS (b = batch doc, c = indexed doc, jacc_bp)
+    * before the per-batch-doc best-match aggregate — the edge feed for
+    * standing cluster maintenance (ClusterState): a batch's near-dup
+    * edges against the corpus, never a corpus-corpus pair. */
+  private[graft] def probePairs(prbBase: DataFrame, idxBands: DataFrame,
       idxSigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.TextHashes
     val idxBuckets = idxBands.groupBy("bi", "bh")
@@ -154,7 +176,7 @@ object DedupIndex {
       .join(idxBuckets, Seq("bi", "bh"))
       .select(col("doc_id").as("b"), explode(col("ds")).as("c"))
       .dropDuplicates("b", "c")
-    val verified = cands
+    cands
       .join(prbBase.select(col("doc_id").as("b"), col("hs").as("h1"),
         col("sz").as("sz1")), Seq("b"))
       .join(idxSigs.select(col("doc_id").as("c"), col("hs").as("h2"),
@@ -162,12 +184,7 @@ object DedupIndex {
       .withColumn("i", TextHashes.sorted_intersect_size(col("h1"), col("h2")))
       .filter(expr("i * 10 >= (sz1 + sz2 - i) * 7"))
       .withColumn("jacc_bp", expr("CAST((i * 10000) div (sz1 + sz2 - i) AS BIGINT)"))
-    verified.groupBy(col("b").as("batch_id"))
-      .agg(count(lit(1)).as("n_matches"),
-        max_by(struct(col("c"), col("jacc_bp")),
-          struct(col("jacc_bp"), (-col("c")).as("tb"))).as("best"))
-      .select(col("batch_id"), col("n_matches").cast("long").as("n_matches"),
-        col("best.c").as("match_id"), col("best.jacc_bp").as("jacc_bp"))
+      .select("b", "c", "jacc_bp")
   }
 
   /** Compact the index's accumulated append files into `outIndexDir`

@@ -1,0 +1,191 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized JOIN view — the fourth member of the
+  * standing-state family (DedupIndex: near-dup bands; AnnIndex: vector
+  * buckets; AggState: aggregate partials; here: an equi-join kept
+  * current under inserts AND deletes on either side). Reference analog:
+  * the sync script re-fetches both collections and re-pairs them per run
+  * (`sync.py`'s fetch-both-then-match loop); at 100 TB the daily
+  * re-join of fact × dimension IS the bottleneck, and the fix is the
+  * classic view-maintenance delta rule.
+  *
+  * Rows are Z-SETS (multiplicity-annotated multisets): every stored row
+  * carries `__mult` (+1 insert, −1 retraction). The equi-join is
+  * BILINEAR over z-sets — `(L + ΔL) ⋈ R = L ⋈ R + ΔL ⋈ R` — so each
+  * delta batch maintains the view by joining ONLY the delta against the
+  * other side's current store and appending the result:
+  *
+  *  - `appendLeft(Δ)` appends `Δ ⋈ R_store` to the view, then `Δ` to the
+  *    left store (ingest cost: O(|Δ| + touched store buckets));
+  *  - `retractLeft(Δ)` is the same rule with `__mult = −1`: the join
+  *    emits NEGATIVE view rows that cancel exactly the pairs the deleted
+  *    rows once produced — a retracted dimension row takes all its fact
+  *    pairings with it, no tombstone bookkeeping, no rewrite;
+  *  - `merged` collapses multiplicities (sum per row, drop ≤0): after any
+  *    interleaving of appends/retractions it equals the from-scratch join
+  *    of the surviving inputs EXACTLY (spec-proved; the telescoping sum
+  *    `Σ ΔL_i ⋈ R_{<i} + L_{≤i} ⋈ ΔR_i = (Σ ΔL) ⋈ (Σ ΔR)` needs only
+  *    bilinearity, so it holds for any order and any signs).
+  *
+  * 100 TB design: both stores are parquet partitioned by
+  * `__bucket = pmod(xxhash64(keys), NumBuckets)`. A delta's distinct
+  * buckets (≤ NumBuckets values, collected driver-side like PrefixSum's
+  * per-partition totals) prune the store read to the partitions that can
+  * possibly match — the join is delta × touched-buckets, never delta ×
+  * store. Appends are blind writes; nothing is read-modify-written; AQE
+  * broadcasts the delta side on its own.
+  */
+object ViewState {
+
+  val NumBuckets = 32
+
+  private def leftPath(stateDir: String): String = s"$stateDir/left_store"
+  private def rightPath(stateDir: String): String = s"$stateDir/right_store"
+  private def viewPath(stateDir: String): String = s"$stateDir/view"
+  private def metaPath(stateDir: String): String = s"$stateDir/keys.txt"
+
+  def exists(stateDir: String): Boolean = new File(viewPath(stateDir)).isDirectory
+
+  private def bucketOf(keys: Seq[String]): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(NumBuckets.toLong))
+
+  private def withMult(df: DataFrame, keys: Seq[String], mult: Int): DataFrame =
+    df.withColumn("__mult", lit(mult.toLong))
+      .withColumn("__bucket", bucketOf(keys))
+
+  private def readKeys(stateDir: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(metaPath(stateDir))
+    try src.getLines().toList.filter(_.nonEmpty) finally src.close()
+  }
+
+  private def writeKeys(stateDir: String, keys: Seq[String]): Unit = {
+    new File(stateDir).mkdirs()
+    java.nio.file.Files.write(new File(metaPath(stateDir)).toPath,
+      keys.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Initialize the view over `left ⋈ right` on `keys`. Both inputs must
+    * carry the key columns; their non-key columns must not collide (the
+    * view holds keys ++ left payload ++ right payload). */
+  def build(left: DataFrame, right: DataFrame, keys: Seq[String],
+      stateDir: String): Unit = {
+    val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
+    require(dup.isEmpty, s"build: non-key columns collide across sides: $dup")
+    DedupIndex.clearDir(stateDir)
+    writeKeys(stateDir, keys)
+    val l = withMult(left, keys, 1)
+    val r = withMult(right, keys, 1)
+    l.write.mode("overwrite").partitionBy("__bucket").parquet(leftPath(stateDir))
+    r.write.mode("overwrite").partitionBy("__bucket").parquet(rightPath(stateDir))
+    deltaJoin(l, right.withColumn("__mult", lit(1L)), keys)
+      .write.mode("overwrite").parquet(viewPath(stateDir))
+  }
+
+  /** `delta ⋈ other` with z-set multiplicity product per contributing
+    * pair. `delta` carries __mult/__bucket; `other` carries __mult. */
+  private def deltaJoin(delta: DataFrame, other: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val d = delta.drop("__bucket").withColumnRenamed("__mult", "__ml")
+    val o = other.drop("__bucket").withColumnRenamed("__mult", "__mr")
+    val payload = (d.columns.toSeq ++ o.columns.toSeq)
+      .filterNot(keys.contains).filterNot(Seq("__ml", "__mr").contains)
+    d.join(o, keys)
+      .select((keys ++ payload).map(col) :+
+        (col("__ml") * col("__mr")).as("__mult"): _*)
+  }
+
+  /** The store partitions a delta can possibly join: read pruned to the
+    * delta's own key buckets (≤ NumBuckets values driver-side). */
+  private def prunedStore(spark: SparkSession, path: String,
+      delta: DataFrame): DataFrame = {
+    val touched = delta.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
+  }
+
+  private def ingest(spark: SparkSession, delta: DataFrame, stateDir: String,
+      mult: Int, deltaIsLeft: Boolean): Unit = {
+    val keys = readKeys(stateDir)
+    val d = withMult(delta, keys, mult).localCheckpoint(true)
+    val otherPath = if (deltaIsLeft) rightPath(stateDir) else leftPath(stateDir)
+    val other = prunedStore(spark, otherPath, d)
+    val dv =
+      if (deltaIsLeft) deltaJoin(d, other, keys)
+      else deltaJoin(other, d, keys)
+    // view columns stay in build order regardless of which side the
+    // delta came from (parquet appends are positional per-file, but the
+    // merged read is name-based; keep one canonical order anyway)
+    val viewCols = spark.read.parquet(viewPath(stateDir)).columns.toSeq
+    dv.select(viewCols.map(col): _*)
+      .write.mode("append").parquet(viewPath(stateDir))
+    val storePath = if (deltaIsLeft) leftPath(stateDir) else rightPath(stateDir)
+    val storeCols = spark.read.parquet(storePath).columns.toSeq
+    d.select(storeCols.map(col): _*)
+      .write.mode("append").partitionBy("__bucket").parquet(storePath)
+  }
+
+  /** Fold a left-side delta batch into the view: O(|Δ| + touched buckets). */
+  def appendLeft(spark: SparkSession, delta: DataFrame, stateDir: String): Unit =
+    ingest(spark, delta, stateDir, 1, deltaIsLeft = true)
+
+  def appendRight(spark: SparkSession, delta: DataFrame, stateDir: String): Unit =
+    ingest(spark, delta, stateDir, 1, deltaIsLeft = false)
+
+  /** RETRACT previously-ingested left rows (same contract as
+    * AggState.retract: the caller retracts only what it added). The
+    * negative delta joins the CURRENT right store, so every pair the
+    * retracted rows ever produced — including against right rows that
+    * arrived after them — is cancelled exactly. */
+  def retractLeft(spark: SparkSession, deleted: DataFrame, stateDir: String): Unit =
+    ingest(spark, deleted, stateDir, -1, deltaIsLeft = true)
+
+  def retractRight(spark: SparkSession, deleted: DataFrame, stateDir: String): Unit =
+    ingest(spark, deleted, stateDir, -1, deltaIsLeft = false)
+
+  /** The current view: multiplicities collapsed (one row per distinct
+    * row value with its surviving count as `mult`) — equals the
+    * from-scratch `GROUP BY all` join of the surviving inputs. */
+  def merged(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = spark.read.parquet(viewPath(stateDir))
+    val cols = v.columns.filterNot(_ == "__mult").toSeq
+    v.groupBy(cols.map(col): _*)
+      .agg(sum("__mult").cast("long").as("mult"))
+      .filter(col("mult") > 0)
+  }
+
+  /** Collapse accumulated delta rows in all three tables (cancelled pairs
+    * and retracted store rows drop physically), validated by fingerprint
+    * equality of the MERGED view — the only invariant compaction must
+    * preserve. The output is a fresh generation for `Generations.publish`. */
+  def optimize(spark: SparkSession, stateDir: String, outStateDir: String): Unit = {
+    require(new File(stateDir).getCanonicalPath !=
+        new File(outStateDir).getCanonicalPath,
+      s"optimize: outStateDir must differ from stateDir ($stateDir)")
+    DedupIndex.clearDir(outStateDir)
+    val keys = readKeys(stateDir)
+    writeKeys(outStateDir, keys)
+    def collapse(path: String => String, bucketed: Boolean): Unit = {
+      val t = spark.read.parquet(path(stateDir))
+      val cols = t.columns.filterNot(Seq("__mult", "__bucket").contains).toSeq
+      val folded = t.groupBy(cols.map(col): _*)
+        .agg(sum("__mult").as("__mult"))
+        .filter(col("__mult") =!= 0)
+      val w = if (bucketed) folded.withColumn("__bucket", bucketOf(keys)) else folded
+      if (bucketed)
+        w.write.mode("overwrite").partitionBy("__bucket").parquet(path(outStateDir))
+      else w.write.mode("overwrite").parquet(path(outStateDir))
+    }
+    collapse(leftPath, bucketed = true)
+    collapse(rightPath, bucketed = true)
+    collapse(viewPath, bucketed = false)
+    val Seq(rep) = Reconcile.report(Seq(("view",
+      merged(spark, stateDir), merged(spark, outStateDir))))
+    require(rep.matches, s"optimize: merged view changed after rewrite: $rep")
+  }
+}

@@ -1076,6 +1076,46 @@ object Dedup {
         s, docs.filter(col("doc_id") % 10 === 7), idxDir)
     }),
 
+    // ---- standing cluster state: incremental connected components --------
+    // The transitive-closure half of the near-dup lifecycle as a TABLE
+    // (operators/ClusterState): q70's clusters built from the first corpus
+    // slice, then FOLDED FORWARD when the batch arrives — new edges are
+    // the batch's index-probe pairs (DedupIndex.probePairs: delta vs
+    // corpus, no corpus-corpus pair) plus its within-batch pairs, and the
+    // maintenance CC runs over label STARS + those new edges only
+    // (O(|labels| + |ΔE|), never the historical pair set). Because a
+    // min-labeled component is exactly reconstructible as a star, grown
+    // labels ≡ from-scratch labels over the cumulative edge set — the
+    // oracle walks that cumulative set with a recursive CTE, so the
+    // equivalence is hash-checked at every sf. A batch edge that bridges
+    // two old clusters merges them (the losing side relabels) — the case
+    // a pairwise-only index can't answer.
+    "q275_incr_clusters" -> ((s: SparkSession, dir: String) => {
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-cluster-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val base = minhashBase(Tables(s, dir, "documents"))
+      val old = base.filter(col("doc_id") % 10 =!= 7)
+      val nw = base.filter(col("doc_id") % 10 === 7)
+      graft.operators.ClusterState.build(
+        lshPairs(old, LshBucketCap).select(col("d1").as("src"), col("d2").as("dst")),
+        stateDir)
+      val probeEdges = graft.operators.DedupIndex.probePairs(nw,
+          bandKeys(old).select("doc_id", "bi", "bh"),
+          old.select("doc_id", "hs", "sz"))
+        .select(col("b").as("src"), col("c").as("dst"))
+      val batchEdges = lshPairs(nw, LshBucketCap)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.operators.ClusterState.appendEdges(s,
+        probeEdges.unionByName(batchEdges), stateDir)
+      val out = graft.operators.ClusterState.clusters(s, stateDir)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
+    }),
+
     // ---- embedding-cosine near-dup via random-hyperplane LSH -------------
     // The untrained scale path beside q59's IVF bucketing: 24 sign bits
     // (dot against fixed Rademacher hyperplanes) banded 4×6 — vectors
@@ -1220,7 +1260,72 @@ object Dedup {
          | WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
     }
 
+    // the tiered-cap LSH pair chain (lshPairs semantics) over one slice of
+    // `bandsAll`, ending in pr$tag(d1, d2) — q275 runs it for the corpus
+    // slice and the batch slice, beside the probe's simple-capped chain
+    def tieredPairCtes(tag: String, pred: String): String =
+      s"""b0$tag AS (SELECT doc_id, bi, bh, bh2,
+         |         count(*) OVER (PARTITION BY bi, bh) AS bsz
+         |       FROM bandsAll WHERE $pred),
+         |bsm$tag AS (SELECT doc_id, bi, bh FROM b0$tag WHERE bsz <= $LshBucketCap),
+         |bbg$tag AS (SELECT doc_id, bi, bh, bh2 FROM b0$tag WHERE bsz > $LshBucketCap
+         |         QUALIFY count(*) OVER (PARTITION BY bi, bh, bh2) <= $LshBucketCap),
+         |cand$tag AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bsm$tag a JOIN bsm$tag b
+         |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |         UNION
+         |         SELECT a.doc_id, b.doc_id
+         |         FROM bbg$tag a JOIN bbg$tag b
+         |           ON a.bi = b.bi AND a.bh = b.bh AND a.bh2 = b.bh2
+         |          AND a.doc_id < b.doc_id),
+         |j$tag AS (SELECT d1, d2, len(list_intersect(x.hs2, y.hs2)) AS i,
+         |             x.sz AS sz1, y.sz AS sz2
+         |      FROM cand$tag JOIN hd x ON cand$tag.d1 = x.doc_id
+         |                    JOIN hd y ON cand$tag.d2 = y.doc_id),
+         |pr$tag AS (SELECT d1, d2 FROM j$tag
+         |      WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
+
     val m = Map(
+      // grown-labels ≡ from-scratch closure over the CUMULATIVE edge set:
+      // corpus-slice tiered pairs ∪ batch-slice tiered pairs ∪ the
+      // batch-vs-corpus probe pairs (q244's simple-capped chain), walked
+      // with a recursive CTE exactly like q70
+      "q275_incr_clusters" ->
+        s"""WITH RECURSIVE $shinglesSql,
+           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+           |       FROM sh WHERE len(w) > 0),
+           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+           |bandsAll AS (${bandSelects.mkString(" UNION ALL ")}),
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs2,
+           |              len(list_distinct(h)) AS sz FROM hs),
+           |${tieredPairCtes("o", "doc_id % 10 != 7")},
+           |${tieredPairCtes("n", "doc_id % 10 = 7")},
+           |cbq AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 != 7
+           |       QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
+           |pbq AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 = 7),
+           |candp AS (SELECT DISTINCT pbq.doc_id AS d1, cbq.doc_id AS d2
+           |          FROM pbq JOIN cbq USING (bi, bh)),
+           |jp AS (SELECT d1, d2, len(list_intersect(x.hs2, y.hs2)) AS i,
+           |              x.sz AS sz1, y.sz AS sz2
+           |       FROM candp JOIN hd x ON candp.d1 = x.doc_id
+           |                  JOIN hd y ON candp.d2 = y.doc_id),
+           |prp AS (SELECT d1, d2 FROM jp WHERE i * 10 >= (sz1 + sz2 - i) * 7),
+           |alle AS (SELECT d1, d2 FROM pro UNION SELECT d1, d2 FROM prn
+           |         UNION SELECT d1, d2 FROM prp),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM alle
+           |          UNION SELECT d2, d1 FROM alle),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |szc AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+           |        GROUP BY cluster_id)
+           |SELECT comp.id AS doc_id, comp.cluster_id, szc.cluster_size
+           |FROM comp JOIN szc USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin,
+
       "q35_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
           | md5(lower(trim(text))) AS text_hash

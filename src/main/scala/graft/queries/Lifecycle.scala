@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AggState, Merge}
+import graft.operators.{AggState, Merge, ViewState}
 
 /** Table-lifecycle operators — the maintenance half of a warehouse: keyed
   * MERGE/upsert of a change feed, SCD Type-2 dimension history. The
@@ -301,6 +301,71 @@ object Lifecycle {
         .orderBy("source", "lang")
     }),
 
+    // ---- incremental materialized JOIN view (z-set delta maintenance) ----
+    // operators/ViewState: orders ⋈ customer kept current as a standing
+    // table — each delta batch joins ONLY against the other side's store
+    // (bucket-pruned) and appends; nothing is ever re-joined. The slices
+    // interleave left and right appends deliberately: the telescoping
+    // delta rule must hold for ANY arrival order, and the oracle is the
+    // from-scratch join, so the equivalence is hash-checked in the gate.
+    // The aggregate reads the view's collapsed multiplicities (sum(mult)
+    // weights, not count) — the shape a 100 TB summary table consumes a
+    // maintained join through.
+    "q273_incr_join_view" -> ((s: SparkSession, dir: String) => {
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-join-view-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
+      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
+      ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
+      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
+      ViewState.merged(s, stateDir)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(col("mult")).cast("long").as("n_orders"),
+          sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    }),
+
+    // ---- view maintenance under DELETES (retraction through the join) ----
+    // The z-set payoff: retracting an input row joins the NEGATIVE delta
+    // against the other side's current store, cancelling every pair it
+    // ever produced — a revoked dimension row takes all its fact pairings
+    // with it, no tombstone table, no view rewrite, O(|Δ|) per takedown.
+    // Oracle = the join over the SURVIVORS, so grown-with-deletes ≡
+    // scratch-on-survivors is hash-checked at every sf.
+    "q274_view_retract" -> ((s: SparkSession, dir: String) => {
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-view-retract-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
+      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
+      ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
+      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
+      // takedowns: only rows previously ingested (both filters partition
+      // the full input, so the %5 / %7 slices were all added above)
+      ViewState.retractLeft(s, orders.filter(col("o_orderkey") % 5 === 0), stateDir)
+      ViewState.retractRight(s, cust.filter(col("custkey") % 7 === 3), stateDir)
+      ViewState.merged(s, stateDir)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(col("mult")).cast("long").as("n_orders"),
+          sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -445,6 +510,29 @@ object Lifecycle {
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM u ORDER BY check_name""".stripMargin,
+
+    // the from-scratch join — hash equality proves the maintained view's
+    // telescoping delta sum collapses to exactly L ⋈ R
+    "q273_incr_join_view" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    // the join over the SURVIVORS — grown-with-deletes ≡ scratch-on-
+    // survivors for the maintained view
+    "q274_view_retract" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 5 <> 0 AND c_custkey % 7 <> 3
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "q271_agg_state_retract" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -369,10 +369,55 @@ object TrainPrep {
         .select(col("source"), col("doc_id"), col("n_chars"),
           expr("CAST((cum * 10) div total AS BIGINT)").as("pick_idx"))
         .orderBy("source", "doc_id")
+    }),
+
+    // ---- weighted Bernoulli (Poisson) sampling ---------------------------
+    // q259's systematic PPS needs an ordered cumulative walk; the Poisson
+    // form is its embarrassingly-parallel sibling: each doc is included
+    // INDEPENDENTLY with p = min(1, N·w/W) (expected sample size N,
+    // inclusion probability proportional to token weight) — per-row math,
+    // no window, no order dependence, the form that survives any
+    // partitioning and any retry. Randomness is the deterministic salted
+    // md5 (never rand(): reruns and speculative tasks must agree), and
+    // the inclusion test is pure integer cross-multiplication —
+    // h·W < N·w·2^32 — so the oracle reproduces the draw bit-for-bit.
+    // W fits BIGINT through ~2^31 token-weight mass per corpus; past
+    // that the same test runs in DECIMAL(38,0). Heavier-than-threshold
+    // docs (N·w ≥ W) are certain inclusions, the PPS property. One
+    // corpus scan + a 1-row broadcast total.
+    "q276_weighted_bernoulli" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(rawToks(col("text"))).cast("long").as("n_tokens"))
+      val tot = docs.agg(sum("n_tokens").cast("long").as("w_total"))
+      docs.crossJoin(broadcast(tot))
+        .withColumn("h32", expr("CAST(conv(substring(md5(CAST(" +
+          "concat('pps_', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .filter(col("h32") * col("w_total") <
+          lit(500L) * col("n_tokens") * lit(4294967296L))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(least(10000, (500 * n_tokens * 10000) div w_total) AS BIGINT)")
+            .as("p_bp"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q276_weighted_bernoulli" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |    END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM d),
+        |h AS (SELECT doc_id, n_tokens,
+        |        ('0x' || substr(md5('pps_' || doc_id::VARCHAR), 1, 8))::BIGINT AS h32
+        |      FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST(least(10000, (500 * n_tokens * 10000) // w_total) AS BIGINT) AS p_bp
+        |FROM h, t
+        |WHERE h32 * w_total < 500 * n_tokens * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
     "q259_pps_sample" ->
       """WITH c AS (SELECT source, doc_id, n_chars,
         |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

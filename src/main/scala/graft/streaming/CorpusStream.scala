@@ -168,6 +168,49 @@ object CorpusStream {
     n
   }
 
+  /** Standing-cluster maintenance stream — the ARCHIVE/audit shape beside
+    * [[nearDupBatch]]'s curation shape: every doc is ADMITTED (an archive
+    * keeps all copies) and the duplicate GRAPH is tracked instead. Per
+    * micro-batch: one MinHash base feeds (1) the index probe's VERIFIED
+    * PAIRS (batch vs corpus — [[DedupIndex.probePairsPersisted]], no
+    * corpus-corpus pair), (2) within-batch LSH pairs, and (3) the blind
+    * index append; the pair union folds into the standing
+    * [[graft.operators.ClusterState]] labels (CC over label stars + the
+    * delta only — the historical pair set is never re-clustered). An edge
+    * bridging docs landed in different earlier batches merges their
+    * standing clusters. Every step is sized by the batch; replay fails
+    * safe (re-derived edges reproduce the same connectivity — labels are
+    * a function of the cumulative graph, and duplicate edges are no-ops
+    * to CC). */
+  def clusterBatch(indexDir: String, clusterDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.ClusterState
+    val spark = batch.sparkSession
+    val docs = batch.persist()
+    try {
+      if (!docs.isEmpty) {
+        val base = Dedup.minhashBase(docs)
+        val probeEdges =
+          if (DedupIndex.exists(indexDir))
+            DedupIndex.probePairsPersisted(spark, base, indexDir)
+              .select(col("b").as("src"), col("c").as("dst"))
+          else base.select(col("doc_id").as("src"), col("doc_id").as("dst")).limit(0)
+        val batchEdges = Dedup.lshPairs(base, Dedup.LshBucketCap)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        val edges = probeEdges.unionByName(batchEdges).localCheckpoint(eager = true)
+        if (!edges.isEmpty) {
+          if (ClusterState.exists(clusterDir))
+            ClusterState.appendEdges(spark, edges, clusterDir)
+          else ClusterState.build(edges, clusterDir)
+        }
+        DedupIndex.writeBase(base, indexDir,
+          if (DedupIndex.exists(indexDir)) "append" else "overwrite")
+        docs.write.mode("append").parquet(outDir)
+        base.unpersist()
+      }
+    } finally docs.unpersist()
+  }
+
   def nearDupBatch(indexDir: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{ClusterState, ConnectedComponents}
+
+/** operators/ClusterState: the standing cluster-label table. Invariant:
+  * labels grown by appendEdges (CC over label STARS + the delta only)
+  * are IDENTICAL to from-scratch CC over the cumulative edge set — the
+  * star reconstruction preserves old connectivity and old labels are
+  * member ids, so min-label CC re-derives the global minimum.
+  */
+class ClusterStateSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_clusterstate").toString
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def scratch(e: DataFrame): Set[(Long, Long)] = {
+    val c = ConnectedComponents.components(e)
+    val out = labelSet(c.select("id", "cluster_id"))
+    c.unpersist()
+    out
+  }
+
+  test("grown labels == from-scratch CC over the cumulative edge set") {
+    val dir = tmp()
+    val e1 = edges(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L)
+    val e2 = edges(3L -> 4L, 30L -> 31L, 11L -> 12L)
+    ClusterState.build(e1, dir)
+    ClusterState.appendEdges(spark, e2, dir)
+    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    assert(grown === scratch(e1.unionByName(e2)))
+  }
+
+  test("a bridging edge merges two standing clusters; loser relabels") {
+    val dir = tmp()
+    ClusterState.build(edges(1L -> 2L, 5L -> 6L), dir)
+    // bridge 2—5: the {5,6} cluster must relabel to min id 1
+    ClusterState.appendEdges(spark, edges(2L -> 5L), dir)
+    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    assert(grown === Set(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    val sizes = ClusterState.clusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(sizes === Map(1L -> 4L, 2L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("chained maintenance stays exact across multiple batches") {
+    val dir = tmp()
+    val batches = Seq(
+      edges(1L -> 2L, 7L -> 8L),
+      edges(3L -> 4L),          // new component
+      edges(2L -> 3L),          // merges {1,2} with {3,4}
+      edges(8L -> 9L, 4L -> 7L) // chains everything into one
+    )
+    ClusterState.build(batches.head, dir)
+    batches.tail.foreach(b => ClusterState.appendEdges(spark, b, dir))
+    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    assert(grown === scratch(batches.reduce(_ unionByName _)))
+    // everything reachable → one cluster labeled by the global min
+    assert(grown.map(_._2) === Set(1L))
+  }
+}

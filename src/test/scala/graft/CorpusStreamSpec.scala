@@ -220,4 +220,44 @@ class CorpusStreamSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
   }
+
+  test("standing clusters fold forward across stream batches (archive shape)") {
+    import graft.operators.ClusterState
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cl_idx").toString
+    val clDir = java.nio.file.Files.createTempDirectory("graft_cl_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cl_out").toString + "/landed"
+    def batch(docs: Doc*): org.apache.spark.sql.DataFrame =
+      docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
+    def labels(): Map[Long, Long] =
+      if (!ClusterState.exists(clDir)) Map.empty
+      else spark.read.parquet(s"$clDir/labels").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val run = CorpusStream.clusterBatch(idxDir, clDir, outDir) _
+    try {
+      // batch 0: two unrelated docs — admitted, indexed, no clusters yet
+      run(batch(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00")),
+        Doc(10, fresh, "en", "crawl", t("2024-01-01 10:00:30"))), 0L)
+      assert(labels() === Map.empty, "unrelated docs must not cluster")
+      // batch 1: a paraphrase of doc 1 — probe edge 2—1 opens cluster {1,2}
+      val para1 = good.replaceAll("table$", "ledger")
+      run(batch(Doc(2, para1, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      assert(labels() === Map(1L -> 1L, 2L -> 1L), s"got ${labels()}")
+      // batch 2: another paraphrase of doc 1 (different edit) — its probe
+      // edge folds into the STANDING cluster, label stays the global min
+      val para2 = good.replaceAll("quick", "speedy")
+      run(batch(Doc(3, para2, "en", "crawl", t("2024-01-01 10:02:00"))), 2L)
+      assert(labels() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got ${labels()}")
+      // the archive admitted EVERYTHING — dup tracking never drops
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 2L, 3L, 10L), s"archive must admit all: $landed")
+      // the index holds all four (probes of later batches see every copy)
+      val sigs = spark.read.parquet(s"$idxDir/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(sigs == Seq(1L, 2L, 3L, 10L), s"index must hold all: $sigs")
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
 }

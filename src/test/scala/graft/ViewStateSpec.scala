@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.ViewState
+
+/** operators/ViewState: the incrementally-maintained join view. The
+  * invariants that make it production-usable:
+  *  - any interleaving of left/right appends yields a merged view equal
+  *    to the from-scratch join of the unioned inputs (bilinearity);
+  *  - retractions cancel exactly the pairs their rows produced — merged
+  *    equals the join of the survivors, and fully-cancelled rows vanish;
+  *  - multiplicities are true z-set counts (a duplicated input row
+  *    doubles its pairs; retracting one copy halves them);
+  *  - optimize collapses the delta rows without changing the merged view.
+  */
+class ViewStateSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_viewstate").toString
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus"))
+
+  private def cust: DataFrame =
+    spark.read.parquet(s"${sf("sf0.001")}/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+
+  private def scratch(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, Seq("custkey"))
+      .groupBy(l.columns.map(col) ++ Seq(col("c_mktsegment")): _*)
+      .agg(count(lit(1)).as("mult"))
+
+  private def same(a: DataFrame, b: DataFrame): Boolean = {
+    val bb = b.select(a.columns.map(col): _*)
+    a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty
+  }
+
+  test("interleaved appends merged == from-scratch join, exactly") {
+    val dir = tmp()
+    ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+      cust.filter(col("custkey") % 2 === 0), Seq("custkey"), dir)
+    ViewState.appendLeft(spark, orders.filter(col("o_orderkey") % 3 === 1), dir)
+    ViewState.appendRight(spark, cust.filter(col("custkey") % 2 === 1), dir)
+    ViewState.appendLeft(spark, orders.filter(col("o_orderkey") % 3 === 2), dir)
+    assert(same(ViewState.merged(spark, dir), scratch(orders, cust)))
+  }
+
+  test("retractions == join over the survivors; cancelled rows vanish") {
+    val dir = tmp()
+    ViewState.build(orders, cust, Seq("custkey"), dir)
+    ViewState.retractLeft(spark, orders.filter(col("o_orderkey") % 5 === 0), dir)
+    ViewState.retractRight(spark, cust.filter(col("custkey") % 7 === 3), dir)
+    val survivors = scratch(orders.filter(col("o_orderkey") % 5 =!= 0),
+      cust.filter(col("custkey") % 7 =!= 3))
+    val merged = ViewState.merged(spark, dir)
+    assert(same(merged, survivors))
+    // a retracted customer's pairings are gone even though fact rows live
+    assert(merged.filter(col("custkey") % 7 === 3).isEmpty)
+  }
+
+  test("multiplicities are z-set counts under duplicate input rows") {
+    import spark.implicits._
+    val dir = tmp()
+    val l = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((1L, "X"), (2L, "Y")).toDF("k", "rv")
+    ViewState.build(l, r, Seq("k"), dir)
+    val m1 = ViewState.merged(spark, dir).collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("mult"))).toMap
+    assert(m1 === Map(1L -> 2L, 2L -> 1L))
+    // retract ONE copy of the duplicated left row: mult halves, not drops
+    ViewState.retractLeft(spark, Seq((1L, "a")).toDF("k", "lv"), dir)
+    val m2 = ViewState.merged(spark, dir).collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("mult"))).toMap
+    assert(m2 === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("optimize collapses deltas, preserves merged, refuses in-place") {
+    val dir = tmp(); val out = tmp()
+    ViewState.build(orders.filter(col("o_orderkey") % 2 === 0),
+      cust, Seq("custkey"), dir)
+    ViewState.appendLeft(spark, orders.filter(col("o_orderkey") % 2 === 1), dir)
+    ViewState.retractLeft(spark, orders.filter(col("o_orderkey") % 5 === 0), dir)
+    val before = ViewState.merged(spark, dir)
+    val rowsBefore = spark.read.parquet(s"$dir/view").count()
+    ViewState.optimize(spark, dir, out)
+    // cancelled pairs are physically gone from the output generation
+    assert(spark.read.parquet(s"$out/view").count() < rowsBefore)
+    assert(spark.read.parquet(s"$out/view").filter(col("__mult") <= 0).isEmpty)
+    assert(same(before, ViewState.merged(spark, out)))
+    intercept[IllegalArgumentException] { ViewState.optimize(spark, dir, dir) }
+  }
+
+  test("build refuses colliding non-key columns") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val r = Seq((1L, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      ViewState.build(l, r, Seq("k"), tmp())
+    }
+  }
+}

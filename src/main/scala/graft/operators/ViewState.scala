@@ -81,8 +81,13 @@ object ViewState {
     writeKeys(stateDir, keys)
     val l = withMult(left, keys, 1)
     val r = withMult(right, keys, 1)
-    l.write.mode("overwrite").partitionBy("__bucket").parquet(leftPath(stateDir))
-    r.write.mode("overwrite").partitionBy("__bucket").parquet(rightPath(stateDir))
+    // repartition by bucket before the partitioned write: one file per
+    // bucket per batch instead of one per task×bucket (32 tasks × 32
+    // buckets would splinter every store into ~1k files per write)
+    l.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(leftPath(stateDir))
+    r.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(rightPath(stateDir))
     deltaJoin(l, right.withColumn("__mult", lit(1L)), keys)
       .write.mode("overwrite").parquet(viewPath(stateDir))
   }
@@ -110,42 +115,51 @@ object ViewState {
   }
 
   private def ingest(spark: SparkSession, delta: DataFrame, stateDir: String,
-      mult: Int, deltaIsLeft: Boolean): Unit = {
+      mult: Int, deltaIsLeft: Boolean): DataFrame = {
     val keys = readKeys(stateDir)
     val d = withMult(delta, keys, mult).localCheckpoint(true)
     val otherPath = if (deltaIsLeft) rightPath(stateDir) else leftPath(stateDir)
     val other = prunedStore(spark, otherPath, d)
-    val dv =
-      if (deltaIsLeft) deltaJoin(d, other, keys)
-      else deltaJoin(other, d, keys)
     // view columns stay in build order regardless of which side the
     // delta came from (parquet appends are positional per-file, but the
     // merged read is name-based; keep one canonical order anyway)
     val viewCols = spark.read.parquet(viewPath(stateDir)).columns.toSeq
-    dv.select(viewCols.map(col): _*)
-      .write.mode("append").parquet(viewPath(stateDir))
+    val dv =
+      (if (deltaIsLeft) deltaJoin(d, other, keys)
+       else deltaJoin(other, d, keys))
+        .select(viewCols.map(col): _*)
+        // pin the delta: it is written AND returned to the caller (the
+        // summary-table composition feeds it into AggState partials), and
+        // a lazy return would re-execute the store join per consumer
+        .localCheckpoint(true)
+    dv.write.mode("append").parquet(viewPath(stateDir))
     val storePath = if (deltaIsLeft) leftPath(stateDir) else rightPath(stateDir)
     val storeCols = spark.read.parquet(storePath).columns.toSeq
-    d.select(storeCols.map(col): _*)
+    d.select(storeCols.map(col): _*).repartition(col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(storePath)
+    dv
   }
 
-  /** Fold a left-side delta batch into the view: O(|Δ| + touched buckets). */
-  def appendLeft(spark: SparkSession, delta: DataFrame, stateDir: String): Unit =
+  /** Fold a left-side delta batch into the view: O(|Δ| + touched buckets).
+    * Returns the VIEW DELTA (the joined rows just appended, `__mult`
+    * included) — the feed for downstream incremental consumers (e.g. an
+    * AggState summary maintained over this view without re-joining). */
+  def appendLeft(spark: SparkSession, delta: DataFrame, stateDir: String): DataFrame =
     ingest(spark, delta, stateDir, 1, deltaIsLeft = true)
 
-  def appendRight(spark: SparkSession, delta: DataFrame, stateDir: String): Unit =
+  def appendRight(spark: SparkSession, delta: DataFrame, stateDir: String): DataFrame =
     ingest(spark, delta, stateDir, 1, deltaIsLeft = false)
 
   /** RETRACT previously-ingested left rows (same contract as
     * AggState.retract: the caller retracts only what it added). The
     * negative delta joins the CURRENT right store, so every pair the
     * retracted rows ever produced — including against right rows that
-    * arrived after them — is cancelled exactly. */
-  def retractLeft(spark: SparkSession, deleted: DataFrame, stateDir: String): Unit =
+    * arrived after them — is cancelled exactly. Returns the negative
+    * view delta (`__mult` < 0). */
+  def retractLeft(spark: SparkSession, deleted: DataFrame, stateDir: String): DataFrame =
     ingest(spark, deleted, stateDir, -1, deltaIsLeft = true)
 
-  def retractRight(spark: SparkSession, deleted: DataFrame, stateDir: String): Unit =
+  def retractRight(spark: SparkSession, deleted: DataFrame, stateDir: String): DataFrame =
     ingest(spark, deleted, stateDir, -1, deltaIsLeft = false)
 
   /** The current view: multiplicities collapsed (one row per distinct
@@ -176,10 +190,11 @@ object ViewState {
       val folded = t.groupBy(cols.map(col): _*)
         .agg(sum("__mult").as("__mult"))
         .filter(col("__mult") =!= 0)
-      val w = if (bucketed) folded.withColumn("__bucket", bucketOf(keys)) else folded
       if (bucketed)
-        w.write.mode("overwrite").partitionBy("__bucket").parquet(path(outStateDir))
-      else w.write.mode("overwrite").parquet(path(outStateDir))
+        folded.withColumn("__bucket", bucketOf(keys))
+          .repartition(col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(path(outStateDir))
+      else folded.write.mode("overwrite").parquet(path(outStateDir))
     }
     collapse(leftPath, bucketed = true)
     collapse(rightPath, bucketed = true)

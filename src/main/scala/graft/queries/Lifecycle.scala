@@ -366,6 +366,48 @@ object Lifecycle {
         .orderBy("c_mktsegment", "o_orderstatus")
     }),
 
+    // ---- composed IVM: a summary table maintained over a maintained join -
+    // The classic star-schema rollup chain, fully incremental: each
+    // ViewState delta (the joined rows just appended, sign included) feeds
+    // straight into AggState partials — the summary is maintained without
+    // EVER re-running the join OR re-scanning the view. Positive deltas
+    // append partials, the retraction's negative delta retracts them
+    // (n/sum group-invertible, q271's contract); every delta here carries
+    // |__mult| = 1 because base inputs are ingested once. The oracle is
+    // the from-scratch aggregate over the join of the survivors, so the
+    // WHOLE chain — delta join, delta routing, partial-aggregate fold —
+    // is hash-checked end to end at every sf.
+    "q278_incr_rollup" -> ((s: SparkSession, dir: String) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val vDir = new java.io.File(tmp, s"graft-rollup-view-$hex").getAbsolutePath
+      val aDir = new java.io.File(tmp, s"graft-rollup-agg-$hex").getAbsolutePath
+      val keys = Seq("c_mktsegment")
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      def delta(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("c_mktsegment"), col("o_cents"), col("__mult"))
+      def fold(d: org.apache.spark.sql.DataFrame): Unit = {
+        AggState.append(delta(d).filter(col("__mult") > 0), keys, "o_cents", aDir)
+        AggState.retract(delta(d).filter(col("__mult") < 0), keys, "o_cents", aDir)
+      }
+      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), vDir)
+      AggState.build(s.read.parquet(s"$vDir/view")
+        .select(col("c_mktsegment"), col("o_cents")), keys, "o_cents", aDir)
+      fold(ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), vDir))
+      fold(ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), vDir))
+      fold(ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), vDir))
+      fold(ViewState.retractLeft(s, orders.filter(col("o_orderkey") % 5 === 0), vDir))
+      AggState.merged(s, aDir, keys)
+        .select(col("c_mktsegment"), col("n").as("n_orders"),
+          col("sum").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- Z-order cell assignment (the clustering coordinate) -------------
     // The bit-interleave behind Compaction.zvalue, proved cross-engine:
     // every (l_partkey%16, l_suppkey%16) pair lands in an 8-bit z-cell and
@@ -533,6 +575,18 @@ object Lifecycle {
         |WHERE o_orderkey % 5 <> 0 AND c_custkey % 7 <> 3
         |GROUP BY c_mktsegment, o_orderstatus
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    // the from-scratch aggregate over the join of the survivors — the
+    // composed delta chain (join deltas -> partial-aggregate folds) must
+    // land exactly here
+    "q278_incr_rollup" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 5 <> 0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q271_agg_state_retract" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -181,6 +181,52 @@ object TrainPrep {
       out
     }),
 
+    // ---- decontamination at scale: broadcast fingerprint screen ----------
+    // q85's exact check with the 100 TB topology made explicit. The train
+    // n-gram set's 16-bit FINGERPRINT projection is bounded at 65,536
+    // distinct values no matter the corpus size, so it broadcasts to every
+    // scan task and filters probe n-grams MAP-SIDE (a left-semi broadcast
+    // join): only n-grams whose fingerprint exists somewhere in train ever
+    // reach the exact-hash shuffle. The screen is OUTPUT-NEUTRAL —
+    // fingerprint equality is implied by hash equality, so a screened-out
+    // n-gram could only ever have counted as a miss — and the oracle never
+    // screens, so neutrality is hash-checked in the gate. Probe docs whose
+    // n-grams all screen out re-enter via the left join with n_hit = 0.
+    // This is the runtime-bloom-filter pattern as an explicit, bounded,
+    // engine-independent broadcast (ScaleOpsSpec proves the implicit one).
+    "q277_screened_decontam" -> ((s: SparkSession, dir: String) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      val base = Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("ng", hashedNgrams8(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // train feeds the fingerprint projection AND the verify join
+      val train = base.filter(col("bucket") < 85)
+        .select(explode(col("ng")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fp = train.select(pmod(col("h"), lit(65536L)).as("fp")).distinct()
+      val probe = base.filter(col("bucket") >= 90).filter(size(col("ng")) > 0)
+      val probeEx = probe.select(col("doc_id"), explode(col("ng")).as("h"))
+      val cand = probeEx.join(broadcast(fp),
+        pmod(col("h"), lit(65536L)) === col("fp"), "left_semi")
+      val hits = cand.join(train, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit0"))
+      val out = probe
+        .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit0"), lit(0L)).cast("long"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4)
+            .as("overlap_frac"),
+          (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      train.unpersist()
+      base.unpersist()
+      out
+    }),
+
     // ---- feature hashing (the hashing-trick vectorizer) ------------------
     // Tokens hashed into a fixed 32-bin count vector per document — the
     // dimension-bounded featurization a large-scale classifier trains on
@@ -517,6 +563,31 @@ object TrainPrep {
         |tr AS (SELECT DISTINCT unnest(ng) AS h FROM g WHERE bucket < 90),
         |te AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS h
         |       FROM g WHERE bucket >= 95 AND len(ng) > 0),
+        |j AS (SELECT te.doc_id, te.n_ngrams, count(tr.h) AS n_hit
+        |      FROM te LEFT JOIN tr ON te.h = tr.h GROUP BY te.doc_id, te.n_ngrams)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,
+        | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // q85's SQL over the q277 slices, with NO screen — the broadcast
+    // fingerprint prefilter must be output-neutral, and this checks it
+    "q277_screened_decontam" ->
+      """WITH s AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |g AS (SELECT doc_id, bucket,
+        |   CASE WHEN len(w) < 8 THEN []
+        |        ELSE list_distinct(list_transform(
+        |          [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+        |           w[i+5]||' '||w[i+6]||' '||w[i+7] for i in range(1, len(w) - 6)],
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)) END AS ng
+        |  FROM s),
+        |tr AS (SELECT DISTINCT unnest(ng) AS h FROM g WHERE bucket < 85),
+        |te AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS h
+        |       FROM g WHERE bucket >= 90 AND len(ng) > 0),
         |j AS (SELECT te.doc_id, te.n_ngrams, count(tr.h) AS n_hit
         |      FROM te LEFT JOIN tr ON te.h = tr.h GROUP BY te.doc_id, te.n_ngrams)
         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,

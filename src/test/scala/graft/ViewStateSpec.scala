@@ -94,6 +94,27 @@ class ViewStateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ViewState.optimize(spark, dir, dir) }
   }
 
+  test("ingest returns exactly the view delta it appended") {
+    val dir = tmp()
+    ViewState.build(orders.filter(col("o_orderkey") % 2 === 0),
+      cust, Seq("custkey"), dir)
+    val before = spark.read.parquet(s"$dir/view")
+    val nBefore = before.count()
+    val d = ViewState.appendLeft(spark,
+      orders.filter(col("o_orderkey") % 2 === 1), dir)
+    val after = spark.read.parquet(s"$dir/view")
+    assert(after.count() === nBefore + d.count())
+    // the returned rows ARE the appended rows (multiset containment both
+    // ways against the file-level delta)
+    val fileDelta = after.exceptAll(before.select(after.columns.map(col): _*))
+    assert(d.select(after.columns.map(col): _*).exceptAll(fileDelta).isEmpty)
+    assert(fileDelta.exceptAll(d.select(after.columns.map(col): _*)).isEmpty)
+    // a retraction returns its negative delta, usable for downstream folds
+    val r = ViewState.retractLeft(spark,
+      orders.filter(col("o_orderkey") % 2 === 1), dir)
+    assert(r.filter(col("__mult") =!= -1L).isEmpty && r.count() === d.count())
+  }
+
   test("build refuses colliding non-key columns") {
     import spark.implicits._
     val l = Seq((1L, "a")).toDF("k", "v")

@@ -7,6 +7,7 @@ import graft.operators.ClusterState
   * ```
   * runMain graft.ClusterStateMain build    <edgesParquet> <stateDir>
   * runMain graft.ClusterStateMain append   <edgesParquet> <stateDir>
+  * runMain graft.ClusterStateMain remove   <idsParquet|csv> <stateDir> <indexDir>
   * runMain graft.ClusterStateMain clusters <stateDir> <outDir>
   * ```
   *
@@ -14,7 +15,9 @@ import graft.operators.ClusterState
   * pairs a DedupIndex probe emits for an ingest batch. `build` clusters
   * the initial edge set; `append` folds a batch's new edges into the
   * standing labels (CC over label stars + the delta — the historical
-  * pair set is never re-clustered); `clusters` materializes the current
+  * pair set is never re-clustered); `remove` is the takedown: tombstones
+  * the ids in the backing index and re-clusters ONLY their components
+  * from the index's own tables; `clusters` materializes the current
   * assignment with sizes.
   */
 object ClusterStateMain {
@@ -32,6 +35,17 @@ object ClusterStateMain {
       case "append" =>
         ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2))
         println(s"appended ${args(1)} -> ${args(2)}")
+      case "remove" =>
+        require(args.length >= 4, "remove needs <idsParquet|csv> <stateDir> <indexDir>")
+        val ids =
+          if (new java.io.File(args(1)).exists())
+            spark.read.parquet(args(1)).select(org.apache.spark.sql.functions.col("doc_id"))
+          else {
+            import spark.implicits._
+            args(1).split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
+          }
+        ClusterState.removeDocs(spark, ids, args(2), args(3))
+        println(s"removed ${args(1)} from ${args(2)} (index ${args(3)})")
       case "clusters" =>
         ClusterState.clusters(spark, args(1))
           .write.mode("overwrite").parquet(args(2))

@@ -76,11 +76,16 @@ object ScaleMain {
     }
   }
 
-  /** The heaviest pipelines — VERDICT r9's list. */
+  /** The heaviest pipelines — VERDICT r9's list, plus the round-10
+    * standing-state lifecycles (incremental clusters, view retraction):
+    * multi-step build/append/retract chains whose scale failure mode —
+    * state tables growing superlinearly with the corpus — only shows on
+    * a grown fixture. */
   val SmokeQueries: Seq[String] = Seq(
     "q37_minhash_lsh", "q70_dup_clusters", "q85_decontaminate",
     "q91_lm_score", "q101_pagerank", "q128_canonical", "q188_profile",
-    "q220_prefix_join", "q233_lsh_eval", "q267_ivfpq_index")
+    "q220_prefix_join", "q233_lsh_eval", "q267_ivfpq_index",
+    "q274_view_retract", "q275_incr_clusters")
 
   def run(spark: SparkSession, dir: String, outPath: String): Unit = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}

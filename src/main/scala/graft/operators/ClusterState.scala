@@ -64,6 +64,51 @@ object ClusterState {
     out.write.mode("overwrite").parquet(labelsPath(stateDir))
   }
 
+  /** TAKEDOWN: remove docs from the standing clusters (and tombstone them
+    * in the backing DedupIndex so future probes stop matching them).
+    * Labels are a function of CONNECTIVITY, and the historical pair set
+    * is not kept — so a delete re-derives the affected subgraph from the
+    * index's own tables: the deleted docs' components are identified, the
+    * surviving members' pairs are re-verified via
+    * [[DedupIndex.pairsAmong]] (band re-bucketing + exact-Jaccard from
+    * sigs — no corpus re-scan), and ONLY those components re-cluster. A
+    * removal that disconnects a chain (a≈b≈c, delete b, a≉c) correctly
+    * SPLITS the cluster; survivors left edgeless drop from the label
+    * table entirely (clusters are ≥2 by contract). Cost is
+    * O(affected components + their band rows), never the corpus.
+    * Untouched clusters' rows are carried over byte-identical.
+    *
+    * Cap nuance: the re-derived pairs use the probe's flat per-bucket cap
+    * over the member set alone, so a component that originally formed
+    * through a since-capped degenerate bucket can re-pair slightly more
+    * completely than at build time — re-clustering is a function of the
+    * CURRENT index content, the same contract as a probe. */
+  def removeDocs(spark: SparkSession, docIds: DataFrame, stateDir: String,
+      indexDir: String): Unit = {
+    val deleted = docIds.select(col("doc_id")).distinct()
+      .localCheckpoint(eager = true)
+    DedupIndex.remove(deleted, indexDir)
+    val labels = spark.read.parquet(labelsPath(stateDir))
+    val touched = labels.join(deleted.select(col("doc_id").as("id")),
+        Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+      .localCheckpoint(eager = true)
+    if (touched.isEmpty) return
+    val affected = labels.join(touched, Seq("cluster_id"), "left_semi")
+    val survivors = affected
+      .join(deleted.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    val comp = ConnectedComponents.components(
+      DedupIndex.pairsAmong(spark, indexDir, survivors)
+        .select(col("d1").as("src"), col("d2").as("dst")))
+    val out = labels.join(touched, Seq("cluster_id"), "left_anti")
+      .select("id", "cluster_id")
+      .unionByName(comp.select("id", "cluster_id"))
+      .localCheckpoint(eager = true)
+    comp.unpersist()
+    out.write.mode("overwrite").parquet(labelsPath(stateDir))
+  }
+
   /** The current assignment with cluster sizes: one window over the
     * label table (never the corpus). */
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {

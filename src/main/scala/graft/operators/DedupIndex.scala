@@ -70,6 +70,15 @@ object DedupIndex {
     base.unpersist()
   }
 
+  /** [[build]] from an already-computed [[Dedup.minhashBase]] frame — the
+    * caller holds the persisted base for other pipeline stages and the
+    * corpus must not be re-scanned/re-hashed for the index write. Clears
+    * stale tombstones exactly like [[build]]. */
+  private[graft] def buildFromBase(base: DataFrame, indexDir: String): Unit = {
+    clearDir(tombstonesPath(indexDir))
+    writeBase(base, indexDir, "overwrite")
+  }
+
   /** Write an already-computed [[Dedup.minhashBase]] frame into the index
     * — the streaming intake computes the batch's base ONCE for probe,
     * within-batch pairing, and this append. */
@@ -185,6 +194,38 @@ object DedupIndex {
       .filter(expr("i * 10 >= (sz1 + sz2 - i) * 7"))
       .withColumn("jacc_bp", expr("CAST((i * 10000) div (sz1 + sz2 - i) AS BIGINT)"))
       .select("b", "c", "jacc_bp")
+  }
+
+  /** Re-derive the verified near-dup pairs AMONG a bounded member set,
+    * from the index's own tables (no corpus re-scan, no re-hashing): the
+    * members' band rows re-bucket under the probe's cap, in-bucket pairs
+    * form, and the sigs verify exact Jaccard. The edge feed for
+    * component-local re-clustering after a delete (ClusterState.removeDocs)
+    * — cost is O(|members|' band rows + verified pairs), and members are
+    * the affected components only. */
+  private[graft] def pairsAmong(spark: SparkSession, indexDir: String,
+      memberIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashes
+    val bands = live(spark, indexDir, bandsPath)
+      .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sigs = live(spark, indexDir, sigsPath)
+      .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = bands.groupBy("bi", "bh")
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")).between(2, Dedup.LshBucketCap))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
+      .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
+      .dropDuplicates("d1", "d2")
+    val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .filter(inter * 10 >= (col("sz1") + col("sz2") - inter) * 7)
+      .select("d1", "d2")
   }
 
   /** Compact the index's accumulated append files into `outIndexDir`

@@ -58,15 +58,29 @@ object ViewState {
     df.withColumn("__mult", lit(mult.toLong))
       .withColumn("__bucket", bucketOf(keys))
 
-  private def readKeys(stateDir: String): Seq[String] = {
+  // meta file: line 1 = keys CSV; lines 2-4 = left/right/view schema JSON.
+  // Persisting schemas makes every read explicit-schema, so an EMPTY slice
+  // stays well-defined: a partitioned write of zero rows leaves no data
+  // files, and schema inference over such a store would fail where an
+  // empty relation is the correct answer.
+  private final case class Meta(keys: Seq[String],
+      left: org.apache.spark.sql.types.StructType,
+      right: org.apache.spark.sql.types.StructType,
+      view: org.apache.spark.sql.types.StructType)
+
+  private def readMeta(stateDir: String): Meta = {
     val src = scala.io.Source.fromFile(metaPath(stateDir))
-    try src.getLines().toList.filter(_.nonEmpty) finally src.close()
+    val lines = try src.getLines().toList finally src.close()
+    def st(s: String) = org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    Meta(lines.head.split(",").toSeq, st(lines(1)), st(lines(2)), st(lines(3)))
   }
 
-  private def writeKeys(stateDir: String, keys: Seq[String]): Unit = {
+  private def writeMeta(stateDir: String, m: Meta): Unit = {
     new File(stateDir).mkdirs()
     java.nio.file.Files.write(new File(metaPath(stateDir)).toPath,
-      keys.mkString("\n").getBytes("UTF-8"))
+      (m.keys.mkString(",") + "\n" + m.left.json + "\n" + m.right.json +
+        "\n" + m.view.json).getBytes("UTF-8"))
     ()
   }
 
@@ -78,9 +92,10 @@ object ViewState {
     val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
     require(dup.isEmpty, s"build: non-key columns collide across sides: $dup")
     DedupIndex.clearDir(stateDir)
-    writeKeys(stateDir, keys)
     val l = withMult(left, keys, 1)
     val r = withMult(right, keys, 1)
+    val v0 = deltaJoin(l, right.withColumn("__mult", lit(1L)), keys)
+    writeMeta(stateDir, Meta(keys, l.schema, r.schema, v0.schema))
     // repartition by bucket before the partitioned write: one file per
     // bucket per batch instead of one per task×bucket (32 tasks × 32
     // buckets would splinter every store into ~1k files per write)
@@ -88,8 +103,7 @@ object ViewState {
       .write.mode("overwrite").partitionBy("__bucket").parquet(leftPath(stateDir))
     r.repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(rightPath(stateDir))
-    deltaJoin(l, right.withColumn("__mult", lit(1L)), keys)
-      .write.mode("overwrite").parquet(viewPath(stateDir))
+    v0.write.mode("overwrite").parquet(viewPath(stateDir))
   }
 
   /** `delta ⋈ other` with z-set multiplicity product per contributing
@@ -106,36 +120,40 @@ object ViewState {
   }
 
   /** The store partitions a delta can possibly join: read pruned to the
-    * delta's own key buckets (≤ NumBuckets values driver-side). */
+    * delta's own key buckets (≤ NumBuckets values driver-side). Explicit
+    * schema — an all-empty store (no data files yet) reads as an empty
+    * relation instead of failing inference. */
   private def prunedStore(spark: SparkSession, path: String,
-      delta: DataFrame): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType, delta: DataFrame): DataFrame = {
     val touched = delta.select("__bucket").distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
+    spark.read.schema(schema).parquet(path)
+      .filter(col("__bucket").isin(touched: _*))
   }
 
   private def ingest(spark: SparkSession, delta: DataFrame, stateDir: String,
       mult: Int, deltaIsLeft: Boolean): DataFrame = {
-    val keys = readKeys(stateDir)
-    val d = withMult(delta, keys, mult).localCheckpoint(true)
-    val otherPath = if (deltaIsLeft) rightPath(stateDir) else leftPath(stateDir)
-    val other = prunedStore(spark, otherPath, d)
+    val meta = readMeta(stateDir)
+    val d = withMult(delta, meta.keys, mult).localCheckpoint(true)
+    val other =
+      if (deltaIsLeft) prunedStore(spark, rightPath(stateDir), meta.right, d)
+      else prunedStore(spark, leftPath(stateDir), meta.left, d)
     // view columns stay in build order regardless of which side the
     // delta came from (parquet appends are positional per-file, but the
     // merged read is name-based; keep one canonical order anyway)
-    val viewCols = spark.read.parquet(viewPath(stateDir)).columns.toSeq
+    val viewCols = meta.view.fieldNames.toSeq
     val dv =
-      (if (deltaIsLeft) deltaJoin(d, other, keys)
-       else deltaJoin(other, d, keys))
+      (if (deltaIsLeft) deltaJoin(d, other, meta.keys)
+       else deltaJoin(other, d, meta.keys))
         .select(viewCols.map(col): _*)
         // pin the delta: it is written AND returned to the caller (the
         // summary-table composition feeds it into AggState partials), and
         // a lazy return would re-execute the store join per consumer
         .localCheckpoint(true)
     dv.write.mode("append").parquet(viewPath(stateDir))
+    val storeSchema = if (deltaIsLeft) meta.left else meta.right
     val storePath = if (deltaIsLeft) leftPath(stateDir) else rightPath(stateDir)
-    val storeCols = spark.read.parquet(storePath).columns.toSeq
-    d.select(storeCols.map(col): _*).repartition(col("__bucket"))
+    d.select(storeSchema.fieldNames.toSeq.map(col): _*).repartition(col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(storePath)
     dv
   }
@@ -166,7 +184,7 @@ object ViewState {
     * row value with its surviving count as `mult`) — equals the
     * from-scratch `GROUP BY all` join of the surviving inputs. */
   def merged(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = spark.read.parquet(viewPath(stateDir))
+    val v = spark.read.schema(readMeta(stateDir).view).parquet(viewPath(stateDir))
     val cols = v.columns.filterNot(_ == "__mult").toSeq
     v.groupBy(cols.map(col): _*)
       .agg(sum("__mult").cast("long").as("mult"))
@@ -182,10 +200,12 @@ object ViewState {
         new File(outStateDir).getCanonicalPath,
       s"optimize: outStateDir must differ from stateDir ($stateDir)")
     DedupIndex.clearDir(outStateDir)
-    val keys = readKeys(stateDir)
-    writeKeys(outStateDir, keys)
-    def collapse(path: String => String, bucketed: Boolean): Unit = {
-      val t = spark.read.parquet(path(stateDir))
+    val meta = readMeta(stateDir)
+    val keys = meta.keys
+    writeMeta(outStateDir, meta)
+    def collapse(path: String => String,
+        schema: org.apache.spark.sql.types.StructType, bucketed: Boolean): Unit = {
+      val t = spark.read.schema(schema).parquet(path(stateDir))
       val cols = t.columns.filterNot(Seq("__mult", "__bucket").contains).toSeq
       val folded = t.groupBy(cols.map(col): _*)
         .agg(sum("__mult").as("__mult"))
@@ -196,9 +216,9 @@ object ViewState {
           .write.mode("overwrite").partitionBy("__bucket").parquet(path(outStateDir))
       else folded.write.mode("overwrite").parquet(path(outStateDir))
     }
-    collapse(leftPath, bucketed = true)
-    collapse(rightPath, bucketed = true)
-    collapse(viewPath, bucketed = false)
+    collapse(leftPath, meta.left, bucketed = true)
+    collapse(rightPath, meta.right, bucketed = true)
+    collapse(viewPath, meta.view, bucketed = false)
     val Seq(rep) = Reconcile.report(Seq(("view",
       merged(spark, stateDir), merged(spark, outStateDir))))
     require(rep.matches, s"optimize: merged view changed after rewrite: $rep")

@@ -1116,6 +1116,49 @@ object Dedup {
       out
     }),
 
+    // ---- cluster TAKEDOWN: delete docs from the standing clusters --------
+    // The delete half of q275's lifecycle, against PERSISTED tables: index
+    // built from the corpus slice, batch probed then appended, clusters
+    // grown — and then the doc_id%9==4 slice is taken down.
+    // ClusterState.removeDocs tombstones the ids in the index and
+    // re-clusters ONLY the affected components, re-deriving their
+    // survivor pairs from the index's own bands+sigs
+    // (DedupIndex.pairsAmong — no corpus re-scan, no remembered edge
+    // log). A deletion that disconnects a chain splits its cluster;
+    // edgeless survivors drop. The oracle replays the same algebra
+    // relationally — cumulative closure, touched components, survivor
+    // re-pairing under the probe cap, second closure — so the whole
+    // takedown path is hash-checked at every sf.
+    "q279_cluster_takedown" -> ((s: SparkSession, dir: String) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val stateDir = new java.io.File(tmp, s"graft-takedown-cl-$hex").getAbsolutePath
+      val idxDir = new java.io.File(tmp, s"graft-takedown-idx-$hex").getAbsolutePath
+      val docs = Tables(s, dir, "documents")
+      val base = minhashBase(docs)
+      val old = base.filter(col("doc_id") % 10 =!= 7)
+      val nw = base.filter(col("doc_id") % 10 === 7)
+      graft.operators.DedupIndex.buildFromBase(old, idxDir)
+      graft.operators.ClusterState.build(
+        lshPairs(old, LshBucketCap).select(col("d1").as("src"), col("d2").as("dst")),
+        stateDir)
+      val probeEdges = graft.operators.DedupIndex.probePairsPersisted(s, nw, idxDir)
+        .select(col("b").as("src"), col("c").as("dst"))
+      val batchEdges = lshPairs(nw, LshBucketCap)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.operators.ClusterState.appendEdges(s,
+        probeEdges.unionByName(batchEdges), stateDir)
+      graft.operators.DedupIndex.writeBase(nw, idxDir, "append")
+      graft.operators.ClusterState.removeDocs(s,
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), stateDir, idxDir)
+      val out = graft.operators.ClusterState.clusters(s, stateDir)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
+    }),
+
     // ---- embedding-cosine near-dup via random-hyperplane LSH -------------
     // The untrained scale path beside q59's IVF bucketing: 24 sign bits
     // (dot against fixed Rademacher hyperplanes) banded 4×6 — vectors
@@ -1324,6 +1367,74 @@ object Dedup {
            |        GROUP BY cluster_id)
            |SELECT comp.id AS doc_id, comp.cluster_id, szc.cluster_size
            |FROM comp JOIN szc USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q275's cumulative closure, then the takedown algebra replayed
+      // relationally: touched components, survivor re-pairing under the
+      // probe's flat cap (bucket counts over MEMBER bands only — exactly
+      // DedupIndex.pairsAmong), a second closure, untouched rows carried
+      "q279_cluster_takedown" ->
+        s"""WITH RECURSIVE $shinglesSql,
+           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+           |       FROM sh WHERE len(w) > 0),
+           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+           |bandsAll AS (${bandSelects.mkString(" UNION ALL ")}),
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs2,
+           |              len(list_distinct(h)) AS sz FROM hs),
+           |${tieredPairCtes("o", "doc_id % 10 != 7")},
+           |${tieredPairCtes("n", "doc_id % 10 = 7")},
+           |cbq AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 != 7
+           |       QUALIFY count(*) OVER (PARTITION BY bi, bh) <= $LshBucketCap),
+           |pbq AS (SELECT doc_id, bi, bh FROM bandsAll WHERE doc_id % 10 = 7),
+           |candp AS (SELECT DISTINCT pbq.doc_id AS d1, cbq.doc_id AS d2
+           |          FROM pbq JOIN cbq USING (bi, bh)),
+           |jp AS (SELECT d1, d2, len(list_intersect(x.hs2, y.hs2)) AS i,
+           |              x.sz AS sz1, y.sz AS sz2
+           |       FROM candp JOIN hd x ON candp.d1 = x.doc_id
+           |                  JOIN hd y ON candp.d2 = y.doc_id),
+           |prp AS (SELECT d1, d2 FROM jp WHERE i * 10 >= (sz1 + sz2 - i) * 7),
+           |alle AS (SELECT d1, d2 FROM pro UNION SELECT d1, d2 FROM prn
+           |         UNION SELECT d1, d2 FROM prp),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM alle
+           |          UNION SELECT d2, d1 FROM alle),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |del AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 9 = 4),
+           |touched AS (SELECT DISTINCT cluster_id FROM comp JOIN del USING (id)),
+           |members AS (SELECT comp.id FROM comp
+           |            JOIN touched USING (cluster_id)
+           |            ANTI JOIN del ON comp.id = del.id),
+           |mb AS (SELECT doc_id, bi, bh FROM bandsAll
+           |       JOIN members ON bandsAll.doc_id = members.id
+           |       QUALIFY count(*) OVER (PARTITION BY bi, bh)
+           |               BETWEEN 2 AND $LshBucketCap),
+           |rp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |       FROM mb a JOIN mb b ON a.bi = b.bi AND a.bh = b.bh
+           |        AND a.doc_id < b.doc_id),
+           |rv AS (SELECT d1, d2 FROM (
+           |         SELECT d1, d2, len(list_intersect(x.hs2, y.hs2)) AS i,
+           |                x.sz AS sz1, y.sz AS sz2
+           |         FROM rp JOIN hd x ON rp.d1 = x.doc_id
+           |                 JOIN hd y ON rp.d2 = y.doc_id)
+           |       WHERE i * 10 >= (sz1 + sz2 - i) * 7),
+           |e2 AS (SELECT d1 AS src, d2 AS dst FROM rv UNION SELECT d2, d1 FROM rv),
+           |n2 AS (SELECT DISTINCT src AS id FROM e2),
+           |reach2(id, r) AS (
+           |  SELECT id, id FROM n2
+           |  UNION
+           |  SELECT e.src, reach2.r FROM e2 e JOIN reach2 ON e.dst = reach2.id),
+           |comp2 AS (SELECT id, min(r) AS cluster_id FROM reach2 GROUP BY id),
+           |fin AS (SELECT id, cluster_id FROM comp
+           |        WHERE cluster_id NOT IN (SELECT cluster_id FROM touched)
+           |        UNION ALL SELECT id, cluster_id FROM comp2),
+           |szf AS (SELECT cluster_id, count(*) AS cluster_size FROM fin
+           |        GROUP BY cluster_id)
+           |SELECT fin.id AS doc_id, fin.cluster_id, szf.cluster_size
+           |FROM fin JOIN szf USING (cluster_id)
            |ORDER BY doc_id""".stripMargin,
 
       "q35_dedup_exact" ->

@@ -52,6 +52,47 @@ class ClusterStateSpec extends SparkSpec {
     assert(sizes === Map(1L -> 4L, 2L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("takedown splits a chain cluster via component-local re-clustering") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val good = "the quick data row is a fine piece of text " +
+      "and it keeps going with more useful words in the table"
+    // para1 edits the last token (1 shingle differs: J≈0.90 vs good);
+    // para2 edits a middle token (3 shingles differ: J≈0.73 vs good) —
+    // their MUTUAL overlap drops to ≈0.65, under the 0.7 gate
+    val para1 = good.replaceAll("table$", "ledger")
+    val para2 = good.replaceAll("piece", "chunk")
+    val fresh = "a completely different report text about weekly shipment " +
+      "volumes and the carriers that move them across the region every day"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cl_rm_idx").toString
+    def freshState(): String = {
+      val dir = tmp()
+      DedupIndex.build(Seq((1L, good), (2L, para1), (3L, para2), (10L, fresh),
+        (20L, fresh), (21L, fresh)).toDF("doc_id", "text"), idxDir)
+      // the near-dup graph: chain {1,2,3} through doc 1, exact-pair {20,21}
+      ClusterState.build(edges(1L -> 2L, 1L -> 3L, 20L -> 21L), dir)
+      dir
+    }
+    // deleting the chain's hub disconnects 2 and 3 (their mutual Jaccard
+    // is under 0.7): the cluster SPLITS and the edgeless survivors drop;
+    // the untouched {20,21} cluster is carried over unchanged
+    val dir1 = freshState()
+    ClusterState.removeDocs(spark, Seq(1L).toDF("doc_id"), dir1, idxDir)
+    assert(labelSet(spark.read.parquet(s"$dir1/labels").select("id", "cluster_id"))
+      === Set(20L -> 20L, 21L -> 20L))
+    // deleting a leaf keeps the remaining pair connected (re-verified
+    // from the index's sigs, not from remembered edges)
+    val dir2 = freshState()
+    ClusterState.removeDocs(spark, Seq(3L).toDF("doc_id"), dir2, idxDir)
+    assert(labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+      === Set(1L -> 1L, 2L -> 1L, 20L -> 20L, 21L -> 20L))
+    // removing an unclustered doc is a label no-op
+    val before = labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+    ClusterState.removeDocs(spark, Seq(10L).toDF("doc_id"), dir2, idxDir)
+    assert(labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+      === before)
+  }
+
   test("chained maintenance stays exact across multiple batches") {
     val dir = tmp()
     val batches = Seq(

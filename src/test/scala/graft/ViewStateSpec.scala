@@ -6,6 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.ViewState
 
+case class FactRow(o_orderkey: Long, custkey: Long, o_orderstatus: String)
+
 /** operators/ViewState: the incrementally-maintained join view. The
   * invariants that make it production-usable:
   *  - any interleaving of left/right appends yields a merged view equal
@@ -113,6 +115,39 @@ class ViewStateSpec extends SparkSpec {
     val r = ViewState.retractLeft(spark,
       orders.filter(col("o_orderkey") % 2 === 1), dir)
     assert(r.filter(col("__mult") =!= -1L).isEmpty && r.count() === d.count())
+  }
+
+  test("a streaming fact feed maintains the view via foreachBatch deltas") {
+    // the streaming intake for the standing join view: the fact side
+    // arrives as micro-batches (foreachBatch -> appendLeft, O(batch) per
+    // fold), the dimension gains a late slice BETWEEN fact batches — the
+    // merged view must still equal the from-scratch join, because each
+    // delta joined the other side's store AS OF its own arrival and the
+    // telescoping sum closes over any interleaving
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = tmp()
+    val factAll = orders.select("o_orderkey", "custkey", "o_orderstatus")
+    ViewState.build(factAll.limit(0), cust.filter(col("custkey") % 2 === 0),
+      Seq("custkey"), dir)
+    val rows = factAll.collect()
+      .map(r => FactRow(r.getLong(0), r.getLong(1), r.getString(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[FactRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) { ViewState.appendLeft(spark, b, dir); () }
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      // the dimension's other half lands between fact batches
+      ViewState.appendRight(spark, cust.filter(col("custkey") % 2 === 1), dir)
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      assert(same(ViewState.merged(spark, dir), scratch(factAll, cust)))
+    } finally q.stop()
   }
 
   test("build refuses colliding non-key columns") {

@@ -12,7 +12,9 @@ import graft.operators.DedupIndex
   * runMain graft.DedupIndexMain remove   <docIdsParquetOrCsvIds> <indexDir>
   * runMain graft.DedupIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
   * runMain graft.DedupIndexMain publish  <tableDir> <generationDir>
-  * runMain graft.DedupIndexMain resolve  <tableDir>
+  * runMain graft.DedupIndexMain resolve  <tableDir> [seq]
+  * runMain graft.DedupIndexMain history  <tableDir>
+  * runMain graft.DedupIndexMain retire   <tableDir> [keepLast] [retentionHours]
   * ```
   *
   * `<docsParquet>` is any parquet with (doc_id BIGINT, text STRING) — a
@@ -29,8 +31,10 @@ import graft.operators.DedupIndex
 object DedupIndexMain {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && (args(0) == "resolve" || args.length >= 3),
-      "usage: DedupIndexMain build|append|probe|optimize|publish|resolve <in> [<indexDir>] [out|targetMB]")
+    require(args.length >= 2 &&
+        (args(0) == "resolve" || args(0) == "history" ||
+          args(0) == "retire" || args.length >= 3),
+      "usage: DedupIndexMain build|append|probe|optimize|publish|resolve|history|retire <in> [<indexDir>] [out|targetMB]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,7 +76,22 @@ object DedupIndexMain {
         graft.operators.Generations.publish(args(1), args(2))
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case "resolve" =>
-        println(graft.operators.Generations.resolve(args(1)))
+        // bare: the CURRENT generation; with a seq argument: the as-of
+        // read from the publish lineage (time travel while retained)
+        if (args.length >= 3)
+          println(graft.operators.Generations.resolveAt(args(1), args(2).toInt))
+        else println(graft.operators.Generations.resolve(args(1)))
+      case "history" =>
+        graft.operators.Generations.history(args(1))
+          .foreach { case (seq, p) => println(s"$seq\t$p") }
+      case "retire" =>
+        // retention: drop superseded generations (keepLast, then an age
+        // gate — Vacuum's convention; default 7 days)
+        val keep = if (args.length >= 3) args(2).toInt else 2
+        val hours = if (args.length >= 4) args(3).toDouble else 168.0
+        val gone = graft.operators.Generations.retire(args(1), keep, hours)
+        gone.foreach(p => println(s"retired\t$p"))
+        println(s"${gone.size} generation(s) retired under ${args(1)}")
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -81,4 +81,57 @@ class GenerationsSpec extends SparkSpec {
     Generations.publish(table, g2)
     assert(probe() === before)
   }
+
+  test("publish history enables as-of reads; vacuumed generations fail loudly") {
+    val table = Files.createTempDirectory("graft_gen_hist_t").toString
+    val g1 = Files.createTempDirectory("graft_gen_hist1").toString
+    val g2 = Files.createTempDirectory("graft_gen_hist2").toString
+    val g3 = Files.createTempDirectory("graft_gen_hist3").toString
+    Generations.publish(table, g1)
+    Generations.publish(table, g2)
+    Generations.publish(table, g3)
+    // lineage is ordered and CURRENT equals the latest entry
+    val h = Generations.history(table)
+    assert(h.map(_._1) === Seq(1, 2, 3))
+    assert(h.last._2 === Generations.resolve(table))
+    // time travel: the second publish is still addressable
+    assert(Generations.resolveAt(table, 2) ===
+      new java.io.File(g2).getCanonicalPath)
+    // an unknown seq and a vacuumed generation both fail loudly
+    intercept[RuntimeException] { Generations.resolveAt(table, 9) }
+    assert(new java.io.File(g2).delete()) // retire generation 2
+    intercept[IllegalArgumentException] { Generations.resolveAt(table, 2) }
+    // history survives; CURRENT is untouched by the retirement
+    assert(Generations.resolve(table) === new java.io.File(g3).getCanonicalPath)
+  }
+
+  test("retire drops superseded generations under keepLast + age gate") {
+    val table = Files.createTempDirectory("graft_gen_ret_t").toString
+    val gens = (1 to 4).map(i =>
+      Files.createTempDirectory(s"graft_gen_ret$i").toString)
+    gens.foreach { g =>
+      Files.write(java.nio.file.Paths.get(g, "part-0.parquet"),
+        "x".getBytes("UTF-8"))
+      Generations.publish(table, g)
+    }
+    // default retention: everything is too fresh to delete
+    assert(Generations.retire(table, keepLast = 1) === Seq.empty)
+    gens.foreach(g => assert(new java.io.File(g).isDirectory))
+    // retention 0 with keepLast=2: generations 1 and 2 go, 3 and 4 stay
+    val gone = Generations.retire(table, keepLast = 2, retentionHours = 0)
+    assert(gone === gens.take(2).map(new java.io.File(_).getCanonicalPath))
+    assert(gens.take(2).forall(g => !new java.io.File(g).exists()))
+    assert(gens.drop(2).forall(g => new java.io.File(g).isDirectory))
+    // the audit trail survives: retired seqs fail loudly, kept ones resolve
+    assert(Generations.history(table).size === 4)
+    intercept[IllegalArgumentException] { Generations.resolveAt(table, 1) }
+    assert(Generations.resolveAt(table, 3) ===
+      new java.io.File(gens(2)).getCanonicalPath)
+    assert(Generations.resolve(table) ===
+      new java.io.File(gens(3)).getCanonicalPath)
+    // CURRENT's target is never deleted, even at keepLast pressure
+    val gone2 = Generations.retire(table, keepLast = 1, retentionHours = 0)
+    assert(gone2 === Seq(new java.io.File(gens(2)).getCanonicalPath))
+    assert(new java.io.File(gens(3)).isDirectory)
+  }
 }

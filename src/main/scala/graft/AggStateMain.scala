@@ -13,7 +13,9 @@ import graft.operators.{AggState, Generations}
   * runMain graft.AggStateMain merged   <stateDir> <keysCsv> <outDir>
   * runMain graft.AggStateMain optimize <stateDir> <outStateDir> <keysCsv> [targetFileMB]
   * runMain graft.AggStateMain publish  <tableDir> <generationDir>
-  * runMain graft.AggStateMain resolve  <tableDir>
+  * runMain graft.AggStateMain resolve  <tableDir> [seq]
+  * runMain graft.AggStateMain history  <tableDir>
+  * runMain graft.AggStateMain retire   <tableDir> [keepLast] [retentionHours]
   * ```
   *
   * The production loop: `build` once over the snapshot, `append` each
@@ -28,7 +30,7 @@ import graft.operators.{AggState, Generations}
 object AggStateMain {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: AggStateMain build|append|retract|merged|optimize|publish|resolve ...")
+    require(args.length >= 2, "usage: AggStateMain build|append|retract|merged|optimize|publish|resolve|history|retire ...")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,8 +61,8 @@ object AggStateMain {
         require(args.length >= 3, "publish needs <tableDir> <generationDir>")
         Generations.publish(args(1), args(2))
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
-      case "resolve" =>
-        println(Generations.resolve(args(1)))
+      case c @ ("resolve" | "history" | "retire") =>
+        Generations.cliLineage(c, args)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -13,7 +13,9 @@ import graft.operators.{AnnIndex, Generations}
   * runMain graft.AnnIndexMain remove   <vecIdsParquetOrCsvIds> <indexDir>
   * runMain graft.AnnIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
   * runMain graft.AnnIndexMain publish  <tableDir> <generationDir>
-  * runMain graft.AnnIndexMain resolve  <tableDir>
+  * runMain graft.AnnIndexMain resolve  <tableDir> [seq]
+  * runMain graft.AnnIndexMain history  <tableDir>
+  * runMain graft.AnnIndexMain retire   <tableDir> [keepLast] [retentionHours]
   * ```
   *
   * `<embParquet>` carries (vec_id BIGINT, embedding ARRAY) — a testdata
@@ -31,8 +33,9 @@ import graft.operators.{AnnIndex, Generations}
 object AnnIndexMain {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && (args(0) == "resolve" || args.length >= 3),
-      "usage: AnnIndexMain build|append|probe|remove|optimize|publish|resolve <in> [<indexDir>] [out|targetMB]")
+    require(args.length >= 2 &&
+        (Set("resolve", "history", "retire")(args(0)) || args.length >= 3),
+      "usage: AnnIndexMain build|append|probe|remove|optimize|publish|resolve|history|retire <in> [<indexDir>] [out|targetMB]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,8 +80,8 @@ object AnnIndexMain {
         require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
         Generations.publish(args(1), args(2))
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
-      case "resolve" =>
-        println(Generations.resolve(args(1)))
+      case c @ ("resolve" | "history" | "retire") =>
+        Generations.cliLineage(c, args)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

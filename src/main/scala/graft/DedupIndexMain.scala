@@ -75,23 +75,8 @@ object DedupIndexMain {
         require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
         graft.operators.Generations.publish(args(1), args(2))
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
-      case "resolve" =>
-        // bare: the CURRENT generation; with a seq argument: the as-of
-        // read from the publish lineage (time travel while retained)
-        if (args.length >= 3)
-          println(graft.operators.Generations.resolveAt(args(1), args(2).toInt))
-        else println(graft.operators.Generations.resolve(args(1)))
-      case "history" =>
-        graft.operators.Generations.history(args(1))
-          .foreach { case (seq, p) => println(s"$seq\t$p") }
-      case "retire" =>
-        // retention: drop superseded generations (keepLast, then an age
-        // gate — Vacuum's convention; default 7 days)
-        val keep = if (args.length >= 3) args(2).toInt else 2
-        val hours = if (args.length >= 4) args(3).toDouble else 168.0
-        val gone = graft.operators.Generations.retire(args(1), keep, hours)
-        gone.foreach(p => println(s"retired\t$p"))
-        println(s"${gone.size} generation(s) retired under ${args(1)}")
+      case c @ ("resolve" | "history" | "retire") =>
+        graft.operators.Generations.cliLineage(c, args)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

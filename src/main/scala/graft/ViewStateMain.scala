@@ -14,7 +14,9 @@ import graft.operators.{Generations, ViewState}
   * runMain graft.ViewStateMain merged       <stateDir> <outDir>
   * runMain graft.ViewStateMain optimize     <stateDir> <outStateDir>
   * runMain graft.ViewStateMain publish      <tableDir> <generationDir>
-  * runMain graft.ViewStateMain resolve      <tableDir>
+  * runMain graft.ViewStateMain resolve      <tableDir> [seq]
+  * runMain graft.ViewStateMain history      <tableDir>
+  * runMain graft.ViewStateMain retire       <tableDir> [keepLast] [retentionHours]
   * ```
   *
   * The production loop: `build` once over the two snapshots, then fold
@@ -27,7 +29,7 @@ object ViewStateMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ViewStateMain build|appendLeft|appendRight|retractLeft|retractRight|merged|optimize|publish|resolve ...")
+      "usage: ViewStateMain build|appendLeft|appendRight|retractLeft|retractRight|merged|optimize|publish|resolve|history|retire ...")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,8 +62,8 @@ object ViewStateMain {
         require(args.length >= 3, "publish needs <tableDir> <generationDir>")
         Generations.publish(args(1), args(2))
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
-      case "resolve" =>
-        println(Generations.resolve(args(1)))
+      case c @ ("resolve" | "history" | "retire") =>
+        Generations.cliLineage(c, args)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

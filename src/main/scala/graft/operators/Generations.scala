@@ -100,6 +100,28 @@ object Generations {
       .map { p => deleteTree(new File(p)); p }
   }
 
+  /** Shared CLI handling for the lineage verbs — `resolve <tableDir>
+    * [seq]`, `history <tableDir>`, `retire <tableDir> [keepLast]
+    * [retentionHours]` — so every standing-table Main exposes the same
+    * surface without duplicating it. `args` is the full argv (verb
+    * first). */
+  def cliLineage(cmd: String, args: Array[String]): Unit = cmd match {
+    case "resolve" =>
+      // bare: the CURRENT generation; with a seq argument: the as-of
+      // read from the publish lineage (time travel while retained)
+      if (args.length >= 3) println(resolveAt(args(1), args(2).toInt))
+      else println(resolve(args(1)))
+    case "history" =>
+      history(args(1)).foreach { case (seq, p) => println(s"$seq\t$p") }
+    case "retire" =>
+      val keep = if (args.length >= 3) args(2).toInt else 2
+      val hours = if (args.length >= 4) args(3).toDouble else 168.0
+      val gone = retire(args(1), keep, hours)
+      gone.foreach(p => println(s"retired\t$p"))
+      println(s"${gone.size} generation(s) retired under ${args(1)}")
+    case other => sys.error(s"not a lineage verb: $other")
+  }
+
   /** The active generation path, if a CURRENT pointer exists. */
   def current(tableDir: String): Option[String] = {
     val f = currentFile(tableDir)

@@ -134,4 +134,28 @@ class GenerationsSpec extends SparkSpec {
     assert(gone2 === Seq(new java.io.File(gens(2)).getCanonicalPath))
     assert(new java.io.File(gens(3)).isDirectory)
   }
+
+  test("cliLineage: the shared verb dispatch every standing-table Main uses") {
+    val table = Files.createTempDirectory("graft_gen_cli_t").toString
+    val g1 = Files.createTempDirectory("graft_gen_cli1").toString
+    val g2 = Files.createTempDirectory("graft_gen_cli2").toString
+    Generations.publish(table, g1)
+    Generations.publish(table, g2)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Generations.cliLineage("resolve", Array("resolve", table))
+      Generations.cliLineage("resolve", Array("resolve", table, "1"))
+      Generations.cliLineage("history", Array("history", table))
+      Generations.cliLineage("retire", Array("retire", table, "1", "0"))
+    }
+    val lines = out.toString("UTF-8").split("\n").toSeq
+    assert(lines.head === new java.io.File(g2).getCanonicalPath)    // resolve
+    assert(lines(1) === new java.io.File(g1).getCanonicalPath)      // as-of 1
+    assert(lines(2).startsWith("1\t") && lines(3).startsWith("2\t")) // history
+    assert(lines.last.startsWith("1 generation(s) retired"))         // retire
+    assert(!new java.io.File(g1).exists())
+    intercept[RuntimeException] {
+      Generations.cliLineage("probe", Array("probe", table))
+    }
+  }
 }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * whole corpus per ingest: the standing label table is folded forward
   * with only the batch's new edges.
   *
-  * State: `labels/` — (id, cluster_id), cluster_id = min doc id in the
-  * component (q70's canonical labeling).
+  * State: a generational label table — (id, cluster_id), cluster_id =
+  * min doc id in the component (q70's canonical labeling). Every
+  * maintenance run writes its result to a NEW `labels_g<seq>` dir and
+  * atomically publishes it as CURRENT ([[Generations]]): a reader
+  * resolving mid-maintenance sees the old assignment or the new one,
+  * never a torn overwrite, and the lineage doubles as an as-of read of
+  * past assignments ([[clustersAt]]) while retention keeps them.
   *
   * Maintenance rule: a component labeled by its min member is exactly
   * reconstructible as a STAR (every member → label). Stars preserve old
@@ -33,15 +38,29 @@ import org.apache.spark.sql.functions._
   */
 object ClusterState {
 
-  private def labelsPath(stateDir: String): String = s"$stateDir/labels"
+  private def labelsPath(stateDir: String): String =
+    Generations.current(stateDir).getOrElse(s"$stateDir/labels")
 
   def exists(stateDir: String): Boolean =
     new File(labelsPath(stateDir)).isDirectory
 
+  /** Write an assignment as the next generation and switch CURRENT
+    * atomically; superseded generations age out under the Vacuum-style
+    * retention gate (the fresh ones a concurrent reader may still hold
+    * stay on disk for the window). */
+  private def publishLabels(labels: DataFrame, stateDir: String): Unit = {
+    val seq = Generations.history(stateDir).size + 1
+    val gen = new File(stateDir, f"labels_g$seq%05d").getPath
+    labels.write.mode("errorifexists").parquet(gen)
+    Generations.publish(stateDir, gen)
+    Generations.retire(stateDir)
+    ()
+  }
+
   /** Initialize the label table from an edge set (src, dst). */
   def build(edges: DataFrame, stateDir: String): Unit = {
     val comp = ConnectedComponents.components(edges)
-    comp.write.mode("overwrite").parquet(labelsPath(stateDir))
+    publishLabels(comp, stateDir)
     comp.unpersist()
     ()
   }
@@ -56,12 +75,9 @@ object ClusterState {
       .select(col("id").as("src"), col("cluster_id").as("dst"))
     val comp = ConnectedComponents.components(
       stars.unionByName(newEdges.toDF("src", "dst")))
-    // the CC result is cache-backed with an RDD-only plan (no parquet
-    // scan), so overwriting the labels it was derived from is safe; the
-    // eager checkpoint pins the rows before the source files vanish
-    val out = comp.localCheckpoint(eager = true)
+    publishLabels(comp, stateDir)
     comp.unpersist()
-    out.write.mode("overwrite").parquet(labelsPath(stateDir))
+    ()
   }
 
   /** TAKEDOWN: remove docs from the standing clusters (and tombstone them
@@ -104,16 +120,25 @@ object ClusterState {
     val out = labels.join(touched, Seq("cluster_id"), "left_anti")
       .select("id", "cluster_id")
       .unionByName(comp.select("id", "cluster_id"))
-      .localCheckpoint(eager = true)
+    publishLabels(out, stateDir)
     comp.unpersist()
-    out.write.mode("overwrite").parquet(labelsPath(stateDir))
+    ()
   }
 
   /** The current assignment with cluster sizes: one window over the
     * label table (never the corpus). */
-  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+  def clusters(spark: SparkSession, stateDir: String): DataFrame =
+    clustersFrom(spark, labelsPath(stateDir))
+
+  /** AS-OF read: the assignment as of the `seq`-th publish — the "what
+    * did the dup graph look like before that takedown" audit question —
+    * valid while retention keeps that generation on disk. */
+  def clustersAt(spark: SparkSession, stateDir: String, seq: Int): DataFrame =
+    clustersFrom(spark, Generations.resolveAt(stateDir, seq))
+
+  private def clustersFrom(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.read.parquet(labelsPath(stateDir))
+    spark.read.parquet(path)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select(col("id"), col("cluster_id"), col("cluster_size"))

@@ -23,6 +23,11 @@ class ClusterStateSpec extends SparkSpec {
   private def labelSet(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** The CURRENT assignment resolved through the API (the label table is
+    * generational — no fixed on-disk path). */
+  private def current(dir: String): DataFrame =
+    ClusterState.clusters(spark, dir).select("id", "cluster_id")
+
   private def scratch(e: DataFrame): Set[(Long, Long)] = {
     val c = ConnectedComponents.components(e)
     val out = labelSet(c.select("id", "cluster_id"))
@@ -36,7 +41,7 @@ class ClusterStateSpec extends SparkSpec {
     val e2 = edges(3L -> 4L, 30L -> 31L, 11L -> 12L)
     ClusterState.build(e1, dir)
     ClusterState.appendEdges(spark, e2, dir)
-    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    val grown = labelSet(current(dir))
     assert(grown === scratch(e1.unionByName(e2)))
   }
 
@@ -45,7 +50,7 @@ class ClusterStateSpec extends SparkSpec {
     ClusterState.build(edges(1L -> 2L, 5L -> 6L), dir)
     // bridge 2—5: the {5,6} cluster must relabel to min id 1
     ClusterState.appendEdges(spark, edges(2L -> 5L), dir)
-    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    val grown = labelSet(current(dir))
     assert(grown === Set(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
     val sizes = ClusterState.clusters(spark, dir).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_size")).toMap
@@ -78,19 +83,30 @@ class ClusterStateSpec extends SparkSpec {
     // the untouched {20,21} cluster is carried over unchanged
     val dir1 = freshState()
     ClusterState.removeDocs(spark, Seq(1L).toDF("doc_id"), dir1, idxDir)
-    assert(labelSet(spark.read.parquet(s"$dir1/labels").select("id", "cluster_id"))
+    assert(labelSet(current(dir1))
       === Set(20L -> 20L, 21L -> 20L))
     // deleting a leaf keeps the remaining pair connected (re-verified
     // from the index's sigs, not from remembered edges)
     val dir2 = freshState()
     ClusterState.removeDocs(spark, Seq(3L).toDF("doc_id"), dir2, idxDir)
-    assert(labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+    assert(labelSet(current(dir2))
       === Set(1L -> 1L, 2L -> 1L, 20L -> 20L, 21L -> 20L))
     // removing an unclustered doc is a label no-op
-    val before = labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+    val before = labelSet(current(dir2))
     ClusterState.removeDocs(spark, Seq(10L).toDF("doc_id"), dir2, idxDir)
-    assert(labelSet(spark.read.parquet(s"$dir2/labels").select("id", "cluster_id"))
+    assert(labelSet(current(dir2))
       === before)
+  }
+
+  test("generational migration: clustersAt(1) time-travels to the pre-append assignment") {
+    val dir = tmp()
+    ClusterState.build(edges(1L -> 2L, 5L -> 6L), dir)
+    ClusterState.appendEdges(spark, edges(2L -> 5L), dir)
+    // CURRENT sees the merged cluster...
+    assert(labelSet(current(dir)) === Set(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // ...but generation 1 still answers with the pre-append assignment
+    val asOf = labelSet(ClusterState.clustersAt(spark, dir, 1).select("id", "cluster_id"))
+    assert(asOf === Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("chained maintenance stays exact across multiple batches") {
@@ -103,7 +119,7 @@ class ClusterStateSpec extends SparkSpec {
     )
     ClusterState.build(batches.head, dir)
     batches.tail.foreach(b => ClusterState.appendEdges(spark, b, dir))
-    val grown = labelSet(spark.read.parquet(s"$dir/labels").select("id", "cluster_id"))
+    val grown = labelSet(current(dir))
     assert(grown === scratch(batches.reduce(_ unionByName _)))
     // everything reachable → one cluster labeled by the global min
     assert(grown.map(_._2) === Set(1L))

@@ -230,7 +230,7 @@ class CorpusStreamSpec extends SparkSpec {
       docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
     def labels(): Map[Long, Long] =
       if (!ClusterState.exists(clDir)) Map.empty
-      else spark.read.parquet(s"$clDir/labels").collect()
+      else ClusterState.clusters(spark, clDir).collect()
         .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     val run = CorpusStream.clusterBatch(idxDir, clDir, outDir) _
     try {

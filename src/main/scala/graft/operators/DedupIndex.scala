@@ -178,12 +178,23 @@ object DedupIndex {
   private[graft] def probePairs(prbBase: DataFrame, idxBands: DataFrame,
       idxSigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.TextHashes
-    val idxBuckets = idxBands.groupBy("bi", "bh")
-      .agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")) <= Dedup.LshBucketCap)
+    // Mega-bucket screen (count-then-collect, r12): bucket sizes come from
+    // a partial-aggregating count — a degenerate band hash contributes one
+    // long per map task — and only band rows whose key is proven ≤ cap
+    // survive the semi-join. No bucket ARRAY forms at all here: the
+    // candidate set is the probe-bands ⋈ screened-index-bands equi join,
+    // streamed. The pre-r12 shape collected every index bucket's full
+    // member array before the size filter — one reducer-side array per
+    // degenerate key at 100 TB.
+    val okKeys = idxBands.groupBy("bi", "bh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= Dedup.LshBucketCap)
+      .select("bi", "bh")
+    val screened = idxBands.join(okKeys, Seq("bi", "bh"), "left_semi")
     val cands = Dedup.bandKeys(prbBase)
-      .join(idxBuckets, Seq("bi", "bh"))
-      .select(col("doc_id").as("b"), explode(col("ds")).as("c"))
+      .join(screened.select(col("bi"), col("bh"), col("doc_id").as("c")),
+        Seq("bi", "bh"))
+      .select(col("doc_id").as("b"), col("c"))
       .dropDuplicates("b", "c")
     cands
       .join(prbBase.select(col("doc_id").as("b"), col("hs").as("h1"),
@@ -210,9 +221,14 @@ object DedupIndex {
       .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
     val sigs = live(spark, indexDir, sigsPath)
       .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
-    val pairs = bands.groupBy("bi", "bh")
+    // count-then-collect (r12): arrays only for keys proven within the cap
+    val okKeys = bands.groupBy("bi", "bh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, Dedup.LshBucketCap))
+      .select("bi", "bh")
+    val pairs = bands.join(okKeys, Seq("bi", "bh"), "left_semi")
+      .groupBy("bi", "bh")
       .agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")).between(2, Dedup.LshBucketCap))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))

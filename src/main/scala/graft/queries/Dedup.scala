@@ -103,6 +103,14 @@ object Dedup {
     * the same two tiers (QUALIFY), so semantics match at every sf. */
   val LshBucketCap = 32
 
+  /** Prefix-filter (AllPairs) bucket size above which [[prefixPairs]]
+    * switches from in-array pair expansion to a streaming self-join: the
+    * exact join cannot DROP an oversized bucket (its pairs are real
+    * output), but it can refuse to materialize the bucket as one
+    * reducer-side array. 256 keeps the array path's per-bucket expansion
+    * ≤ ~32k pairs. */
+  private[graft] val PrefixBucketArrayMax = 256
+
   /** (doc_id, hs, sz, sig) in ONE pass over the corpus: distinct shingle-
     * hash set, its size, and the K-permutation MinHash signature. Persisted
     * (MEMORY_AND_DISK — spills, never OOMs): the scan→tokenize→shingle→md5
@@ -189,31 +197,47 @@ object Dedup {
     !sys.env.get("SPARK_GRAFT_LSH_TIER").contains("off")
 
   def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
-    val buckets = bandKeys(base)
-      .groupBy(col("bi"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    // Mega-bucket screen (two-phase count-then-collect): bucket SIZES come
+    // from a partial-aggregating count — skew-immune, a degenerate band
+    // hash contributes one long per map task — and member arrays are
+    // collected ONLY for keys proven within the cap. Collecting first and
+    // filtering after (the pre-r12 shape) funneled a degenerate bucket's
+    // every member id into ONE reducer-side array before dropping it: at
+    // 100 TB a boilerplate band hash shared by millions of docs OOMs that
+    // reducer even though the pair expansion itself was bounded.
+    val bands = bandKeys(base)
+    val counts = bands.groupBy(col("bi"), col("bh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val keyed = bands.join(counts, Seq("bi", "bh"))
     // tier 1: buckets within the cap pair directly. tier 2: OVERSIZED
     // buckets are re-keyed by the secondary band hash instead of dropped,
     // and the resulting sub-buckets pair under the same cap; sub-buckets
-    // still over the cap are the degenerate residue that stays dropped.
-    // This recovers true pairs that the flat cap lost (q233's 40 bp recall
-    // gap) while keeping every pair expansion bounded at cap·(cap−1)/2.
-    // The secondary hash is computed HERE, for oversized-bucket members
-    // only, by joining back to the persisted base — carrying it on every
-    // band row cost a second md5 per row and tripled the bucket shuffle's
-    // payload for the whole corpus (measured ~1.5× on the LSH-graph
-    // queries), to serve a residue that is rare by construction.
-    val small = buckets.filter(size(col("ds")) <= cap)
+    // still over the cap are the degenerate residue that stays dropped —
+    // screened by sub-bucket COUNT, so the residue never materializes as
+    // an array either. This recovers true pairs that the flat cap lost
+    // (q233's 40 bp recall gap) while keeping every pair expansion bounded
+    // at cap·(cap−1)/2. The secondary hash is computed HERE, for
+    // oversized-bucket members only, by joining back to the persisted
+    // base — carrying it on every band row cost a second md5 per row and
+    // tripled the bucket shuffle's payload for the whole corpus (measured
+    // ~1.5× on the LSH-graph queries), to serve a rare residue.
+    val small = keyed.filter(col("cnt") <= cap)
+      .groupBy(col("bi"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .select(col("ds"))
-    val big0 = buckets.filter(size(col("ds")) > cap)
-    val big = (if (tierEnabled) big0 else big0.limit(0))
-      .select(col("bi"), col("bh"), explode(col("ds")).as("doc_id"))
+    val big0 = keyed.filter(col("cnt") > cap)
+    val bigRows = (if (tierEnabled) big0 else big0.limit(0))
+      .select(col("bi"), col("bh"), col("doc_id"))
       .join(base.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .select(col("bi"), col("bh"), col("doc_id"), bandHash2(col("bi")).as("bh2"))
+    val counts2 = bigRows.groupBy(col("bi"), col("bh"), col("bh2"))
+      .agg(count(lit(1)).as("cnt2"))
+      .filter(col("cnt2").between(2, cap))
+    val big = bigRows
+      .join(counts2.select("bi", "bh", "bh2"), Seq("bi", "bh", "bh2"), "left_semi")
       .groupBy(col("bi"), col("bh"), col("bh2"))
       .agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")).between(2, cap))
       .select(col("ds"))
     // all i<j position pairs of each bucket array; orient by value so the
     // (d1 < d2) contract holds regardless of collect_list order
@@ -246,20 +270,41 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
       .select("doc_id", "h", "sz")
-    val buckets = prefixes.groupBy("h")
+    // The join is EXACT, so an oversized prefix bucket cannot be dropped
+    // the way the LSH cap drops one — a template family whose rarest
+    // tokens are shared genuinely has ~|family|² qualifying pairs. What
+    // CAN be avoided is materializing that family as one reducer-side
+    // collect_list array: buckets proven small by a count pre-pass use the
+    // in-array i<j expansion (one shuffle, pairs generated in place);
+    // oversized buckets stream through an equi self-join on the prefix
+    // token, whose per-key group buffer spills
+    // (ExternalAppendOnlyUnsafeRowArray) instead of OOMing. Both paths
+    // produce the same oriented pair set, so the union is output-neutral.
+    val counts = prefixes.groupBy("h")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val keyed = prefixes.join(counts, Seq("h"))
+    // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
+    // — an integer predicate that prunes candidates BEFORE the intersect
+    // verify; provably output-neutral
+    val smallPairs = keyed.filter(col("cnt") <= PrefixBucketArrayMax)
+      .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val pairs = buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - 1)).as("y"))
-      // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
-      // — an integer predicate that prunes candidates BEFORE the
-      // intersect verify; provably output-neutral
       .filter(least(col("x.sz"), col("y.sz")) * 10 >=
         greatest(col("x.sz"), col("y.sz")) * 7)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+    val bigRows = keyed.filter(col("cnt") > PrefixBucketArrayMax)
+      .select(col("h"), col("doc_id"), col("sz"))
+    val bigPairs = bigRows.as("a").join(bigRows.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.sz"), col("b.sz")) * 10 >=
+        greatest(col("a.sz"), col("b.sz")) * 7)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val pairs = smallPairs.unionByName(bigPairs)
       .dropDuplicates("d1", "d2")
     val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
     pairs
@@ -777,9 +822,15 @@ object Dedup {
           struct(lit(i).as("bi"),
             expr(s"(sh >> ${15 * i}) & 32767").as("bv"))): _*)).as("b"))
         .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-      val buckets = bands.groupBy("bi", "bv")
+      // count-then-collect (r12 mega-bucket screen): member arrays only
+      // for band buckets proven within the cap
+      val okKeys = bands.groupBy("bi", "bv")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, cap))
+        .select("bi", "bv")
+      val buckets = bands.join(okKeys, Seq("bi", "bv"), "left_semi")
+        .groupBy("bi", "bv")
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
-        .filter(size(col("ds")).between(2, cap))
       buckets
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
         .select(col("x"),
@@ -1192,9 +1243,16 @@ object Dedup {
           expr(s"(sg >> ${6 * i}) & 63").as("bv"))): _*)).as("b"))
         .select(col("vec_id"), col("embedding"),
           col("b.bi").as("bi"), col("b.bv").as("bv"))
-      val buckets = bands.groupBy("bi", "bv")
+      // count-then-collect (r12 mega-bucket screen) — doubly important
+      // here: the bucket array carries full 64-double embeddings, so a
+      // degenerate RHP bucket would materialize them all in one reducer
+      val okKeys = bands.groupBy("bi", "bv")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, 128))
+        .select("bi", "bv")
+      val buckets = bands.join(okKeys, Seq("bi", "bv"), "left_semi")
+        .groupBy("bi", "bv")
         .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
-        .filter(size(col("ds")).between(2, 128))
       buckets
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
         .select(col("x"),

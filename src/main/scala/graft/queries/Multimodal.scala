@@ -90,10 +90,18 @@ object Multimodal {
             .cast("binary")))
         .select("doc_id", "n_chunks", "frame_sha")
         .dropDuplicates()
-      val buckets = frames
+      // count-then-collect (r12 mega-bucket screen): `frames` is already
+      // deduplicated on (doc_id, n_chunks, frame_sha), so the group count
+      // equals the set size — arrays form only for keys proven ≤ 32. A
+      // boilerplate frame digest shared across a template family would
+      // otherwise materialize the family in one reducer before the filter.
+      val okKeys = frames.groupBy("frame_sha")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, 32))
+        .select("frame_sha")
+      val buckets = frames.join(okKeys, Seq("frame_sha"), "left_semi")
         .groupBy("frame_sha")
         .agg(sort_array(collect_set(struct(col("doc_id"), col("n_chunks")))).as("ds"))
-        .filter(size(col("ds")).between(2, 32))
       buckets
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
         .select(col("x"),

@@ -114,4 +114,61 @@ class DedupSpec extends SparkSpec {
     // drop it so cache-sensitive suites (CorpusMainSpec) start clean
     spark.catalog.clearCache()
   }
+
+  // ---- r12 mega-bucket screen (count-then-collect) stress ----------------
+  // The hazard the 10x scale fixture cannot see: ONE band hash shared by
+  // ~100k docs. Pre-r12, lshCandidates collected that bucket's full member
+  // array on one reducer BEFORE the size filter dropped it; now bucket
+  // sizes come from a partial-aggregating count and arrays form only for
+  // keys proven <= cap — the degenerate family never materializes.
+
+  /** A minhashBase-shaped frame (doc_id, hs, sz, sig) built directly —
+    * hashing 100k real texts would dominate the test for no extra proof. */
+  private def syntheticBase(famSize: Int): org.apache.spark.sql.DataFrame = {
+    val famSig = typedLit((1 to 16).map(i => 100L + i))
+    val duoSig = typedLit((1 to 16).map(i => 900L + i))
+    val fam = spark.range(famSize).select(
+      col("id").as("doc_id"),
+      typedLit(Seq(1L, 2L, 3L)).as("hs"),
+      lit(3).as("sz"), famSig.as("sig"))
+    val duo = Seq(500000L, 500001L).toDF("doc_id").select(
+      col("doc_id"), typedLit(Seq(7L, 8L, 9L, 10L)).as("hs"),
+      lit(4).as("sz"), duoSig.as("sig"))
+    fam.unionByName(duo)
+  }
+
+  test("mega-bucket screen: 100k-member band bucket pairs nothing, small buckets survive") {
+    val base = syntheticBase(100000)
+    val out = Dedup.lshCandidates(base, Dedup.LshBucketCap)
+    // plan pin: the screen exists — a count aggregate feeds the collect
+    // via a join instead of a size-filter above the collected arrays
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cnt"), "count screen missing from the plan")
+    val rows = out.collect()
+    // the family shares ONE signature, so tier 2's secondary hash cannot
+    // split it: the residue drops whole, and only the planted duo pairs
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((500000L, 500001L)))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
+
+  test("probePairs mega-bucket screen: degenerate index bucket screened by count") {
+    val probe = syntheticBase(0).filter(col("doc_id") === 500000L)
+    val probeBands = Dedup.bandKeys(probe).collect()
+      .map(r => (r.getInt(1), r.getString(2))).toMap // bi -> bh
+    // index: 100k docs share the probe's band-0 hash (over cap -> screened
+    // out even though every sig would verify), 3 docs share band 1 (<= cap)
+    val fam = spark.range(100000).select(
+      (col("id") + 10000L).as("doc_id"), lit(0).as("bi"), lit(probeBands(0)).as("bh"))
+    val small = Seq(600000L, 600001L, 600002L).toDF("doc_id")
+      .select(col("doc_id"), lit(1).as("bi"), lit(probeBands(1)).as("bh"))
+    val idxBands = fam.unionByName(small)
+    val idxSigs = idxBands.select(col("doc_id"),
+      typedLit(Seq(7L, 8L, 9L, 10L)).as("hs"), lit(4).as("sz"))
+    val out = graft.operators.DedupIndex.probePairs(probe, idxBands, idxSigs)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    // only the small bucket's members match; the 100k family — identical
+    // signatures, would verify at jacc 1.0 — is excluded by the cap screen
+    assert(out == Seq(600000L, 600001L, 600002L))
+  }
 }

@@ -141,7 +141,12 @@ object AuditMain {
         str("$.status")(col("n")).as("status"),
         str("$.export_status")(col("n")).as("export_status"))
 
-    Audit.audit(projects, schedules, monitoring, nodes, asOfUtc)
+    // GRAFT_Q2_MODE=reference reproduces the reference's literal GMT+25
+    // weekly/monthly offset (app.py:142-144) instead of the normalized +7
+    // — the last documented divergence, switchable for byte-faithful
+    // replays of the original report (SURVEY.md §7.5)
+    Audit.audit(projects, schedules, monitoring, nodes, asOfUtc,
+      referenceQ2 = sys.env.get("GRAFT_Q2_MODE").contains("reference"))
   }
 
   /** Builds the report DataFrame (separated from `main` for the golden

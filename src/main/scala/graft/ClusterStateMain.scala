@@ -5,11 +5,16 @@ import graft.operators.ClusterState
 /** The standing duplicate-cluster table's operational surface:
   *
   * ```
-  * runMain graft.ClusterStateMain build    <edgesParquet> <stateDir>
-  * runMain graft.ClusterStateMain append   <edgesParquet> <stateDir>
-  * runMain graft.ClusterStateMain remove   <idsParquet|csv> <stateDir> <indexDir>
+  * runMain graft.ClusterStateMain build    <edgesParquet> <stateDir> [keepLast] [retentionHours]
+  * runMain graft.ClusterStateMain append   <edgesParquet> <stateDir> [keepLast] [retentionHours]
+  * runMain graft.ClusterStateMain remove   <idsParquet|csv> <stateDir> <indexDir> [keepLast] [retentionHours]
   * runMain graft.ClusterStateMain clusters <stateDir> <outDir>
   * ```
+  *
+  * Every label-writing verb publishes a new generation; `[keepLast]`
+  * (default 2) and `[retentionHours]` (default 168) control how many
+  * superseded generations stay resolvable for `clustersAt` time travel
+  * and how long a snapshot a concurrent reader may hold stays on disk.
   *
   * `edgesParquet` carries two columns (src, dst) — e.g. the verified
   * pairs a DedupIndex probe emits for an ingest batch. `build` clusters
@@ -28,12 +33,20 @@ object ClusterStateMain {
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // retention knobs trail each label-writing verb's positional args
+    def retentionFrom(from: Int): ClusterState.Retention = {
+      val d = ClusterState.Retention()
+      ClusterState.Retention(
+        args.lift(from).map(_.toInt).getOrElse(d.keepLast),
+        args.lift(from + 1).map(_.toDouble).getOrElse(d.retentionHours))
+    }
     args(0) match {
       case "build" =>
-        ClusterState.build(spark.read.parquet(args(1)), args(2))
+        ClusterState.build(spark.read.parquet(args(1)), args(2), retentionFrom(3))
         println(s"built clusters ${args(2)}")
       case "append" =>
-        ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2))
+        ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2),
+          retentionFrom(3))
         println(s"appended ${args(1)} -> ${args(2)}")
       case "remove" =>
         require(args.length >= 4, "remove needs <idsParquet|csv> <stateDir> <indexDir>")
@@ -44,7 +57,7 @@ object ClusterStateMain {
             import spark.implicits._
             args(1).split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
           }
-        ClusterState.removeDocs(spark, ids, args(2), args(3))
+        ClusterState.removeDocs(spark, ids, args(2), args(3), retentionFrom(4))
         println(s"removed ${args(1)} from ${args(2)} (index ${args(3)})")
       case "clusters" =>
         ClusterState.clusters(spark, args(1))

@@ -6,7 +6,7 @@ import graft.operators.{Generations, ViewState}
   * same generational lifecycle as the other standing-table CLIs:
   *
   * ```
-  * runMain graft.ViewStateMain build        <leftParquet> <rightParquet> <stateDir> <keysCsv>
+  * runMain graft.ViewStateMain build        <leftParquet> <rightParquet> <stateDir> <keysCsv> [numBuckets]
   * runMain graft.ViewStateMain appendLeft   <parquet> <stateDir>
   * runMain graft.ViewStateMain appendRight  <parquet> <stateDir>
   * runMain graft.ViewStateMain retractLeft  <parquet> <stateDir>
@@ -35,11 +35,16 @@ object ViewStateMain {
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "build" =>
-        require(args.length >= 5, "build needs <leftParquet> <rightParquet> <stateDir> <keysCsv>")
+        require(args.length >= 5,
+          "build needs <leftParquet> <rightParquet> <stateDir> <keysCsv> [numBuckets]")
         val keys = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // bucket width is a BUILD-time deployment decision (persisted in
+        // the store meta; reads honor it) — size from expected store
+        // volume, not delta size
+        val nb = args.lift(5).map(_.toInt).getOrElse(ViewState.NumBuckets)
         ViewState.build(spark.read.parquet(args(1)),
-          spark.read.parquet(args(2)), keys, args(3))
-        println(s"built view ${args(3)} on (${keys.mkString(", ")})")
+          spark.read.parquet(args(2)), keys, args(3), nb)
+        println(s"built view ${args(3)} on (${keys.mkString(", ")}) at $nb buckets")
       case op @ ("appendLeft" | "appendRight" | "retractLeft" | "retractRight") =>
         require(args.length >= 3, s"$op needs <parquet> <stateDir>")
         val df = spark.read.parquet(args(1))

@@ -57,12 +57,21 @@ object Audit {
     * @param asOfUtc injectable "now" (UTC) — the reference hardcodes
     *                wall-clock `datetime.now()` (`app.py:176,224`);
     *                injectability makes the classification testable.
+    * @param referenceQ2 reproduce the reference's literal GMT+25 offset on
+    *                weekly/monthly schedules (`app.py:142-144` applies
+    *                `gmt_offset = 25`, so `% 24` lands those branches at
+    *                +1 instead of +7) — the Q2 quirk (SURVEY.md §0). The
+    *                default keeps the engine's normalized +7 everywhere;
+    *                the flag makes the last documented divergence
+    *                switchable for byte-faithful replays of the original
+    *                report.
     * @return one row per input project row, in input (`seq`) order:
     *         (seq, report_date, init_name, name, loc, status, error_note,
     *          success_flag, color)
     */
   def audit(projects: DataFrame, schedules: DataFrame, monitoring: DataFrame,
-            nodes: DataFrame, asOfUtc: Column = current_timestamp()): DataFrame = {
+            nodes: DataFrame, asOfUtc: Column = current_timestamp(),
+            referenceQ2: Boolean = false): DataFrame = {
 
     // ---- distinct project keys (J2: memoized per-key computation) --------
     // Null-safe: a NULL id is a valid memo key in the reference (dict key
@@ -78,6 +87,13 @@ object Audit {
       .withColumn("rn", row_number().over(wSched))
       .filter(col("rn") === 1)
       .select(col("project_id"), col("kind"), col("hour"))
+
+    // hour offset: normalized +7 for every branch; under referenceQ2 the
+    // weekly/monthly branches take the literal 25 (≡ +1 after % 24)
+    val gmtOffset =
+      if (referenceQ2)
+        when(col("kind").isin("weekly", "monthly"), lit(25)).otherwise(lit(7))
+      else lit(7)
     val schedCounts = schedules.groupBy("project_id")
       .agg(count(lit(1)).as("n_sched"))
 
@@ -109,7 +125,7 @@ object Audit {
             s => s.getField("line")), "\n").as("err_lines"))
 
     // ---- per-project classification (§2.5, precedence as in app.py) ------
-    val convertedHour = (col("hour") + lit(7)) % 24 // Q2 divergence: +7 both branches
+    val convertedHour = (col("hour") + gmtOffset) % 24 // Q2: +7 normalized, +25 under referenceQ2
     val before18 = convertedHour * 60 < lit(18 * 60) // time-of-day compare (T8)
     val lastSyncLocal = convert_timezone(lit("UTC"), lit(ReportZone), col("last_sync_utc"))
     val asOfLocal = convert_timezone(lit("UTC"), lit(ReportZone), asOfUtc)

@@ -44,23 +44,33 @@ object ClusterState {
   def exists(stateDir: String): Boolean =
     new File(labelsPath(stateDir)).isDirectory
 
+  /** Retention policy applied after each publish (r12 — was hard-coded at
+    * the [[Generations.retire]] defaults): `keepLast` superseded
+    * generations stay resolvable for time travel, older ones are deleted
+    * once nothing inside them changed within `retentionHours` (the Vacuum
+    * age-gate — a reader that resolved CURRENT just before a rapid
+    * publish chain keeps its snapshot for the window). The defaults ARE
+    * the retire defaults; an audit-heavy deployment raises `keepLast`, a
+    * single-writer batch loop can drop the window to 0. */
+  final case class Retention(keepLast: Int = 2, retentionHours: Double = 168.0)
+
   /** Write an assignment as the next generation and switch CURRENT
-    * atomically; superseded generations age out under the Vacuum-style
-    * retention gate (the fresh ones a concurrent reader may still hold
-    * stay on disk for the window). */
-  private def publishLabels(labels: DataFrame, stateDir: String): Unit = {
+    * atomically; superseded generations age out under `retention`. */
+  private def publishLabels(labels: DataFrame, stateDir: String,
+      retention: Retention): Unit = {
     val seq = Generations.history(stateDir).size + 1
     val gen = new File(stateDir, f"labels_g$seq%05d").getPath
     labels.write.mode("errorifexists").parquet(gen)
     Generations.publish(stateDir, gen)
-    Generations.retire(stateDir)
+    Generations.retire(stateDir, retention.keepLast, retention.retentionHours)
     ()
   }
 
   /** Initialize the label table from an edge set (src, dst). */
-  def build(edges: DataFrame, stateDir: String): Unit = {
+  def build(edges: DataFrame, stateDir: String,
+      retention: Retention = Retention()): Unit = {
     val comp = ConnectedComponents.components(edges)
-    publishLabels(comp, stateDir)
+    publishLabels(comp, stateDir, retention)
     comp.unpersist()
     ()
   }
@@ -70,12 +80,13 @@ object ClusterState {
     * round, never the historical pair set. New nodes (both endpoints
     * previously unseen) enter as fresh components; bridging edges merge
     * old components and the losing side relabels. */
-  def appendEdges(spark: SparkSession, newEdges: DataFrame, stateDir: String): Unit = {
+  def appendEdges(spark: SparkSession, newEdges: DataFrame, stateDir: String,
+      retention: Retention = Retention()): Unit = {
     val stars = spark.read.parquet(labelsPath(stateDir))
       .select(col("id").as("src"), col("cluster_id").as("dst"))
     val comp = ConnectedComponents.components(
       stars.unionByName(newEdges.toDF("src", "dst")))
-    publishLabels(comp, stateDir)
+    publishLabels(comp, stateDir, retention)
     comp.unpersist()
     ()
   }
@@ -100,7 +111,7 @@ object ClusterState {
     * completely than at build time — re-clustering is a function of the
     * CURRENT index content, the same contract as a probe. */
   def removeDocs(spark: SparkSession, docIds: DataFrame, stateDir: String,
-      indexDir: String): Unit = {
+      indexDir: String, retention: Retention = Retention()): Unit = {
     val deleted = docIds.select(col("doc_id")).distinct()
       .localCheckpoint(eager = true)
     DedupIndex.remove(deleted, indexDir)
@@ -120,7 +131,7 @@ object ClusterState {
     val out = labels.join(touched, Seq("cluster_id"), "left_anti")
       .select("id", "cluster_id")
       .unionByName(comp.select("id", "cluster_id"))
-    publishLabels(out, stateDir)
+    publishLabels(out, stateDir, retention)
     comp.unpersist()
     ()
   }

@@ -42,6 +42,12 @@ import org.apache.spark.sql.functions._
   */
 object ViewState {
 
+  /** Default store bucket count. The REAL value is a `build`-time argument
+    * persisted in the meta file (r12): bucket-granularity pruning is the
+    * store read's only lever, and at 100 TB a store built at 32 buckets
+    * reads whole once a delta touches ≥32 key hashes — a deployment sizes
+    * it from expected store volume (e.g. store_bytes / 1 GB). Reads take
+    * the built value from meta, so stores built at any width stay valid. */
   val NumBuckets = 32
 
   private def leftPath(stateDir: String): String = s"$stateDir/left_store"
@@ -51,14 +57,17 @@ object ViewState {
 
   def exists(stateDir: String): Boolean = new File(viewPath(stateDir)).isDirectory
 
-  private def bucketOf(keys: Seq[String]): Column =
-    pmod(xxhash64(keys.map(col): _*), lit(NumBuckets.toLong))
+  private def bucketOf(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong))
 
-  private def withMult(df: DataFrame, keys: Seq[String], mult: Int): DataFrame =
+  private def withMult(df: DataFrame, keys: Seq[String], mult: Int,
+      numBuckets: Int): DataFrame =
     df.withColumn("__mult", lit(mult.toLong))
-      .withColumn("__bucket", bucketOf(keys))
+      .withColumn("__bucket", bucketOf(keys, numBuckets))
 
-  // meta file: line 1 = keys CSV; lines 2-4 = left/right/view schema JSON.
+  // meta file: line 1 = keys CSV; lines 2-4 = left/right/view schema JSON;
+  // line 5 = bucket count (absent on pre-r12 stores -> the old fixed 32,
+  // so existing stores stay valid without a rewrite).
   // Persisting schemas makes every read explicit-schema, so an EMPTY slice
   // stays well-defined: a partitioned write of zero rows leaves no data
   // files, and schema inference over such a store would fail where an
@@ -66,21 +75,23 @@ object ViewState {
   private final case class Meta(keys: Seq[String],
       left: org.apache.spark.sql.types.StructType,
       right: org.apache.spark.sql.types.StructType,
-      view: org.apache.spark.sql.types.StructType)
+      view: org.apache.spark.sql.types.StructType,
+      numBuckets: Int)
 
   private def readMeta(stateDir: String): Meta = {
     val src = scala.io.Source.fromFile(metaPath(stateDir))
     val lines = try src.getLines().toList finally src.close()
     def st(s: String) = org.apache.spark.sql.types.DataType.fromJson(s)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    Meta(lines.head.split(",").toSeq, st(lines(1)), st(lines(2)), st(lines(3)))
+    Meta(lines.head.split(",").toSeq, st(lines(1)), st(lines(2)), st(lines(3)),
+      lines.lift(4).map(_.trim.toInt).getOrElse(NumBuckets))
   }
 
   private def writeMeta(stateDir: String, m: Meta): Unit = {
     new File(stateDir).mkdirs()
     java.nio.file.Files.write(new File(metaPath(stateDir)).toPath,
       (m.keys.mkString(",") + "\n" + m.left.json + "\n" + m.right.json +
-        "\n" + m.view.json).getBytes("UTF-8"))
+        "\n" + m.view.json + "\n" + m.numBuckets).getBytes("UTF-8"))
     ()
   }
 
@@ -88,14 +99,15 @@ object ViewState {
     * carry the key columns; their non-key columns must not collide (the
     * view holds keys ++ left payload ++ right payload). */
   def build(left: DataFrame, right: DataFrame, keys: Seq[String],
-      stateDir: String): Unit = {
+      stateDir: String, numBuckets: Int = NumBuckets): Unit = {
+    require(numBuckets > 0, s"build: numBuckets must be positive ($numBuckets)")
     val dup = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
     require(dup.isEmpty, s"build: non-key columns collide across sides: $dup")
     DedupIndex.clearDir(stateDir)
-    val l = withMult(left, keys, 1)
-    val r = withMult(right, keys, 1)
+    val l = withMult(left, keys, 1, numBuckets)
+    val r = withMult(right, keys, 1, numBuckets)
     val v0 = deltaJoin(l, right.withColumn("__mult", lit(1L)), keys)
-    writeMeta(stateDir, Meta(keys, l.schema, r.schema, v0.schema))
+    writeMeta(stateDir, Meta(keys, l.schema, r.schema, v0.schema, numBuckets))
     // repartition by bucket before the partitioned write: one file per
     // bucket per batch instead of one per task×bucket (32 tasks × 32
     // buckets would splinter every store into ~1k files per write)
@@ -134,7 +146,7 @@ object ViewState {
   private def ingest(spark: SparkSession, delta: DataFrame, stateDir: String,
       mult: Int, deltaIsLeft: Boolean): DataFrame = {
     val meta = readMeta(stateDir)
-    val d = withMult(delta, meta.keys, mult).localCheckpoint(true)
+    val d = withMult(delta, meta.keys, mult, meta.numBuckets).localCheckpoint(true)
     val other =
       if (deltaIsLeft) prunedStore(spark, rightPath(stateDir), meta.right, d)
       else prunedStore(spark, leftPath(stateDir), meta.left, d)
@@ -211,7 +223,7 @@ object ViewState {
         .agg(sum("__mult").as("__mult"))
         .filter(col("__mult") =!= 0)
       if (bucketed)
-        folded.withColumn("__bucket", bucketOf(keys))
+        folded.withColumn("__bucket", bucketOf(keys, meta.numBuckets))
           .repartition(col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket").parquet(path(outStateDir))
       else folded.write.mode("overwrite").parquet(path(outStateDir))

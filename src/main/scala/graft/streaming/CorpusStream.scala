@@ -113,12 +113,15 @@ object CorpusStream {
     * generation is retired. Probes always resolve through CURRENT, so a
     * reader never sees a half-compacted index — the unbounded small-file
     * accumulation of a streaming append loop is capped at one optimize
-    * period. Retirement deletes the old generation immediately: this loop
-    * is the single writer AND (between batches) the only reader; a
-    * multi-reader deployment would hold old generations for a drain
-    * window instead.
+    * period. Retirement is policy-driven (r12 — was an immediate delete):
+    * the defaults (`keepLast = 1`, `retentionHours = 0`) reproduce the
+    * single-writer loop's behavior — this loop is, between batches, the
+    * only reader — while a multi-reader deployment passes a positive
+    * window so a reader that resolved CURRENT just before the swap keeps
+    * its snapshot on disk for the drain window.
     */
-  def maintainedBatch(tableDir: String, outDir: String, optimizeEvery: Int)(
+  def maintainedBatch(tableDir: String, outDir: String, optimizeEvery: Int,
+      keepLast: Int = 1, retentionHours: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Generations
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
@@ -131,15 +134,9 @@ object CorpusStream {
       val next = s"$tableDir/gen-${batchId + 1}"
       DedupIndex.optimize(spark, gen, next)
       Generations.publish(tableDir, next) // atomic — old or new, never torn
-      retire(gen)
+      Generations.retire(tableDir, keepLast, retentionHours)
+      ()
     }
-  }
-
-  private def retire(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
   }
 
   /** Recovery for the documented crash window (index appended, sink write

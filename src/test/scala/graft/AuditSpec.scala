@@ -137,6 +137,21 @@ class AuditSpec extends SparkSpec {
     assert(statusOf(11L) == "Success")
   }
 
+  test("referenceQ2 mode reproduces the literal +25 on weekly/monthly only") {
+    // the r12 switch: same inputs, referenceQ2 = true — the weekly project
+    // lands at (12+25)%24 = 13 < 18, its last sync is old => Not Synced,
+    // exactly what app.py:142-144 computes; every daily-schedule project
+    // (+7 in BOTH modes) classifies identically
+    val ref = Audit.audit(projects, schedules, monitoring, nodes, asOf,
+        referenceQ2 = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(ref(11L).getAs[String]("status") == "Not Synced")
+    assert(ref(11L).getAs[String]("error_note").startsWith("Last Sync at "))
+    for (s <- 1L to 10L)
+      assert(ref(s).getAs[String]("status") == statusOf(s),
+        s"non-weekly project $s diverged under referenceQ2")
+  }
+
   test("report preserves input row order via seq") {
     val seqs = Audit.audit(projects, schedules, monitoring, nodes, asOf)
       .select("seq").as[Long].collect()

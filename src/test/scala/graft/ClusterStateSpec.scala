@@ -124,4 +124,31 @@ class ClusterStateSpec extends SparkSpec {
     // everything reachable → one cluster labeled by the global min
     assert(grown.map(_._2) === Set(1L))
   }
+
+  test("retention knobs: a rapid 5-publish chain keeps exactly keepLast + CURRENT") {
+    import graft.operators.Generations
+    val dir = tmp()
+    // keepLast = 2 with a zero retention window: each publish retires
+    // everything but the last 2 history entries (CURRENT's target is
+    // always within them here) — the r12 knob, previously hard-coded
+    val r = ClusterState.Retention(keepLast = 2, retentionHours = 0.0)
+    ClusterState.build(edges(1L -> 2L), dir, r)
+    Seq(edges(3L -> 4L), edges(5L -> 6L), edges(7L -> 8L), edges(2L -> 3L))
+      .foreach(b => ClusterState.appendEdges(spark, b, dir, r))
+    val hist = Generations.history(dir)
+    assert(hist.map(_._1) === Seq(1, 2, 3, 4, 5), "history lines must survive retention")
+    val onDisk = hist.filter { case (_, p) => new java.io.File(p).isDirectory }
+    assert(onDisk.map(_._1) === Seq(4, 5),
+      s"expected exactly the last keepLast generations on disk, got $onDisk")
+    // the kept non-CURRENT generation still time-travels; a retired one
+    // fails loudly instead of resolving to a dangling path
+    assert(labelSet(ClusterState.clustersAt(spark, dir, 4).select("id", "cluster_id"))
+      .nonEmpty)
+    intercept[IllegalArgumentException] {
+      ClusterState.clustersAt(spark, dir, 2).collect()
+    }
+    // CURRENT answers the cumulative graph
+    assert(labelSet(current(dir)) === scratch(
+      edges(1L -> 2L, 3L -> 4L, 5L -> 6L, 7L -> 8L, 2L -> 3L)))
+  }
 }

@@ -158,4 +158,42 @@ class ViewStateSpec extends SparkSpec {
       ViewState.build(l, r, Seq("k"), tmp())
     }
   }
+
+  test("bucket width is a build argument persisted in meta; 8 and 128 agree") {
+    // the r12 scale knob: bucket-granularity pruning must be sizeable per
+    // deployment, and the built width must be honored by every later read
+    // — identical merged results at both widths, physical layout at the
+    // built width (not the old fixed 32)
+    val widths = Seq(8, 128).map { nb =>
+      val dir = tmp()
+      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), dir, nb)
+      ViewState.appendLeft(spark, orders.filter(col("o_orderkey") % 3 =!= 0), dir)
+      ViewState.appendRight(spark, cust.filter(col("custkey") % 2 === 1), dir)
+      ViewState.retractLeft(spark, orders.filter(col("o_orderkey") % 5 === 0), dir)
+      val survivors = scratch(orders.filter(col("o_orderkey") % 5 =!= 0), cust)
+      assert(same(ViewState.merged(spark, dir), survivors), s"width $nb")
+      val buckets = new java.io.File(s"$dir/left_store").listFiles()
+        .map(_.getName).filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toLong)
+      assert(buckets.forall(b => b >= 0 && b < nb), s"bucket out of range at $nb")
+      buckets.max
+    }
+    // at 128 the layout actually uses the wider space (fixed-32 would cap
+    // every bucket id below 32)
+    assert(widths(1) >= 32, s"128-bucket store never exceeded bucket ${widths(1)}")
+  }
+
+  test("a pre-r12 meta file (no bucket line) reads as the old fixed 32") {
+    val dir = tmp()
+    ViewState.build(orders.filter(col("o_orderkey") % 3 === 0), cust,
+      Seq("custkey"), dir)
+    // strip the bucket-count line, simulating a store built before r12
+    val metaFile = new java.io.File(s"$dir/keys.txt")
+    val lines = scala.io.Source.fromFile(metaFile).getLines().toList
+    java.nio.file.Files.write(metaFile.toPath,
+      lines.take(4).mkString("\n").getBytes("UTF-8"))
+    ViewState.appendLeft(spark, orders.filter(col("o_orderkey") % 3 =!= 0), dir)
+    assert(same(ViewState.merged(spark, dir), scratch(orders, cust)))
+  }
 }

@@ -162,6 +162,23 @@ object Bench {
     * not cluster scale (the collect is the MemoryStream harness, not the
     * operator). Returns a compact JSON object; a failure degrades to None
     * and never fails the bench. */
+  /** transformWithState micro-bench. Two numbers per processor (r12 — the
+    * r11 single small-batch figure conflated them; profile in
+    * `StreamProfileMain`, decomposition in SURVEY §8):
+    *  - `rows_per_sec` — SUSTAINED throughput at 20k-row batches, where
+    *    the per-batch fixed cost amortizes: the number an ingest pipeline
+    *    (seconds-long triggers, millions of rows) actually sees;
+    *  - `batch_ms_p50` — per-2k-row-batch latency: dominated by the fixed
+    *    cost (~140 ms micro-batch machinery + ~30 ms per state partition
+    *    per batch of RocksDB store lifecycle), the floor a small-batch
+    *    low-latency deployment pays regardless of row count.
+    * Config (both measured levers, applied to the stream queries only):
+    * RocksDB changelog checkpointing ON (avoids the per-batch full
+    * snapshot — ~1.4× at 32 partitions) and state partitions = 8, sized
+    * to the stream's key cardinality (~5 event types) instead of the
+    * batch-side core count: state partitioning is fixed at first start
+    * and each partition pays store open/commit per batch even with zero
+    * keys (32-partition penalty: ~1 s/batch measured). */
   private def streamBench(spark: SparkSession, dir: String): Option[String] =
     scala.util.Try {
       import org.apache.spark.sql.Dataset
@@ -170,41 +187,52 @@ object Bench {
       import org.apache.spark.sql.streaming.Trigger
       import spark.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val restore = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true",
+        "spark.sql.shuffle.partitions" -> "8"
+      ).map { case (k, v) =>
+        val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev
+      }
       try {
         val rows = Tables(spark, dir, "events")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-          .orderBy("ts").limit(20000)
+          .orderBy("ts").limit(100000)
           .as[graft.streaming.EventRow].collect()
-        val batches = rows.grouped(2000).toSeq
         def one(mode: String,
             mk: Dataset[graft.streaming.EventRow] => Dataset[_]): String = {
-          val in = MemoryStream[graft.streaming.EventRow]
-          val q = mk(in.toDS()).writeStream.format("noop")
-            .outputMode(mode).trigger(Trigger.ProcessingTime(0)).start()
-          try {
-            in.addData(batches.head: _*); q.processAllAvailable() // warmup
-            val lats = batches.tail.map { b =>
-              val t0 = System.nanoTime()
-              in.addData(b: _*); q.processAllAvailable()
-              (System.nanoTime() - t0) / 1e6
-            }.sorted
-            val nRows = batches.tail.map(_.length).sum
-            val rps = math.round(nRows / (lats.sum / 1e3))
-            s"""{"rows_per_sec":$rps,"batch_ms_p50":${math.round(lats(lats.size / 2))},""" +
-              s""""n_batches":${lats.size}}"""
-          } finally q.stop()
+          def drive(batches: Seq[Seq[graft.streaming.EventRow]]): (Long, Long, Int) = {
+            val in = MemoryStream[graft.streaming.EventRow]
+            val q = mk(in.toDS()).writeStream.format("noop")
+              .outputMode(mode).trigger(Trigger.ProcessingTime(0)).start()
+            try {
+              in.addData(batches.head: _*); q.processAllAvailable() // warmup
+              val lats = batches.tail.map { b =>
+                val t0 = System.nanoTime()
+                in.addData(b: _*); q.processAllAvailable()
+                (System.nanoTime() - t0) / 1e6
+              }.sorted
+              val nRows = batches.tail.map(_.length).sum
+              (math.round(nRows / (lats.sum / 1e3)),
+                math.round(lats(lats.size / 2)), lats.size)
+            } finally q.stop()
+          }
+          val (rps, _, nT) = drive(rows.grouped(20000).map(_.toSeq).toSeq)
+          val (_, p50, nL) =
+            drive(rows.take(22000).grouped(2000).map(_.toSeq).toSeq)
+          s"""{"rows_per_sec":$rps,"n_batches":$nT,""" +
+            s""""batch_ms_p50":$p50,"n_latency_batches":$nL}"""
         }
         val quant = one("update", ds => graft.streaming.EventsPipeline.runningQuantiles(ds))
         val drift = one("append",
           ds => graft.streaming.EventsPipeline.driftAlerts(ds, bucketMs = 3600L * 1000))
         s"""{"running_quantiles":$quant,"drift_monitor":$drift}"""
-      } finally prev.fold(
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
-        v => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+      } finally restore.foreach { case (k, prev) =>
+        prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+      }
     }.recover { case e =>
       System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
       null

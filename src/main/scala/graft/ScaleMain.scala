@@ -56,22 +56,25 @@ object ScaleMain {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // one job per table: the copy index is a broadcast range crossed into
+    // the scan (the r10 form appended copy-by-copy — 100 sequential jobs
+    // per table at the 100x tier). Output content is identical: keys
+    // shift by copy*1e9, document tokens get the same c<copy> prefix.
+    val copies = spark.range(factor).select(col("id").as("__copy"))
     keyCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      (0 until factor).foreach { i =>
-        val shifted = keys.foldLeft(df) { (acc, k) =>
-          acc.withColumn(k, col(k) + lit(i * Offset))
-        }
-        val copy =
-          if (t == "documents")
-            // per-copy token prefix: zero cross-copy shingle overlap
-            shifted.withColumn("text",
-              concat_ws(" ", transform(split(col("text"), "\\s+"),
-                tok => concat(lit(s"c$i"), tok))))
-          else shifted
-        copy.write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(s"$out/$t.parquet")
+      val shifted = keys.foldLeft(df.crossJoin(broadcast(copies))) { (acc, k) =>
+        acc.withColumn(k, col(k) + col("__copy") * lit(Offset))
       }
+      val copy =
+        if (t == "documents")
+          // per-copy token prefix: zero cross-copy shingle overlap
+          shifted.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), "\\s+"),
+              tok => concat(lit("c"), col("__copy").cast("string"), tok))))
+        else shifted
+      copy.drop("__copy")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"replicated $t x$factor")
     }
   }
@@ -87,7 +90,8 @@ object ScaleMain {
     "q220_prefix_join", "q233_lsh_eval", "q267_ivfpq_index",
     "q274_view_retract", "q275_incr_clusters")
 
-  def run(spark: SparkSession, dir: String, outPath: String): Unit = {
+  def run(spark: SparkSession, dir: String, outPath: String,
+      only: Option[Set[String]] = None): Unit = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val memSpill = new java.util.concurrent.atomic.AtomicLong()
     val diskSpill = new java.util.concurrent.atomic.AtomicLong()
@@ -108,7 +112,7 @@ object ScaleMain {
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
-    val lines = SmokeQueries.map { name =>
+    val lines = SmokeQueries.filter(q => only.forall(_.contains(q))).map { name =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
@@ -138,14 +142,15 @@ object ScaleMain {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleMain gen <srcSfDir> <outDir> [factor] | run <sfDir> <outJsonl>")
+    require(args.length >= 3,
+      "usage: ScaleMain gen <srcSfDir> <outDir> [factor] | run <sfDir> <outJsonl> [q1,q2,...]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "gen" => gen(spark, args(1), args(2),
         if (args.length >= 4) args(3).toInt else 10)
-      case "run" => run(spark, args(1), args(2))
+      case "run" => run(spark, args(1), args(2), Bench.parseOnly(args.lift(3)))
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

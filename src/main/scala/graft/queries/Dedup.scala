@@ -274,20 +274,28 @@ object Dedup {
     // the way the LSH cap drops one — a template family whose rarest
     // tokens are shared genuinely has ~|family|² qualifying pairs. What
     // CAN be avoided is materializing that family as one reducer-side
-    // collect_list array: buckets proven small by a count pre-pass use the
-    // in-array i<j expansion (one shuffle, pairs generated in place);
-    // oversized buckets stream through an equi self-join on the prefix
-    // token, whose per-key group buffer spills
-    // (ExternalAppendOnlyUnsafeRowArray) instead of OOMing. Both paths
-    // produce the same oriented pair set, so the union is output-neutral.
-    val counts = prefixes.groupBy("h")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-    val keyed = prefixes.join(counts, Seq("h"))
+    // collect_list array: buckets proven small use the in-array i<j
+    // expansion (pairs generated in place); oversized buckets stream
+    // through an equi self-join on the prefix token, whose per-key group
+    // buffer spills (ExternalAppendOnlyUnsafeRowArray) instead of OOMing.
+    // Both paths produce the same oriented pair set, so the union is
+    // output-neutral. The bucket size comes from a WINDOW count over the
+    // same h-keyed shuffle the collect needs anyway (WindowExec group
+    // buffers spill; collect_list arrays cannot) — a separate
+    // count+join screen cost an extra shuffle pass here.
+    // Persisted: the sized prefix rows feed BOTH branches below, and the
+    // divergent count filters defeat exchange reuse — unpersisted, the
+    // whole explode + freq join + two-window subtree executed twice
+    // (q220 2.3 s -> 5.5 s when the r12 split first landed). Released
+    // before return; the verified pair output is eagerly checkpointed so
+    // the caller never re-executes the released pipeline.
+    val keyed = prefixes
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
     // — an integer predicate that prunes candidates BEFORE the intersect
     // verify; provably output-neutral
-    val smallPairs = keyed.filter(col("cnt") <= PrefixBucketArrayMax)
+    val smallPairs = keyed.filter(col("cnt").between(2, PrefixBucketArrayMax))
       .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
@@ -307,13 +315,16 @@ object Dedup {
     val pairs = smallPairs.unionByName(bigPairs)
       .dropDuplicates("d1", "d2")
     val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
-    pairs
+    val out = pairs
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jacc", round(
         inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
       .filter(col("jacc") >= 0.7)
       .select("d1", "d2", "jacc")
+      .localCheckpoint(eager = true)
+    keyed.unpersist()
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -514,6 +514,82 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // ---- incremental retrieval-index maintenance (standing postings) -----
+    // The inverted index as a STANDING TABLE: (doc_id, term) -> tf partials
+    // land via operators/AggState build + two blind appends over disjoint
+    // corpus slices, and EVERY retrieval statistic derives from the merged
+    // state — tf directly, dl and the corpus totals by folding state rows,
+    // df by counting postings per term — so growing the corpus never
+    // re-scans it (O(delta) per ingest), and re-scoring reads the state
+    // table, not the documents. Scoring is q109's BM25 verbatim over the
+    // state-derived tf/df/dl, and the oracle IS q109's from-scratch SQL:
+    // the incremental-index ≡ full-rescan equivalence is hash-checked.
+    "q280_incr_bm25" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bm25-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val keys = Seq("doc_id", "term")
+      def postings(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .withColumn("one", lit(1L))
+      AggState.build(postings(docs.filter(col("doc_id") % 3 === 0)), keys, "one", stateDir)
+      AggState.append(postings(docs.filter(col("doc_id") % 3 === 1)), keys, "one", stateDir)
+      AggState.append(postings(docs.filter(col("doc_id") % 3 === 2)), keys, "one", stateDir)
+      val tf = AggState.merged(s, stateDir, keys)
+        .select(col("doc_id"), col("term"), col("n").as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfx.orderBy(col("df").desc, col("term")).limit(3)
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score_e6", expr(Bm25ScoreE6Sql))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum("score_e6").as("bm25_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- retrieval-index takedown (retraction on standing postings) ------
+    // The delete half of q280's lifecycle: a corpus slice is RETRACTED
+    // from the standing postings state (negated partials, O(|deleted|),
+    // no rebuild — AggState.retract), and BM25 over the merged survivors
+    // must equal a from-scratch index over the surviving documents alone:
+    // fully-retracted (doc, term) keys vanish (n = 0 rows filtered), df
+    // and the corpus totals shrink accordingly, and the query terms are
+    // re-derived from the post-takedown df — the oracle builds the
+    // survivor index from scratch, so grown-minus-retracted ≡
+    // survivors-only is hash-checked end to end.
+    "q281_bm25_takedown" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bm25-takedown-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val keys = Seq("doc_id", "term")
+      def postings(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .withColumn("one", lit(1L))
+      AggState.build(postings(docs.filter(col("doc_id") % 3 === 0)), keys, "one", stateDir)
+      AggState.append(postings(docs.filter(col("doc_id") % 3 =!= 0)), keys, "one", stateDir)
+      AggState.retract(postings(docs.filter(col("doc_id") % 3 === 2)), keys, "one", stateDir)
+      val tf = AggState.merged(s, stateDir, keys)
+        .select(col("doc_id"), col("term"), col("n").as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfx.orderBy(col("df").desc, col("term")).limit(3)
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("score_e6", expr(Bm25ScoreE6Sql))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), sum("score_e6").as("bm25_e6"))
+        .orderBy("doc_id")
+    }),
+
     // ---- conjunctive keyword search (posting-list intersection) ----------
     // AND-retrieval over an inverted index: the posting lists of the top-2
     // df terms, intersected. Relationally the intersection is the grouped
@@ -1836,7 +1912,14 @@ object Text {
            |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
-    // q126 oracle verifies both pipelines
-    m + ("q190_hll_native" -> m("q126_hll"))
+    // q126 oracle verifies both pipelines; the incremental postings state
+    // must answer exactly like q109's full re-scan, so its oracle IS
+    // q109's SQL — the equivalence is the gate
+    m + ("q190_hll_native" -> m("q126_hll")) +
+      ("q280_incr_bm25" -> m("q109_bm25")) +
+      // takedown: the oracle is the from-scratch survivor index — q109's
+      // SQL over the documents that were not retracted
+      ("q281_bm25_takedown" -> m("q109_bm25")
+        .replace("FROM documents", "FROM documents WHERE doc_id % 3 <> 2"))
   }
 }

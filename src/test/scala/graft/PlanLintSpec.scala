@@ -81,7 +81,9 @@ class PlanLintSpec extends SparkSpec {
       "q256_expectations", // 1-row checks aggregate × 1-row anti-join count
       "q261_retrieval_eval", // q109's 1-row (n_docs, sum_dl) totals cross
       "q267_ivfpq_index", // 8-row centroid / 4-row codebook broadcast crosses
-      "q276_weighted_bernoulli") // 1-row broadcast total-weight cross (PPS denominator)
+      "q276_weighted_bernoulli", // 1-row broadcast total-weight cross (PPS denominator)
+      "q280_incr_bm25", // q109's 1-row (n_docs, sum_dl) totals cross over state
+      "q281_bm25_takedown") // same totals cross over the post-retraction state
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

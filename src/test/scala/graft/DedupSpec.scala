@@ -152,6 +152,26 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getDouble(2) == 1.0)
   }
 
+  test("prefixPairs oversized buckets take the self-join path, output-identical") {
+    // 300 docs share one shingle-hash set, so every doc's rarest prefix
+    // tokens collide into buckets of 300 > PrefixBucketArrayMax (256):
+    // the EXACT join must keep all C(300,2) pairs via the streaming
+    // self-join (an LSH-style cap would wrongly drop them), while a
+    // 2-doc bucket rides the in-array path — both land in one pair set.
+    val famHs = typedLit(Seq(1L, 2L, 3L, 4L, 5L))
+    val fam = spark.range(300).select(col("id").as("doc_id"),
+      famHs.as("hs"), lit(5).as("sz"))
+    val duo = Seq(700000L, 700001L).toDF("doc_id").select(col("doc_id"),
+      typedLit(Seq(7L, 8L, 9L, 10L)).as("hs"), lit(4).as("sz"))
+    val pairs = Dedup.prefixPairs(fam.unionByName(duo)).collect()
+    val famPairs = pairs.filter(_.getLong(0) < 1000L)
+    assert(famPairs.length == 300 * 299 / 2,
+      s"exact join lost family pairs: ${famPairs.length}")
+    assert(famPairs.forall(_.getDouble(2) == 1.0))
+    assert(pairs.exists(r => r.getLong(0) == 700000L && r.getLong(1) == 700001L))
+    assert(pairs.length == 300 * 299 / 2 + 1)
+  }
+
   test("probePairs mega-bucket screen: degenerate index bucket screened by count") {
     val probe = syntheticBase(0).filter(col("doc_id") === 500000L)
     val probeBands = Dedup.bandKeys(probe).collect()

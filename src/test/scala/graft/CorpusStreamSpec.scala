@@ -184,6 +184,36 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("maintained loop drain window: keepLast holds the superseded generation") {
+    // the r12 retention knob: a multi-reader deployment passes keepLast/
+    // retentionHours so a reader that resolved CURRENT just before the
+    // swap keeps its snapshot on disk — default (keepLast=1, 0h) deletes
+    // it immediately (previous test); keepLast=2 must keep it resolvable
+    import graft.operators.{DedupIndex, Generations}
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_drain_tbl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_drain_out").toString + "/landed"
+    def batch(docs: Doc*): org.apache.spark.sql.DataFrame =
+      docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
+    val run = CorpusStream.maintainedBatch(tableDir, outDir, optimizeEvery = 2,
+      keepLast = 2, retentionHours = 0.0) _
+    try {
+      run(batch(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00"))), 0L)
+      val gen0 = Generations.resolve(tableDir)
+      run(batch(Doc(2, fresh, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      val gen2 = Generations.resolve(tableDir)
+      assert(gen2 != gen0)
+      // the superseded generation survives the swap for the drain window
+      assert(new java.io.File(gen0).exists(),
+        "keepLast=2 should hold the superseded generation on disk")
+      assert(DedupIndex.exists(gen0))
+      // and the lineage still resolves it as the as-of read
+      assert(Generations.resolveAt(tableDir, 1) == gen0)
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("crash repair: ghost index entries tombstoned, content re-admitted") {
     import graft.operators.DedupIndex
     val idxDir = java.nio.file.Files.createTempDirectory("graft_repair_idx").toString

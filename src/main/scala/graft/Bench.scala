@@ -339,6 +339,15 @@ object Bench {
       .flatten).mkString("{", ",", "}")
   }
 
+  /** The same vs-prev numbers FLATTENED to `vs_prev_*` scalar keys — the
+    * trailer form. The trailer must stay a flat JSON object: the legacy
+    * bench_compare envelope fallback grabs it with a non-greedy
+    * `\{"metric":"total_trailer".*?\}`, which a nested object would
+    * truncate at its inner closing brace (losing the calibration). */
+  private[graft] def vsPrevFlat(nested: String): String =
+    nested.stripPrefix("{").stripSuffix("}").split(",(?=\")")
+      .map(kv => "\"vs_prev_" + kv.stripPrefix("\"")).mkString(",")
+
   /** Previous round's bench file: env override, else the highest-numbered
     * `BENCH_r*.json` in the working directory (the driver checks them in). */
   private[graft] def prevBenchPath(): Option[String] =
@@ -400,15 +409,20 @@ object Bench {
       // lifecycle split (VERDICT r11 #7): headline = pure + lifecycle
       val lcTotal = compacted.orElse(raw).get
         .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
+      // field ORDER matters for the driver's 2000-char log-tail capture:
+      // the bulky nested objects (stream_bench, vs_prev) sit BEFORE
+      // queries_raw so the tail retains as many per-query fragments as
+      // possible — bench_compare.py's envelope fallback reads exactly
+      // those fragments for the cross-round per-query comparison
       val extras = Seq(
         Some(s""""total_lifecycle":$lcTotal,"total_pure":${hTotal - lcTotal}"""),
         comp.map { case (_, _, t, _, _) => s""""total_compacted":$t""" },
+        streamLine.map(sl => s""""stream_bench":$sl"""),
+        vsPrev.map(v => s""""vs_prev_normalized":$v"""),
         rawF.map { case (_, _, t, n, _) => s""""$rawKey":$t,"n_raw":$n""" },
         rawF.filter(_ => comp.nonEmpty)
           .map { case (qs, es, _, _, _) => s""""queries_raw":$qs,"errors_raw":$es""" },
         Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}""""),
-        streamLine.map(sl => s""""stream_bench":$sl"""),
-        vsPrev.map(v => s""""vs_prev_normalized":$v"""),
         Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads""")
       ).flatten.mkString(",")
       s"""{"metric":"total","value":$hTotal,"unit":"sec","queries":$hQs,"errors":$hErrs,"sf":"$sfDir",$extras}"""
@@ -463,9 +477,10 @@ object Bench {
     val tc = compacted.map(fmt(_)._3).map(t => s""","total_compacted":$t""").getOrElse("")
     val trKey = if (rawIsSubset) "total_raw_subset" else "total_raw"
     val tr = raw.map(fmt(_)._3).map(t => s""","$trKey":$t""").getOrElse("")
-    // vs_prev + the lifecycle split ride the trailer too: the driver's
-    // tail capture keeps the END of the output, and the trailer is last
-    val vp = vsPrev.map(v => s""","vs_prev_normalized":$v""").getOrElse("")
+    // vs_prev + the lifecycle split ride the trailer too (FLATTENED —
+    // the trailer must stay a nesting-free object, see vsPrevFlat): the
+    // driver's tail capture keeps the END of the output, trailer last
+    val vp = vsPrev.map(v => "," + vsPrevFlat(v)).getOrElse("")
     val lcT = compacted.orElse(raw).get
       .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
     println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")

@@ -71,4 +71,21 @@ class BenchSelectSpec extends AnyFunSuite {
   test("a missing or unparseable prev file yields no field, never a crash") {
     assert(Bench.loadPrevBench("/nonexistent/prev.json").isEmpty)
   }
+
+  test("vsPrevFlat renders trailer-safe scalars — the legacy trailer regex survives") {
+    val prev = Bench.loadPrevBench("BENCH_r10.json").get
+    val (currQ, currCalib, currValue) = Bench.loadPrevBench("BENCH_r11.json").get
+    val nested = Bench.vsPrevJson(prev, "BENCH_r10.json", currQ,
+      currValue.get, currCalib.get)
+    val flat = Bench.vsPrevFlat(nested)
+    // no nesting: bench_compare.py grabs the trailer with a non-greedy
+    // {"metric":"total_trailer".*?} — an inner closing brace would
+    // truncate it and lose the calibration
+    assert(!flat.contains("{") && !flat.contains("}"), flat)
+    assert(flat.contains("\"vs_prev_host_factor\":"))
+    assert(flat.contains("\"vs_prev_median_ratio\":"))
+    val trailer = s"""{"metric":"total_trailer","value":1.0,$flat,"sf":"x"}"""
+    val grabbed = "\\{\"metric\":\"total_trailer\".*?\\}".r.findFirstIn(trailer)
+    assert(grabbed.contains(trailer), s"regex truncated: $grabbed")
+  }
 }

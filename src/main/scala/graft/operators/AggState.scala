@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance — a standing partial-aggregate table
@@ -231,6 +231,150 @@ object AggState {
         min(when(expr("__cum >= (99 * __n + 99) DIV 100"), col("__lower"))).cast("long").as("p99_est"))
   }
 
+  // ---- mergeable membership state (packed Bloom filter) ------------------
+  // The fourth state member (scalars / distincts / quantiles / MEMBERSHIP):
+  // "have we ever ingested this value" as a standing table a scan task can
+  // hold. The state is the classic Bloom filter bit array, stored PACKED —
+  // one row per occupied 64-bit word per key: (keys..., __word, __bits) —
+  // so its size is bounded by mBits/64 rows per key at ANY corpus size,
+  // and the whole filter broadcasts (128 KB dense at the 2^20 default).
+  // Bitwise OR is associative, commutative and idempotent, so:
+  //  - `appendBloom` is a blind write of the delta's packed words (O(Δ));
+  //  - `mergedBloom` folds slice rows with bit_or — grown-via-blind-appends
+  //    is BIT-IDENTICAL to from-scratch by the OR algebra (spec-proved,
+  //    and hash-checked in the q283 gate);
+  //  - no false negatives ever (a set bit is never cleared), false
+  //    positives at the textbook (1-e^{-kn/m})^k rate — both engines
+  //    compute the SAME set because hashing is the shared md5 convention
+  //    and the k probe positions are pure integer math.
+  // Like the KMV sketch there is NO retraction — a bit cannot be un-ORed
+  // (it may be shared); delete means rebuild over the survivors. mBits/k
+  // are BUILD knobs persisted in a meta file (the ViewState lesson: sizing
+  // levers must not be hard-coded), so readers honor whatever the state
+  // was built at. 100 TB posture: the decontamination / novelty screen —
+  // the filter rides a broadcast to every scan task and screens map-side;
+  // only screened-in values reach any shuffle.
+
+  val BloomDefaultBits = 1048573L // largest prime < 2^20 -> <=16384 words
+  val BloomDefaultK = 3
+  // fixed odd primes; position_j = (h * salt_j + j) mod mBits. h < 2^32
+  // and salt < 2^20 keep the product < 2^52 — exact in BIGINT on both
+  // engines (no float, no overflow).
+  private val BloomSalts = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L)
+
+  private def bloomStatePath(stateDir: String): String = s"$stateDir/bloom_state"
+  private def bloomMetaPath(stateDir: String): String = s"$stateDir/bloom_meta.txt"
+
+  final case class BloomMeta(mBits: Long, k: Int)
+
+  def readBloomMeta(stateDir: String): BloomMeta = {
+    val src = scala.io.Source.fromFile(bloomMetaPath(stateDir))
+    val lines = try src.getLines().toList finally src.close()
+    BloomMeta(lines.head.trim.toLong, lines(1).trim.toInt)
+  }
+
+  private def writeBloomMeta(stateDir: String, m: BloomMeta): Unit = {
+    new File(stateDir).mkdirs()
+    java.nio.file.Files.write(new File(bloomMetaPath(stateDir)).toPath,
+      (m.mBits + "\n" + m.k).getBytes("UTF-8"))
+    ()
+  }
+
+  /** The shared 32-bit md5-prefix hash of a column's STRING form (q111's
+    * discipline: md5 over the value's string bytes, so a DuckDB oracle's
+    * ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT reproduces it). */
+  private def bloomHash(valueCol: String): Column =
+    expr("CAST(conv(substring(md5(CAST(CAST(" + valueCol +
+      " AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+
+  /** k probe positions of one value — pure integer math both engines agree
+    * on bit-for-bit. */
+  private def bloomPositions(h: Column, mBits: Long, k: Int): Column = {
+    require(k >= 1 && k <= BloomSalts.length, s"bloom k out of range: $k")
+    array((0 until k).map(j =>
+      pmod(h * lit(BloomSalts(j)) + lit(j.toLong), lit(mBits))): _*)
+  }
+
+  /** Packed word rows for `df`: (keys..., __word, __bits). One explode (k
+    * rows per input) + one partial-aggregating bit_or shuffle bounded at
+    * keys x mBits/64 groups. */
+  def bloomPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+      mBits: Long, k: Int): DataFrame = {
+    val h = bloomHash(valueCol)
+    df.select(keys.map(col) :+ explode(bloomPositions(h, mBits, k)).as("__pos"): _*)
+      .select(keys.map(col) ++ Seq(expr("__pos DIV 64").as("__word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").as("__mask")): _*)
+      .groupBy((keys :+ "__word").map(col): _*)
+      .agg(bit_or(col("__mask")).as("__bits"))
+  }
+
+  def buildBloom(df: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String, mBits: Long = BloomDefaultBits,
+      k: Int = BloomDefaultK): Unit = {
+    require(mBits >= 64, s"bloom mBits too small: $mBits")
+    writeBloomMeta(stateDir, BloomMeta(mBits, k))
+    bloomPartials(df, keys, valueCol, mBits, k)
+      .write.mode("overwrite").parquet(bloomStatePath(stateDir))
+  }
+
+  /** Blind O(delta) append — mBits/k come from the meta the state was
+    * built with, never from the caller. */
+  def appendBloom(delta: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit = {
+    val m = readBloomMeta(stateDir)
+    bloomPartials(delta, keys, valueCol, m.mBits, m.k)
+      .write.mode("append").parquet(bloomStatePath(stateDir))
+  }
+
+  /** The current filter: fold slice words with bit_or (associative +
+    * commutative + idempotent, so any append history folds to the same
+    * array a from-scratch build writes). */
+  def mergedBloom(spark: SparkSession, stateDir: String,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(bloomStatePath(stateDir))
+      .groupBy((keys :+ "__word").map(col): _*)
+      .agg(bit_or(col("__bits")).as("__bits"))
+
+  /** One map row per key group: __word -> __bits, the broadcastable dense
+    * form (bounded at mBits/64 entries per key). */
+  def bloomMap(packed: DataFrame, keys: Seq[String]): DataFrame =
+    packed.groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__word"), col("__bits"))))
+        .as("__bloom"))
+
+  /** Screen `probe` against a packed filter: adds boolean `outCol` — true
+    * iff ALL k probed bits are set. The filter map broadcasts; the test is
+    * k map lookups + getbit per row, map-side, whole-stage codegen — no
+    * shuffle of the probe side. False negatives are impossible; a missing
+    * key group screens everything out (empty filter holds nothing). */
+  def bloomTest(bloomMapDf: DataFrame, probe: DataFrame, keys: Seq[String],
+      valueCol: String, outCol: String, mBits: Long, k: Int): DataFrame = {
+    val joined =
+      if (keys.isEmpty) probe.crossJoin(broadcast(bloomMapDf))
+      else probe.join(broadcast(bloomMapDf), keys, "left")
+    val h = bloomHash(valueCol)
+    val hit = (0 until k).map { j =>
+      val pos = pmod(h * lit(BloomSalts(j)) + lit(j.toLong), lit(mBits))
+      // word = pos div 64 (floor of an exact small double), bit = pos % 64;
+      // an absent word lookup is null -> the conjunct is null -> screened out
+      getbit(element_at(col("__bloom"), floor(pos / lit(64L))),
+        pmod(pos, lit(64L))) === lit(1)
+    }
+    joined
+      .withColumn(outCol, coalesce(hit.reduce(_ && _), lit(false)))
+      .drop("__bloom")
+  }
+
+  /** Screen `probe` against the standing filter under `stateDir` (meta
+    * decides mBits/k): adds boolean `outCol`. */
+  def bloomMightContain(spark: SparkSession, stateDir: String,
+      probe: DataFrame, keys: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val m = readBloomMeta(stateDir)
+    bloomTest(bloomMap(mergedBloom(spark, stateDir, keys), keys), probe,
+      keys, valueCol, outCol, m.mBits, m.k)
+  }
+
   /** Collapse accumulated slice rows to one row per key (and size-target
     * the files), for EVERY state subtable present under `stateDir` — the
     * scalar `state/`, the KMV `distinct_state/` (re-take the bottom-k per
@@ -260,7 +404,7 @@ object AggState {
           view(stateDir), view(outStateDir))))
         require(rep.matches, s"optimize: $sub merged view changed after rewrite: $rep")
       }
-    require(Seq(statePath _, distinctStatePath _, histStatePath _)
+    require(Seq(statePath _, distinctStatePath _, histStatePath _, bloomStatePath _)
         .exists(p => new File(p(stateDir)).isDirectory),
       s"optimize: no state subtables under $stateDir")
     rewrite("agg_state", statePath,
@@ -276,5 +420,14 @@ object AggState {
         .agg(sum("__cnt").as("__cnt"))
         .filter(col("__cnt") =!= 0), // retraction-zeroed buckets drop
       d => mergedHist(spark, d, keys))
+    if (new File(bloomStatePath(stateDir)).isDirectory) {
+      // the meta (mBits/k) travels with the rewrite — later appends and
+      // probes on the NEW generation must honor the built knobs
+      writeBloomMeta(outStateDir, readBloomMeta(stateDir))
+      rewrite("bloom_state", bloomStatePath,
+        st => st.groupBy((keys :+ "__word").map(col): _*)
+          .agg(bit_or(col("__bits")).as("__bits")),
+        d => mergedBloom(spark, d, keys))
+    }
   }
 }

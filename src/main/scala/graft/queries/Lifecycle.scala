@@ -153,6 +153,37 @@ object Lifecycle {
         .orderBy("source", "lang")
     }),
 
+    // ---- standing membership state (packed Bloom filter) -----------------
+    // The fourth AggState member under the gate: the train-split VOCABULARY
+    // as a standing filter, grown by BLIND bitwise-OR appends (three
+    // disjoint corpus slices), probed by the test split's distinct tokens.
+    // OR is associative + commutative + idempotent, so grown-via-appends is
+    // bit-identical to from-scratch — and the oracle rebuilds the filter's
+    // probe-position algebra from the UNION of the slices, so exactly that
+    // law (plus the k=3 position math and its false positives) is
+    // hash-checked at 3 SFs. The novelty/decontamination screen shape: at
+    // 100 TB the filter stays <=16384 packed words per key, broadcasts to
+    // every scan task, and ingest cost is O(delta) forever.
+    "q283_standing_bloom" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bloom-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      val toks = docs.withColumn("bucket", bucket)
+        .select(col("doc_id"), col("bucket"),
+          explode(TrainPrep.rawToks(col("text"))).as("tok"))
+      val train = toks.filter(col("bucket") < 90)
+      AggState.buildBloom(train.filter(col("doc_id") % 3 === 0), Nil, "tok", stateDir)
+      AggState.appendBloom(train.filter(col("doc_id") % 3 === 1), Nil, "tok", stateDir)
+      AggState.appendBloom(train.filter(col("doc_id") % 3 === 2), Nil, "tok", stateDir)
+      val probe = toks.filter(col("bucket") >= 95).select("tok").distinct()
+      AggState.bloomMightContain(s, stateDir, probe, Nil, "tok", "might")
+        .select(col("tok"), col("might").cast("long").as("in_train_bloom"))
+        .orderBy("tok")
+    }),
+
     // ---- incremental SCD2 maintenance ------------------------------------
     // The production dimension-update loop: the pre-cutoff log builds the
     // standing dimension, the post-cutoff batch arrives as a delta, and
@@ -593,6 +624,36 @@ object Lifecycle {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 7 != 3
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // q283: the oracle rebuilds the Bloom from the UNION of the appended
+    // slices (= the train split) and replays the k=3 probe-position math,
+    // so blind-append merge ≡ from-scratch AND the exact pass set (false
+    // positives included) are both hash-checked.
+    "q283_standing_bloom" ->
+      """WITH s AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT unnest(w) AS tok FROM s WHERE bucket < 90),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |trpos AS (SELECT DISTINCT
+        |    (('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |     * CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 1000033 ELSE 1000037 END
+        |     + j) % 1048573 AS pos
+        |  FROM tr, js),
+        |te AS (SELECT DISTINCT unnest(w) AS tok FROM s WHERE bucket >= 95),
+        |tep AS (SELECT tok,
+        |    (('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |     * CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 1000033 ELSE 1000037 END
+        |     + j) % 1048573 AS pos
+        |  FROM te, js),
+        |m AS (SELECT tok, count(trpos.pos) AS nm
+        |      FROM tep LEFT JOIN trpos ON tep.pos = trpos.pos
+        |      GROUP BY tok)
+        |SELECT tok,
+        |  CAST(CASE WHEN nm = 3 THEN 1 ELSE 0 END AS BIGINT) AS in_train_bloom
+        |FROM m ORDER BY tok""".stripMargin,
 
     "q257_agg_state" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -54,7 +54,7 @@ object TrainPrep {
       .orderBy(desc("n_tokens"), asc("source"))
   }
 
-  private def rawToks(c: Column): Column =
+  private[queries] def rawToks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
@@ -220,6 +220,60 @@ object TrainPrep {
           round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4)
             .as("overlap_frac"),
           (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      train.unpersist()
+      base.unpersist()
+      out
+    }),
+
+    // ---- decontamination behind a packed Bloom screen ---------------------
+    // q277's broadcast screen upgraded from the 16-bit fingerprint to the
+    // real tool: a bit-packed Bloom filter (m = 2^20-ish bits, k = 3) built
+    // over the train n-gram hashes with AggState's bloom partials — the
+    // same packed words the STANDING membership state persists (q283), so
+    // the screen algebra is written once. Unlike q277, the screen itself is
+    // part of the OUTPUT (n_pass beside n_hit): the oracle reproduces the
+    // Bloom positions in pure integer math, so the filter's exact pass set
+    // — including any false positives — is hash-checked at 3 SFs, not just
+    // argued neutral. No false negatives by construction (hash equality
+    // implies all k positions equal), so n_hit over the pass set equals
+    // q85's unscreened count. 100 TB: the filter is <=16384 words (128 KB)
+    // at ANY train size, broadcasts to every probe scan task, and only
+    // pass-set n-grams reach the exact-hash shuffle.
+    "q282_bloom_decontam" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val m = AggState.BloomDefaultBits
+      val k = AggState.BloomDefaultK
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      val base = Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("ng", hashedNgrams8(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = base.filter(col("bucket") < 85)
+        .select(explode(col("ng")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = AggState.bloomMap(
+        AggState.bloomPartials(train, Nil, "h", m, k), Nil)
+      val probe = base.filter(col("bucket") >= 90).filter(size(col("ng")) > 0)
+      val probeEx = probe.select(col("doc_id"), explode(col("ng")).as("h"))
+      val pass = AggState.bloomTest(bloom, probeEx, Nil, "h", "__might", m, k)
+        .filter(col("__might"))
+      val nPass = pass.groupBy("doc_id").agg(count(lit(1)).as("n_pass0"))
+      val nHit = pass.join(train, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit0"))
+      val out = probe
+        .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"))
+        .join(nPass, Seq("doc_id"), "left")
+        .join(nHit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+          coalesce(col("n_pass0"), lit(0L)).cast("long").as("n_pass"),
+          coalesce(col("n_hit0"), lit(0L)).cast("long").as("n_hit"))
+        .withColumn("overlap_frac",
+          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4))
+        .withColumn("flagged",
+          (col("n_hit") * 10 >= col("n_ngrams")).cast("long"))
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
       train.unpersist()
@@ -594,6 +648,57 @@ object TrainPrep {
         | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
         | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // q282: the oracle REPRODUCES the Bloom algebra — 32-bit md5-prefix
+    // re-hash of each n-gram hash, k=3 integer probe positions mod the
+    // prime m, pass iff all three positions exist in the train position
+    // set — so the filter's exact pass set (false positives included) is
+    // hash-checked, and n_hit over that pass set must equal the
+    // unscreened q85 count (no false negatives).
+    "q282_bloom_decontam" ->
+      """WITH s AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |g AS (SELECT doc_id, bucket,
+        |   CASE WHEN len(w) < 8 THEN []
+        |        ELSE list_distinct(list_transform(
+        |          [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+        |           w[i+5]||' '||w[i+6]||' '||w[i+7] for i in range(1, len(w) - 6)],
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)) END AS ng
+        |  FROM s),
+        |tr AS (SELECT DISTINCT unnest(ng) AS h FROM g WHERE bucket < 85),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |trpos AS (SELECT DISTINCT
+        |    (('0x' || substr(md5(h::VARCHAR), 1, 8))::BIGINT
+        |     * CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 1000033 ELSE 1000037 END
+        |     + j) % 1048573 AS pos
+        |  FROM tr, js),
+        |te AS (SELECT doc_id, len(ng) AS n_ngrams, unnest(ng) AS h
+        |       FROM g WHERE bucket >= 90 AND len(ng) > 0),
+        |tep AS (SELECT doc_id, h,
+        |    (('0x' || substr(md5(h::VARCHAR), 1, 8))::BIGINT
+        |     * CASE j WHEN 0 THEN 1000003 WHEN 1 THEN 1000033 ELSE 1000037 END
+        |     + j) % 1048573 AS pos
+        |  FROM te, js),
+        |pass AS (SELECT doc_id, h
+        |  FROM tep LEFT JOIN trpos ON tep.pos = trpos.pos
+        |  GROUP BY doc_id, h HAVING count(trpos.pos) = 3),
+        |np AS (SELECT doc_id, count(*) AS n_pass FROM pass GROUP BY doc_id),
+        |nh AS (SELECT p.doc_id, count(*) AS n_hit
+        |       FROM pass p JOIN tr ON p.h = tr.h GROUP BY p.doc_id),
+        |pr AS (SELECT DISTINCT doc_id, len(ng) AS n_ngrams
+        |       FROM g WHERE bucket >= 90 AND len(ng) > 0)
+        |SELECT pr.doc_id, CAST(pr.n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(np.n_pass, 0) AS BIGINT) AS n_pass,
+        |  CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
+        |        / CAST(pr.n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        |  CAST(CASE WHEN coalesce(nh.n_hit, 0) * 10 >= pr.n_ngrams
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM pr LEFT JOIN np USING (doc_id) LEFT JOIN nh USING (doc_id)
+        |ORDER BY pr.doc_id""".stripMargin,
 
     "q90_mix_resample" ->
       """WITH h AS (SELECT source, doc_id,

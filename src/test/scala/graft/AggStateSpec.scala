@@ -248,4 +248,89 @@ class AggStateSpec extends SparkSpec {
       check()
     } finally q.stop()
   }
+
+  // ---- packed Bloom membership state --------------------------------------
+
+  private def tokens(df: org.apache.spark.sql.DataFrame) =
+    df.select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  test("bloom: blind appends fold to the exact from-scratch filter") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val grown = tmp(); val scratch = tmp()
+    AggState.buildBloom(tokens(docs.filter(col("doc_id") % 3 === 0)), Nil, "tok", grown)
+    AggState.appendBloom(tokens(docs.filter(col("doc_id") % 3 === 1)), Nil, "tok", grown)
+    AggState.appendBloom(tokens(docs.filter(col("doc_id") % 3 === 2)), Nil, "tok", grown)
+    AggState.buildBloom(tokens(docs), Nil, "tok", scratch)
+    val g = AggState.mergedBloom(spark, grown, Nil)
+    val s0 = AggState.mergedBloom(spark, scratch, Nil)
+    // bitwise OR is associative/commutative/idempotent: any append history
+    // folds to the identical packed array
+    assert(g.exceptAll(s0).isEmpty && s0.exceptAll(g).isEmpty)
+    // and the grown state holds one row per (word, slice) before optimize
+    assert(spark.read.parquet(s"$grown/bloom_state").count() > g.count())
+  }
+
+  test("bloom: no false negatives ever; false positives rare at the default sizing") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp()
+    AggState.buildBloom(tokens(docs), Nil, "tok", dir)
+    val inserted = tokens(docs).distinct()
+    val fn = AggState.bloomMightContain(spark, dir, inserted, Nil, "tok", "might")
+      .filter(!col("might")).count()
+    assert(fn === 0L) // a set bit is never cleared -> no false negatives
+    val absent = spark.range(1000)
+      .select(concat(lit("__absent_token_"), col("id")).as("tok"))
+    val fp = AggState.bloomMightContain(spark, dir, absent, Nil, "tok", "might")
+      .filter(col("might")).count()
+    // (1 - e^{-kn/m})^k with n ~ a few hundred distinct tokens, m = 2^20,
+    // k = 3 is ~0; allow a loose bound so the assert is sizing, not luck
+    assert(fp < 10L, s"bloom FP rate too high: $fp / 1000")
+  }
+
+  test("bloom: mBits/k are build knobs persisted in meta and honored by reads") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp()
+    AggState.buildBloom(tokens(docs.filter(col("doc_id") < 100)), Nil, "tok",
+      dir, mBits = 127L, k = 2)
+    assert(AggState.readBloomMeta(dir) === AggState.BloomMeta(127L, 2))
+    // append reads the meta, not caller defaults: all words stay < ceil(127/64)
+    AggState.appendBloom(tokens(docs.filter(col("doc_id") >= 100)), Nil, "tok", dir)
+    val words = AggState.mergedBloom(spark, dir, Nil)
+      .agg(max("__word")).head.getLong(0)
+    assert(words <= 1L)
+    // probes honor the built width too: every inserted token still passes
+    val fn = AggState.bloomMightContain(spark, dir, tokens(docs).distinct(),
+      Nil, "tok", "might").filter(!col("might")).count()
+    assert(fn === 0L)
+  }
+
+  test("bloom: keyed filters isolate key groups") {
+    val df = spark.createDataFrame(Seq(
+      ("en", "hello"), ("en", "world"), ("de", "hallo"))).toDF("lang", "tok")
+    val dir = tmp()
+    AggState.buildBloom(df, Seq("lang"), "tok", dir)
+    val probe = spark.createDataFrame(Seq(
+      ("en", "hello"), ("de", "hello"), ("fr", "hello"))).toDF("lang", "tok")
+    val got = AggState.bloomMightContain(spark, dir, probe, Seq("lang"), "tok", "might")
+      .select("lang", "might").collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("en") === true)   // present under its key
+    assert(got("de") === false)  // other key's filter does not leak
+    assert(got("fr") === false)  // missing key group screens out
+  }
+
+  test("bloom: optimize collapses slice words, preserves the filter, carries meta") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp(); val out = tmp()
+    AggState.buildBloom(tokens(docs.filter(col("doc_id") % 2 === 0)), Nil, "tok", dir)
+    AggState.appendBloom(tokens(docs.filter(col("doc_id") % 2 === 1)), Nil, "tok", dir)
+    val before = AggState.mergedBloom(spark, dir, Nil)
+    AggState.optimize(spark, dir, out, Nil)
+    val after = AggState.mergedBloom(spark, out, Nil)
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty)
+    assert(spark.read.parquet(s"$out/bloom_state").count() === after.count())
+    assert(AggState.readBloomMeta(out) === AggState.readBloomMeta(dir))
+    // the new generation stays appendable (meta travelled with the rewrite)
+    AggState.appendBloom(tokens(docs.limit(5)), Nil, "tok", out)
+  }
 }

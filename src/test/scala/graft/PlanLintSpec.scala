@@ -83,7 +83,9 @@ class PlanLintSpec extends SparkSpec {
       "q267_ivfpq_index", // 8-row centroid / 4-row codebook broadcast crosses
       "q276_weighted_bernoulli", // 1-row broadcast total-weight cross (PPS denominator)
       "q280_incr_bm25", // q109's 1-row (n_docs, sum_dl) totals cross over state
-      "q281_bm25_takedown") // same totals cross over the post-retraction state
+      "q281_bm25_takedown", // same totals cross over the post-retraction state
+      "q282_bloom_decontam", // 1-row packed-Bloom map cross (<=16384 entries) screens map-side
+      "q283_standing_bloom") // same 1-row filter-map cross from the standing state
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

@@ -23,7 +23,7 @@ import graft.operators.{AggState, Generations}
   * (n/sum exact, min/max become lifetime bounds — see
   * [[graft.operators.AggState.retract]]), `merged` materializes the
   * current exact aggregate, `optimize` collapses accumulated slice rows
-  * for EVERY subtable present (scalar/KMV/histogram) into a NEW
+  * for EVERY subtable present (scalar/KMV/histogram/Bloom) into a NEW
   * generation dir, `publish` switches readers atomically, `resolve`
   * addresses the live generation.
   */

@@ -267,6 +267,9 @@ object AggState {
 
   final case class BloomMeta(mBits: Long, k: Int)
 
+  def bloomExists(stateDir: String): Boolean =
+    new File(bloomStatePath(stateDir)).isDirectory
+
   def readBloomMeta(stateDir: String): BloomMeta = {
     val src = scala.io.Source.fromFile(bloomMetaPath(stateDir))
     val lines = try src.getLines().toList finally src.close()
@@ -352,17 +355,19 @@ object AggState {
     val joined =
       if (keys.isEmpty) probe.crossJoin(broadcast(bloomMapDf))
       else probe.join(broadcast(bloomMapDf), keys, "left")
-    val h = bloomHash(valueCol)
+    // hash ONCE per row into a hidden column (k conjuncts would otherwise
+    // each re-evaluate the md5), then k pure-integer probes over it
     val hit = (0 until k).map { j =>
-      val pos = pmod(h * lit(BloomSalts(j)) + lit(j.toLong), lit(mBits))
+      val pos = pmod(col("__bh") * lit(BloomSalts(j)) + lit(j.toLong), lit(mBits))
       // word = pos div 64 (floor of an exact small double), bit = pos % 64;
       // an absent word lookup is null -> the conjunct is null -> screened out
       getbit(element_at(col("__bloom"), floor(pos / lit(64L))),
         pmod(pos, lit(64L))) === lit(1)
     }
     joined
+      .withColumn("__bh", bloomHash(valueCol))
       .withColumn(outCol, coalesce(hit.reduce(_ && _), lit(false)))
-      .drop("__bloom")
+      .drop("__bloom", "__bh")
   }
 
   /** Screen `probe` against the standing filter under `stateDir` (meta

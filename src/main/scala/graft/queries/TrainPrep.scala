@@ -260,13 +260,14 @@ object TrainPrep {
       val probeEx = probe.select(col("doc_id"), explode(col("ng")).as("h"))
       val pass = AggState.bloomTest(bloom, probeEx, Nil, "h", "__might", m, k)
         .filter(col("__might"))
-      val nPass = pass.groupBy("doc_id").agg(count(lit(1)).as("n_pass0"))
-      val nHit = pass.join(train, Seq("h"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit0"))
+      // one consumption of the pass set: n_pass and n_hit fold in the SAME
+      // aggregation (a second consumer would re-run the screen chain)
+      val counts = pass.join(train.withColumn("__t", lit(1L)), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pass0"), count(col("__t")).as("n_hit0"))
       val out = probe
         .select(col("doc_id"), size(col("ng")).cast("long").as("n_ngrams"))
-        .join(nPass, Seq("doc_id"), "left")
-        .join(nHit, Seq("doc_id"), "left")
+        .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_ngrams"),
           coalesce(col("n_pass0"), lit(0L)).cast("long").as("n_pass"),
           coalesce(col("n_hit0"), lit(0L)).cast("long").as("n_hit"))

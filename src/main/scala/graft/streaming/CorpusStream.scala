@@ -75,6 +75,67 @@ object CorpusStream {
       .withColumn("text", Redaction.redactPii(col("text")))
       .drop("w", "text_hash")
 
+  /** Novelty gate against the standing Bloom membership state
+    * ([[graft.operators.AggState]], r12) — the cheap "seen-before" screen
+    * a crawler feed runs BEFORE the LSH probe: a doc whose distinct
+    * 8-grams are mostly already in the corpus (re-crawl, template remix,
+    * syndicated copy) is dropped without ever touching the index. Per
+    * micro-batch:
+    *
+    *  1. probe each doc's hashed 8-grams against the standing filter —
+    *     one broadcast of <=16384 packed words, k map lookups per n-gram,
+    *     map-side, no shuffle of the corpus (which is never rescanned);
+    *  2. admit docs whose NOVEL fraction clears `minNovelBp` (integer
+    *     basis points — no float boundary); docs too short to carry an
+    *     8-gram are admitted (no signal — the quality gates own them);
+    *  3. admitted docs' n-grams fold into the filter by a blind
+    *     bitwise-OR append (O(batch) forever), THEN the batch lands —
+    *     the nearDupBatch ordering, so a crash-replayed batch re-probes
+    *     a filter that already holds its n-grams and under-admits
+    *     (fail-safe for curation; never a duplicate landed twice).
+    *
+    * The filter is the right memory bound for this screen: exact n-gram
+    * state grows with the corpus, the Bloom stays mBits forever. False
+    * positives make a doc look LESS novel by the filter's FP rate
+    * (~0.005% at the 2^20/k=3 default with 10^5 n-grams) — a curation
+    * bias toward dropping, never a correctness leak; size mBits up for
+    * bigger corpora (it is a build knob persisted in the state's meta).
+    */
+  def noveltyBatch(bloomDir: String, outDir: String, minNovelBp: Long = 3000L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.AggState
+    val spark = batch.sparkSession
+    val base = batch
+      .withColumn("__ng", graft.queries.TrainPrep.hashedNgrams8(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ex = base.filter(size(col("__ng")) > 0)
+        .select(col("doc_id"), explode(col("__ng")).as("__h"))
+      val probed =
+        if (AggState.bloomExists(bloomDir))
+          AggState.bloomMightContain(spark, bloomDir, ex, Nil, "__h", "__seen")
+        else ex.withColumn("__seen", lit(false)) // first batch: empty corpus
+      val novelIds = probed.groupBy("doc_id")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__seen"), 0L).otherwise(1L)).as("__novel"))
+        .filter(expr(s"(__novel * 10000) DIV __n >= $minNovelBp"))
+        .select("doc_id")
+      // PIN the admission decision BEFORE mutating the filter (the
+      // nearDupBatch discipline): the sink write re-evaluates its input,
+      // and an un-pinned plan would re-probe a filter that already holds
+      // this batch's n-grams — every admitted doc would then read as
+      // seen and silently vanish from the sink
+      val admitted = base.join(novelIds, Seq("doc_id"), "left_semi")
+        .unionByName(base.filter(size(col("__ng")) === 0))
+        .localCheckpoint(eager = true)
+      val admittedNg = admitted.select(explode(col("__ng")).as("__h"))
+      if (AggState.bloomExists(bloomDir))
+        AggState.appendBloom(admittedNg, Nil, "__h", bloomDir)
+      else AggState.buildBloom(admittedNg, Nil, "__h", bloomDir)
+      admitted.drop("__ng").write.mode("append").parquet(outDir)
+    } finally base.unpersist()
+  }
+
   /** Near-dup curation against the standing index, as a `foreachBatch`
     * sink for the [[curated]] stream:
     *

@@ -148,6 +148,51 @@ class CorpusStreamSpec extends SparkSpec {
   private val fresh2 = "quarterly revenue numbers for the hardware division " +
     "show a steady climb in unit sales across all partner channels this year"
 
+  test("novelty gate: standing bloom drops re-crawls and template remixes across batches") {
+    implicit val sc = spark.sqlContext
+    // 60 distinct tokens -> 53 distinct 8-grams; a ONE-WORD middle edit
+    // changes exactly 8 of them (novel fraction 8/53 ~ 15% < the 30%
+    // gate), while a fresh 20-token doc is 100% novel
+    val words = (1 to 60).map(i => s"tok$i")
+    val long1 = words.mkString(" ")
+    val remix = words.updated(29, "swapped").mkString(" ")
+    val freshDoc = (1 to 20).map(i => s"new$i").mkString(" ")
+    val bloomDir = java.nio.file.Files.createTempDirectory("graft_bloom_gate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bloom_out").toString + "/landed"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bloom_ckpt").toString
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .foreachBatch(CorpusStream.noveltyBatch(bloomDir, outDir) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(Doc(1, long1, "en", "crawl", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(
+        Doc(2, long1, "en", "mirror", t("2024-01-01 10:05:00")),   // exact re-crawl: 0% novel
+        Doc(3, remix, "en", "crawl", t("2024-01-01 10:06:00")),    // template remix: ~15% novel
+        Doc(4, freshDoc, "en", "crawl", t("2024-01-01 10:07:00")), // 100% novel
+        Doc(5, "tiny text", "en", "crawl", t("2024-01-01 10:08:00"))) // no 8-gram: admitted
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 4L, 5L),
+        s"bloom gate must drop the re-crawl and the remix, got $landed")
+      // the filter grew only by admissions: the remix's 8 novel 8-grams
+      // were never folded in, so a THIRD batch repeating the remix still
+      // sees them as novel (state holds admitted content only)
+      in.addData(Doc(6, remix, "en", "crawl", t("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      val landed2 = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed2 == Seq(1L, 4L, 5L), s"remix must stay dropped: $landed2")
+    } finally {
+      q.stop()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("maintained loop: optimize + publish every N batches, probes survive the swap") {
     import graft.operators.{DedupIndex, Generations}
     val tableDir = java.nio.file.Files.createTempDirectory("graft_gen_tbl").toString

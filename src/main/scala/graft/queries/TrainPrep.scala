@@ -58,6 +58,38 @@ object TrainPrep {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
+  // q284's sigmoid and weight-update expressions, shared VERBATIM between
+  // the Spark plan and the DuckDB oracle (identical IEEE op sequences over
+  // exact BIGINT inputs — the q93/q108/q151 discipline)
+  private val TrainSigmoidExpr =
+    "1.0 / (1.0 + exp(-(w0 + w1 * (CAST(x1i AS DOUBLE) / 100.0) " +
+      "+ w2 * (CAST(x2i AS DOUBLE) / 10000.0))))"
+  private def TrainUpdExpr(j: Int): String =
+    s"w$j - 0.5 * ((CAST(g$j AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE))"
+
+  // one GD iteration of the q284 oracle: sigmoid + gradient sums over the
+  // feature CTE `d` crossed with the 1-row weight CTE `wc` — the same
+  // shared-verbatim expressions the Spark plan evaluates
+  private def trainIterCtes(i: Int, wc: String): String =
+    s"""p$i AS (SELECT x1i, x2i, yi, w0, w1, w2, $TrainSigmoidExpr AS p
+       |        FROM d, $wc),
+       |e$i AS (SELECT *, p - CAST(yi AS DOUBLE) AS err FROM p$i),
+       |s$i AS (SELECT count(*) AS n,
+       |  sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS g0,
+       |  sum(CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)) AS g1,
+       |  sum(CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)) AS g2,
+       |  sum(CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0)
+       |      THEN 1 ELSE 0 END) AS n_ok,
+       |  min(w0) AS w0, min(w1) AS w1, min(w2) AS w2 FROM e$i)""".stripMargin
+
+  private def trainRowSql(i: Int): String =
+    s"""SELECT CAST($i AS BIGINT) AS iter,
+       |  CAST((n_ok * 10000) // n AS BIGINT) AS acc_bp,
+       |  CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6,
+       |  CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6,
+       |  CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6
+       |FROM s$i""".stripMargin
+
   /** Distinct md5-hashed 8-gram set of a text column — q85's contamination
     * unit, extracted so CorpusMain's decontamination stage uses the exact
     * construction the oracle-verified query does. The 8-gram build is
@@ -280,6 +312,58 @@ object TrainPrep {
       train.unpersist()
       base.unpersist()
       out
+    }),
+
+    // ---- in-engine classifier training (batch gradient descent) ----------
+    // The distributed-ML training loop as pure DataFrame algebra: a
+    // logistic-regression quality/language classifier trained by 3 full-
+    // batch GD steps — each step is ONE corpus aggregation (map-side
+    // partial sums) + a 1-row weight broadcast, the aggregate-broadcast
+    // shape every data-parallel trainer (MLlib included) reduces to. At
+    // 100 TB each step shuffles 4 longs per partition, nothing else.
+    // Cross-engine exactness: per-row gradient contributions are
+    // floor-e9'd to BIGINT before summation (a raw double sum is
+    // order-dependent — the q126 lesson), the sigmoid is the shared-
+    // verbatim expression (exp parity is gate-proven by q151), and each
+    // 1-row weight state is eagerly checkpointed so the chain reads 3
+    // corpus passes total, not a re-executed pyramid. Features: token
+    // count (x/100) and stopword basis points (x/10000); label lang='en'.
+    "q284_train_classifier" -> ((s: SparkSession, dir: String) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val base = Tables(s, dir, "documents")
+        .withColumn("w", rawToks(col("text")))
+        .withColumn("x1i", size(col("w")).cast("long"))
+        .filter(col("x1i") > 0)
+        .withColumn("hits", size(filter(col("w"),
+          t => array_contains(array(stop.map(lit): _*), t))).cast("long"))
+        .select(col("x1i"), expr("(hits * 10000) div x1i").as("x2i"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("yi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w0 = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      val (rows, _) = (1 to 3).foldLeft((Seq.empty[org.apache.spark.sql.DataFrame], w0)) {
+        case ((acc, w), t) =>
+          val st = base.crossJoin(broadcast(w))
+            .withColumn("p", expr(TrainSigmoidExpr))
+            .withColumn("err", expr("p - CAST(yi AS DOUBLE)"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
+              sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
+              sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
+              sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
+              min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
+            .localCheckpoint(eager = true) // 1 row; pins this pass's sums
+          val nextW = st.selectExpr(
+            s"${TrainUpdExpr(0)} AS w0", s"${TrainUpdExpr(1)} AS w1",
+            s"${TrainUpdExpr(2)} AS w2")
+          val row = st.selectExpr(s"CAST($t AS BIGINT) AS iter",
+            "CAST((n_ok * 10000) div n AS BIGINT) AS acc_bp",
+            s"CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6",
+            s"CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6",
+            s"CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6")
+          (acc :+ row, nextW)
+      }
+      base.unpersist()
+      rows.reduce(_ unionByName _).orderBy("iter")
     }),
 
     // ---- feature hashing (the hashing-trick vectorizer) ------------------
@@ -649,6 +733,32 @@ object TrainPrep {
         | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
         | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // q284: three unrolled GD iterations — the sigmoid/update expressions
+    // are the SAME Scala strings the Spark plan evaluates, gradient sums
+    // are floor-e9 BIGINTs (order-independent), so the weight trajectory
+    // is bit-reproducible end to end
+    "q284_train_classifier" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+         |  FROM documents),
+         |d AS (SELECT CAST(len(w) AS BIGINT) AS x1i,
+         |   (CAST(len(list_filter(w, tk -> list_contains(
+         |      ['the','a','of','and','to','in','is','it'], tk))) AS BIGINT)
+         |    * 10000) // CAST(len(w) AS BIGINT) AS x2i,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yi
+         |  FROM t WHERE len(w) > 0),
+         |w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |${trainIterCtes(1, "w0c")},
+         |w1c AS (SELECT ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s1),
+         |${trainIterCtes(2, "w1c")},
+         |w2c AS (SELECT ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s2),
+         |${trainIterCtes(3, "w2c")}
+         |${trainRowSql(1)} UNION ALL ${trainRowSql(2)} UNION ALL ${trainRowSql(3)}
+         |ORDER BY iter""".stripMargin,
 
     // q282: the oracle REPRODUCES the Bloom algebra — 32-bit md5-prefix
     // re-hash of each n-gram hash, k=3 integer probe positions mod the

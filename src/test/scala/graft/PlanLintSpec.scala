@@ -85,7 +85,8 @@ class PlanLintSpec extends SparkSpec {
       "q280_incr_bm25", // q109's 1-row (n_docs, sum_dl) totals cross over state
       "q281_bm25_takedown", // same totals cross over the post-retraction state
       "q282_bloom_decontam", // 1-row packed-Bloom map cross (<=16384 entries) screens map-side
-      "q283_standing_bloom") // same 1-row filter-map cross from the standing state
+      "q283_standing_bloom", // same 1-row filter-map cross from the standing state
+      "q284_train_classifier") // 1-row GD weight vector cross, once per iteration
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

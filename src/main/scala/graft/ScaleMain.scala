@@ -88,7 +88,12 @@ object ScaleMain {
     "q37_minhash_lsh", "q70_dup_clusters", "q85_decontaminate",
     "q91_lm_score", "q101_pagerank", "q128_canonical", "q188_profile",
     "q220_prefix_join", "q233_lsh_eval", "q267_ivfpq_index",
-    "q274_view_retract", "q275_incr_clusters")
+    "q274_view_retract", "q275_incr_clusters",
+    // r12: the Bloom screen (its broadcast stays 16384 words at ANY corpus
+    // size — the claim the grown fixture checks), the standing-filter
+    // lifecycle, and the GD training loop (3 aggregation rounds whose
+    // shuffle payload is 4 longs per partition regardless of corpus size)
+    "q282_bloom_decontam", "q283_standing_bloom", "q284_train_classifier")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

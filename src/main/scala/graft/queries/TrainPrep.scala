@@ -67,12 +67,12 @@ object TrainPrep {
   private def TrainUpdExpr(j: Int): String =
     s"w$j - 0.5 * ((CAST(g$j AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE))"
 
-  // one GD iteration of the q284 oracle: sigmoid + gradient sums over the
-  // feature CTE `d` crossed with the 1-row weight CTE `wc` — the same
-  // shared-verbatim expressions the Spark plan evaluates
-  private def trainIterCtes(i: Int, wc: String): String =
+  // one GD iteration of the q284/q285 oracles: sigmoid + gradient sums
+  // over the feature CTE `src` crossed with the 1-row weight CTE `wc` —
+  // the same shared-verbatim expressions the Spark plan evaluates
+  private def trainIterCtes(i: Int, wc: String, src: String = "d"): String =
     s"""p$i AS (SELECT x1i, x2i, yi, w0, w1, w2, $TrainSigmoidExpr AS p
-       |        FROM d, $wc),
+       |        FROM $src, $wc),
        |e$i AS (SELECT *, p - CAST(yi AS DOUBLE) AS err FROM p$i),
        |s$i AS (SELECT count(*) AS n,
        |  sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS g0,
@@ -81,6 +81,26 @@ object TrainPrep {
        |  sum(CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0)
        |      THEN 1 ELSE 0 END) AS n_ok,
        |  min(w0) AS w0, min(w1) AS w1, min(w2) AS w2 FROM e$i)""".stripMargin
+
+  /** One full-batch GD pass over `feat` (x1i, x2i, yi) at weights `w`:
+    * the 1-row stats (n, g0..g2, n_ok, carried w0..w2), eagerly
+    * checkpointed so downstream consumers never re-run the corpus pass. */
+  private def gdStep(feat: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    feat.crossJoin(broadcast(w))
+      .withColumn("p", expr(TrainSigmoidExpr))
+      .withColumn("err", expr("p - CAST(yi AS DOUBLE)"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
+        sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
+        sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
+        sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
+        min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
+      .localCheckpoint(eager = true)
+
+  private def gdNextW(st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    st.selectExpr(s"${TrainUpdExpr(0)} AS w0", s"${TrainUpdExpr(1)} AS w1",
+      s"${TrainUpdExpr(2)} AS w2")
 
   private def trainRowSql(i: Int): String =
     s"""SELECT CAST($i AS BIGINT) AS iter,
@@ -342,28 +362,62 @@ object TrainPrep {
       val w0 = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
       val (rows, _) = (1 to 3).foldLeft((Seq.empty[org.apache.spark.sql.DataFrame], w0)) {
         case ((acc, w), t) =>
-          val st = base.crossJoin(broadcast(w))
-            .withColumn("p", expr(TrainSigmoidExpr))
-            .withColumn("err", expr("p - CAST(yi AS DOUBLE)"))
-            .agg(count(lit(1)).as("n"),
-              sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
-              sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
-              sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
-              sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
-              min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
-            .localCheckpoint(eager = true) // 1 row; pins this pass's sums
-          val nextW = st.selectExpr(
-            s"${TrainUpdExpr(0)} AS w0", s"${TrainUpdExpr(1)} AS w1",
-            s"${TrainUpdExpr(2)} AS w2")
+          val st = gdStep(base, w) // 1 row; pins this pass's sums
           val row = st.selectExpr(s"CAST($t AS BIGINT) AS iter",
             "CAST((n_ok * 10000) div n AS BIGINT) AS acc_bp",
             s"CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6",
             s"CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6",
             s"CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6")
-          (acc :+ row, nextW)
+          (acc :+ row, gdNextW(st))
       }
       base.unpersist()
       rows.reduce(_ unionByName _).orderBy("iter")
+    }),
+
+    // ---- held-out evaluation of the in-engine trained model --------------
+    // The honest ML loop q284 demonstrates in miniature: fit ONLY on q73's
+    // train split (bucket < 90), score ONLY the test split (bucket >= 95),
+    // report the confusion matrix + accuracy/precision/recall in integer
+    // basis points (0-denominator arms -> -1 sentinel, never NULL). Same
+    // shared-verbatim sigmoid/update algebra, same floor-e9 gradient sums,
+    // so train-split weights and held-out predictions are bit-reproduced
+    // by the oracle's unrolled CTEs. One extra corpus pass over q284 (the
+    // eval); the broadcast weight vector is the only cross-step state.
+    "q285_train_eval" -> ((s: SparkSession, dir: String) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      val base = Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("w", rawToks(col("text")))
+        .withColumn("x1i", size(col("w")).cast("long"))
+        .filter(col("x1i") > 0)
+        .withColumn("hits", size(filter(col("w"),
+          t => array_contains(array(stop.map(lit): _*), t))).cast("long"))
+        .select(col("bucket"), col("x1i"),
+          expr("(hits * 10000) div x1i").as("x2i"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("yi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = base.filter(col("bucket") < 90)
+      val w0 = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      val w3 = (1 to 3).foldLeft(w0)((w, _) => gdNextW(gdStep(train, w)))
+      val out = base.filter(col("bucket") >= 95)
+        .crossJoin(broadcast(w3))
+        .withColumn("p", expr(TrainSigmoidExpr))
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("CASE WHEN p >= 0.5 AND yi = 1 THEN 1 ELSE 0 END")).as("tp"),
+          sum(expr("CASE WHEN p >= 0.5 AND yi = 0 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN p < 0.5 AND yi = 0 THEN 1 ELSE 0 END")).as("tn"),
+          sum(expr("CASE WHEN p < 0.5 AND yi = 1 THEN 1 ELSE 0 END")).as("fn"))
+        .selectExpr("CAST(n_test AS BIGINT) AS n_test",
+          "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+          "CAST(tn AS BIGINT) AS tn", "CAST(fn AS BIGINT) AS fn",
+          "CAST(((tp + tn) * 10000) div n_test AS BIGINT) AS acc_bp",
+          "CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE (tp * 10000) div (tp + fp) END AS BIGINT) AS precision_bp",
+          "CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE (tp * 10000) div (tp + fn) END AS BIGINT) AS recall_bp")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
     }),
 
     // ---- feature hashing (the hashing-trick vectorizer) ------------------
@@ -759,6 +813,50 @@ object TrainPrep {
          |${trainIterCtes(3, "w2c")}
          |${trainRowSql(1)} UNION ALL ${trainRowSql(2)} UNION ALL ${trainRowSql(3)}
          |ORDER BY iter""".stripMargin,
+
+    // q285: q284's unrolled CTEs restricted to the train split, plus one
+    // eval CTE scoring the held-out split at the final weights
+    "q285_train_eval" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+         |  FROM documents),
+         |d0 AS (SELECT
+         |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket,
+         |   CAST(len(w) AS BIGINT) AS x1i,
+         |   (CAST(len(list_filter(w, tk -> list_contains(
+         |      ['the','a','of','and','to','in','is','it'], tk))) AS BIGINT)
+         |    * 10000) // CAST(len(w) AS BIGINT) AS x2i,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yi
+         |  FROM t WHERE len(w) > 0),
+         |tr AS (SELECT x1i, x2i, yi FROM d0 WHERE bucket < 90),
+         |te AS (SELECT x1i, x2i, yi FROM d0 WHERE bucket >= 95),
+         |w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |${trainIterCtes(1, "w0c", "tr")},
+         |w1c AS (SELECT ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s1),
+         |${trainIterCtes(2, "w1c", "tr")},
+         |w2c AS (SELECT ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s2),
+         |${trainIterCtes(3, "w2c", "tr")},
+         |w3c AS (SELECT ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s3),
+         |ev AS (SELECT yi, $TrainSigmoidExpr AS p FROM te, w3c),
+         |ag AS (SELECT count(*) AS n_test,
+         |   sum(CASE WHEN p >= 0.5 AND yi = 1 THEN 1 ELSE 0 END) AS tp,
+         |   sum(CASE WHEN p >= 0.5 AND yi = 0 THEN 1 ELSE 0 END) AS fp,
+         |   sum(CASE WHEN p < 0.5 AND yi = 0 THEN 1 ELSE 0 END) AS tn,
+         |   sum(CASE WHEN p < 0.5 AND yi = 1 THEN 1 ELSE 0 END) AS fn
+         |  FROM ev)
+         |SELECT CAST(n_test AS BIGINT) AS n_test,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+         |  CAST(((tp + tn) * 10000) // n_test AS BIGINT) AS acc_bp,
+         |  CAST(CASE WHEN tp + fp = 0 THEN -1
+         |       ELSE (tp * 10000) // (tp + fp) END AS BIGINT) AS precision_bp,
+         |  CAST(CASE WHEN tp + fn = 0 THEN -1
+         |       ELSE (tp * 10000) // (tp + fn) END AS BIGINT) AS recall_bp
+         |FROM ag""".stripMargin,
 
     // q282: the oracle REPRODUCES the Bloom algebra — 32-bit md5-prefix
     // re-hash of each n-gram hash, k=3 integer probe positions mod the

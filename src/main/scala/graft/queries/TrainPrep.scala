@@ -82,6 +82,21 @@ object TrainPrep {
        |      THEN 1 ELSE 0 END) AS n_ok,
        |  min(w0) AS w0, min(w1) AS w1, min(w2) AS w2 FROM e$i)""".stripMargin
 
+  // q286's keyed variant: the weight table joins by source and the sums
+  // group by it — one model per key, same shared-verbatim expressions
+  private def trainIterCtesKeyed(i: Int, wc: String): String =
+    s"""p$i AS (SELECT source, x1i, x2i, yi, w0, w1, w2, $TrainSigmoidExpr AS p
+       |        FROM d JOIN $wc USING (source)),
+       |e$i AS (SELECT *, p - CAST(yi AS DOUBLE) AS err FROM p$i),
+       |s$i AS (SELECT source, count(*) AS n,
+       |  sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS g0,
+       |  sum(CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)) AS g1,
+       |  sum(CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)) AS g2,
+       |  sum(CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0)
+       |      THEN 1 ELSE 0 END) AS n_ok,
+       |  min(w0) AS w0, min(w1) AS w1, min(w2) AS w2
+       | FROM e$i GROUP BY source)""".stripMargin
+
   /** One full-batch GD pass over `feat` (x1i, x2i, yi) at weights `w`:
     * the 1-row stats (n, g0..g2, n_ok, carried w0..w2), eagerly
     * checkpointed so downstream consumers never re-run the corpus pass. */
@@ -372,6 +387,58 @@ object TrainPrep {
       }
       base.unpersist()
       rows.reduce(_ unionByName _).orderBy("iter")
+    }),
+
+    // ---- grouped training: one model per source, one job -----------------
+    // The model-COUNT scale axis q284 doesn't exercise: a separate
+    // classifier per `source` (per-domain quality models), all fit in the
+    // SAME 3 aggregation rounds — per iteration ONE equi-join of the
+    // feature base with the |keys|-row weight table + ONE keyed
+    // aggregation. 10^5 models cost the same three shuffles as one model;
+    // the weight table broadcasts while |keys| is small and degrades to a
+    // plain shuffle join when it is not. Same shared-verbatim algebra and
+    // floor-e9 gradient sums as q284, keyed — the oracle reproduces every
+    // model's trajectory, and the output (final weights + third-pass
+    // accuracy per source) is hash-checked per key.
+    "q286_grouped_training" -> ((s: SparkSession, dir: String) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val base = Tables(s, dir, "documents")
+        .withColumn("w", rawToks(col("text")))
+        .withColumn("x1i", size(col("w")).cast("long"))
+        .filter(col("x1i") > 0)
+        .withColumn("hits", size(filter(col("w"),
+          t => array_contains(array(stop.map(lit): _*), t))).cast("long"))
+        .select(col("source"), col("x1i"),
+          expr("(hits * 10000) div x1i").as("x2i"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("yi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w0 = base.select("source").distinct()
+        .select(col("source"), lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+        .localCheckpoint(eager = true)
+      val s3 = (1 to 3).foldLeft(w0)((w, i) => {
+        val st = base.join(broadcast(w), Seq("source"))
+          .withColumn("p", expr(TrainSigmoidExpr))
+          .withColumn("err", expr("p - CAST(yi AS DOUBLE)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
+            sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
+            sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
+            sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
+            min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
+          .localCheckpoint(eager = true) // |keys| rows; pins the pass
+        if (i < 3)
+          st.selectExpr("source", s"${TrainUpdExpr(0)} AS w0",
+            s"${TrainUpdExpr(1)} AS w1", s"${TrainUpdExpr(2)} AS w2")
+        else st
+      })
+      base.unpersist()
+      s3.selectExpr("source", "CAST(n AS BIGINT) AS n_docs",
+        "CAST((n_ok * 10000) div n AS BIGINT) AS acc_bp",
+        s"CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6",
+        s"CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6",
+        s"CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6")
+        .orderBy("source")
     }),
 
     // ---- held-out evaluation of the in-engine trained model --------------
@@ -813,6 +880,35 @@ object TrainPrep {
          |${trainIterCtes(3, "w2c")}
          |${trainRowSql(1)} UNION ALL ${trainRowSql(2)} UNION ALL ${trainRowSql(3)}
          |ORDER BY iter""".stripMargin,
+
+    // q286: the keyed iteration CTEs — every source's model trajectory is
+    // reproduced and the per-key final weights + third-pass accuracy are
+    // hash-checked
+    "q286_grouped_training" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+         |  FROM documents),
+         |d AS (SELECT source, CAST(len(w) AS BIGINT) AS x1i,
+         |   (CAST(len(list_filter(w, tk -> list_contains(
+         |      ['the','a','of','and','to','in','is','it'], tk))) AS BIGINT)
+         |    * 10000) // CAST(len(w) AS BIGINT) AS x2i,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yi
+         |  FROM t WHERE len(w) > 0),
+         |w0c AS (SELECT DISTINCT source, 0.0 AS w0, 0.0 AS w1, 0.0 AS w2 FROM d),
+         |${trainIterCtesKeyed(1, "w0c")},
+         |w1c AS (SELECT source, ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s1),
+         |${trainIterCtesKeyed(2, "w1c")},
+         |w2c AS (SELECT source, ${TrainUpdExpr(0)} AS w0, ${TrainUpdExpr(1)} AS w1,
+         |        ${TrainUpdExpr(2)} AS w2 FROM s2),
+         |${trainIterCtesKeyed(3, "w2c")}
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST((n_ok * 10000) // n AS BIGINT) AS acc_bp,
+         |  CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6,
+         |  CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6,
+         |  CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6
+         |FROM s3 ORDER BY source""".stripMargin,
 
     // q285: q284's unrolled CTEs restricted to the train split, plus one
     // eval CTE scoring the held-out split at the final weights

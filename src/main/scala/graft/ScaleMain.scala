@@ -93,7 +93,8 @@ object ScaleMain {
     // size — the claim the grown fixture checks), the standing-filter
     // lifecycle, and the GD training loop (3 aggregation rounds whose
     // shuffle payload is 4 longs per partition regardless of corpus size)
-    "q282_bloom_decontam", "q283_standing_bloom", "q284_train_classifier")
+    "q282_bloom_decontam", "q283_standing_bloom", "q284_train_classifier",
+    "q286_grouped_training")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

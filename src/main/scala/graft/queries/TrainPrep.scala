@@ -100,7 +100,7 @@ object TrainPrep {
   /** One full-batch GD pass over `feat` (x1i, x2i, yi) at weights `w`:
     * the 1-row stats (n, g0..g2, n_ok, carried w0..w2), eagerly
     * checkpointed so downstream consumers never re-run the corpus pass. */
-  private def gdStep(feat: org.apache.spark.sql.DataFrame,
+  private[graft] def gdStep(feat: org.apache.spark.sql.DataFrame,
       w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     feat.crossJoin(broadcast(w))
       .withColumn("p", expr(TrainSigmoidExpr))
@@ -113,7 +113,7 @@ object TrainPrep {
         min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
       .localCheckpoint(eager = true)
 
-  private def gdNextW(st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def gdNextW(st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     st.selectExpr(s"${TrainUpdExpr(0)} AS w0", s"${TrainUpdExpr(1)} AS w1",
       s"${TrainUpdExpr(2)} AS w2")
 

@@ -224,4 +224,46 @@ class PropertySpec extends SparkSpec {
       inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty
     })
   }
+
+  test("q284 GD pass: gradients and weights are partition-count invariant") {
+    // the property the floor-e9 integerization exists for: a raw double
+    // gradient sum varies with partitioning (summation order); the BIGINT
+    // contributions must not. Random features at two partitionings must
+    // produce bit-identical stats AND a bit-identical 3-step trajectory.
+    import graft.queries.TrainPrep
+    val rowGen = Gen.listOfN(120, for {
+      x1 <- Gen.chooseNum(1L, 500L)
+      x2 <- Gen.chooseNum(0L, 10000L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (x1, x2, y))
+    passes(Prop.forAll(rowGen) { rows =>
+      val cols = Seq("x1i", "x2i", "yi")
+      def train(parts: Int): Seq[org.apache.spark.sql.Row] = {
+        val feat = rows.toDF(cols: _*).repartition(parts)
+        val w0 = spark.range(1)
+          .select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+        val w3 = (1 to 3).foldLeft(w0)((w, _) =>
+          TrainPrep.gdNextW(TrainPrep.gdStep(feat, w)))
+        w3.collect().toSeq
+      }
+      rows.isEmpty || train(1) == train(13)
+    })
+  }
+
+  test("bloom partials: partition-count invariant; inserted values always pass") {
+    import graft.operators.AggState
+    val valsGen = Gen.nonEmptyListOf(Gen.identifier)
+    passes(Prop.forAll(valsGen) { vs =>
+      def packed(parts: Int) = AggState.bloomPartials(
+        vs.toDF("v").repartition(parts), Nil, "v",
+        AggState.BloomDefaultBits, AggState.BloomDefaultK)
+      val a = packed(1); val b = packed(7)
+      val sameBits = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val noFn = AggState.bloomTest(AggState.bloomMap(a, Nil),
+          vs.distinct.toDF("v"), Nil, "v", "might",
+          AggState.BloomDefaultBits, AggState.BloomDefaultK)
+        .filter(!col("might")).isEmpty
+      sameBits && noFn
+    })
+  }
 }

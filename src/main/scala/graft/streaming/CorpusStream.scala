@@ -136,6 +136,35 @@ object CorpusStream {
     } finally base.unpersist()
   }
 
+  /** [[noveltyBatch]] under generation management — the long-running form.
+    * A streaming append loop accumulates one packed-word slice per batch,
+    * so the per-batch state read grows linearly with batch COUNT (never
+    * with corpus size — each slice stays <=mBits/64 rows) until an
+    * optimize collapses it. Every `optimizeEvery` batches the filter is
+    * rewritten into a new generation (AggState.optimize — bit_or fold,
+    * fingerprint-gated, meta carried), the CURRENT pointer swaps
+    * atomically, and retirement follows the keepLast/retentionHours
+    * policy — the maintainedBatch protocol applied to the fourth standing
+    * state. */
+  def maintainedNoveltyBatch(tableDir: String, outDir: String,
+      optimizeEvery: Int, minNovelBp: Long = 3000L, keepLast: Int = 1,
+      retentionHours: Double = 0.0)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{AggState, Generations}
+    require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
+    val spark = batch.sparkSession
+    val gen = Generations.current(tableDir).getOrElse(s"$tableDir/gen-0")
+    noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
+    if (Generations.current(tableDir).isEmpty && AggState.bloomExists(gen))
+      Generations.publish(tableDir, gen) // first batch creates generation 0
+    if (AggState.bloomExists(gen) && batchId % optimizeEvery == (optimizeEvery - 1)) {
+      val next = s"$tableDir/gen-${batchId + 1}"
+      AggState.optimize(spark, gen, next, Nil)
+      Generations.publish(tableDir, next) // atomic — old or new, never torn
+      Generations.retire(tableDir, keepLast, retentionHours)
+      ()
+    }
+  }
+
   /** Near-dup curation against the standing index, as a `foreachBatch`
     * sink for the [[curated]] stream:
     *

@@ -229,6 +229,44 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("maintained novelty loop: bloom optimize cadence collapses slices, screens survive the swap") {
+    import graft.operators.{AggState, Generations}
+    val words = (1 to 60).map(i => s"mnt$i")
+    val long1 = words.mkString(" ")
+    val remix = words.updated(29, "swapped").mkString(" ")
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_bloomgen_tbl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bloomgen_out").toString + "/landed"
+    def batch(docs: Doc*): org.apache.spark.sql.DataFrame =
+      docs.toSeq.toDF().select($"doc_id", $"text", $"lang", $"source", $"ingest_ts")
+    val run = CorpusStream.maintainedNoveltyBatch(tableDir, outDir, optimizeEvery = 2) _
+    try {
+      // batch 0 creates + publishes generation 0
+      run(batch(Doc(1, long1, "en", "crawl", t("2024-01-01 10:00:00"))), 0L)
+      val gen0 = Generations.resolve(tableDir)
+      assert(AggState.bloomExists(gen0))
+      // batch 1 appends a fresh doc, then the cadence fires: optimize ->
+      // new generation, atomic publish, old generation retired
+      run(batch(Doc(2, fresh, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      val gen2 = Generations.resolve(tableDir)
+      assert(gen2 != gen0, "optimize cadence did not publish a new generation")
+      assert(!new java.io.File(gen0).exists(), "retired generation still on disk")
+      // the collapsed state holds ONE row per word (two slices folded)
+      val merged = AggState.mergedBloom(spark, gen2, Nil)
+      assert(spark.read.parquet(s"$gen2/bloom_state").count() === merged.count())
+      // batch 2 probes the NEW generation: a remix of doc 1 (folded in two
+      // generations ago) is still screened out — the swap lost no bits
+      run(batch(
+        Doc(3, remix, "en", "crawl", t("2024-01-01 10:02:00")),
+        Doc(4, fresh2, "en", "crawl", t("2024-01-01 10:03:00"))), 2L)
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 2L, 4L), s"landed $landed")
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("maintained loop drain window: keepLast holds the superseded generation") {
     // the r12 retention knob: a multi-reader deployment passes keepLast/
     // retentionHours so a reader that resolved CURRENT just before the

@@ -211,8 +211,7 @@ object CorpusMain {
 
     // 5. content-independent split (q73's buckets), attached BEFORE
     // decontamination so the heldout set is defined when train is probed
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-      .cast("long") % 100)
+    val bucket = graft.queries.TrainPrep.splitBucket(col("doc_id"))
     val withSplit = gated.withColumn("split",
       when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
 

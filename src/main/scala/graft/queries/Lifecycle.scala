@@ -169,8 +169,7 @@ object Lifecycle {
       val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-bloom-state-" +
           java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100)
+      val bucket = TrainPrep.splitBucket(col("doc_id"))
       val toks = docs.withColumn("bucket", bucket)
         .select(col("doc_id"), col("bucket"),
           explode(TrainPrep.rawToks(col("text"))).as("tok"))

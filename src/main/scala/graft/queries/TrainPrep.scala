@@ -58,6 +58,15 @@ object TrainPrep {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
+  /** q73's content-independent split bucket (first 4 md5 hex digits of the
+    * doc id, mod 100) — the train/val/test contract every decontamination
+    * and eval query shares with its oracle. Single-sourced: a drifting
+    * copy would silently change one query's split and fail only its own
+    * gate. */
+  private[graft] def splitBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100)
+
   // q284's sigmoid and weight-update expressions, shared VERBATIM between
   // the Spark plan and the DuckDB oracle (identical IEEE op sequences over
   // exact BIGINT inputs — the q93/q108/q151 discipline)
@@ -174,8 +183,7 @@ object TrainPrep {
     "q73_det_split" -> ((s: SparkSession, dir: String) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-            .cast("long") % 100).as("bucket"))
+          splitBucket(col("doc_id")).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val")
@@ -195,8 +203,7 @@ object TrainPrep {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
       val base = d.unionAll(d.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
         .withColumn("bucket",
-          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-            .cast("long") % 100))
+          splitBucket(col("doc_id")))
         .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
       val train = base.filter(col("bucket") < 90)
         .groupBy("digest").agg(count(lit(1)).as("n_train_copies"))
@@ -220,8 +227,7 @@ object TrainPrep {
     // can't match never shuffle. 8-grams are HASHED (md5-based, the shared
     // portable hash) so the shuffle moves longs, not 60-char strings.
     "q85_decontaminate" -> ((s: SparkSession, dir: String) => {
-      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100)
+      val bucket = splitBucket(col("doc_id"))
       // the tokenize→8-gram→md5 base feeds BOTH the train and test
       // branches — persist it so the corpus is scanned/hashed once, not
       // twice (the q37 lesson); the small result is checkpointed eagerly
@@ -262,8 +268,7 @@ object TrainPrep {
     // This is the runtime-bloom-filter pattern as an explicit, bounded,
     // engine-independent broadcast (ScaleOpsSpec proves the implicit one).
     "q277_screened_decontam" -> ((s: SparkSession, dir: String) => {
-      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100)
+      val bucket = splitBucket(col("doc_id"))
       val base = Tables(s, dir, "documents")
         .withColumn("bucket", bucket)
         .withColumn("ng", hashedNgrams8(col("text")))
@@ -312,8 +317,7 @@ object TrainPrep {
       import graft.operators.AggState
       val m = AggState.BloomDefaultBits
       val k = AggState.BloomDefaultK
-      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100)
+      val bucket = splitBucket(col("doc_id"))
       val base = Tables(s, dir, "documents")
         .withColumn("bucket", bucket)
         .withColumn("ng", hashedNgrams8(col("text")))
@@ -338,8 +342,10 @@ object TrainPrep {
         .select(col("doc_id"), col("n_ngrams"),
           coalesce(col("n_pass0"), lit(0L)).cast("long").as("n_pass"),
           coalesce(col("n_hit0"), lit(0L)).cast("long").as("n_hit"))
-        .withColumn("overlap_frac",
-          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4))
+        // integer basis points, NEVER round() on a ratio of integers: a
+        // dyadic ratio (1/32 = .03125) ties the 4-dp digit, where Spark's
+        // half-up and DuckDB's half-even disagree (the r4 lesson)
+        .withColumn("overlap_bp", expr("(n_hit * 10000) div n_ngrams"))
         .withColumn("flagged",
           (col("n_hit") * 10 >= col("n_ngrams")).cast("long"))
         .orderBy("doc_id")
@@ -452,8 +458,7 @@ object TrainPrep {
     // eval); the broadcast weight vector is the only cross-step state.
     "q285_train_eval" -> ((s: SparkSession, dir: String) => {
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100)
+      val bucket = splitBucket(col("doc_id"))
       val base = Tables(s, dir, "documents")
         .withColumn("bucket", bucket)
         .withColumn("w", rawToks(col("text")))
@@ -998,8 +1003,8 @@ object TrainPrep {
         |SELECT pr.doc_id, CAST(pr.n_ngrams AS BIGINT) AS n_ngrams,
         |  CAST(coalesce(np.n_pass, 0) AS BIGINT) AS n_pass,
         |  CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
-        |  round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
-        |        / CAST(pr.n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        |  CAST((coalesce(nh.n_hit, 0) * 10000) // pr.n_ngrams AS BIGINT)
+        |    AS overlap_bp,
         |  CAST(CASE WHEN coalesce(nh.n_hit, 0) * 10 >= pr.n_ngrams
         |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM pr LEFT JOIN np USING (doc_id) LEFT JOIN nh USING (doc_id)

@@ -86,13 +86,17 @@ object CorpusStream {
     *     one broadcast of <=16384 packed words, k map lookups per n-gram,
     *     map-side, no shuffle of the corpus (which is never rescanned);
     *  2. admit docs whose NOVEL fraction clears `minNovelBp` (integer
-    *     basis points — no float boundary); docs too short to carry an
-    *     8-gram are admitted (no signal — the quality gates own them);
+    *     basis points — no float boundary); docs with no 8-gram to probe
+    *     (too short, or null text) are admitted — no signal, the quality
+    *     gates own them;
     *  3. admitted docs' n-grams fold into the filter by a blind
     *     bitwise-OR append (O(batch) forever), THEN the batch lands —
     *     the nearDupBatch ordering, so a crash-replayed batch re-probes
-    *     a filter that already holds its n-grams and under-admits
-    *     (fail-safe for curation; never a duplicate landed twice).
+    *     a filter that already holds its n-grams and under-admits:
+    *     an n-gram-BEARING doc is never landed twice. No-signal docs
+    *     have nothing in the filter to suppress a replay with, so they
+    *     follow the sink's plain at-least-once semantics — their exact
+    *     duplicates are owned by [[curated]]'s digest dedup upstream.
     *
     * The filter is the right memory bound for this screen: exact n-gram
     * state grows with the corpus, the Bloom stays mBits forever. False
@@ -125,8 +129,11 @@ object CorpusStream {
       // and an un-pinned plan would re-probe a filter that already holds
       // this batch's n-grams — every admitted doc would then read as
       // seen and silently vanish from the sink
+      // no-signal branch via coalesce: size(NULL __ng) is NULL under ANSI,
+      // so a bare === 0 would silently drop null-text docs from BOTH
+      // branches (they match neither the probe's > 0 nor an equality)
       val admitted = base.join(novelIds, Seq("doc_id"), "left_semi")
-        .unionByName(base.filter(size(col("__ng")) === 0))
+        .unionByName(base.filter(coalesce(size(col("__ng")), lit(0)) === 0))
         .localCheckpoint(eager = true)
       val admittedNg = admitted.select(explode(col("__ng")).as("__h"))
       if (AggState.bloomExists(bloomDir))
@@ -149,16 +156,40 @@ object CorpusStream {
   def maintainedNoveltyBatch(tableDir: String, outDir: String,
       optimizeEvery: Int, minNovelBp: Long = 3000L, keepLast: Int = 1,
       retentionHours: Double = 0.0)(batch: DataFrame, batchId: Long): Unit = {
-    import graft.operators.{AggState, Generations}
+    import graft.operators.AggState
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
-    val gen = Generations.current(tableDir).getOrElse(s"$tableDir/gen-0")
+    val gen = currentGen(tableDir)
     noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
-    if (Generations.current(tableDir).isEmpty && AggState.bloomExists(gen))
+    maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+      retentionHours, AggState.bloomExists, AggState.optimize(spark, _, _, Nil))
+  }
+
+  private def currentGen(tableDir: String): String =
+    graft.operators.Generations.current(tableDir).getOrElse(s"$tableDir/gen-0")
+
+  /** The shared generation-management tail every maintained foreachBatch
+    * loop runs after its per-batch work: first-batch publish, then on the
+    * optimize cadence rewrite -> atomic publish -> policy retirement.
+    * The `next != gen` guard makes a crash-REPLAYED cadence batch a no-op
+    * instead of a permanent wedge: after `publish(gen-N)` succeeded but
+    * the streaming checkpoint did not commit, the replay resolves
+    * CURRENT = gen-N and would otherwise optimize gen-N onto ITSELF —
+    * refused by the in-place guard — on every restart forever. Skipping
+    * is correct: the rewrite already happened, and the replayed batch's
+    * own work re-ran against the new generation (under-admitting, the
+    * documented fail-safe). */
+  private def maintainGeneration(tableDir: String, gen: String, batchId: Long,
+      optimizeEvery: Int, keepLast: Int, retentionHours: Double,
+      exists: String => Boolean,
+      optimizeTo: (String, String) => Unit): Unit = {
+    import graft.operators.Generations
+    if (Generations.current(tableDir).isEmpty && exists(gen))
       Generations.publish(tableDir, gen) // first batch creates generation 0
-    if (AggState.bloomExists(gen) && batchId % optimizeEvery == (optimizeEvery - 1)) {
-      val next = s"$tableDir/gen-${batchId + 1}"
-      AggState.optimize(spark, gen, next, Nil)
+    val next = s"$tableDir/gen-${batchId + 1}"
+    if (exists(gen) && batchId % optimizeEvery == (optimizeEvery - 1) &&
+        next != gen) {
+      optimizeTo(gen, next)
       Generations.publish(tableDir, next) // atomic — old or new, never torn
       Generations.retire(tableDir, keepLast, retentionHours)
       ()
@@ -213,20 +244,12 @@ object CorpusStream {
   def maintainedBatch(tableDir: String, outDir: String, optimizeEvery: Int,
       keepLast: Int = 1, retentionHours: Double = 0.0)(
       batch: DataFrame, batchId: Long): Unit = {
-    import graft.operators.Generations
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
-    val gen = Generations.current(tableDir).getOrElse(s"$tableDir/gen-0")
+    val gen = currentGen(tableDir)
     nearDupBatch(gen, outDir)(batch, batchId)
-    if (Generations.current(tableDir).isEmpty && DedupIndex.exists(gen))
-      Generations.publish(tableDir, gen) // first batch creates generation 0
-    if (DedupIndex.exists(gen) && batchId % optimizeEvery == (optimizeEvery - 1)) {
-      val next = s"$tableDir/gen-${batchId + 1}"
-      DedupIndex.optimize(spark, gen, next)
-      Generations.publish(tableDir, next) // atomic — old or new, never torn
-      Generations.retire(tableDir, keepLast, retentionHours)
-      ()
-    }
+    maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+      retentionHours, DedupIndex.exists, DedupIndex.optimize(spark, _, _))
   }
 
   /** Recovery for the documented crash window (index appended, sink write

@@ -172,11 +172,12 @@ class CorpusStreamSpec extends SparkSpec {
         Doc(2, long1, "en", "mirror", t("2024-01-01 10:05:00")),   // exact re-crawl: 0% novel
         Doc(3, remix, "en", "crawl", t("2024-01-01 10:06:00")),    // template remix: ~15% novel
         Doc(4, freshDoc, "en", "crawl", t("2024-01-01 10:07:00")), // 100% novel
-        Doc(5, "tiny text", "en", "crawl", t("2024-01-01 10:08:00"))) // no 8-gram: admitted
+        Doc(5, "tiny text", "en", "crawl", t("2024-01-01 10:08:00")), // no 8-gram: admitted
+        Doc(7, null, "en", "crawl", t("2024-01-01 10:09:00"))) // null text: no signal, admitted
       q.processAllAvailable()
       val landed = spark.read.parquet(outDir)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(landed == Seq(1L, 4L, 5L),
+      assert(landed == Seq(1L, 4L, 5L, 7L),
         s"bloom gate must drop the re-crawl and the remix, got $landed")
       // the filter grew only by admissions: the remix's 8 novel 8-grams
       // were never folded in, so a THIRD batch repeating the remix still
@@ -185,7 +186,7 @@ class CorpusStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val landed2 = spark.read.parquet(outDir)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(landed2 == Seq(1L, 4L, 5L), s"remix must stay dropped: $landed2")
+      assert(landed2 == Seq(1L, 4L, 5L, 7L), s"remix must stay dropped: $landed2")
     } finally {
       q.stop()
       spark.catalog.clearCache()
@@ -253,6 +254,17 @@ class CorpusStreamSpec extends SparkSpec {
       // the collapsed state holds ONE row per word (two slices folded)
       val merged = AggState.mergedBloom(spark, gen2, Nil)
       assert(spark.read.parquet(s"$gen2/bloom_state").count() === merged.count())
+      // crash-REPLAY of the cadence batch (publish succeeded, streaming
+      // checkpoint did not commit): CURRENT already points at gen-2, so
+      // next == gen — the guard must make this a no-op, not an optimize
+      // of gen-2 onto itself (which the in-place require refuses, wedging
+      // every restart). The replayed doc's n-grams are already in the
+      // filter, so it under-admits: landed set unchanged.
+      run(batch(Doc(2, fresh, "en", "crawl", t("2024-01-01 10:01:00"))), 1L)
+      assert(Generations.resolve(tableDir) == gen2, "replay must not re-publish")
+      val afterReplay = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(afterReplay == Seq(1L, 2L), s"replayed batch must under-admit: $afterReplay")
       // batch 2 probes the NEW generation: a remix of doc 1 (folded in two
       // generations ago) is still screened out — the swap lost no bits
       run(batch(

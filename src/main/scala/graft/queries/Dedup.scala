@@ -328,6 +328,60 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- cross-doc repeated-span mining (boilerplate passages) -----------
+    // The Lee-et-al dedup unit the n-gram family doesn't cover: exact
+    // 12-token spans occurring >= 2 times ANYWHERE in the corpus
+    // (template boilerplate, syndicated passages, intra-doc loops — the
+    // fixtures carry ~900 naturally repeated spans at sf0.01). Per doc:
+    // window count, repeated-window count, and the LONGEST repeated run
+    // (consecutive repeated windows = one contiguous boilerplate passage
+    // of W+run-1 tokens), flagged at >= 30% repeated via integer
+    // cross-multiplication. Scale: one corpus scan builds the positional
+    // window hashes (slice+zip_with — one walk per position, never
+    // indexed-transform), ONE partial-aggregating shuffle on the 31-bit
+    // hash finds the repeats, one equi join-back marks them (at 100 TB a
+    // runtime bloom of the repeated set screens the probe side), and the
+    // run/island windows are keyed by doc_id — nothing global anywhere.
+    "q287_repeated_spans" -> ((s: SparkSession, dir: String) => {
+      val W = 12
+      def grams(w: Column): Column =
+        (2 to W).foldLeft(slice(w, lit(1), size(w) - (W - 1))) { (acc, k) =>
+          zip_with(acc, slice(w, lit(k), size(w) - (W - 1)),
+            (a, b) => concat(a, lit(" "), b))
+        }
+      val base = Tables(s, dir, "documents")
+        .withColumn("w", TrainPrep.rawToks(col("text")))
+        .filter(size(col("w")) >= W)
+        .select(col("doc_id"),
+          posexplode(transform(grams(col("w")), g => tokHash(g)))
+            .as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rep = base.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"), lit(1L).as("rp"))
+      val marked = base.join(rep, Seq("h"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("rp"), lit(0L)).as("rp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = marked.filter(col("rp") === 1)
+        .withColumn("grp", col("pos") - row_number().over(wDoc))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("runlen"))
+        .groupBy("doc_id").agg(max("runlen").as("lr"))
+      val out = marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"), sum("rp").as("n_repeated"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+          col("n_repeated").cast("long").as("n_repeated"),
+          coalesce(col("lr"), lit(0L)).cast("long").as("longest_run"),
+          (col("n_repeated") * 10 >= col("n_windows") * 3).cast("long").as("flagged"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      marked.unpersist()
+      base.unpersist()
+      out
+    }),
+
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
     // actually exercised on a corpus with real duplicates.
@@ -1397,7 +1451,42 @@ object Dedup {
          |pr$tag AS (SELECT d1, d2 FROM j$tag
          |      WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
 
+    val gram12Cat = (0 until 12)
+      .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
     val m = Map(
+      // q287: same positional 12-token windows, hash-grouped repeats,
+      // islands-and-gaps longest run — unnest-in-subquery per the
+      // struct-rename gotcha
+      "q287_repeated_spans" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, s.i AS pos,
+           |    ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 2147483647 AS h
+           |  FROM (SELECT doc_id, unnest([{'i': i, 'g': $gram12Cat}
+           |          for i in range(1, len(w) - 10)]) AS s
+           |        FROM tk WHERE len(w) >= 12)),
+           |r AS (SELECT h FROM (SELECT h, count(*) AS c FROM g0 GROUP BY h)
+           |      WHERE c >= 2),
+           |m AS (SELECT doc_id, pos,
+           |        CASE WHEN r.h IS NULL THEN 0 ELSE 1 END AS rp
+           |      FROM g0 LEFT JOIN r ON g0.h = r.h),
+           |isl AS (SELECT doc_id, grp, count(*) AS runlen FROM (
+           |    SELECT doc_id,
+           |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |    FROM m WHERE rp = 1) GROUP BY doc_id, grp),
+           |runs AS (SELECT doc_id, max(runlen) AS lr FROM isl GROUP BY doc_id),
+           |st AS (SELECT doc_id, count(*) AS n_windows, sum(rp) AS n_repeated
+           |       FROM m GROUP BY doc_id)
+           |SELECT st.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           |  CAST(n_repeated AS BIGINT) AS n_repeated,
+           |  CAST(coalesce(runs.lr, 0) AS BIGINT) AS longest_run,
+           |  CAST(CASE WHEN n_repeated * 10 >= n_windows * 3
+           |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+           |FROM st LEFT JOIN runs USING (doc_id)
+           |ORDER BY st.doc_id""".stripMargin,
+
       // grown-labels ≡ from-scratch closure over the CUMULATIVE edge set:
       // corpus-slice tiered pairs ∪ batch-slice tiered pairs ∪ the
       // batch-vs-corpus probe pairs (q244's simple-capped chain), walked

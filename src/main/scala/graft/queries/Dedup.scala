@@ -328,6 +328,52 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- repeated-span REMOVAL accounting (the cut, not just the find) ---
+    // q287's transform half, the Lee-et-al step that actually edits the
+    // corpus: every token covered by ANY repeated 12-token window is cut.
+    // Coverage expands each repeated window to its 12 positions
+    // (sequence + explode — bounded at 12x the repeated-window count,
+    // never the corpus), distinct per doc, and the output is the
+    // retention ledger a curation run reports: tokens in, tokens covered,
+    // tokens kept, kept share in integer basis points. A doc fully made
+    // of boilerplate keeps 0. Same one-shuffle repeat detection as q287.
+    "q288_span_removal" -> ((s: SparkSession, dir: String) => {
+      val W = 12
+      def grams(w: Column): Column =
+        (2 to W).foldLeft(slice(w, lit(1), size(w) - (W - 1))) { (acc, k) =>
+          zip_with(acc, slice(w, lit(k), size(w) - (W - 1)),
+            (a, b) => concat(a, lit(" "), b))
+        }
+      val docs = Tables(s, dir, "documents")
+        .withColumn("w", TrainPrep.rawToks(col("text")))
+        .filter(size(col("w")) >= W)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          transform(grams(col("w")), g => tokHash(g)).as("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val windows = docs.select(col("doc_id"),
+          posexplode(col("hs")).as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rep = windows.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"), lit(1L).as("rp"))
+      val covered = windows.join(rep, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("tok_pos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      val out = docs
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("nc"), lit(0L)).cast("long").as("n_covered"))
+        .withColumn("n_kept", col("n_tokens") - col("n_covered"))
+        .withColumn("kept_bp", expr("(n_kept * 10000) div n_tokens"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      windows.unpersist()
+      docs.unpersist()
+      out
+    }),
+
     // ---- cross-doc repeated-span mining (boilerplate passages) -----------
     // The Lee-et-al dedup unit the n-gram family doesn't cover: exact
     // 12-token spans occurring >= 2 times ANYWHERE in the corpus
@@ -1454,6 +1500,34 @@ object Dedup {
     val gram12Cat = (0 until 12)
       .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
     val m = Map(
+      // q288: repeated windows expand to their 12 covered positions; the
+      // retention ledger is exact integer math on both engines
+      "q288_span_removal" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, s.i AS pos,
+           |    ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 2147483647 AS h
+           |  FROM (SELECT doc_id, unnest([{'i': i, 'g': $gram12Cat}
+           |          for i in range(1, len(w) - 10)]) AS s
+           |        FROM tk WHERE len(w) >= 12)),
+           |r AS (SELECT h FROM (SELECT h, count(*) AS c FROM g0 GROUP BY h)
+           |      WHERE c >= 2),
+           |cv AS (SELECT DISTINCT doc_id, tok_pos FROM (
+           |    SELECT doc_id, unnest(range(pos, pos + 12)) AS tok_pos
+           |    FROM g0 JOIN r USING (h))),
+           |nc AS (SELECT doc_id, count(*) AS n_covered FROM cv GROUP BY doc_id),
+           |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+           |      FROM tk WHERE len(w) >= 12)
+           |SELECT d.doc_id, d.n_tokens,
+           |  CAST(coalesce(nc.n_covered, 0) AS BIGINT) AS n_covered,
+           |  CAST(d.n_tokens - coalesce(nc.n_covered, 0) AS BIGINT) AS n_kept,
+           |  CAST(((d.n_tokens - coalesce(nc.n_covered, 0)) * 10000)
+           |       // d.n_tokens AS BIGINT) AS kept_bp
+           |FROM d LEFT JOIN nc USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+
       // q287: same positional 12-token windows, hash-grouped repeats,
       // islands-and-gaps longest run — unnest-in-subquery per the
       // struct-rename gotcha

@@ -94,7 +94,7 @@ object ScaleMain {
     // lifecycle, and the GD training loop (3 aggregation rounds whose
     // shuffle payload is 4 longs per partition regardless of corpus size)
     "q282_bloom_decontam", "q283_standing_bloom", "q284_train_classifier",
-    "q286_grouped_training")
+    "q286_grouped_training", "q287_repeated_spans")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

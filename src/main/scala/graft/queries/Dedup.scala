@@ -61,6 +61,27 @@ object Dedup {
   private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
 
+  /** q287/q288's span width and the shared positional-window build: one
+    * (doc_id, pos, h) row per 12-token window, 1-based positions matching
+    * the oracle's range(1, len(w) - 10). Single-sourced — the two
+    * span queries (and their gram12Cat oracle fragment) must stay in
+    * lockstep on the window construction. */
+  private val SpanW = 12
+  private def spanWindows(docs: DataFrame): DataFrame = {
+    def grams(w: Column): Column =
+      (2 to SpanW).foldLeft(slice(w, lit(1), size(w) - (SpanW - 1))) { (acc, k) =>
+        zip_with(acc, slice(w, lit(k), size(w) - (SpanW - 1)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+    docs
+      .withColumn("w", TrainPrep.rawToks(col("text")))
+      .filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"),
+        posexplode(transform(grams(col("w")), g => tokHash(g)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+  }
+
   /** Distinct 3-word shingles of a token array, built with slice+zip_with.
     * NOT with `transform(sequence(...), i -> t[i]...)`: after projection
     * collapse the indexed child is re-evaluated per lambda invocation,
@@ -338,30 +359,20 @@ object Dedup {
     // tokens kept, kept share in integer basis points. A doc fully made
     // of boilerplate keeps 0. Same one-shuffle repeat detection as q287.
     "q288_span_removal" -> ((s: SparkSession, dir: String) => {
-      val W = 12
-      def grams(w: Column): Column =
-        (2 to W).foldLeft(slice(w, lit(1), size(w) - (W - 1))) { (acc, k) =>
-          zip_with(acc, slice(w, lit(k), size(w) - (W - 1)),
-            (a, b) => concat(a, lit(" "), b))
-        }
-      val docs = Tables(s, dir, "documents")
-        .withColumn("w", TrainPrep.rawToks(col("text")))
-        .filter(size(col("w")) >= W)
-        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-          transform(grams(col("w")), g => tokHash(g)).as("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val windows = docs.select(col("doc_id"),
-          posexplode(col("hs")).as(Seq("pos0", "h")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      // every in-scope doc has size(w) >= 12, so n_tokens derives from the
+      // window count (n_windows + 11) — no second corpus-scale persist or
+      // join-back just to carry the token count
+      val windows = spanWindows(Tables(s, dir, "documents"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rep = windows.groupBy("h").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"), lit(1L).as("rp"))
       val covered = windows.join(rep, Seq("h"), "left_semi")
         .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (W - 1))).as("tok_pos"))
+          explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("tok_pos"))
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("nc"))
-      val out = docs
+      val out = windows.groupBy("doc_id")
+        .agg((count(lit(1)) + (SpanW - 1)).cast("long").as("n_tokens"))
         .join(covered, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("nc"), lit(0L)).cast("long").as("n_covered"))
@@ -370,7 +381,6 @@ object Dedup {
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
       windows.unpersist()
-      docs.unpersist()
       out
     }),
 
@@ -389,19 +399,7 @@ object Dedup {
     // runtime bloom of the repeated set screens the probe side), and the
     // run/island windows are keyed by doc_id — nothing global anywhere.
     "q287_repeated_spans" -> ((s: SparkSession, dir: String) => {
-      val W = 12
-      def grams(w: Column): Column =
-        (2 to W).foldLeft(slice(w, lit(1), size(w) - (W - 1))) { (acc, k) =>
-          zip_with(acc, slice(w, lit(k), size(w) - (W - 1)),
-            (a, b) => concat(a, lit(" "), b))
-        }
-      val base = Tables(s, dir, "documents")
-        .withColumn("w", TrainPrep.rawToks(col("text")))
-        .filter(size(col("w")) >= W)
-        .select(col("doc_id"),
-          posexplode(transform(grams(col("w")), g => tokHash(g)))
-            .as(Seq("pos0", "h")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      val base = spanWindows(Tables(s, dir, "documents"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val rep = base.groupBy("h").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"), lit(1L).as("rp"))

@@ -245,8 +245,7 @@ object TrainPrep {
         .groupBy("doc_id", "n_ngrams")
         .agg(count(col("hit")).as("n_hit"))
         .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4)
-            .as("overlap_frac"),
+          expr("(n_hit * 10000) div n_ngrams").as("overlap_bp"),
           (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
@@ -289,8 +288,7 @@ object TrainPrep {
         .join(hits, Seq("doc_id"), "left")
         .withColumn("n_hit", coalesce(col("n_hit0"), lit(0L)).cast("long"))
         .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_ngrams").cast("double"), 4)
-            .as("overlap_frac"),
+          expr("(n_hit * 10000) div n_ngrams").as("overlap_bp"),
           (col("n_hit") * 10 >= col("n_ngrams")).cast("long").as("flagged"))
         .orderBy("doc_id")
         .localCheckpoint(eager = true)
@@ -831,7 +829,7 @@ object TrainPrep {
         |j AS (SELECT te.doc_id, te.n_ngrams, count(tr.h) AS n_hit
         |      FROM te LEFT JOIN tr ON te.h = tr.h GROUP BY te.doc_id, te.n_ngrams)
         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,
-        | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        | CAST((n_hit * 10000) // n_ngrams AS BIGINT) AS overlap_bp,
         | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
 
@@ -856,7 +854,7 @@ object TrainPrep {
         |j AS (SELECT te.doc_id, te.n_ngrams, count(tr.h) AS n_hit
         |      FROM te LEFT JOIN tr ON te.h = tr.h GROUP BY te.doc_id, te.n_ngrams)
         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_hit,
-        | round(CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 4) AS overlap_frac,
+        | CAST((n_hit * 10000) // n_ngrams AS BIGINT) AS overlap_bp,
         | CAST(CASE WHEN n_hit * 10 >= n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
 

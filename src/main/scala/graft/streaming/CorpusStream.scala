@@ -187,8 +187,13 @@ object CorpusStream {
     if (Generations.current(tableDir).isEmpty && exists(gen))
       Generations.publish(tableDir, gen) // first batch creates generation 0
     val next = s"$tableDir/gen-${batchId + 1}"
+    // CANONICAL comparison: publish stores the canonical path in CURRENT,
+    // while `next` is built from the caller's raw tableDir — a relative,
+    // trailing-slash, or symlinked tableDir would make a string compare
+    // pass two names for the same directory and re-open the wedge
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
     if (exists(gen) && batchId % optimizeEvery == (optimizeEvery - 1) &&
-        next != gen) {
+        canon(next) != canon(gen)) {
       optimizeTo(gen, next)
       Generations.publish(tableDir, next) // atomic — old or new, never torn
       Generations.retire(tableDir, keepLast, retentionHours)

@@ -26,6 +26,11 @@ import graft.operators.{AggState, Generations}
   * for EVERY subtable present (scalar/KMV/histogram/Bloom) into a NEW
   * generation dir, `publish` switches readers atomically, `resolve`
   * addresses the live generation.
+  *
+  * SINGLE WRITER: all mutating verbs assume one writer per state dir and
+  * take [[graft.operators.Generations.withWriterLock]] (best-effort lock
+  * file, stale-expiry) — a concurrent append during optimize/publish
+  * would otherwise be silently absent from the published generation.
   */
 object AggStateMain {
 
@@ -41,10 +46,12 @@ object AggStateMain {
         require(args.length >= 5, s"${args(0)} needs <parquet> <stateDir> <keysCsv> <valueCol>")
         val df = spark.read.parquet(args(1))
         val (keys, v) = (keysOf(args(3)), args(4))
-        args(0) match {
-          case "build"   => AggState.build(df, keys, v, args(2))
-          case "append"  => AggState.append(df, keys, v, args(2))
-          case "retract" => AggState.retract(df, keys, v, args(2))
+        Generations.withWriterLock(args(2)) {
+          args(0) match {
+            case "build"   => AggState.build(df, keys, v, args(2))
+            case "append"  => AggState.append(df, keys, v, args(2))
+            case "retract" => AggState.retract(df, keys, v, args(2))
+          }
         }
         println(s"${args(0)} ${args(1)} -> ${args(2)}")
       case "merged" =>
@@ -55,11 +62,17 @@ object AggStateMain {
       case "optimize" =>
         require(args.length >= 4, "optimize needs <stateDir> <outStateDir> <keysCsv> [targetMB]")
         val target = (if (args.length >= 5) args(4).toLong else 128L) << 20
-        AggState.optimize(spark, args(1), args(2), keysOf(args(3)), target)
+        // lock the SOURCE: a concurrent append after the rewrite's listing
+        // would vanish from the new generation (see Generations contract)
+        Generations.withWriterLock(args(1)) {
+          AggState.optimize(spark, args(1), args(2), keysOf(args(3)), target)
+        }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(args.length >= 3, "publish needs <tableDir> <generationDir>")
-        Generations.publish(args(1), args(2))
+        Generations.withWriterLock(args(1)) {
+          Generations.publish(args(1), args(2))
+        }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>
         Generations.cliLineage(c, args)

@@ -48,11 +48,15 @@ object AnnIndexMain {
             spark.read.parquet(args(3)).select("centroid_id", "centv")
           else emb(args(1)).orderBy("vec_id").limit(8)
             .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-        AnnIndex.build(emb(args(1)), cent, args(2))
+        Generations.withWriterLock(args(2)) {
+          AnnIndex.build(emb(args(1)), cent, args(2))
+        }
         println(s"built index at ${args(2)}")
       case "append" =>
         require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — build first")
-        AnnIndex.append(spark, emb(args(1)), args(2))
+        Generations.withWriterLock(args(2)) {
+          AnnIndex.append(spark, emb(args(1)), args(2))
+        }
         println(s"appended ${args(1)} to ${args(2)}")
       case "probe" =>
         require(args.length >= 4, "probe needs <queriesParquet> <indexDir> <outDir>")
@@ -70,15 +74,23 @@ object AnnIndexMain {
             import spark.implicits._
             args(1).split(",").map(_.trim.toLong).toSeq.toDF("vec_id")
           }
-        AnnIndex.remove(ids, args(2))
+        Generations.withWriterLock(args(2)) {
+          AnnIndex.remove(ids, args(2))
+        }
         println(s"tombstoned ${args(1)} in ${args(2)}")
       case "optimize" =>
         val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
-        AnnIndex.optimize(spark, args(1), args(2), target)
+        // lock the SOURCE: an append after the rewrite's listing would
+        // vanish from the new generation (Generations writer contract)
+        Generations.withWriterLock(args(1)) {
+          AnnIndex.optimize(spark, args(1), args(2), target)
+        }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
-        Generations.publish(args(1), args(2))
+        Generations.withWriterLock(args(1)) {
+          Generations.publish(args(1), args(2))
+        }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>
         Generations.cliLineage(c, args)

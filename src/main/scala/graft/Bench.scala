@@ -331,7 +331,11 @@ object Bench {
     def norm(v: Option[Double]): Option[Double] =
       for (h <- host; x <- v) yield x / h
     def opt(name: String, v: Option[Double]) = v.map(d => s""""$name":$d""")
-    (Seq(Some(s""""prev":"$prevPath""""), Some(s""""n_common":${common.size}"""),
+    // JSON-escape the path: a SPARK_GRAFT_PREV_BENCH value containing a
+    // quote or backslash would otherwise emit a malformed bench line (and
+    // a `,"`-bearing path would desync vsPrevFlat's split)
+    val prevEsc = prevPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    (Seq(Some(s""""prev":"$prevEsc""""), Some(s""""n_common":${common.size}"""),
       opt("host_factor", host),
       opt("total_ratio_raw", totalRaw), opt("total_ratio", norm(totalRaw)),
       opt("common_total_ratio_raw", commonRaw),

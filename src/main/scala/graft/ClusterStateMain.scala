@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.ClusterState
+import graft.operators.{ClusterState, Generations}
 
 /** The standing duplicate-cluster table's operational surface:
   *
@@ -42,11 +42,15 @@ object ClusterStateMain {
     }
     args(0) match {
       case "build" =>
-        ClusterState.build(spark.read.parquet(args(1)), args(2), retentionFrom(3))
+        Generations.withWriterLock(args(2)) {
+          ClusterState.build(spark.read.parquet(args(1)), args(2), retentionFrom(3))
+        }
         println(s"built clusters ${args(2)}")
       case "append" =>
-        ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2),
-          retentionFrom(3))
+        Generations.withWriterLock(args(2)) {
+          ClusterState.appendEdges(spark, spark.read.parquet(args(1)), args(2),
+            retentionFrom(3))
+        }
         println(s"appended ${args(1)} -> ${args(2)}")
       case "remove" =>
         require(args.length >= 4, "remove needs <idsParquet|csv> <stateDir> <indexDir>")
@@ -57,7 +61,9 @@ object ClusterStateMain {
             import spark.implicits._
             args(1).split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
           }
-        ClusterState.removeDocs(spark, ids, args(2), args(3), retentionFrom(4))
+        Generations.withWriterLock(args(2)) {
+          ClusterState.removeDocs(spark, ids, args(2), args(3), retentionFrom(4))
+        }
         println(s"removed ${args(1)} from ${args(2)} (index ${args(3)})")
       case "clusters" =>
         ClusterState.clusters(spark, args(1))

@@ -42,11 +42,15 @@ object DedupIndexMain {
       spark.read.parquet(path).select(col("doc_id"), col("text"))
     args(0) match {
       case "build" =>
-        DedupIndex.build(docs(args(1)), args(2))
+        graft.operators.Generations.withWriterLock(args(2)) {
+          DedupIndex.build(docs(args(1)), args(2))
+        }
         println(s"built index at ${args(2)}")
       case "append" =>
         require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — build first")
-        DedupIndex.append(docs(args(1)), args(2))
+        graft.operators.Generations.withWriterLock(args(2)) {
+          DedupIndex.append(docs(args(1)), args(2))
+        }
         println(s"appended ${args(1)} to ${args(2)}")
       case "probe" =>
         require(args.length >= 4, "probe needs <docsParquet> <indexDir> <outDir>")
@@ -65,15 +69,23 @@ object DedupIndexMain {
             import spark.implicits._
             args(1).split(",").map(_.trim.toLong).toSeq.toDF("doc_id")
           }
-        DedupIndex.remove(ids, args(2))
+        graft.operators.Generations.withWriterLock(args(2)) {
+          DedupIndex.remove(ids, args(2))
+        }
         println(s"tombstoned ${args(1)} in ${args(2)}")
       case "optimize" =>
         val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
-        DedupIndex.optimize(spark, args(1), args(2), target)
+        // lock the SOURCE: an append after the rewrite's listing would
+        // vanish from the new generation (Generations writer contract)
+        graft.operators.Generations.withWriterLock(args(1)) {
+          DedupIndex.optimize(spark, args(1), args(2), target)
+        }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
-        graft.operators.Generations.publish(args(1), args(2))
+        graft.operators.Generations.withWriterLock(args(1)) {
+          graft.operators.Generations.publish(args(1), args(2))
+        }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>
         graft.operators.Generations.cliLineage(c, args)

@@ -118,6 +118,14 @@ object ScaleMain {
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
+    // a typo'd subset name must fail loudly — silently dropping it yields
+    // an empty smoke output that reads as a clean run
+    only.foreach { names =>
+      val unknown = names.filterNot(SmokeQueries.contains)
+      require(unknown.isEmpty,
+        s"unknown smoke queries: ${unknown.mkString(",")} " +
+          s"(available: ${SmokeQueries.mkString(",")})")
+    }
     val lines = SmokeQueries.filter(q => only.forall(_.contains(q))).map { name =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

@@ -42,17 +42,21 @@ object ViewStateMain {
         // the store meta; reads honor it) — size from expected store
         // volume, not delta size
         val nb = args.lift(5).map(_.toInt).getOrElse(ViewState.NumBuckets)
-        ViewState.build(spark.read.parquet(args(1)),
-          spark.read.parquet(args(2)), keys, args(3), nb)
+        Generations.withWriterLock(args(3)) {
+          ViewState.build(spark.read.parquet(args(1)),
+            spark.read.parquet(args(2)), keys, args(3), nb)
+        }
         println(s"built view ${args(3)} on (${keys.mkString(", ")}) at $nb buckets")
       case op @ ("appendLeft" | "appendRight" | "retractLeft" | "retractRight") =>
         require(args.length >= 3, s"$op needs <parquet> <stateDir>")
         val df = spark.read.parquet(args(1))
-        op match {
-          case "appendLeft"   => ViewState.appendLeft(spark, df, args(2))
-          case "appendRight"  => ViewState.appendRight(spark, df, args(2))
-          case "retractLeft"  => ViewState.retractLeft(spark, df, args(2))
-          case "retractRight" => ViewState.retractRight(spark, df, args(2))
+        Generations.withWriterLock(args(2)) {
+          op match {
+            case "appendLeft"   => ViewState.appendLeft(spark, df, args(2))
+            case "appendRight"  => ViewState.appendRight(spark, df, args(2))
+            case "retractLeft"  => ViewState.retractLeft(spark, df, args(2))
+            case "retractRight" => ViewState.retractRight(spark, df, args(2))
+          }
         }
         println(s"$op ${args(1)} -> ${args(2)}")
       case "merged" =>
@@ -61,11 +65,17 @@ object ViewStateMain {
         println(s"merged view of ${args(1)} -> ${args(2)}")
       case "optimize" =>
         require(args.length >= 3, "optimize needs <stateDir> <outStateDir>")
-        ViewState.optimize(spark, args(1), args(2))
+        // lock the SOURCE: an append after the rewrite's listing would
+        // vanish from the new generation (Generations writer contract)
+        Generations.withWriterLock(args(1)) {
+          ViewState.optimize(spark, args(1), args(2))
+        }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(args.length >= 3, "publish needs <tableDir> <generationDir>")
-        Generations.publish(args(1), args(2))
+        Generations.withWriterLock(args(1)) {
+          Generations.publish(args(1), args(2))
+        }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>
         Generations.cliLineage(c, args)

@@ -178,19 +178,19 @@ object DedupIndex {
   private[graft] def probePairs(prbBase: DataFrame, idxBands: DataFrame,
       idxSigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.TextHashes
-    // Mega-bucket screen (count-then-collect, r12): bucket sizes come from
-    // a partial-aggregating count — a degenerate band hash contributes one
-    // long per map task — and only band rows whose key is proven ≤ cap
-    // survive the semi-join. No bucket ARRAY forms at all here: the
-    // candidate set is the probe-bands ⋈ screened-index-bands equi join,
-    // streamed. The pre-r12 shape collected every index bucket's full
-    // member array before the size filter — one reducer-side array per
-    // degenerate key at 100 TB.
-    val okKeys = idxBands.groupBy("bi", "bh")
-      .agg(count(lit(1)).as("cnt"))
+    // Mega-bucket screen (r13 window-count form): bucket sizes come from
+    // a window count over the same (bi, bh) shuffle the candidate join
+    // keys on — one pass over the index band rows instead of the r12
+    // count+join's two (Dedup.withGroupCount; WindowExec group buffers
+    // spill, so a degenerate band hash is disk-bounded, and its rows are
+    // dropped by the size filter before the join). No bucket ARRAY forms
+    // at all here: the candidate set is the probe-bands ⋈
+    // screened-index-bands equi join, streamed. The pre-r12 shape
+    // collected every index bucket's full member array before the size
+    // filter — one reducer-side array per degenerate key at 100 TB.
+    val screened = Dedup.withGroupCount(idxBands, Seq("bi", "bh"))
       .filter(col("cnt") <= Dedup.LshBucketCap)
-      .select("bi", "bh")
-    val screened = idxBands.join(okKeys, Seq("bi", "bh"), "left_semi")
+      .drop("cnt")
     val cands = Dedup.bandKeys(prbBase)
       .join(screened.select(col("bi"), col("bh"), col("doc_id").as("c")),
         Seq("bi", "bh"))
@@ -221,12 +221,11 @@ object DedupIndex {
       .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
     val sigs = live(spark, indexDir, sigsPath)
       .join(memberIds.select("doc_id"), Seq("doc_id"), "left_semi")
-    // count-then-collect (r12): arrays only for keys proven within the cap
-    val okKeys = bands.groupBy("bi", "bh")
-      .agg(count(lit(1)).as("cnt"))
+    // mega-bucket screen (r13 window-count form): arrays only for keys
+    // proven within the cap, sized over the same shuffle the collect
+    // needs (Dedup.withGroupCount)
+    val pairs = Dedup.withGroupCount(bands, Seq("bi", "bh"))
       .filter(col("cnt").between(2, Dedup.LshBucketCap))
-      .select("bi", "bh")
-    val pairs = bands.join(okKeys, Seq("bi", "bh"), "left_semi")
       .groupBy("bi", "bh")
       .agg(collect_list("doc_id").as("ds"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))

@@ -25,6 +25,74 @@ object Generations {
   private def currentFile(tableDir: String) = new File(tableDir, "CURRENT")
   private def logFile(tableDir: String) = new File(tableDir, "GENERATIONS.log")
 
+  /** ## Writer concurrency contract — SINGLE WRITER per state dir
+    *
+    * Every standing table (DedupIndex / AnnIndex / AggState / ViewState /
+    * ClusterState) assumes ONE writer at a time per state directory:
+    *
+    *  - blind appends commute with EACH OTHER (parquet file adds under
+    *    distinct names), so two appenders usually survive by luck — but
+    *    nothing orders them against a rewrite;
+    *  - `optimize` reads a listing of the source generation and rewrites
+    *    it into a NEW directory: an append landing after the listing is
+    *    NOT in the rewrite, and the subsequent `publish` switches readers
+    *    to a generation that silently lost it (the in-rewrite window is
+    *    caught by the fingerprint gate, which re-lists the source at
+    *    validation — the validate-to-publish window is not);
+    *  - `publish`'s CURRENT switch is atomic for READERS, not an ordering
+    *    for writers; `retire` deletes directories a racing writer may be
+    *    appending into.
+    *
+    * [[withWriterLock]] turns the assumption into a best-effort guard: a
+    * lock FILE created atomically in the state dir, held for the span of
+    * a mutation, with stale-expiry so a crashed writer cannot wedge the
+    * table forever. The CLIs (`*Main`) take it around every mutating
+    * verb, and the streaming maintenance loops take it per batch. It is
+    * advisory — a writer that bypasses the lock is not stopped (the
+    * filesystem cannot do that portably) — but any two cooperating
+    * writers serialize or fail loudly instead of losing data. */
+  private val LockName = ".WRITER_LOCK"
+
+  /** Run `body` holding the writer lock of `stateDir`. Throws
+    * `IllegalStateException` if another live writer holds it; a lock
+    * older than `staleMs` (default 30 min — longer than any single
+    * mutation at sane scale, tune up for huge optimizes) is presumed
+    * crashed and broken with a stderr note. NOT reentrant: one lock
+    * scope per mutation, operators below the CLI layer never lock. */
+  def withWriterLock[T](stateDir: String,
+      staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val dir = new File(stateDir)
+    dir.mkdirs()
+    val lock = new File(dir, LockName)
+    def tryAcquire(): Boolean =
+      try {
+        Files.createFile(lock.toPath)
+        Files.write(lock.toPath,
+          s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}\n"
+            .getBytes(StandardCharsets.UTF_8))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryAcquire()) {
+      val age = System.currentTimeMillis - lock.lastModified
+      if (lock.isFile && age > staleMs) {
+        System.err.println(s"withWriterLock: breaking stale lock $lock " +
+          s"(age ${age / 1000}s > ${staleMs / 1000}s)")
+        Files.deleteIfExists(lock.toPath)
+        if (!tryAcquire())
+          throw new IllegalStateException(
+            s"writer lock contended while breaking stale lock: $lock")
+      } else {
+        val holder = scala.util.Try(new String(
+          Files.readAllBytes(lock.toPath), StandardCharsets.UTF_8).trim)
+          .getOrElse("(unreadable)")
+        throw new IllegalStateException(
+          s"another writer holds $lock [$holder] — standing tables are " +
+            "single-writer; retry after it finishes (or after stale expiry)")
+      }
+    }
+    try body finally { Files.deleteIfExists(lock.toPath); () }
+  }
+
   /** Atomically point `tableDir`'s CURRENT at `generationPath` (which must
     * exist — publishing a dangling pointer is always a bug). Also appends
     * the publish to `GENERATIONS.log` — the table's lineage, enabling

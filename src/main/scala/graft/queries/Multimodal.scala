@@ -90,16 +90,15 @@ object Multimodal {
             .cast("binary")))
         .select("doc_id", "n_chunks", "frame_sha")
         .dropDuplicates()
-      // count-then-collect (r12 mega-bucket screen): `frames` is already
+      // mega-bucket screen (r13 window-count form): `frames` is already
       // deduplicated on (doc_id, n_chunks, frame_sha), so the group count
-      // equals the set size — arrays form only for keys proven ≤ 32. A
+      // equals the set size — arrays form only for keys proven ≤ 32, and
+      // the size comes from a window count over the same digest-keyed
+      // shuffle the collect needs (Dedup.withGroupCount; spill-safe). A
       // boilerplate frame digest shared across a template family would
       // otherwise materialize the family in one reducer before the filter.
-      val okKeys = frames.groupBy("frame_sha")
-        .agg(count(lit(1)).as("cnt"))
+      val buckets = Dedup.withGroupCount(frames, Seq("frame_sha"))
         .filter(col("cnt").between(2, 32))
-        .select("frame_sha")
-      val buckets = frames.join(okKeys, Seq("frame_sha"), "left_semi")
         .groupBy("frame_sha")
         .agg(sort_array(collect_set(struct(col("doc_id"), col("n_chunks")))).as("ds"))
       buckets

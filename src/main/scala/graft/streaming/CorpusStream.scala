@@ -98,6 +98,17 @@ object CorpusStream {
     *     follow the sink's plain at-least-once semantics — their exact
     *     duplicates are owned by [[curated]]'s digest dedup upstream.
     *
+    * INTRA-batch near-dups pass this gate by design: every doc in a
+    * micro-batch probes the filter as it stood BEFORE the batch (the
+    * admitted set's own n-grams fold in only at step 3), so N
+    * near-identical docs arriving in the SAME batch are all admitted and
+    * landed. The downstream LSH probe ([[nearDupBatch]]) owns
+    * within-batch and cross-batch near-dup pairs alike; this screen's
+    * contract is only "drop what the CORPUS has already absorbed"
+    * without rescanning it. Probing the batch against its own admitted
+    * prefix would force a sequential per-doc loop — the opposite of a
+    * partition-parallel screen.
+    *
     * The filter is the right memory bound for this screen: exact n-gram
     * state grows with the corpus, the Bloom stays mBits forever. False
     * positives make a doc look LESS novel by the filter's FP rate
@@ -159,10 +170,16 @@ object CorpusStream {
     import graft.operators.AggState
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
+    // single-writer guard (Generations contract): the whole batch —
+    // append into the live generation, then the optimize/publish/retire
+    // cadence — runs under the generation's writer lock, so a concurrent
+    // CLI append fails loudly instead of vanishing from the rewrite
     val gen = currentGen(tableDir)
-    noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
-    maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
-      retentionHours, AggState.bloomExists, AggState.optimize(spark, _, _, Nil))
+    graft.operators.Generations.withWriterLock(gen) {
+      noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
+      maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+        retentionHours, AggState.bloomExists, AggState.optimize(spark, _, _, Nil))
+    }
   }
 
   private def currentGen(tableDir: String): String =
@@ -251,10 +268,13 @@ object CorpusStream {
       batch: DataFrame, batchId: Long): Unit = {
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
+    // single-writer guard — see maintainedNoveltyBatch
     val gen = currentGen(tableDir)
-    nearDupBatch(gen, outDir)(batch, batchId)
-    maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
-      retentionHours, DedupIndex.exists, DedupIndex.optimize(spark, _, _))
+    graft.operators.Generations.withWriterLock(gen) {
+      nearDupBatch(gen, outDir)(batch, batchId)
+      maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+        retentionHours, DedupIndex.exists, DedupIndex.optimize(spark, _, _))
+    }
   }
 
   /** Recovery for the documented crash window (index appended, sink write

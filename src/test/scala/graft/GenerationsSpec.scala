@@ -158,4 +158,63 @@ class GenerationsSpec extends SparkSpec {
       Generations.cliLineage("probe", Array("probe", table))
     }
   }
+
+  test("writer lock: a concurrent append during optimize fails loudly") {
+    val state = Files.createTempDirectory("graft_lock_state").toString
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val keys = Seq("source")
+    AggState.build(docs.filter(col("doc_id") < 250), keys, "n_chars", state)
+
+    // simulate optimize holding the source's writer lock while a second
+    // writer (another JVM in production — here, a nested scope, since the
+    // lock is deliberately NOT reentrant) tries to append the delta: the
+    // append must fail loudly instead of landing in a generation the
+    // rewrite already listed — the silent-loss window the lock closes
+    var inner: Option[IllegalStateException] = None
+    val out = Generations.withWriterLock(state) {
+      inner = Some(intercept[IllegalStateException] {
+        Generations.withWriterLock(state) {
+          AggState.append(docs.filter(col("doc_id") >= 250), keys, "n_chars", state)
+        }
+      })
+      "optimize-done"
+    }
+    assert(out === "optimize-done")
+    assert(inner.get.getMessage.contains("another writer holds"))
+    // the blocked append never landed: merged view covers only the build
+    val merged = AggState.merged(spark, state, keys)
+      .agg(sum("n").cast("long")).collect()(0).getLong(0)
+    assert(merged === 250L)
+
+    // lock released on exit: the append now proceeds
+    Generations.withWriterLock(state) {
+      AggState.append(docs.filter(col("doc_id") >= 250), keys, "n_chars", state)
+    }
+    val total = AggState.merged(spark, state, keys)
+      .agg(sum("n").cast("long")).collect()(0).getLong(0)
+    assert(total === docs.count())
+
+    // body failure still releases the lock
+    intercept[RuntimeException] {
+      Generations.withWriterLock(state) { sys.error("writer crashed") }
+    }
+    assert(!new java.io.File(state, ".WRITER_LOCK").exists())
+
+    // stale expiry: a lock left behind by a dead writer (simulated by an
+    // old mtime) is broken with a note instead of wedging the table
+    val lock = new java.io.File(state, ".WRITER_LOCK")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis - 3600 * 1000))
+    val v = Generations.withWriterLock(state, staleMs = 30 * 60 * 1000) { 42 }
+    assert(v === 42)
+    assert(!lock.exists())
+
+    // a FRESH foreign lock is respected (not broken)
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      Generations.withWriterLock(state) { fail("must not run") }
+    }
+    assert(lock.exists())
+    lock.delete()
+  }
 }

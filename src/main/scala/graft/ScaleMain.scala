@@ -94,7 +94,11 @@ object ScaleMain {
     // lifecycle, and the GD training loop (3 aggregation rounds whose
     // shuffle payload is 4 longs per partition regardless of corpus size)
     "q282_bloom_decontam", "q283_standing_bloom", "q284_train_classifier",
-    "q286_grouped_training", "q287_repeated_spans")
+    "q286_grouped_training", "q287_repeated_spans",
+    // r13: the exact prefix join's shard loop — run BESIDE q220 at the
+    // grown tiers so per-shard peak memory/spill is measurable against
+    // the one-shot form on the same fixture
+    "q289_sharded_prefix")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -308,40 +308,94 @@ object Dedup {
     * whatever else the caller computes from it (q233 grades lshPairs
     * against this on ONE base). */
   def prefixPairs(base: DataFrame): DataFrame = {
+    // Persisted: the sized prefix rows feed BOTH candidate branches, and
+    // the divergent count filters defeat exchange reuse — unpersisted,
+    // the whole explode + freq join + two-window subtree executed twice
+    // (q220 2.3 s -> 5.5 s when the r12 split first landed). Released
+    // before return; the verified pair output is eagerly checkpointed so
+    // the caller never re-executes the released pipeline.
+    val keyed = prefixRows(base)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = prefixCandidates(keyed).dropDuplicates("d1", "d2")
+    val out = verifyJaccard(base, pairs).localCheckpoint(eager = true)
+    keyed.unpersist()
+    out
+  }
+
+  /** [[prefixPairs]] with the prefix-token domain processed in
+    * `numShards` SEQUENTIAL hash-ranges — the bounded-memory scale path
+    * for the one operator whose cost is genuinely super-linear in corpus
+    * size (the 100x scale tier's only spiller). Each shard's candidate
+    * generation (window count + in-array expansion + oversized-bucket
+    * self-join) runs as its OWN job over the ~1/R of prefix rows whose
+    * token hashes fall in the range, and its deduped pair set is pinned
+    * with an eager localCheckpoint before the next shard starts — peak
+    * executor memory and spill are those of ONE shard, not the whole
+    * candidate mass at once. The pair SET is identical to the unsharded
+    * form: a prefix bucket lives wholly in one shard (sharding is BY
+    * token hash), so no pair is lost, and pairs found via two different
+    * shared tokens in different shards collapse in the global
+    * dropDuplicates before the single verify join. A single degenerate
+    * token's ~|family|^2 pairs are NOT split — they are real output and
+    * stream through that shard's spill-capable self-join as before;
+    * sharding bounds the CONCURRENT mass across tokens. At a real 100 TB
+    * run R is sized so one shard's candidate pairs fit the cluster's
+    * shuffle comfortably; locally the DedupSpec equivalence pin and the
+    * q289 oracle (shared verbatim with q220) prove output identity. */
+  def prefixPairsSharded(base: DataFrame, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val prefixes = prefixRows(base).persist(StorageLevel.MEMORY_AND_DISK)
+    val shardPairs = (0 until numShards).map { r =>
+      val keyed = prefixes.filter(pmod(col("h"), lit(numShards)) === lit(r))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager: shard r's whole candidate mass materializes NOW and its
+      // working state is released before shard r+1 begins
+      val out = prefixCandidates(keyed).dropDuplicates("d1", "d2")
+        .localCheckpoint(eager = true)
+      keyed.unpersist()
+      out
+    }
+    val pairs = shardPairs.reduce(_ unionByName _).dropDuplicates("d1", "d2")
+    val out = verifyJaccard(base, pairs).localCheckpoint(eager = true)
+    prefixes.unpersist()
+    out
+  }
+
+  /** The prefix rows (doc_id, h, sz) both prefix-join forms start from:
+    * global token frequencies, rarest-first rank per doc, first
+    * |x| - ceil(0.7|x|) + 1 tokens kept (the AllPairs prefix bound). */
+  private def prefixRows(base: DataFrame): DataFrame = {
     val freq = base.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
     val tokens = base.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
       .join(freq, Seq("h"))
     val byRarity = Window.partitionBy("doc_id").orderBy("cnt", "h")
-    val prefixes = tokens
+    tokens
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= expr("sz - (7 * sz + 9) div 10 + 1"))
       .select("doc_id", "h", "sz")
-    // The join is EXACT, so an oversized prefix bucket cannot be dropped
-    // the way the LSH cap drops one — a template family whose rarest
-    // tokens are shared genuinely has ~|family|² qualifying pairs. What
-    // CAN be avoided is materializing that family as one reducer-side
-    // collect_list array: buckets proven small use the in-array i<j
-    // expansion (pairs generated in place); oversized buckets stream
-    // through an equi self-join on the prefix token, whose per-key group
-    // buffer spills (ExternalAppendOnlyUnsafeRowArray) instead of OOMing.
-    // Both paths produce the same oriented pair set, so the union is
-    // output-neutral. The bucket size comes from a WINDOW count over the
-    // same h-keyed shuffle the collect needs anyway (WindowExec group
-    // buffers spill; collect_list arrays cannot) — a separate
-    // count+join screen cost an extra shuffle pass here.
-    // Persisted: the sized prefix rows feed BOTH branches below, and the
-    // divergent count filters defeat exchange reuse — unpersisted, the
-    // whole explode + freq join + two-window subtree executed twice
-    // (q220 2.3 s -> 5.5 s when the r12 split first landed). Released
-    // before return; the verified pair output is eagerly checkpointed so
-    // the caller never re-executes the released pipeline.
-    val keyed = prefixes
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // length filter (AllPairs): J >= 0.7 implies min(sz)/max(sz) >= 0.7
-    // — an integer predicate that prunes candidates BEFORE the intersect
-    // verify; provably output-neutral
+  }
+
+  /** Candidate (d1, d2) pairs from window-counted prefix rows (doc_id,
+    * h, sz, cnt). The join is EXACT, so an oversized prefix bucket
+    * cannot be dropped the way the LSH cap drops one — a template family
+    * whose rarest tokens are shared genuinely has ~|family|² qualifying
+    * pairs. What CAN be avoided is materializing that family as one
+    * reducer-side collect_list array: buckets proven small use the
+    * in-array i<j expansion (pairs generated in place); oversized
+    * buckets stream through an equi self-join on the prefix token, whose
+    * per-key group buffer spills (ExternalAppendOnlyUnsafeRowArray)
+    * instead of OOMing. Both paths produce the same oriented pair set,
+    * so the union is output-neutral. The bucket size comes from a WINDOW
+    * count over the same h-keyed shuffle the collect needs anyway
+    * (WindowExec group buffers spill; collect_list arrays cannot) — a
+    * separate count+join screen cost an extra shuffle pass here. The
+    * AllPairs length prune (J >= 0.7 implies min(sz)/max(sz) >= 0.7, an
+    * integer predicate) drops candidates BEFORE the intersect verify on
+    * both paths; provably output-neutral. */
+  private def prefixCandidates(keyed: DataFrame): DataFrame = {
     val smallPairs = keyed.filter(col("cnt").between(2, PrefixBucketArrayMax))
       .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
@@ -359,19 +413,20 @@ object Dedup {
       .filter(least(col("a.sz"), col("b.sz")) * 10 >=
         greatest(col("a.sz"), col("b.sz")) * 7)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val pairs = smallPairs.unionByName(bigPairs)
-      .dropDuplicates("d1", "d2")
+    smallPairs.unionByName(bigPairs)
+  }
+
+  /** Exact-Jaccard verify of oriented candidate pairs against the base's
+    * sorted shingle-hash sets; keeps pairs at J >= 0.7. */
+  private def verifyJaccard(base: DataFrame, pairs: DataFrame): DataFrame = {
     val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
-    val out = pairs
+    pairs
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))
       .join(base.select(col("doc_id").as("d2"), col("hs").as("h2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jacc", round(
         inter.cast("double") / (col("sz1") + col("sz2") - inter).cast("double"), 4))
       .filter(col("jacc") >= 0.7)
       .select("d1", "d2", "jacc")
-      .localCheckpoint(eager = true)
-    keyed.unpersist()
-    out
   }
 
   val queries: Map[String, Q] = Map(
@@ -1099,6 +1154,24 @@ object Dedup {
     "q220_prefix_join" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
       val out = prefixPairs(base)
+        .orderBy("d1", "d2")
+        .localCheckpoint(eager = true)
+      base.unpersist()
+      out
+    }),
+
+    // ---- the exact prefix join's bounded-memory scale path ---------------
+    // q220's shard loop (r13): the prefix-token domain processed in 4
+    // sequential hash-ranges, each shard's candidate mass pinned before
+    // the next starts — peak memory/spill is one shard's, not the whole
+    // corpus's (the 100x tier's one spiller gets a knob that bounds it).
+    // Output is the SAME pair set (sharding is by token hash, so a
+    // bucket lives wholly in one shard; cross-shard rediscoveries
+    // collapse before the single verify) — the oracle IS q220's SQL,
+    // shared verbatim, so shard ≡ unshard is hash-checked at every SF.
+    "q289_sharded_prefix" -> ((s: SparkSession, dir: String) => {
+      val base = minhashBase(Tables(s, dir, "documents"))
+      val out = prefixPairsSharded(base, numShards = 4)
         .orderBy("d1", "d2")
         .localCheckpoint(eager = true)
       base.unpersist()
@@ -2275,9 +2348,12 @@ object Dedup {
     // the SAME SQL with the survivor predicate added to the corpus CTE —
     // before the QUALIFY cap window, exactly like the engine filters
     // tombstones before capping.
+    // q289 runs q220's exact join through the shard loop; the pair set
+    // is identical by construction, so the oracle is shared verbatim.
     m + ("q246_standing_index" -> m("q244_incremental_neardup")) +
       ("q270_tombstoned_index" -> m("q244_incremental_neardup").replace(
         "WHERE doc_id % 10 != 7\n",
-        "WHERE doc_id % 10 != 7 AND doc_id % 10 != 3\n"))
+        "WHERE doc_id % 10 != 7 AND doc_id % 10 != 3\n")) +
+      ("q289_sharded_prefix" -> m("q220_prefix_join"))
   }
 }

@@ -172,6 +172,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 300 * 299 / 2 + 1)
   }
 
+  test("prefixPairsSharded: shard loop output-identical to the one-shot join") {
+    // same adversarial fixture as above (an oversized 300-member family
+    // exercising the self-join route plus a small-bucket duo), so the
+    // shard loop must reproduce all C(300,2)+1 pairs: the family's
+    // shared tokens land wholly in single shards (hash sharding), and
+    // the duo's pair — discoverable via several shared tokens that may
+    // fall in DIFFERENT shards — must collapse to one row
+    val famHs = typedLit(Seq(1L, 2L, 3L, 4L, 5L))
+    val fam = spark.range(300).select(col("id").as("doc_id"),
+      famHs.as("hs"), lit(5).as("sz"))
+    val duo = Seq(700000L, 700001L).toDF("doc_id").select(col("doc_id"),
+      typedLit(Seq(7L, 8L, 9L, 10L)).as("hs"), lit(4).as("sz"))
+    val base = fam.unionByName(duo)
+    val oneShot = Dedup.prefixPairs(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (shards <- Seq(1, 3, 8)) {
+      val sharded = Dedup.prefixPairsSharded(base, shards).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sharded == oneShot, s"shard count $shards diverged")
+    }
+  }
+
   test("probePairs mega-bucket screen: degenerate index bucket screened by count") {
     val probe = syntheticBase(0).filter(col("doc_id") === 500000L)
     val probeBands = Dedup.bandKeys(probe).collect()

@@ -66,12 +66,13 @@ object AggStateMain {
         // would vanish from the new generation (see Generations contract)
         Generations.withWriterLock(args(1)) {
           AggState.optimize(spark, args(1), args(2), keysOf(args(3)), target)
+          Generations.recordSourceFingerprint(args(2), args(1))
         }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(args.length >= 3, "publish needs <tableDir> <generationDir>")
         Generations.withWriterLock(args(1)) {
-          Generations.publish(args(1), args(2))
+          Generations.publishChecked(args(1), args(2))
         }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>

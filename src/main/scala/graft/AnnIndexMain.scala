@@ -84,12 +84,13 @@ object AnnIndexMain {
         // vanish from the new generation (Generations writer contract)
         Generations.withWriterLock(args(1)) {
           AnnIndex.optimize(spark, args(1), args(2), target)
+          Generations.recordSourceFingerprint(args(2), args(1))
         }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
         Generations.withWriterLock(args(1)) {
-          Generations.publish(args(1), args(2))
+          Generations.publishChecked(args(1), args(2))
         }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>

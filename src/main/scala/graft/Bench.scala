@@ -53,7 +53,40 @@ object Bench {
     * timed run. */
   private def sweep(spark: SparkSession, dir: String,
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      warmupEach: Boolean): Seq[(String, Option[Double])] =
+      warmupEach: Boolean): Seq[(String, Option[Double])] = {
+    // per-query resource capture (VERDICT r13 #2/#8): input + shuffle bytes
+    // drive the class assignment for per-class host normalization; spill,
+    // GC delta and leftover persisted-RDD count make a recurrence of the
+    // r12 in-sweep inflation diagnosable from the bench line alone.
+    val inB = new java.util.concurrent.atomic.AtomicLong()
+    val shB = new java.util.concurrent.atomic.AtomicLong()
+    val spB = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          inB.addAndGet(m.inputMetrics.bytesRead)
+          shB.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+          spB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try sweepInner(spark, dir, selected, warmupEach, inB, shB, spB)
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
+  private def sweepInner(spark: SparkSession, dir: String,
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      warmupEach: Boolean,
+      inB: java.util.concurrent.atomic.AtomicLong,
+      shB: java.util.concurrent.atomic.AtomicLong,
+      spB: java.util.concurrent.atomic.AtomicLong): Seq[(String, Option[Double])] =
     selected.map { case (name, fn) =>
       var failed = false
       def run(): Unit =
@@ -62,6 +95,11 @@ object Bench {
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       if (warmupEach) run() // steady-state warmup: codegen compile + JIT
+      // warmup traffic must not pollute the class metrics
+      org.apache.spark.graft.ListenerBridge.drain(spark)
+      inB.set(0L); shB.set(0L); spB.set(0L)
+      val gc0 = gcMillis()
+      var leftoverPersisted = 0
       val timed = (1 to 2).map { _ =>
         spark.catalog.clearCache() // timed runs must rebuild query-owned caches
         // localCheckpoint blocks from earlier queries are only released when
@@ -75,11 +113,24 @@ object Bench {
         // RDD-level persist eagerly (clearCache only covers Dataset-level
         // caches; prior queries' checkpoint blocks are never re-read, so
         // unpersisting them is safe).
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        val leftovers = spark.sparkContext.getPersistentRDDs
+        leftoverPersisted = math.max(leftoverPersisted, leftovers.size)
+        leftovers.values.foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
+      }
+      org.apache.spark.graft.ListenerBridge.drain(spark)
+      if (!failed) {
+        // bytes accumulate over BOTH timed runs — the class thresholds are
+        // ratio-dominated, and the reported MBs are halved to per-run
+        val cls = classify(inB.get / 2, shB.get / 2)
+        queryClasses.putIfAbsent(name, cls)
+        queryDiag.putIfAbsent(name, QueryDiag(cls,
+          inB.get / 2 / 1048576.0, shB.get / 2 / 1048576.0,
+          spB.get / 2 / 1048576.0, gcMillis() - gc0, leftoverPersisted))
+        ()
       }
       // a failed query must not fold its time-to-failure into the JSON as
       // if it were a fast success — record it in "errors" instead
@@ -111,6 +162,84 @@ object Bench {
     ts.foreach(_.start()); ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
+
+  // ---- per-class host probes (VERDICT r13 #2) ----------------------------
+  // The single integer-CPU probe assigns ALL of a host swing to "host" on
+  // queries that are shuffle- or scan-bound, which is how r13's sweep read
+  // "flat" (normalized 1.05×) while a matched-calibration A/B of the same
+  // change measured 1.66× — the probe over-corrected. Two more probes, one
+  // per resource class, measured with the same Spark session and thread
+  // count the sweep uses; vs_prev then normalizes each query by the factor
+  // of ITS class. Both are fixed deterministic workloads (min of 2 timed
+  // runs after one warm run, noop sink — the sweep's own methodology).
+
+  /** Shuffle-class probe: hash + 1M-group aggregate over 20M generated
+    * rows — exchange write/read, hash-map aggregation, serialization and
+    * memory bandwidth at the sweep's parallelism. */
+  def calibrateShuffle(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def job(): Unit = spark.range(0L, 20000000L, 1L, 32)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+        (col("id") % 97).as("v"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"), avg("v").as("a"))
+      .write.format("noop").mode("overwrite").save()
+    job()
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Scan-class probe: a fixed ~90 MB parquet fixture (written fresh each
+    * run — layout under our control, incompressible hash column) scanned
+    * with a 3-column aggregate: parquet decode + page-cache/disk read
+    * path. The fixture is rewritten per run so OS cache state is the same
+    * every round (always warm from the write). */
+  def calibrateScan(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_calib_scan.parquet"
+    spark.range(0L, 10000000L, 1L, 32)
+      .select(col("id"), xxhash64(col("id")).as("h"),
+        (col("id") % 1000).cast("double").as("d"))
+      .write.mode("overwrite").parquet(path)
+    def job(): Unit = spark.read.parquet(path)
+      .select(sum("h").as("sh"), avg("d").as("ad"), sum("id").as("si"),
+        count(lit(1)).as("c"))
+      .write.format("noop").mode("overwrite").save()
+    job()
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Crude dominant-resource classifier from a query's timed-run task
+    * metrics: shuffle-dominant if its exchange traffic rivals its input,
+    * scan-dominant if it reads real bytes with little shuffle, cpu
+    * otherwise (small in, small shuffled — the work is expression
+    * evaluation). Deliberately coarse: the class only picks WHICH host
+    * probe divides the query's cross-round ratio. */
+  private[graft] def classify(inputBytes: Long, shuffleBytes: Long): String =
+    if (shuffleBytes > math.max(inputBytes / 2, 1L << 20)) "shuffle"
+    else if (inputBytes > (4L << 20)) "scan"
+    else "cpu"
+
+  /** query -> class, captured during the first (compacted) sweep that ran
+    * the query; later sweeps don't overwrite. */
+  private[graft] val queryClasses =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-query sweep diagnostics (VERDICT r13 #8): the in-sweep-inflation
+    * instrumentation — per-run input/shuffle/spill MB, GC-time delta over
+    * the timed runs, and the max persisted-RDD count found LEFT OVER from
+    * earlier queries before the pre-run unpersist (a nonzero value is the
+    * r12 block-pileup signature). */
+  private[graft] final case class QueryDiag(cls: String, inMb: Double,
+      shMb: Double, spillMb: Double, gcMs: Long, leftoverPersisted: Int) {
+    def json: String =
+      f""""cls":"$cls","in_mb":$inMb%.1f,"sh_mb":$shMb%.1f,""" +
+        f""""spill_mb":$spillMb%.1f,"gc_ms":$gcMs,"pers":$leftoverPersisted"""
+  }
+  private[graft] val queryDiag =
+    scala.collection.concurrent.TrieMap.empty[String, QueryDiag]
 
   /** Compact every table of `sfDir` into `outDir`/<t>.parquet with small
     * files + bounded row groups (sf0.1 is ~15 MB total, so a 1 MB target
@@ -304,6 +433,22 @@ object Bench {
     }
   }.toOption.filter { case (q, _, v) => q.nonEmpty || v.nonEmpty }
 
+  /** The per-class probe values out of a previous bench file — a plain
+    * text scan (raw line, parsed envelope, or tail fragments all carry the
+    * literal `"calib_shuffle_sec":N` when the round emitted them; rounds
+    * before r14 simply don't, and per-class normalization then falls back
+    * to the CPU factor). Last occurrence wins (the trailer repeats the
+    * headline fields). */
+  private[graft] def loadPrevProbes(path: String): (Option[Double], Option[Double]) =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      def f(name: String): Option[Double] =
+        ("\"" + name + "\":([0-9.eE+-]+)").r.findAllMatchIn(txt).toSeq.lastOption
+          .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      (f("calib_shuffle_sec"), f("calib_scan_sec"))
+    }.getOrElse((None, None))
+
   /** The cross-round signal, self-reported (VERDICT r11 #4): ratios of
     * this run vs the previous round's bench, raw AND with the calib_mt
     * host factor divided out — the same three numbers bench_compare.py
@@ -314,9 +459,28 @@ object Bench {
   private[graft] def vsPrevJson(
       prev: (Map[String, Double], Option[Double], Option[Double]),
       prevPath: String, currQ: Map[String, Double], currTotal: Double,
-      currCalib: Double): String = {
+      currCalib: Double,
+      classes: Map[String, String] = Map.empty,
+      currProbes: (Option[Double], Option[Double]) = (None, None),
+      prevProbes: (Option[Double], Option[Double]) = (None, None)): String = {
     val (qa, calibA, va) = prev
     val host = calibA.filter(_ > 0).map(c => currCalib / c)
+    // per-class host factors (VERDICT r13 #2): shuffle/scan probe ratios
+    // when BOTH rounds carried the probes; each falls back to the
+    // integer-CPU factor (the pre-r14 behavior) when the prev round
+    // predates them — so classnorm == norm exactly until r15.
+    val probeShuffle = for (c <- currProbes._1; p <- prevProbes._1 if p > 0)
+      yield c / p
+    val probeScan = for (c <- currProbes._2; p <- prevProbes._2 if p > 0)
+      yield c / p
+    val hostShuffle = probeShuffle.orElse(host)
+    val hostScan = probeScan.orElse(host)
+    def clsOf(q: String): String = classes.getOrElse(q, "cpu")
+    def clsFactor(cls: String): Option[Double] = cls match {
+      case "shuffle" => hostShuffle
+      case "scan" => hostScan
+      case _ => host
+    }
     val common = qa.keySet.intersect(currQ.keySet).toSeq.sorted
     val ta = va.orElse(Some(qa.values.sum).filter(_ => qa.nonEmpty))
     val totalRaw = ta.filter(_ > 0).map(currTotal / _)
@@ -331,17 +495,44 @@ object Bench {
     def norm(v: Option[Double]): Option[Double] =
       for (h <- host; x <- v) yield x / h
     def opt(name: String, v: Option[Double]) = v.map(d => s""""$name":$d""")
+    // per-class raw medians over the common set (no prev probes needed —
+    // the r14 disambiguation instrument: if cpu-class queries move with
+    // the cpu probe while shuffle-class queries move past it, the residual
+    // is engine change, not host) + the class-normalized aggregates
+    val commonPos = common.filter(q => qa(q) > 0)
+    val clsStats = commonPos.groupBy(clsOf).toSeq.sortBy(_._1).flatMap {
+      case (c, qs) =>
+        val rs = qs.map(q => currQ(q) / qa(q)).sorted
+        Seq(Some(s""""n_$c":${qs.size}"""),
+          Some(s""""median_raw_$c":${rs(rs.size / 2)}"""))
+    }
+    val classnormMedian = {
+      val rs = commonPos.flatMap(q =>
+        clsFactor(clsOf(q)).map(f => (currQ(q) / qa(q)) / f)).sorted
+      if (rs.nonEmpty) Some(rs(rs.size / 2)) else None
+    }
+    val classnormCommonTotal = {
+      val items = commonPos.filter(q => clsFactor(clsOf(q)).nonEmpty)
+      val denom = items.map(qa).sum
+      if (denom > 0)
+        Some(items.map(q => currQ(q) / clsFactor(clsOf(q)).get).sum / denom)
+      else None
+    }
     // JSON-escape the path: a SPARK_GRAFT_PREV_BENCH value containing a
     // quote or backslash would otherwise emit a malformed bench line (and
     // a `,"`-bearing path would desync vsPrevFlat's split)
     val prevEsc = prevPath.replace("\\", "\\\\").replace("\"", "\\\"")
     (Seq(Some(s""""prev":"$prevEsc""""), Some(s""""n_common":${common.size}"""),
       opt("host_factor", host),
+      opt("host_factor_shuffle", probeShuffle),
+      opt("host_factor_scan", probeScan),
       opt("total_ratio_raw", totalRaw), opt("total_ratio", norm(totalRaw)),
       opt("common_total_ratio_raw", commonRaw),
       opt("common_total_ratio", norm(commonRaw)),
-      opt("median_ratio_raw", medianRaw), opt("median_ratio", norm(medianRaw)))
-      .flatten).mkString("{", ",", "}")
+      opt("median_ratio_raw", medianRaw), opt("median_ratio", norm(medianRaw)),
+      opt("common_total_ratio_classnorm", classnormCommonTotal),
+      opt("median_ratio_classnorm", classnormMedian))
+      .flatten ++ clsStats.flatten).mkString("{", ",", "}")
   }
 
   /** The same vs-prev numbers FLATTENED to `vs_prev_*` scalar keys — the
@@ -390,6 +581,10 @@ object Bench {
     val calibThreads = scala.util.Try(cpus.trim.toInt).getOrElse(4)
     val calib1 = calibrate(1)
     val calibN = calibrate(calibThreads)
+    // per-class probes beside the integer one (VERDICT r13 #2) — same
+    // session, same thread count, before any sweep heats the heap
+    val calibShuffle = calibrateShuffle(spark)
+    val calibScan = calibrateScan(spark)
 
     val compactDir = "/tmp/graft_bench_compact"
     val compacted: Option[Seq[(String, Option[Double])]] =
@@ -419,7 +614,12 @@ object Bench {
       // queries_raw so the tail retains as many per-query fragments as
       // possible — bench_compare.py's envelope fallback reads exactly
       // those fragments for the cross-round per-query comparison
+      // per-query class + diagnostics (bulky — early, so the driver's
+      // log-tail capture still retains the per-query fragments + trailer)
+      val qdiagJson = queryDiag.toSeq.sortBy(_._1)
+        .map { case (k, d) => s""""$k":{${d.json}}""" }.mkString("{", ",", "}")
       val extras = Seq(
+        Some(s""""qdiag":$qdiagJson"""),
         Some(s""""total_lifecycle":$lcTotal,"total_pure":${hTotal - lcTotal}"""),
         comp.map { case (_, _, t, _, _) => s""""total_compacted":$t""" },
         streamLine.map(sl => s""""stream_bench":$sl"""),
@@ -428,7 +628,8 @@ object Bench {
         rawF.filter(_ => comp.nonEmpty)
           .map { case (qs, es, _, _, _) => s""""queries_raw":$qs,"errors_raw":$es""" },
         Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}""""),
-        Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads""")
+        Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads,""" +
+          s""""calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan""")
       ).flatten.mkString(",")
       s"""{"metric":"total","value":$hTotal,"unit":"sec","queries":$hQs,"errors":$hErrs,"sf":"$sfDir",$extras}"""
     }
@@ -465,7 +666,10 @@ object Bench {
       val currQ = raw.orElse(compacted).get
         .collect { case (k, Some(v)) => k -> v }.toMap
       prevBenchPath().flatMap(p =>
-        loadPrevBench(p).map(d => vsPrevJson(d, p, currQ, hTot, calibN)))
+        loadPrevBench(p).map(d => vsPrevJson(d, p, currQ, hTot, calibN,
+          classes = queryClasses.toMap,
+          currProbes = (Some(calibShuffle), Some(calibScan)),
+          prevProbes = loadPrevProbes(p))))
     }
 
     val line = emit(raw, rawIsSubset, streamLine, vsPrev)
@@ -488,7 +692,7 @@ object Bench {
     val vp = vsPrev.map(v => "," + vsPrevFlat(v)).getOrElse("")
     val lcT = compacted.orElse(raw).get
       .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
-    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
+    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN,"calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }
 }

@@ -79,12 +79,13 @@ object DedupIndexMain {
         // vanish from the new generation (Generations writer contract)
         graft.operators.Generations.withWriterLock(args(1)) {
           DedupIndex.optimize(spark, args(1), args(2), target)
+          graft.operators.Generations.recordSourceFingerprint(args(2), args(1))
         }
         println(s"optimized ${args(1)} -> ${args(2)}")
       case "publish" =>
         require(DedupIndex.exists(args(2)), s"no index at ${args(2)} — nothing to publish")
         graft.operators.Generations.withWriterLock(args(1)) {
-          graft.operators.Generations.publish(args(1), args(2))
+          graft.operators.Generations.publishChecked(args(1), args(2))
         }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
       case c @ ("resolve" | "history" | "retire") =>

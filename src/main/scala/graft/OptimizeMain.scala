@@ -84,8 +84,11 @@ object OptimizeMain {
     }
     val bad = results.filterNot(_._2.content_match)
     if (bad.isEmpty) publishTable.foreach { tbl =>
-      // only a fully-validated generation may become CURRENT
-      graft.operators.Generations.publish(tbl, rest(1))
+      // only a fully-validated generation may become CURRENT; the
+      // recorded source fingerprint makes the pointer switch refuse if
+      // the source moved between validation and publish
+      graft.operators.Generations.recordSourceFingerprint(rest(1), rest(0))
+      graft.operators.Generations.publishChecked(tbl, rest(1))
       println(s"CURRENT of $tbl -> ${rest(1)}")
     }
     spark.stop()

@@ -105,11 +105,16 @@ object ScaleMain {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val memSpill = new java.util.concurrent.atomic.AtomicLong()
     val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    // max per-task peak execution memory: the per-shard memory-bound
+    // evidence the q289 matrix exists for (spill says pressure happened;
+    // this says how big one task's unified-memory footprint actually got)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         Option(te.taskMetrics).foreach { m =>
           memSpill.addAndGet(m.memoryBytesSpilled)
-          diskSpill.addAndGet(m.diskBytesSpilled); ()
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakTaskMem.getAndAccumulate(m.peakExecutionMemory, Math.max); ()
         }
     })
     // lint the EXECUTED plans (localCheckpoint-ing queries return a
@@ -134,7 +139,7 @@ object ScaleMain {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      memSpill.set(0L); diskSpill.set(0L); lint.clear()
+      memSpill.set(0L); diskSpill.set(0L); peakTaskMem.set(0L); lint.clear()
       spark.listenerManager.register(ql)
       val t0 = System.nanoTime()
       val ok = scala.util.Try(
@@ -147,6 +152,7 @@ object ScaleMain {
       val findings = lint.asScala.toSeq.distinct
       val l = s"""{"query":"$name","ok":$ok,"wall_sec":$wall,""" +
         s""""spill_mem_bytes":${memSpill.get},"spill_disk_bytes":${diskSpill.get},""" +
+        s""""peak_task_mem_bytes":${peakTaskMem.get},""" +
         s""""lint":[${findings.map(f => "\"" + f.replace("\"", "'") + "\"").mkString(",")}]}"""
       println(l)
       l

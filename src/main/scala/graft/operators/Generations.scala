@@ -50,7 +50,22 @@ object Generations {
     * verb, and the streaming maintenance loops take it per batch. It is
     * advisory — a writer that bypasses the lock is not stopped (the
     * filesystem cannot do that portably) — but any two cooperating
-    * writers serialize or fail loudly instead of losing data. */
+    * writers serialize or fail loudly instead of losing data.
+    *
+    * OBJECT-STORE CAVEAT (the 100 TB deployment reality): the guard's
+    * atomicity rests on create-if-absent (`Files.createFile`) and atomic
+    * rename, which hold on POSIX filesystems and HDFS but NOT on plain
+    * S3-style object stores — S3 PUT has no portable create-if-absent
+    * without conditional writes, and "rename" is copy+delete. On such a
+    * store this lock degrades to racy best-effort: deploy the state dir
+    * on a store with atomic create/rename semantics (HDFS, a POSIX NFS,
+    * S3 WITH If-None-Match conditional puts wired into the FileSystem
+    * impl), or serialize writers externally (one maintenance job per
+    * table — the deployment shape the CLIs assume anyway). Independent
+    * of the lock, `optimize` closes its own validate-to-publish window
+    * defense-in-depth: [[publishIfUnchanged]] re-lists the source
+    * generation immediately before the pointer switch and refuses to
+    * publish a rewrite whose source grew behind it. */
   private val LockName = ".WRITER_LOCK"
 
   /** Run `body` holding the writer lock of `stateDir`. Throws
@@ -64,21 +79,40 @@ object Generations {
     val dir = new File(stateDir)
     dir.mkdirs()
     val lock = new File(dir, LockName)
+    // unique per-acquisition token: release deletes the lock ONLY while
+    // its content is still this token — a body that outlives staleMs and
+    // gets its lock broken + re-acquired by another writer must not
+    // delete THAT writer's lock on the way out (the r13 ADVICE TOCTOU)
+    val token = s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis} " +
+      s"nonce=${java.util.UUID.randomUUID}"
     def tryAcquire(): Boolean =
       try {
-        Files.createFile(lock.toPath)
-        Files.write(lock.toPath,
-          s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}\n"
-            .getBytes(StandardCharsets.UTF_8))
+        Files.createFile(lock.toPath) // the atomic claim
+        Files.write(lock.toPath, (token + "\n").getBytes(StandardCharsets.UTF_8))
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!tryAcquire()) {
       val age = System.currentTimeMillis - lock.lastModified
       if (lock.isFile && age > staleMs) {
-        System.err.println(s"withWriterLock: breaking stale lock $lock " +
-          s"(age ${age / 1000}s > ${staleMs / 1000}s)")
-        Files.deleteIfExists(lock.toPath)
-        if (!tryAcquire())
+        // break the stale lock by atomically MOVING it aside, never by
+        // delete-then-create: of two writers that both observed
+        // staleness, exactly one wins the move — the loser's move throws
+        // and it fails loudly instead of deleting the winner's freshly
+        // created lock (the delete-based break let both "acquire")
+        val aside = new File(dir, s"$LockName.stale.${System.nanoTime}.${
+          ProcessHandle.current.pid}")
+        val moved =
+          try {
+            Files.move(lock.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch { case _: java.io.IOException => false }
+        if (moved) {
+          System.err.println(s"withWriterLock: broke stale lock $lock " +
+            s"(age ${age / 1000}s > ${staleMs / 1000}s)")
+          Files.deleteIfExists(aside.toPath)
+          ()
+        }
+        if (!moved || !tryAcquire())
           throw new IllegalStateException(
             s"writer lock contended while breaking stale lock: $lock")
       } else {
@@ -90,7 +124,16 @@ object Generations {
             "single-writer; retry after it finishes (or after stale expiry)")
       }
     }
-    try body finally { Files.deleteIfExists(lock.toPath); () }
+    try body finally {
+      val stillMine = scala.util.Try(new String(
+        Files.readAllBytes(lock.toPath), StandardCharsets.UTF_8).trim == token)
+        .getOrElse(false)
+      if (stillMine) Files.deleteIfExists(lock.toPath)
+      else System.err.println(s"withWriterLock: $lock is no longer this " +
+        "writer's at release (body exceeded staleMs and the lock was " +
+        "broken?) — leaving it to its current holder")
+      ()
+    }
   }
 
   /** Atomically point `tableDir`'s CURRENT at `generationPath` (which must
@@ -114,6 +157,62 @@ object Generations {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     ()
+  }
+
+  /** A listing fingerprint of a generation directory's DATA files —
+    * count, total bytes, max mtime over every file that is not a
+    * lock/marker artifact (dot- and underscore-prefixed names). One
+    * recursive list, order-independent; cheap enough to take right
+    * before a pointer switch. */
+  def listingFingerprint(dir: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val files = walk(new File(dir))
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+    s"n=${files.size} bytes=${files.map(_.length).sum} " +
+      s"maxMtime=${(0L +: files.map(_.lastModified)).max}"
+  }
+
+  private def fingerprintFile(genDir: String) = new File(genDir, ".SOURCE_FINGERPRINT")
+
+  /** Record, inside a freshly rewritten generation, which source it was
+    * derived from and the source's listing fingerprint at
+    * post-rewrite-validation time. [[publishChecked]] consults it to
+    * close the validate-to-publish window (the operators' own content
+    * gates cover the in-rewrite window; this covers everything between
+    * the rewrite finishing and the pointer switch — on an object store
+    * where [[withWriterLock]] degrades, it is the remaining guard). */
+  def recordSourceFingerprint(genDir: String, sourceDir: String): Unit = {
+    Files.write(fingerprintFile(genDir).toPath,
+      (new File(sourceDir).getCanonicalPath + "\n" +
+        listingFingerprint(sourceDir) + "\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** [[publish]] that first re-lists the rewrite's source: if the
+    * generation carries a recorded source fingerprint and the source's
+    * listing has CHANGED since the rewrite (an append/tombstone landed
+    * behind it), the pointer switch is refused — publishing would
+    * silently drop that mutation from the visible table. A retired
+    * (absent) source skips the check: nothing can have appended into a
+    * directory that no longer exists. Generations without a recorded
+    * fingerprint publish as before. */
+  def publishChecked(tableDir: String, generationPath: String): Unit = {
+    val f = fingerprintFile(generationPath)
+    if (f.isFile) {
+      val content = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim
+      val Array(src, expected) = content.split("\n", 2)
+      if (new File(src).isDirectory) {
+        val now = listingFingerprint(src)
+        if (now != expected.trim)
+          throw new IllegalStateException(
+            s"publish refused: rewrite source $src changed since optimize " +
+              s"(recorded [${expected.trim}], now [$now]) — a mutation landed " +
+              "behind the rewrite and would vanish; re-run optimize")
+      }
+    }
+    publish(tableDir, generationPath)
   }
 
   /** The publish lineage, oldest first: (seq, generationPath). */
@@ -184,7 +283,10 @@ object Generations {
     case "retire" =>
       val keep = if (args.length >= 3) args(2).toInt else 2
       val hours = if (args.length >= 4) args(3).toDouble else 168.0
-      val gone = retire(args(1), keep, hours)
+      // retire deletes directories a racing writer may be appending into
+      // (the contract's own words) — it takes the table's writer lock
+      // like every other mutating verb
+      val gone = withWriterLock(args(1)) { retire(args(1), keep, hours) }
       gone.foreach(p => println(s"retired\t$p"))
       println(s"${gone.size} generation(s) retired under ${args(1)}")
     case other => sys.error(s"not a lineage verb: $other")

@@ -237,7 +237,16 @@ object Dedup {
     * than OOMs, and the downstream size filter still drops it before any
     * collect_list array forms — the DedupSpec 100k-member stress drives
     * exactly this path. The count+join form stays reachable via
-    * [[screenViaWindow]] for A/B isolation. */
+    * [[screenViaWindow]] for A/B isolation.
+    *
+    * PRECONDITION — non-null keys: the window form counts a NULL key as
+    * its own group while the count+join fallback's inner equi-join drops
+    * NULL-keyed rows entirely, so "bit-identical A/B" holds ONLY for
+    * provably non-null keys. Every current caller satisfies it (band
+    * hashes are md5/xxhash of non-null columns; Multimodal's frame_sha
+    * is computed from a non-null binary payload) — a future caller with
+    * nullable keys must filter nulls first or the two screen modes
+    * silently diverge. */
   private[graft] def withGroupCount(rows: DataFrame, keys: Seq[String]): DataFrame =
     if (screenViaWindow)
       rows.withColumn("cnt",
@@ -1169,9 +1178,14 @@ object Dedup {
     // bucket lives wholly in one shard; cross-shard rediscoveries
     // collapse before the single verify) — the oracle IS q220's SQL,
     // shared verbatim, so shard ≡ unshard is hash-checked at every SF.
+    // SPARK_GRAFT_PREFIX_SHARDS sweeps the shard count (ScaleMain's
+    // 10x/100x peak-memory matrix); output is shard-count-invariant by
+    // construction, so the oracle stays valid at any setting.
     "q289_sharded_prefix" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
-      val out = prefixPairsSharded(base, numShards = 4)
+      val shards = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_PREFIX_SHARDS", "4").toInt).getOrElse(4)
+      val out = prefixPairsSharded(base, numShards = shards)
         .orderBy("d1", "d2")
         .localCheckpoint(eager = true)
       base.unpersist()

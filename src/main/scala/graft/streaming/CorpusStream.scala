@@ -170,15 +170,21 @@ object CorpusStream {
     import graft.operators.AggState
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
-    // single-writer guard (Generations contract): the whole batch —
-    // append into the live generation, then the optimize/publish/retire
-    // cadence — runs under the generation's writer lock, so a concurrent
-    // CLI append fails loudly instead of vanishing from the rewrite
+    // single-writer guard (Generations contract): BOTH locks, table
+    // first then generation — the generation lock serializes against a
+    // CLI append into the live generation (which locks the gen dir); the
+    // TABLE lock serializes the maintain step's publish/retire against a
+    // CLI publish, which locks the table dir (the r13 ADVICE granularity
+    // mismatch: gen-lock-only left two publishers free to interleave and
+    // duplicate lineage seqs). Lock order is fixed (table, then gen) and
+    // CLI verbs take exactly one lock each, so no deadlock cycle exists.
     val gen = currentGen(tableDir)
-    graft.operators.Generations.withWriterLock(gen) {
-      noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
-      maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
-        retentionHours, AggState.bloomExists, AggState.optimize(spark, _, _, Nil))
+    graft.operators.Generations.withWriterLock(tableDir) {
+      graft.operators.Generations.withWriterLock(gen) {
+        noveltyBatch(gen, outDir, minNovelBp)(batch, batchId)
+        maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+          retentionHours, AggState.bloomExists, AggState.optimize(spark, _, _, Nil))
+      }
     }
   }
 
@@ -212,7 +218,12 @@ object CorpusStream {
     if (exists(gen) && batchId % optimizeEvery == (optimizeEvery - 1) &&
         canon(next) != canon(gen)) {
       optimizeTo(gen, next)
-      Generations.publish(tableDir, next) // atomic — old or new, never torn
+      // record the source's post-rewrite listing; publishChecked re-lists
+      // right before the pointer switch — on an object store where the
+      // writer lock degrades to best-effort, this is what still catches
+      // an append that landed behind the rewrite
+      Generations.recordSourceFingerprint(next, gen)
+      Generations.publishChecked(tableDir, next) // atomic — old or new, never torn
       Generations.retire(tableDir, keepLast, retentionHours)
       ()
     }
@@ -268,12 +279,15 @@ object CorpusStream {
       batch: DataFrame, batchId: Long): Unit = {
     require(optimizeEvery > 0, s"optimizeEvery must be positive: $optimizeEvery")
     val spark = batch.sparkSession
-    // single-writer guard — see maintainedNoveltyBatch
+    // single-writer guard — BOTH locks, table then gen; see
+    // maintainedNoveltyBatch for the ordering rationale
     val gen = currentGen(tableDir)
-    graft.operators.Generations.withWriterLock(gen) {
-      nearDupBatch(gen, outDir)(batch, batchId)
-      maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
-        retentionHours, DedupIndex.exists, DedupIndex.optimize(spark, _, _))
+    graft.operators.Generations.withWriterLock(tableDir) {
+      graft.operators.Generations.withWriterLock(gen) {
+        nearDupBatch(gen, outDir)(batch, batchId)
+        maintainGeneration(tableDir, gen, batchId, optimizeEvery, keepLast,
+          retentionHours, DedupIndex.exists, DedupIndex.optimize(spark, _, _))
+      }
     }
   }
 

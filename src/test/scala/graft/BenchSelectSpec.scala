@@ -70,6 +70,73 @@ class BenchSelectSpec extends AnyFunSuite {
 
   test("a missing or unparseable prev file yields no field, never a crash") {
     assert(Bench.loadPrevBench("/nonexistent/prev.json").isEmpty)
+    assert(Bench.loadPrevProbes("/nonexistent/prev.json") === (None, None))
+  }
+
+  // ---- per-class calibration (VERDICT r13 #2) ----------------------------
+
+  test("classify: shuffle-dominant, scan-dominant, cpu fallback") {
+    // shuffle rivals input -> shuffle, regardless of input size
+    assert(Bench.classify(inputBytes = 10L << 20, shuffleBytes = 8L << 20) === "shuffle")
+    // tiny input, real shuffle -> shuffle (the 1 MB floor)
+    assert(Bench.classify(inputBytes = 0L, shuffleBytes = 2L << 20) === "shuffle")
+    // real input, negligible shuffle -> scan
+    assert(Bench.classify(inputBytes = 10L << 20, shuffleBytes = 100L << 10) === "scan")
+    // small in, small shuffled -> cpu (expression-evaluation work)
+    assert(Bench.classify(inputBytes = 1L << 20, shuffleBytes = 0L) === "cpu")
+  }
+
+  test("vsPrevJson normalizes each query by the factor of ITS class") {
+    // prev round: cpu probe 1.0, shuffle probe 1.0, scan probe 1.0;
+    // curr: cpu 2x slower, shuffle 4x, scan 1x — three queries, one per
+    // class, each raw ratio exactly its class's host factor => every
+    // class-normalized ratio is 1.0 while the cpu-only normalization
+    // misreads the shuffle and scan queries.
+    val prev = (Map("qc" -> 1.0, "qs" -> 1.0, "qn" -> 1.0),
+      Some(1.0), Some(3.0))
+    val curr = Map("qc" -> 2.0, "qs" -> 4.0, "qn" -> 1.0)
+    val classes = Map("qc" -> "cpu", "qs" -> "shuffle", "qn" -> "scan")
+    val json = Bench.vsPrevJson(prev, "p.json", curr, 7.0, 2.0,
+      classes = classes,
+      currProbes = (Some(4.0), Some(1.0)), prevProbes = (Some(1.0), Some(1.0)))
+    assert(math.abs(field(json, "host_factor") - 2.0) < 1e-9)
+    assert(math.abs(field(json, "host_factor_shuffle") - 4.0) < 1e-9)
+    assert(math.abs(field(json, "host_factor_scan") - 1.0) < 1e-9)
+    assert(math.abs(field(json, "median_ratio_classnorm") - 1.0) < 1e-9)
+    // classnorm common total: (2/2 + 4/4 + 1/1) / 3 = 1.0
+    assert(math.abs(field(json, "common_total_ratio_classnorm") - 1.0) < 1e-9)
+    // cpu-only normalization misreads: common raw total 7/3 over host 2
+    assert(math.abs(field(json, "common_total_ratio") - 7.0 / 6.0) < 1e-9)
+    // per-class raw medians present
+    assert(math.abs(field(json, "median_raw_cpu") - 2.0) < 1e-9)
+    assert(math.abs(field(json, "median_raw_shuffle") - 4.0) < 1e-9)
+    assert(math.abs(field(json, "median_raw_scan") - 1.0) < 1e-9)
+    assert(json.contains(""""n_cpu":1""") && json.contains(""""n_shuffle":1"""))
+  }
+
+  test("missing prev probes fall back to the cpu factor — classnorm == norm") {
+    val prev = (Map("qa" -> 1.0, "qb" -> 2.0), Some(1.0), Some(3.0))
+    val curr = Map("qa" -> 3.0, "qb" -> 2.0)
+    val json = Bench.vsPrevJson(prev, "p.json", curr, 5.0, 2.0,
+      classes = Map("qa" -> "shuffle", "qb" -> "scan"),
+      currProbes = (Some(4.0), Some(1.5)), prevProbes = (None, None))
+    // no probe-derived per-class factors emitted
+    assert(!json.contains("host_factor_shuffle"))
+    assert(!json.contains("host_factor_scan"))
+    assert(math.abs(
+      field(json, "common_total_ratio_classnorm") - field(json, "common_total_ratio")) < 1e-12)
+    assert(math.abs(
+      field(json, "median_ratio_classnorm") - field(json, "median_ratio")) < 1e-12)
+  }
+
+  test("vsPrevFlat stays nesting-free with the per-class fields present") {
+    val prev = (Map("qc" -> 1.0, "qs" -> 1.0), Some(1.0), Some(2.0))
+    val json = Bench.vsPrevJson(prev, "p.json", Map("qc" -> 2.0, "qs" -> 4.0),
+      6.0, 2.0, classes = Map("qs" -> "shuffle"),
+      currProbes = (Some(4.0), Some(1.0)), prevProbes = (Some(1.0), Some(1.0)))
+    val flat = Bench.vsPrevFlat(json)
+    assert(!flat.contains("{") && !flat.contains("}"), flat)
+    assert(flat.contains("\"vs_prev_median_ratio_classnorm\":"))
   }
 
   test("vsPrevFlat renders trailer-safe scalars — the legacy trailer regex survives") {

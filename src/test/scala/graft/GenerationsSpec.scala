@@ -217,4 +217,98 @@ class GenerationsSpec extends SparkSpec {
     assert(lock.exists())
     lock.delete()
   }
+
+  test("writer lock release is token-checked: a broken-and-reacquired lock is not deleted") {
+    // the r13 ADVICE TOCTOU: writer A's body outlives staleMs, writer B
+    // breaks the stale lock and acquires — A's exit must NOT delete B's
+    // lock. Simulated by overwriting the lock content mid-body (what B's
+    // re-acquire does).
+    val state = Files.createTempDirectory("graft_lock_tok").toString
+    val lock = new java.io.File(state, ".WRITER_LOCK")
+    Generations.withWriterLock(state) {
+      java.nio.file.Files.write(lock.toPath,
+        "pid=9999 ts=0 nonce=foreign".getBytes("UTF-8"))
+    }
+    // A exited but B's lock survives
+    assert(lock.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+      .contains("foreign"))
+    lock.delete()
+    // normal path still cleans up its own lock
+    Generations.withWriterLock(state) { 1 }
+    assert(!lock.exists())
+  }
+
+  test("stale-lock break moves the lock aside atomically, never delete-then-create") {
+    // of two breakers, exactly one can win the ATOMIC_MOVE; this pins the
+    // mechanism (no bare delete) by verifying a successful break leaves
+    // no .stale artifact behind and acquires cleanly
+    val state = Files.createTempDirectory("graft_lock_stale").toString
+    val lock = new java.io.File(state, ".WRITER_LOCK")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis - 3600 * 1000))
+    val v = Generations.withWriterLock(state, staleMs = 60 * 1000) { 7 }
+    assert(v === 7)
+    assert(!lock.exists())
+    val leftovers = new java.io.File(state).listFiles
+      .filter(_.getName.startsWith(".WRITER_LOCK.stale"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("publishChecked refuses when the rewrite's source changed behind it") {
+    val table = Files.createTempDirectory("graft_pc_table").toString
+    val src = Files.createTempDirectory("graft_pc_src").toString
+    val dst = Files.createTempDirectory("graft_pc_dst").toString
+    // "data" files (non-dot, non-underscore names count in the listing)
+    java.nio.file.Files.write(new java.io.File(src, "part-0.parquet").toPath,
+      "a".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dst, "part-0.parquet").toPath,
+      "a".getBytes("UTF-8"))
+    Generations.recordSourceFingerprint(dst, src)
+    // unchanged source: publishes
+    Generations.publishChecked(table, dst)
+    assert(Generations.resolve(table) === new java.io.File(dst).getCanonicalPath)
+    // an append lands behind the rewrite: the next publish of the SAME
+    // generation is refused
+    java.nio.file.Files.write(new java.io.File(src, "part-1.parquet").toPath,
+      "late append".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { Generations.publishChecked(table, dst) }
+    assert(e.getMessage.contains("publish refused"))
+    // lock/marker artifacts do NOT trip the check
+    val dst2 = Files.createTempDirectory("graft_pc_dst2").toString
+    java.nio.file.Files.write(new java.io.File(dst2, "part-0.parquet").toPath,
+      "b".getBytes("UTF-8"))
+    Generations.recordSourceFingerprint(dst2, src)
+    java.nio.file.Files.write(new java.io.File(src, ".WRITER_LOCK").toPath,
+      "lock".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(src, "_SUCCESS").toPath,
+      Array.empty[Byte])
+    Generations.publishChecked(table, dst2)
+    assert(Generations.resolve(table) === new java.io.File(dst2).getCanonicalPath)
+    // a RETIRED (absent) source skips the check — nothing can append into
+    // a directory that no longer exists
+    val dst3 = Files.createTempDirectory("graft_pc_dst3").toString
+    java.nio.file.Files.write(new java.io.File(dst3, "part-0.parquet").toPath,
+      "c".getBytes("UTF-8"))
+    Generations.recordSourceFingerprint(dst3, src)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(src))
+    Generations.publishChecked(table, dst3)
+    assert(Generations.resolve(table) === new java.io.File(dst3).getCanonicalPath)
+  }
+
+  test("cliLineage retire takes the table writer lock") {
+    val table = Files.createTempDirectory("graft_retire_lock").toString
+    val lock = new java.io.File(table, ".WRITER_LOCK")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      Generations.cliLineage("retire", Array("retire", table))
+    }
+    lock.delete()
+    // with the lock free, retire runs (no generations -> retires nothing)
+    Generations.cliLineage("retire", Array("retire", table))
+  }
 }

@@ -73,6 +73,24 @@ def main():
     qa, qb = a.get("queries", {}), b.get("queries", {})
     ca, cb = a.get("calib_mt_sec"), b.get("calib_mt_sec")
     host = (cb / ca) if (ca and cb) else None
+    # per-class host factors (r14+): shuffle/scan probes when both rounds
+    # carried them, falling back to the integer-CPU factor; query classes
+    # come from either side's qdiag (newer side preferred)
+    def probe(name):
+        pa, pb = a.get(name), b.get(name)
+        return (pb / pa) if (pa and pb) else None
+    class_host = {"shuffle": probe("calib_shuffle_sec") or host,
+                  "scan": probe("calib_scan_sec") or host,
+                  "cpu": host}
+    classes = {}
+    for side in (a, b):
+        qd = side.get("qdiag")
+        if isinstance(qd, dict):
+            for q, d in qd.items():
+                if isinstance(d, dict) and "cls" in d:
+                    classes[q] = d["cls"]
+    def cls_factor(q):
+        return class_host.get(classes.get(q, "cpu"))
 
     common = sorted(set(qa) & set(qb))
     print(f"A={args[0]}  B={args[1]}")
@@ -100,6 +118,32 @@ def main():
         med = rs[len(rs) // 2]
         print(f"per-query median ratio: raw {fmt_ratio(med)}"
               + (f"  normalized {fmt_ratio(med / host)}" if host else ""))
+
+        if classes and host:
+            pshuf, pscan = probe("calib_shuffle_sec"), probe("calib_scan_sec")
+            print(f"class host factors: cpu {host:.3f}"
+                  + (f"  shuffle {pshuf:.3f}" if pshuf else "  shuffle --(cpu fallback)")
+                  + (f"  scan {pscan:.3f}" if pscan else "  scan --(cpu fallback)"))
+            bycls = {}
+            for q in common:
+                if qa[q] > 0:
+                    bycls.setdefault(classes.get(q, "cpu"), []).append(qb[q] / qa[q])
+            for c in sorted(bycls):
+                cr = sorted(bycls[c])
+                cm = cr[len(cr) // 2]
+                f = class_host.get(c)
+                print(f"  class {c:7s} n={len(cr):3d}  median raw {fmt_ratio(cm)}"
+                      + (f"  classnorm {fmt_ratio(cm / f)}" if f else ""))
+            crs = sorted((qb[q] / qa[q]) / cls_factor(q)
+                         for q in common if qa[q] > 0 and cls_factor(q))
+            if crs:
+                print(f"per-query median ratio, class-normalized: "
+                      f"{fmt_ratio(crs[len(crs) // 2])}")
+            num = sum(qb[q] / cls_factor(q) for q in common
+                      if qa[q] > 0 and cls_factor(q))
+            den = sum(qa[q] for q in common if qa[q] > 0 and cls_factor(q))
+            if den:
+                print(f"common-query total, class-normalized: {fmt_ratio(num / den)}")
 
         print(f"\ntop {top} movers (by raw ratio, >=0.2s on either side):")
         movers = [(qb[q] / qa[q], q) for q in common

@@ -335,39 +335,61 @@ object Dedup {
   /** [[prefixPairs]] with the prefix-token domain processed in
     * `numShards` SEQUENTIAL hash-ranges — the bounded-memory scale path
     * for the one operator whose cost is genuinely super-linear in corpus
-    * size (the 100x scale tier's only spiller). Each shard's candidate
-    * generation (window count + in-array expansion + oversized-bucket
-    * self-join) runs as its OWN job over the ~1/R of prefix rows whose
-    * token hashes fall in the range, and its deduped pair set is pinned
-    * with an eager localCheckpoint before the next shard starts — peak
-    * executor memory and spill are those of ONE shard, not the whole
-    * candidate mass at once. The pair SET is identical to the unsharded
-    * form: a prefix bucket lives wholly in one shard (sharding is BY
-    * token hash), so no pair is lost, and pairs found via two different
-    * shared tokens in different shards collapse in the global
-    * dropDuplicates before the single verify join. A single degenerate
-    * token's ~|family|^2 pairs are NOT split — they are real output and
-    * stream through that shard's spill-capable self-join as before;
-    * sharding bounds the CONCURRENT mass across tokens. At a real 100 TB
-    * run R is sized so one shard's candidate pairs fit the cluster's
-    * shuffle comfortably; locally the DedupSpec equivalence pin and the
-    * q289 oracle (shared verbatim with q220) prove output identity. */
+    * size (the 100x scale tier's only spiller). Each shard runs its
+    * COMPLETE pipeline — candidate generation (window count + in-array
+    * expansion + oversized-bucket self-join) AND the exact-Jaccard
+    * verify join — as its own job over the ~1/R of prefix rows whose
+    * token hashes fall in the range, pinning the verified output before
+    * the next shard starts.
+    *
+    * Why the verify is INSIDE the loop (r14): the stage-by-stage spill
+    * ledger (SpillProbeMain, 100x tier) attributed ALL of q220's ~4 GB
+    * spill to the verify join — the candidate pairs carry both docs'
+    * full shingle-hash arrays through a sort-merge join, and that sort
+    * is the memory cliff; candidate generation itself spills ZERO at
+    * 100x. The r13 form sharded only candidate generation and verified
+    * globally, so its spill was byte-identical at 4/8/16 shards (and
+    * ~60% HIGHER than one-shot, because the full prefix table sat in
+    * MEMORY_AND_DISK storage squeezing execution memory — now
+    * DISK_ONLY). With the verify sharded, the pair mass in flight — and
+    * with it the sort buffer — is one shard's, so at a tier where the
+    * one-shot verify spills X bytes, R can be sized until one shard's
+    * verify fits in memory entirely.
+    *
+    * Output identity with [[prefixPairs]]: a prefix bucket lives wholly
+    * in one shard (sharding is BY token hash), so no pair is lost; a
+    * pair discovered via shared tokens in TWO shards is verified twice
+    * — deterministically identically — and collapses in the final
+    * dropDuplicates. A single degenerate token's ~|family|^2 pairs are
+    * NOT split — they are real output and stream through that shard's
+    * spill-capable joins as before; sharding bounds the CONCURRENT mass
+    * across tokens. Cost of the rearrangement: the base side of the
+    * verify shuffles once per shard instead of once (it is the NARROW
+    * side — doc_id + arrays, |docs| rows — while the pair side is the
+    * one that explodes super-linearly). Locally the DedupSpec
+    * equivalence pin and the q289 oracle (shared verbatim with q220)
+    * prove output identity at 1/3/8 shards and all 3 SFs. */
   def prefixPairsSharded(base: DataFrame, numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
-    val prefixes = prefixRows(base).persist(StorageLevel.MEMORY_AND_DISK)
-    val shardPairs = (0 until numShards).map { r =>
+    // DISK_ONLY: reused by every shard, but MEMORY_AND_DISK would park
+    // the full prefix table in the unified memory manager's storage pool
+    // for the whole loop, starving the very sort buffers the sharding
+    // exists to relieve (measured +2.4 GB spill at 100x)
+    val prefixes = prefixRows(base).persist(StorageLevel.DISK_ONLY)
+    val shardOut = (0 until numShards).map { r =>
       val keyed = prefixes.filter(pmod(col("h"), lit(numShards)) === lit(r))
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // eager: shard r's whole candidate mass materializes NOW and its
-      // working state is released before shard r+1 begins
-      val out = prefixCandidates(keyed).dropDuplicates("d1", "d2")
+      // eager: shard r's whole candidate+verify mass materializes NOW
+      // and its working state is released before shard r+1 begins
+      val out = verifyJaccard(base,
+        prefixCandidates(keyed).dropDuplicates("d1", "d2"))
         .localCheckpoint(eager = true)
       keyed.unpersist()
       out
     }
-    val pairs = shardPairs.reduce(_ unionByName _).dropDuplicates("d1", "d2")
-    val out = verifyJaccard(base, pairs).localCheckpoint(eager = true)
+    val out = shardOut.reduce(_ unionByName _).dropDuplicates("d1", "d2")
+      .localCheckpoint(eager = true)
     prefixes.unpersist()
     out
   }
@@ -375,7 +397,7 @@ object Dedup {
   /** The prefix rows (doc_id, h, sz) both prefix-join forms start from:
     * global token frequencies, rarest-first rank per doc, first
     * |x| - ceil(0.7|x|) + 1 tokens kept (the AllPairs prefix bound). */
-  private def prefixRows(base: DataFrame): DataFrame = {
+  private[graft] def prefixRows(base: DataFrame): DataFrame = {
     val freq = base.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
     val tokens = base.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
@@ -404,7 +426,7 @@ object Dedup {
     * AllPairs length prune (J >= 0.7 implies min(sz)/max(sz) >= 0.7, an
     * integer predicate) drops candidates BEFORE the intersect verify on
     * both paths; provably output-neutral. */
-  private def prefixCandidates(keyed: DataFrame): DataFrame = {
+  private[graft] def prefixCandidates(keyed: DataFrame): DataFrame = {
     val smallPairs = keyed.filter(col("cnt").between(2, PrefixBucketArrayMax))
       .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
@@ -427,7 +449,7 @@ object Dedup {
 
   /** Exact-Jaccard verify of oriented candidate pairs against the base's
     * sorted shingle-hash sets; keeps pairs at J >= 0.7. */
-  private def verifyJaccard(base: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(base: DataFrame, pairs: DataFrame): DataFrame = {
     val inter = TextHashes.sorted_intersect_size(col("h1"), col("h2"))
     pairs
       .join(base.select(col("doc_id").as("d1"), col("hs").as("h1"), col("sz").as("sz1")), Seq("d1"))

@@ -76,6 +76,41 @@ object TrainPrep {
   private def TrainUpdExpr(j: Int): String =
     s"w$j - 0.5 * ((CAST(g$j AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE))"
 
+  // q290's per-row logistic loss, shared verbatim (ln parity is
+  // gate-proven by q91; the greatest() guards keep a saturated sigmoid
+  // from producing ln(0) = -inf, identically in both engines)
+  private val TrainLossExpr =
+    "CASE WHEN yi = 1 THEN -ln(greatest(p, 1e-12)) " +
+      "ELSE -ln(greatest(1.0 - p, 1e-12)) END"
+
+  // q290's convergence control: hard iteration cap + integer loss
+  // tolerance. The mean loss per round is floor-e9 per row, summed
+  // BIGINT, divided by n (all non-negative, so Spark `div` == DuckDB
+  // `//`); the loop stops at the first round whose mean loss moved less
+  // than EpsE9 from the previous round's.
+  // eps chosen against the measured loss trail (deltas shrink ~0.7x per
+  // round): stops at iterations 7 / 4 / 6 at sf0.001 / 0.01 / 0.1 — the
+  // loop genuinely runs past round 2 and genuinely stops before the cap.
+  // No cross-engine boundary risk: both engines compare the SAME exact
+  // integers (the trail is floor-e9 BIGINT and itself hash-provable).
+  private[graft] val ConvergeCap = 8
+  private[graft] val ConvergeEpsE9 = 1500000L // 0.0015 nats
+
+  // one GD iteration of the q290 oracle: trainIterCtes + the floor-e9
+  // loss sum `l` (same CTE names, superset columns)
+  private def trainIterLossCtes(i: Int, wc: String, src: String = "d"): String =
+    s"""p$i AS (SELECT x1i, x2i, yi, w0, w1, w2, $TrainSigmoidExpr AS p
+       |        FROM $src, $wc),
+       |e$i AS (SELECT *, p - CAST(yi AS DOUBLE) AS err FROM p$i),
+       |s$i AS (SELECT count(*) AS n,
+       |  sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS g0,
+       |  sum(CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)) AS g1,
+       |  sum(CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)) AS g2,
+       |  sum(CAST(floor(($TrainLossExpr) * 1000000000.0) AS BIGINT)) AS l,
+       |  sum(CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0)
+       |      THEN 1 ELSE 0 END) AS n_ok,
+       |  min(w0) AS w0, min(w1) AS w1, min(w2) AS w2 FROM e$i)""".stripMargin
+
   // one GD iteration of the q284/q285 oracles: sigmoid + gradient sums
   // over the feature CTE `src` crossed with the 1-row weight CTE `wc` —
   // the same shared-verbatim expressions the Spark plan evaluates
@@ -118,6 +153,39 @@ object TrainPrep {
         sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
         sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
         sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
+        sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
+        min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
+      .localCheckpoint(eager = true)
+
+  /** The q284-family feature frame — (x1i tokens, x2i stopword bp, yi
+    * lang='en') over non-empty docs. Single-sourced for q290 and its
+    * spec; q284/q285/q286 keep their inline copies (their oracles mirror
+    * the text verbatim). */
+  private[graft] def trainFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    docs
+      .withColumn("w", rawToks(col("text")))
+      .withColumn("x1i", size(col("w")).cast("long"))
+      .filter(col("x1i") > 0)
+      .withColumn("hits", size(filter(col("w"),
+        t => array_contains(array(stop.map(lit): _*), t))).cast("long"))
+      .select(col("x1i"), expr("(hits * 10000) div x1i").as("x2i"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("yi"))
+  }
+
+  /** [[gdStep]] with the floor-e9 logistic-loss sum `l` added — q290's
+    * per-round readout (one extra aggregate over the same pass, nothing
+    * else changes). */
+  private[graft] def gdStepLoss(feat: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    feat.crossJoin(broadcast(w))
+      .withColumn("p", expr(TrainSigmoidExpr))
+      .withColumn("err", expr("p - CAST(yi AS DOUBLE)"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(err * 1000000000.0) AS BIGINT)")).as("g0"),
+        sum(expr("CAST(floor(err * (CAST(x1i AS DOUBLE) / 100.0) * 1000000000.0) AS BIGINT)")).as("g1"),
+        sum(expr("CAST(floor(err * (CAST(x2i AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT)")).as("g2"),
+        sum(expr(s"CAST(floor(($TrainLossExpr) * 1000000000.0) AS BIGINT)")).as("l"),
         sum(expr("CASE WHEN (p >= 0.5 AND yi = 1) OR (p < 0.5 AND yi = 0) THEN 1 ELSE 0 END")).as("n_ok"),
         min("w0").as("w0"), min("w1").as("w1"), min("w2").as("w2"))
       .localCheckpoint(eager = true)
@@ -391,6 +459,46 @@ object TrainPrep {
       }
       base.unpersist()
       rows.reduce(_ unionByName _).orderBy("iter")
+    }),
+
+    // ---- convergence-controlled training (r14, VERDICT r13 #4) -----------
+    // q284 runs exactly 3 unrolled steps; the production trainer stops
+    // when the loss plateaus. Driver-side loop: per round ONE corpus
+    // aggregation (gdStepLoss — q284's pass + a floor-e9 logistic-loss
+    // sum), 1 row collected, stop at the first round whose integer mean
+    // loss moved < ConvergeEpsE9 from the previous round's, hard cap
+    // ConvergeCap. Rounds BEYOND the stop are never computed — at 100 TB
+    // that is the entire point (each avoided round is a corpus pass).
+    // Oracle-checkable despite the data-dependent iteration count: the
+    // oracle unrolls all ConvergeCap rounds (tiny at oracle scale),
+    // derives the SAME integer stopping round from the loss trail, and
+    // selects that round's row — (iters_run, loss_e9) are part of the
+    // hash-checked output.
+    "q290_converged_training" -> ((s: SparkSession, dir: String) => {
+      val base = trainFeatures(Tables(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w0 = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      var w = w0
+      var prevMl: Option[Long] = None
+      var t = 0
+      var done = false
+      var lastSt: org.apache.spark.sql.DataFrame = null
+      while (t < ConvergeCap && !done) {
+        t += 1
+        val st = gdStepLoss(base, w) // 1 row, eagerly pinned
+        val ml = st.selectExpr("l div n AS ml").head().getLong(0)
+        if (prevMl.exists(p => math.abs(p - ml) < ConvergeEpsE9)) done = true
+        prevMl = Some(ml)
+        lastSt = st
+        w = gdNextW(st)
+      }
+      base.unpersist()
+      lastSt.selectExpr(s"CAST($t AS BIGINT) AS iters_run",
+        "CAST(l div n AS BIGINT) AS loss_e9",
+        "CAST((n_ok * 10000) div n AS BIGINT) AS acc_bp",
+        s"CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6",
+        s"CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6",
+        s"CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6")
     }),
 
     // ---- grouped training: one model per source, one job -----------------
@@ -883,6 +991,53 @@ object TrainPrep {
          |${trainIterCtes(3, "w2c")}
          |${trainRowSql(1)} UNION ALL ${trainRowSql(2)} UNION ALL ${trainRowSql(3)}
          |ORDER BY iter""".stripMargin,
+
+    // q290: all ConvergeCap rounds unrolled (cheap at oracle scale), the
+    // stopping round derived from the integer loss trail with the SAME
+    // |delta| < eps rule the driver loop applies, and that round's row
+    // selected — so the data-dependent iteration count is itself
+    // hash-checked
+    "q290_converged_training" -> {
+      val iters = (1 to ConvergeCap).map { i =>
+        val wc = if (i == 1) "w0c" else s"w${i - 1}c"
+        val upd = if (i == 1) ""
+        else s"""w${i - 1}c AS (SELECT ${TrainUpdExpr(0)} AS w0,
+                |  ${TrainUpdExpr(1)} AS w1, ${TrainUpdExpr(2)} AS w2
+                |  FROM s${i - 1}),
+                |""".stripMargin
+        upd + trainIterLossCtes(i, wc)
+      }.mkString(",\n")
+      val trail = (1 to ConvergeCap)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS it, (SELECT l // n FROM s$i) AS ml")
+        .mkString(" UNION ALL ")
+      val rows = (1 to ConvergeCap).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS iters_run,
+           |  CAST(l // n AS BIGINT) AS loss_e9,
+           |  CAST((n_ok * 10000) // n AS BIGINT) AS acc_bp,
+           |  CAST(floor((${TrainUpdExpr(0)}) * 1000000.0) AS BIGINT) AS w0_e6,
+           |  CAST(floor((${TrainUpdExpr(1)}) * 1000000.0) AS BIGINT) AS w1_e6,
+           |  CAST(floor((${TrainUpdExpr(2)}) * 1000000.0) AS BIGINT) AS w2_e6
+           |FROM s$i""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+         |  FROM documents),
+         |d AS (SELECT CAST(len(w) AS BIGINT) AS x1i,
+         |   (CAST(len(list_filter(w, tk -> list_contains(
+         |      ['the','a','of','and','to','in','is','it'], tk))) AS BIGINT)
+         |    * 10000) // CAST(len(w) AS BIGINT) AS x2i,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yi
+         |  FROM t WHERE len(w) > 0),
+         |w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |$iters,
+         |trail AS ($trail),
+         |stopt AS (SELECT CAST(coalesce(min(b.it), $ConvergeCap) AS BIGINT) AS t
+         |  FROM trail a JOIN trail b ON b.it = a.it + 1
+         |    AND abs(a.ml - b.ml) < $ConvergeEpsE9),
+         |allrows AS ($rows)
+         |SELECT * FROM allrows WHERE iters_run = (SELECT t FROM stopt)""".stripMargin
+    },
 
     // q286: the keyed iteration CTEs — every source's model trajectory is
     // reproduced and the per-key final weights + third-pass accuracy are

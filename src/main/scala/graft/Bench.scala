@@ -201,9 +201,11 @@ object Bench {
       .select(col("id"), xxhash64(col("id")).as("h"),
         (col("id") % 1000).cast("double").as("d"))
       .write.mode("overwrite").parquet(path)
+    // h is full-range xxhash64 — a raw sum overflows under ANSI; reduce
+    // each value mod a prime first (the decode still reads every page)
     def job(): Unit = spark.read.parquet(path)
-      .select(sum("h").as("sh"), avg("d").as("ad"), sum("id").as("si"),
-        count(lit(1)).as("c"))
+      .select(sum(expr("h % 1000003")).as("sh"), avg("d").as("ad"),
+        sum("id").as("si"), count(lit(1)).as("c"))
       .write.format("noop").mode("overwrite").save()
     job()
     (1 to 2).map { _ =>
@@ -316,21 +318,28 @@ object Bench {
       import org.apache.spark.sql.streaming.Trigger
       import spark.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows0 = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy("ts").limit(100000)
+        .as[graft.streaming.EventRow].collect()
+      // state width from the feed's ACTUAL key cardinality (both
+      // processors key by event_type) via the sizing helper — was a
+      // hand-set 8 (VERDICT r12 #7)
+      val nKeys = rows0.iterator.map(_.event_type).toSet.size
+      val sized = graft.streaming.EventsPipeline.statePartitionsFor(
+        nKeys.toLong, spark.sparkContext.defaultParallelism)
       val restore = Seq(
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
           "true",
-        "spark.sql.shuffle.partitions" -> "8"
+        "spark.sql.shuffle.partitions" -> sized.toString
       ).map { case (k, v) =>
         val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev
       }
       try {
-        val rows = Tables(spark, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))
-          .orderBy("ts").limit(100000)
-          .as[graft.streaming.EventRow].collect()
+        val rows = rows0
         def one(mode: String,
             mk: Dataset[graft.streaming.EventRow] => Dataset[_]): String = {
           def drive(batches: Seq[Seq[graft.streaming.EventRow]]): (Long, Long, Int) = {

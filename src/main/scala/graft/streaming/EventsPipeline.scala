@@ -34,6 +34,53 @@ case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
   */
 object EventsPipeline {
 
+  /** State-partition count from expected key cardinality (VERDICT r12 #7).
+    *
+    * `StreamProfileMain`'s grid measured ~30 ms PER STATE PARTITION PER
+    * BATCH of RocksDB store lifecycle (open/commit — paid even by
+    * zero-key partitions) on top of a ~140 ms stateless micro-batch
+    * floor, and the width is FROZEN at the query's first start
+    * (`spark.sql.shuffle.partitions` at that moment). So oversizing
+    * taxes every batch forever and undersizing serializes per-key work.
+    * Two regimes:
+    *
+    *  - few keys (≤ available cores): one partition per key — more
+    *    partitions are pure fixed cost, fewer serialize keys behind one
+    *    store;
+    *  - many keys: cores bound the parallelism win, so width stays at
+    *    `cores` until per-store key load crosses `keysPerPartition`
+    *    (RocksDB handles thousands of keys per store cheaply — the
+    *    default 4096 keeps stores comfortably sized long before per-key
+    *    cost rivals the 30 ms fixed cost), then grows as
+    *    ceil(keys / keysPerPartition).
+    *
+    * Per-batch fixed-cost budget check: partitions × 30 ms must fit the
+    * trigger interval comfortably — at the default 4096 a 1M-key stream
+    * sizes to max(cores, 245), ~7.4 s of store lifecycle per batch
+    * spread across the cluster's cores. */
+  def statePartitionsFor(expectedKeys: Long, cores: Int,
+      keysPerPartition: Long = 4096L): Int = {
+    require(cores >= 1, s"cores must be >= 1: $cores")
+    require(keysPerPartition >= 1, s"keysPerPartition must be >= 1: $keysPerPartition")
+    if (expectedKeys <= 1) 1
+    else if (expectedKeys <= cores) expectedKeys.toInt
+    else math.max(cores,
+      ((expectedKeys + keysPerPartition - 1) / keysPerPartition).toInt)
+  }
+
+  /** [[statePartitionsFor]] applied to the session: sets
+    * `spark.sql.shuffle.partitions` (the knob stateful-query state width
+    * is frozen from at FIRST start) and returns the width. Call before
+    * `.start()` on a NEW stateful query — an existing checkpoint keeps
+    * the width it was started with. */
+  def sizeStatePartitions(spark: org.apache.spark.sql.SparkSession,
+      expectedKeys: Long, keysPerPartition: Long = 4096L): Int = {
+    val p = statePartitionsFor(expectedKeys,
+      spark.sparkContext.defaultParallelism, keysPerPartition)
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    p
+  }
+
   /** Tumbling 1-hour windowed aggregation per event type. */
   def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -610,4 +610,26 @@ class StreamingSpec extends SparkSpec {
         s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("statePartitionsFor: per-key below cores, fixed-cost-aware above") {
+    import graft.streaming.EventsPipeline.statePartitionsFor
+    // few keys: one partition per key (a zero-key partition costs ~30 ms
+    // of RocksDB lifecycle per batch for nothing)
+    assert(statePartitionsFor(0, 32) === 1)
+    assert(statePartitionsFor(1, 32) === 1)
+    assert(statePartitionsFor(5, 32) === 5)
+    assert(statePartitionsFor(32, 32) === 32)
+    // many keys: cores bound the parallelism win until per-store load
+    // crosses keysPerPartition
+    assert(statePartitionsFor(100, 32) === 32)
+    assert(statePartitionsFor(1000000, 32) === 245) // ceil(1e6/4096)
+    assert(statePartitionsFor(1000000, 512) === 512)
+    // knob respected + ceil semantics
+    assert(statePartitionsFor(10, 4, keysPerPartition = 3) === 4)
+    assert(statePartitionsFor(100, 4, keysPerPartition = 3) === 34)
+    // monotone in keys (never fewer partitions for more keys)
+    val widths = Seq(1L, 10L, 100L, 10000L, 1000000L)
+      .map(statePartitionsFor(_, 32))
+    assert(widths === widths.sorted)
+  }
 }

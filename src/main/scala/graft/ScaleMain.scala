@@ -98,7 +98,12 @@ object ScaleMain {
     // r13: the exact prefix join's shard loop — run BESIDE q220 at the
     // grown tiers so per-shard peak memory/spill is measurable against
     // the one-shot form on the same fixture
-    "q289_sharded_prefix")
+    "q289_sharded_prefix",
+    // r14: convergence-controlled training — iteration count is
+    // data-dependent, so the grown tiers check both the per-pass
+    // aggregate-broadcast cost AND that the loss-plateau loop still
+    // terminates early on 100x data
+    "q290_converged_training")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -1180,8 +1180,14 @@ object Dedup {
     // what makes it exact where LSH samples). Candidates then verify with
     // the true Jaccard, threshold inside the pipeline. Scale: one corpus
     // scan (the persisted base), one frequency aggregate, one doc-keyed
-    // rank window, one bucket shuffle — PPJoin's positional/suffix filters
-    // are the known next pruning steps at higher skew.
+    // rank window, one bucket shuffle. PPJoin's positional filter was
+    // MEASURED in r14 and rejected for THIS corpus shape: on sf0.1 it
+    // prunes only 4% of the length-pruned candidates (104,494 -> 100,414
+    // — position disparity between equal-length near-dups is small), not
+    // worth carrying the rank column through the bucket shuffle (the bh2
+    // lesson: a derived column on every band row cost 12-15%). Re-measure
+    // before reviving it on a corpus with heavy length/rarity skew; the
+    // suffix filter remains unmeasured.
     "q220_prefix_join" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
       val out = prefixPairs(base)

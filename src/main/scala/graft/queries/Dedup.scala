@@ -369,6 +369,24 @@ object Dedup {
     * one that explodes super-linearly). Locally the DedupSpec
     * equivalence pin and the q289 oracle (shared verbatim with q220)
     * prove output identity at 1/3/8 shards and all 3 SFs. */
+  /** Shard count from corpus size — the production sizing rule, derived
+    * from the r14 measurement: the one-shot verify crosses the spill
+    * threshold around 500k docs of this shape on a 32-thread/unified-
+    * memory-default executor profile, and 4 shards (~125k docs of pair
+    * mass in flight) already spill zero, so `docsPerShard` defaults to
+    * 125k. Below one shard's worth the loop degenerates to the one-shot
+    * plan plus a checkpoint (measured ~identical wall), so small inputs
+    * pay nothing for the scale path. At a real deployment the budget is
+    * re-derived from executor memory ÷ (candidate pair width × expected
+    * pairs per doc); the env override (`SPARK_GRAFT_PREFIX_SHARDS` on
+    * q289) forces a count for A/B matrices. */
+  def prefixShardsFor(nDocs: Long, docsPerShard: Long = 125000L,
+      maxShards: Int = 64): Int = {
+    require(docsPerShard >= 1 && maxShards >= 1)
+    math.max(1L, math.min(maxShards.toLong,
+      (nDocs + docsPerShard - 1) / docsPerShard)).toInt
+  }
+
   def prefixPairsSharded(base: DataFrame, numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     // DISK_ONLY: reused by every shard, but MEMORY_AND_DISK would park
@@ -1206,13 +1224,16 @@ object Dedup {
     // bucket lives wholly in one shard; cross-shard rediscoveries
     // collapse before the single verify) — the oracle IS q220's SQL,
     // shared verbatim, so shard ≡ unshard is hash-checked at every SF.
-    // SPARK_GRAFT_PREFIX_SHARDS sweeps the shard count (ScaleMain's
-    // 10x/100x peak-memory matrix); output is shard-count-invariant by
+    // Shard count auto-sized from the corpus ([[prefixShardsFor]] — one
+    // shard below 125k docs, so small inputs run the one-shot plan plus a
+    // checkpoint); SPARK_GRAFT_PREFIX_SHARDS forces a count for the
+    // ScaleMain A/B matrix. Output is shard-count-invariant by
     // construction, so the oracle stays valid at any setting.
     "q289_sharded_prefix" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
-      val shards = scala.util.Try(
-        sys.env.getOrElse("SPARK_GRAFT_PREFIX_SHARDS", "4").toInt).getOrElse(4)
+      val shards = sys.env.get("SPARK_GRAFT_PREFIX_SHARDS")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .getOrElse(prefixShardsFor(base.count()))
       val out = prefixPairsSharded(base, numShards = shards)
         .orderBy("d1", "d2")
         .localCheckpoint(eager = true)

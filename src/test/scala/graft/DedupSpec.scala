@@ -194,6 +194,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixShardsFor: one shard below the budget, ceil above, capped") {
+    // the 125k default comes from the r14 measurement: one-shot verify
+    // spills around 500k docs, 4 shards (~125k in flight) spill zero
+    assert(Dedup.prefixShardsFor(0L) === 1)
+    assert(Dedup.prefixShardsFor(50000L) === 1)
+    assert(Dedup.prefixShardsFor(125000L) === 1)
+    assert(Dedup.prefixShardsFor(125001L) === 2)
+    assert(Dedup.prefixShardsFor(500000L) === 4)
+    assert(Dedup.prefixShardsFor(10000000L) === 64) // maxShards cap
+    assert(Dedup.prefixShardsFor(10000000L, maxShards = 128) === 80)
+  }
+
   test("probePairs mega-bucket screen: degenerate index bucket screened by count") {
     val probe = syntheticBase(0).filter(col("doc_id") === 500000L)
     val probeBands = Dedup.bandKeys(probe).collect()

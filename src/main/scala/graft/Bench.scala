@@ -604,7 +604,8 @@ object Bench {
 
     def emit(raw: Option[Seq[(String, Option[Double])]],
         rawIsSubset: Boolean, streamLine: Option[String],
-        vsPrev: Option[String]): String = {
+        vsPrev: Option[String],
+        post: Option[(Double, Double, Double)] = None): String = {
       // headline value = compacted total when available (layout-immune);
       // raw total rides along for continuity with pre-r9 BENCH files.
       // When the raw side ran the fixed diagnostic SUBSET (the default
@@ -638,7 +639,10 @@ object Bench {
           .map { case (qs, es, _, _, _) => s""""queries_raw":$qs,"errors_raw":$es""" },
         Some(s""""layout":"${if (comp.nonEmpty) "compacted" else "raw"}""""),
         Some(s""""calib_1t_sec":$calib1,"calib_mt_sec":$calibN,"calib_threads":$calibThreads,""" +
-          s""""calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan""")
+          s""""calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan""" +
+          post.map { case (m, sh, sc) =>
+            s""","calib_mt_post_sec":$m,"calib_shuffle_post_sec":$sh,"calib_scan_post_sec":$sc"""
+          }.getOrElse(""))
       ).flatten.mkString(",")
       s"""{"metric":"total","value":$hTotal,"unit":"sec","queries":$hQs,"errors":$hErrs,"sf":"$sfDir",$extras}"""
     }
@@ -665,6 +669,18 @@ object Bench {
 
     val streamLine = streamBench(spark, sfDir)
 
+    // post-sweep probe resample (r14): the pre-sweep probes sample host
+    // speed at ONE instant while the sweep spans ~25 min — an A/B showed
+    // all three probes swinging 1.6x between runs whose common control
+    // query was flat. The post values are DIAGNOSTIC ONLY (normalization
+    // keeps the pre-sweep values for cross-round continuity; a post-sweep
+    // probe also reads a heated heap, so averaging them in would bias the
+    // host factor): a large pre/post spread flags that this round's
+    // normalized ratios carry temporal error of that magnitude.
+    val calibNPost = calibrate(calibThreads)
+    val calibShufflePost = calibrateShuffle(spark)
+    val calibScanPost = calibrateScan(spark)
+
     // cross-round self-report (VERDICT r11 #4): compare against the
     // previous round's checked-in BENCH file with the host calibration
     // divided out. The current side uses the query map a driver
@@ -681,7 +697,8 @@ object Bench {
           prevProbes = loadPrevProbes(p))))
     }
 
-    val line = emit(raw, rawIsSubset, streamLine, vsPrev)
+    val line = emit(raw, rawIsSubset, streamLine, vsPrev,
+      post = Some((calibNPost, calibShufflePost, calibScanPost)))
     println(line)
     persist(line)
     // the stream bench also gets its own short line: the driver's log-tail
@@ -701,7 +718,7 @@ object Bench {
     val vp = vsPrev.map(v => "," + vsPrevFlat(v)).getOrElse("")
     val lcT = compacted.orElse(raw).get
       .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
-    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN,"calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
+    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN,"calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan,"calib_mt_post_sec":$calibNPost,"calib_shuffle_post_sec":$calibShufflePost,"calib_scan_post_sec":$calibScanPost$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }
 }

@@ -323,12 +323,14 @@ object Bench {
           col("event_type"), col("value"))
         .orderBy("ts").limit(100000)
         .as[graft.streaming.EventRow].collect()
-      // state width from the feed's ACTUAL key cardinality (both
-      // processors key by event_type) via the sizing helper — was a
-      // hand-set 8 (VERDICT r12 #7)
+      // state width from the feed's ACTUAL key cardinality AND batch
+      // volume (both processors key by event_type; throughput batches
+      // are 20k rows) via the sizing helper — was a hand-set 8
+      // (VERDICT r12 #7)
       val nKeys = rows0.iterator.map(_.event_type).toSet.size
       val sized = graft.streaming.EventsPipeline.statePartitionsFor(
-        nKeys.toLong, spark.sparkContext.defaultParallelism)
+        nKeys.toLong, spark.sparkContext.defaultParallelism,
+        rowsPerBatch = 20000L)
       val restore = Seq(
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

@@ -631,5 +631,14 @@ class StreamingSpec extends SparkSpec {
     val widths = Seq(1L, 10L, 100L, 10000L, 1000000L)
       .map(statePartitionsFor(_, 32))
     assert(widths === widths.sorted)
+    // volume cap (measured local[32], 20k-row batches: width 1 beats
+    // 4/8/32 — the 30 ms/partition store cost dominates small batches)
+    assert(statePartitionsFor(5, 32, rowsPerBatch = 20000) === 1)
+    assert(statePartitionsFor(5, 32, rowsPerBatch = 120000) === 3)
+    assert(statePartitionsFor(5, 32, rowsPerBatch = 10000000) === 5) // keys still cap
+    // unknown volume: per-key rule unchanged
+    assert(statePartitionsFor(5, 32, rowsPerBatch = -1) === 5)
+    // the storage floor survives the volume cap (stores stay bounded)
+    assert(statePartitionsFor(1000000, 512, rowsPerBatch = 1000) === 245)
   }
 }

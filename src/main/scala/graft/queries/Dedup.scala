@@ -692,6 +692,38 @@ object Dedup {
     // ConnectedComponents = min-label propagation + pointer jumping (O(log
     // diameter) shuffle rounds); the oracle walks the same edge set with a
     // recursive CTE — exact agreement, not approximate.
+    // ---- leakage-free train/val/test split (r14) --------------------------
+    // q73 splits by doc hash, so a near-duplicate of a train doc can land
+    // in test — the classic eval-leakage bug (the model "generalizes" to
+    // paraphrases of its own training data). The fix: hash the CLUSTER,
+    // not the doc — q70's connected components move atomically into one
+    // split (singletons hash their own id, so the 90/5/5 proportions
+    // hold; a clustered doc hashes its component's min id). Leakage is
+    // ZERO by construction: both endpoints of every verified near-dup
+    // pair share a cluster key, hence a split. Scale: q70's cost plus
+    // one broadcast-size left join — the cluster table is one row per
+    // CLUSTERED doc, tiny next to the corpus.
+    "q291_cluster_split" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val base = minhashBase(docs)
+      val pairs = lshPairs(base, LshBucketCap)
+      val comp = graft.operators.ConnectedComponents.components(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val bucket = TrainPrep.splitBucket(col("cluster_key"))
+      val out = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_key"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      comp.unpersist()
+      base.unpersist()
+      out
+    }),
+
     "q70_dup_clusters" -> ((s: SparkSession, dir: String) => {
       val pairs = lshPairs(minhashBase(Tables(s, dir, "documents")), LshBucketCap)
       val comp = graft.operators.ConnectedComponents.components(
@@ -1919,6 +1951,30 @@ object Dedup {
            |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
            |FROM comp JOIN sz USING (cluster_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // q291: q70's closure labels every clustered doc; singletons keep
+      // their own id as the cluster key; the split bucket is q73's md5
+      // expression applied to the KEY (shared with q285's oracle form)
+      "q291_cluster_split" ->
+        s"""WITH RECURSIVE $lshPairCtes,
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+           |          UNION SELECT d2, d1 FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |g AS (SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_key
+           |      FROM (SELECT doc_id FROM documents) d
+           |      LEFT JOIN comp ON d.doc_id = comp.id),
+           |b AS (SELECT doc_id, cluster_key,
+           |        ('0x' || substr(md5(cluster_key::VARCHAR), 1, 4))::BIGINT % 100 AS bk
+           |      FROM g)
+           |SELECT doc_id, cluster_key,
+           |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
 
       // integer-arithmetic PageRank on the same pair set: 2 unrolled
       // iterations, exact `//` divisions and BIGINT sums — no rounding

@@ -194,6 +194,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q291 cluster split: zero near-dup leakage where the doc-hash split leaks") {
+    val dir = sf("sf0.001")
+    val split = SparkEntry.queries("q291_cluster_split")(spark, dir)
+      .localCheckpoint(eager = true)
+    val base = Dedup.minhashBase(spark.read.parquet(s"$dir/documents.parquet"))
+    val pairs = Dedup.lshPairs(base, Dedup.LshBucketCap)
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — vacuous test")
+    // every verified near-dup pair stays within ONE split
+    val s1 = split.select(col("doc_id").as("d1"), col("split").as("s1"))
+    val s2 = split.select(col("doc_id").as("d2"), col("split").as("s2"))
+    val leaked = pairs.join(s1, "d1").join(s2, "d2")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(leaked === 0L, s"$leaked near-dup pairs cross cluster-split boundaries")
+    // ...where q73's doc-hash rule DOES leak on the same corpus (32 pairs
+    // at sf0.001) — the bug this operator exists to fix
+    val docBucket = graft.queries.TrainPrep.splitBucket(col("doc_id"))
+    val docSplit = split.select(col("doc_id"),
+      when(docBucket < 90, "train").when(docBucket < 95, "val")
+        .otherwise("test").as("ds"))
+    val d1 = docSplit.select(col("doc_id").as("d1"), col("ds").as("s1"))
+    val d2 = docSplit.select(col("doc_id").as("d2"), col("ds").as("s2"))
+    val docLeaked = pairs.join(d1, "d1").join(d2, "d2")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(docLeaked > 0L, "doc-hash split did not leak — corpus too clean for the contrast")
+    // proportions stay near 90/5/5: cluster keys hash like doc ids
+    val n = split.count().toDouble
+    val train = split.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97, s"train share ${train / n}")
+  }
+
   test("prefixShardsFor: one shard below the budget, ceil above, capped") {
     // the 125k default comes from the r14 measurement: one-shot verify
     // spills around 500k docs, 4 shards (~125k in flight) spill zero

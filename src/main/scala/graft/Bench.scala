@@ -236,9 +236,15 @@ object Bench {
     * r12 block-pileup signature). */
   private[graft] final case class QueryDiag(cls: String, inMb: Double,
       shMb: Double, spillMb: Double, gcMs: Long, leftoverPersisted: Int) {
-    def json: String =
-      f""""cls":"$cls","in_mb":$inMb%.1f,"sh_mb":$shMb%.1f,""" +
-        f""""spill_mb":$spillMb%.1f,"gc_ms":$gcMs,"pers":$leftoverPersisted"""
+    def json: String = {
+      // machine-parsed JSON: the f interpolator uses the JVM default
+      // locale (comma decimals under de_DE corrupt the whole bench line),
+      // so pin Locale.ROOT explicitly (r14 ADVICE)
+      def d1(x: Double) =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+      s""""cls":"$cls","in_mb":${d1(inMb)},"sh_mb":${d1(shMb)},""" +
+        s""""spill_mb":${d1(spillMb)},"gc_ms":$gcMs,"pers":$leftoverPersisted"""
+    }
   }
   private[graft] val queryDiag =
     scala.collection.concurrent.TrieMap.empty[String, QueryDiag]

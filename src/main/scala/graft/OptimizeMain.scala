@@ -63,6 +63,16 @@ object OptimizeMain {
         sortKey = if (applicable && keys.size == 1) Some(keys.head) else None,
         zorderKeys = if (applicable && keys.size > 1) keys else Nil)
       t -> stats
+    } match { case results =>
+      // record the source fingerprint HERE, at validation time — not at
+      // publish time (r14 ADVICE: a publish-time recording captures any
+      // mutation that landed after validation INTO the fingerprint, making
+      // publishChecked's comparison near-vacuous). Recorded only when every
+      // table validated; publishChecked then compares validation-time state
+      // against publish-time state and refuses if the source moved between.
+      if (results.nonEmpty && results.forall(_._2.content_match))
+        graft.operators.Generations.recordSourceFingerprint(outDir, inDir)
+      results
     }
   }
 
@@ -84,10 +94,9 @@ object OptimizeMain {
     }
     val bad = results.filterNot(_._2.content_match)
     if (bad.isEmpty) publishTable.foreach { tbl =>
-      // only a fully-validated generation may become CURRENT; the
-      // recorded source fingerprint makes the pointer switch refuse if
-      // the source moved between validation and publish
-      graft.operators.Generations.recordSourceFingerprint(rest(1), rest(0))
+      // only a fully-validated generation may become CURRENT; run()
+      // recorded the source fingerprint at validation time, so this
+      // pointer switch refuses if the source moved since validation
       graft.operators.Generations.publishChecked(tbl, rest(1))
       println(s"CURRENT of $tbl -> ${rest(1)}")
     }

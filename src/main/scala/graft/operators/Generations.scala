@@ -98,15 +98,47 @@ object Generations {
         // delete-then-create: of two writers that both observed
         // staleness, exactly one wins the move — the loser's move throws
         // and it fails loudly instead of deleting the winner's freshly
-        // created lock (the delete-based break let both "acquire")
+        // created lock (the delete-based break let both "acquire").
+        // Remaining TOCTOU (r14 ADVICE): a breaker that computed `age` on
+        // the OLD lock could move aside a FRESH lock that a faster breaker
+        // already re-created (the move is unconditional on whatever sits
+        // at the path). Two guards: (a) remember the stale holder's
+        // content and re-check mtime immediately before the move; (b)
+        // after the move, verify the moved-aside file IS the stale holder
+        // we observed — if it is someone's fresh lock, restore it and
+        // treat as contention.
+        val staleContent = scala.util.Try(new String(
+          Files.readAllBytes(lock.toPath), StandardCharsets.UTF_8))
+          .getOrElse("")
+        val mtimeNow = lock.lastModified
+        val stillStale = mtimeNow != 0L &&
+          (System.currentTimeMillis - mtimeNow) > staleMs
         val aside = new File(dir, s"$LockName.stale.${System.nanoTime}.${
           ProcessHandle.current.pid}")
-        val moved =
-          try {
+        val moved = stillStale &&
+          (try {
             Files.move(lock.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
             true
-          } catch { case _: java.io.IOException => false }
+          } catch { case _: java.io.IOException => false })
         if (moved) {
+          // post-move authority: the move is atomic, so whatever landed in
+          // `aside` is exactly what was at the lock path. If it is not the
+          // stale holder we observed (content differs, or it is younger
+          // than staleMs), we stole a live writer's lock — put it back
+          // (best-effort; the path is empty unless a third writer claimed
+          // it) and fail loudly as contention.
+          val movedContent = scala.util.Try(new String(
+            Files.readAllBytes(aside.toPath), StandardCharsets.UTF_8))
+            .getOrElse("")
+          val movedAge = System.currentTimeMillis - aside.lastModified
+          val stoleFresh = movedContent != staleContent || movedAge <= staleMs
+          if (stoleFresh) {
+            try Files.move(aside.toPath, lock.toPath, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException => () }
+            throw new IllegalStateException(
+              s"writer lock contended while breaking stale lock: $lock " +
+                "(a fresh lock appeared mid-break; restored)")
+          }
           System.err.println(s"withWriterLock: broke stale lock $lock " +
             s"(age ${age / 1000}s > ${staleMs / 1000}s)")
           Files.deleteIfExists(aside.toPath)

@@ -1256,16 +1256,21 @@ object Dedup {
     // bucket lives wholly in one shard; cross-shard rediscoveries
     // collapse before the single verify) — the oracle IS q220's SQL,
     // shared verbatim, so shard ≡ unshard is hash-checked at every SF.
-    // Shard count auto-sized from the corpus ([[prefixShardsFor]] — one
-    // shard below 125k docs, so small inputs run the one-shot plan plus a
-    // checkpoint); SPARK_GRAFT_PREFIX_SHARDS forces a count for the
-    // ScaleMain A/B matrix. Output is shard-count-invariant by
-    // construction, so the oracle stays valid at any setting.
+    // Shard count auto-sized from the corpus ([[prefixShardsFor]]), but
+    // floored at 2 HERE (r14 ADVICE): every local fixture is < 125k docs,
+    // so the raw auto-size would run only the degenerate 1-shard plan and
+    // the oracle's "shard == unshard at every SF" guarantee would rest on
+    // DedupSpec alone — the floor keeps the multi-shard union+dedup path
+    // under the DuckDB hash check at all 3 SFs (production callers use
+    // prefixShardsFor directly and DO degenerate to one shard on small
+    // inputs). SPARK_GRAFT_PREFIX_SHARDS forces a count for the ScaleMain
+    // A/B matrix. Output is shard-count-invariant by construction, so the
+    // oracle stays valid at any setting.
     "q289_sharded_prefix" -> ((s: SparkSession, dir: String) => {
       val base = minhashBase(Tables(s, dir, "documents"))
       val shards = sys.env.get("SPARK_GRAFT_PREFIX_SHARDS")
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-        .getOrElse(prefixShardsFor(base.count()))
+        .getOrElse(math.max(2, prefixShardsFor(base.count())))
       val out = prefixPairsSharded(base, numShards = shards)
         .orderBy("d1", "d2")
         .localCheckpoint(eager = true)

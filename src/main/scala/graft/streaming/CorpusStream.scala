@@ -346,9 +346,14 @@ object CorpusStream {
     import graft.operators.ClusterState
     val spark = batch.sparkSession
     val docs = batch.persist()
+    // unpersist the minhash base in the FINALLY (r14 ADVICE): a throw from
+    // writeBase/append used to leak the persisted base, and in a
+    // long-running stream each failed-then-replayed batch left another
+    // cached RDD squeezing execution memory
+    var base: DataFrame = null
     try {
       if (!docs.isEmpty) {
-        val base = Dedup.minhashBase(docs)
+        base = Dedup.minhashBase(docs)
         val probeEdges =
           if (DedupIndex.exists(indexDir))
             DedupIndex.probePairsPersisted(spark, base, indexDir)
@@ -365,9 +370,12 @@ object CorpusStream {
         DedupIndex.writeBase(base, indexDir,
           if (DedupIndex.exists(indexDir)) "append" else "overwrite")
         docs.write.mode("append").parquet(outDir)
-        base.unpersist()
       }
-    } finally docs.unpersist()
+    } finally {
+      if (base != null) base.unpersist()
+      docs.unpersist()
+      ()
+    }
   }
 
   /** The COMPLETE curation loop as ONE foreachBatch sink (VERDICT r12 #8)
@@ -405,9 +413,14 @@ object CorpusStream {
         Generations.withWriterLock(indexTable) {
           Generations.withWriterLock(indexGen) {
             val admitted = noveltyAdmit(bloomGen, minNovelBp)(batch).persist()
+            // base unpersists in the FINALLY (r14 ADVICE): a throw from
+            // writeBase/the corpus append must not leak the cached base —
+            // in a long-running PipelineMain stream every
+            // failed-then-retried batch would stack another persisted RDD
+            var base: DataFrame = null
             try {
               if (!admitted.isEmpty) {
-                val base = Dedup.minhashBase(admitted)
+                base = Dedup.minhashBase(admitted)
                 val idxPairs =
                   if (DedupIndex.exists(indexGen))
                     DedupIndex.probePairsPersisted(spark, base, indexGen)
@@ -437,10 +450,13 @@ object CorpusStream {
                 DedupIndex.writeBase(survivorBase, indexGen,
                   if (DedupIndex.exists(indexGen)) "append" else "overwrite")
                 survivors.write.mode("append").parquet(outDir)
-                base.unpersist()
                 ()
               }
-            } finally admitted.unpersist()
+            } finally {
+              if (base != null) base.unpersist()
+              admitted.unpersist()
+              ()
+            }
             maintainGeneration(bloomTable, bloomGen, batchId, optimizeEvery,
               keepLast, retentionHours, AggState.bloomExists,
               AggState.optimize(spark, _, _, Nil))
@@ -457,9 +473,10 @@ object CorpusStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.persist()
+    var base: DataFrame = null // unpersisted in the finally (r14 ADVICE)
     try {
       if (!docs.isEmpty) {
-        val base = Dedup.minhashBase(docs)
+        base = Dedup.minhashBase(docs)
         val idxMatches =
           if (DedupIndex.exists(indexDir))
             DedupIndex.probePersisted(spark, base, indexDir)
@@ -475,8 +492,11 @@ object CorpusStream {
         DedupIndex.writeBase(survivorBase, indexDir,
           if (DedupIndex.exists(indexDir)) "append" else "overwrite")
         survivors.write.mode("append").parquet(outDir)
-        base.unpersist()
       }
-    } finally docs.unpersist()
+    } finally {
+      if (base != null) base.unpersist()
+      docs.unpersist()
+      ()
+    }
   }
 }

@@ -125,7 +125,7 @@ object Bench {
       if (!failed) {
         // bytes accumulate over BOTH timed runs — the class thresholds are
         // ratio-dominated, and the reported MBs are halved to per-run
-        val cls = classify(inB.get / 2, shB.get / 2)
+        val cls = classifyNamed(name, inB.get / 2, shB.get / 2)
         queryClasses.putIfAbsent(name, cls)
         queryDiag.putIfAbsent(name, QueryDiag(cls,
           inB.get / 2 / 1048576.0, shB.get / 2 / 1048576.0,
@@ -218,11 +218,102 @@ object Bench {
     * scan-dominant if it reads real bytes with little shuffle, cpu
     * otherwise (small in, small shuffled — the work is expression
     * evaluation). Deliberately coarse: the class only picks WHICH host
-    * probe divides the query's cross-round ratio. */
+    * probe divides the query's cross-round ratio. The standing-state
+    * LIFECYCLE queries are classed by NAME before bytes are consulted
+    * (VERDICT r14 #2): their cost is job orchestration + sequential state
+    * writes, which the byte thresholds misread as "scan". */
   private[graft] def classify(inputBytes: Long, shuffleBytes: Long): String =
     if (shuffleBytes > math.max(inputBytes / 2, 1L << 20)) "shuffle"
     else if (inputBytes > (4L << 20)) "scan"
     else "cpu"
+
+  private[graft] def classifyNamed(name: String, inputBytes: Long,
+      shuffleBytes: Long): String =
+    if (LifecycleQueries(name)) "lifecycle" else classify(inputBytes, shuffleBytes)
+
+  // ---- in-run control queries (VERDICT r14 #2) ---------------------------
+  /** One pinned sweep query per resource class, re-run at sweep START /
+    * MIDDLE / END on the raw fixture dir with the sweep's own methodology.
+    * The median of the three runs is the class's host-factor numerator and
+    * (max-min)/median is the TEMPORAL ERROR BAR the synthetic probes lack:
+    * r14 measured all three instant probes (cpu/shuffle/scan) swinging up
+    * to 1.77x within one sweep while an in-run control query stayed flat —
+    * a control query IS the workload, sampled three times across the
+    * sweep's ~25 minutes instead of once. Members are pinned (renaming
+    * breaks cross-round factors) and were chosen for class stability plus
+    * presence in the r14 driver tail capture, so the first
+    * control-normalized round already has a prev-side denominator (the
+    * prev QUERY MAP entry; from r15 on the trailer carries ctl_<cls>_sec
+    * directly). */
+  private[graft] val ControlQueries: Seq[(String, String)] = Seq(
+    "cpu" -> "q68_native_pivot",
+    "shuffle" -> "q67_simhash_pairs",
+    "scan" -> "q85_decontaminate",
+    "lifecycle" -> "q257_agg_state")
+
+  /** One control pack: each control query timed once (noop sink) after
+    * clearCache + leftover-unpersist + GC — the sweep's own steady-state
+    * discipline. A control that throws is skipped (never fails the bench). */
+  private def runControlPack(spark: SparkSession, dir: String,
+      warmup: Boolean): Map[String, Double] =
+    ControlQueries.flatMap { case (cls, name) =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        scala.util.Try {
+          def run(): Unit =
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+          if (warmup) run()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+          val t0 = System.nanoTime(); run()
+          cls -> (System.nanoTime() - t0) / 1e9
+        }.toOption
+      }
+    }.toMap
+
+  /** (median, spread) per class over the start/mid/end packs; spread =
+    * (max - min) / median, the per-class temporal error bar. */
+  private[graft] def ctlStats(packs: Seq[Map[String, Double]])
+      : (Map[String, Double], Map[String, Double]) = {
+    val pairs = ControlQueries.flatMap { case (cls, _) =>
+      val xs = packs.flatMap(_.get(cls)).sorted
+      if (xs.isEmpty) None
+      else {
+        val m = xs(xs.size / 2)
+        Some((cls -> m, cls -> (if (m > 0) (xs.last - xs.head) / m else 0.0)))
+      }
+    }
+    (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+  }
+
+  /** Previous round's per-class control medians — plain text scan for the
+    * ctl_<cls>_sec fields the trailer carries from r15 on (same pattern as
+    * [[loadPrevProbes]]; last occurrence wins). */
+  private[graft] def loadPrevCtl(path: String): Map[String, Double] =
+    scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      ControlQueries.flatMap { case (cls, _) =>
+        ("\"ctl_" + cls + "_sec\":([0-9.eE+-]+)").r.findAllMatchIn(txt)
+          .toSeq.lastOption
+          .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+          .map(cls -> _)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Locale-safe compact double rendering for machine-parsed JSON: fixed
+    * scale, trailing zeros stripped, never scientific notation. The
+    * trailer and vs_prev blocks use 4 decimals (ratios and seconds need no
+    * more) — full-precision doubles cost ~10 extra chars per field inside
+    * the driver's ~2000-char tail budget. */
+  private[graft] def jnum(d: Double, scale: Int = 4): String =
+    if (d.isNaN || d.isInfinite) "0"
+    else {
+      val b = java.math.BigDecimal.valueOf(d)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).stripTrailingZeros
+      if (b.scale < 0) b.setScale(0).toPlainString else b.toPlainString
+    }
 
   /** query -> class, captured during the first (compacted) sweep that ran
     * the query; later sweeps don't overwrite. */
@@ -289,6 +380,27 @@ object Bench {
     "q99_pq_search", "q128_canonical", "q135_tpch18", "q188_profile",
     "q213_profit", "q220_prefix_join", "q233_lsh_eval", "q244_incremental_neardup",
     "q254_merge_upsert", "q267_ivfpq_index")
+
+  /** Stable cross-round comparison core (VERDICT r14 #6): re-emitted as
+    * its own compact line (`{"metric":"queries_core",...}`, 3-decimal
+    * values, raw-sweep timing first, compacted as fallback) right before
+    * the trailer, so the driver's ~2000-char log-tail capture retains a
+    * usable per-query common set — r13→r14 retained only ~8 fragments
+    * (the alphabetical tail of queries_raw), starving bench_compare.py.
+    * SUPERSET RULE: members are never removed or renamed, only appended —
+    * a cross-round common set must only grow. Spans every class: scans,
+    * shuffle joins/aggs, cpu expression pipelines, the LSH family, and
+    * lifecycle state choreography (q257/q267/q279). */
+  private[graft] val CoreQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+    "q05_local_supplier", "q09_topk_orders", "q10_window_rank",
+    "q21_semi_join", "q30_token_stats", "q31_quality_score",
+    "q33_fingerprint", "q35_dedup_exact", "q37_minhash_lsh",
+    "q51_ivf_search", "q52_window_frames", "q58_native_asof",
+    "q62_range_join", "q64_try_divide", "q67_simhash_pairs",
+    "q68_native_pivot", "q70_dup_clusters", "q85_decontaminate",
+    "q91_lm_score", "q99_pq_search", "q220_prefix_join",
+    "q257_agg_state", "q267_ivfpq_index", "q279_cluster_takedown")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift
@@ -398,7 +510,7 @@ object Bench {
     "q271_agg_state_retract", "q272_hist_retract", "q273_incr_join_view",
     "q274_view_retract", "q275_incr_clusters", "q278_incr_rollup",
     "q279_cluster_takedown", "q280_incr_bm25", "q281_bm25_takedown",
-    "q283_standing_bloom")
+    "q283_standing_bloom", "q292_state_split")
 
   /** Mirror of `tools/bench_compare.py`'s `load()` (VERDICT r11 #4): pull
     * (queries, calib_mt_sec, value) out of a previous round's bench JSON —
@@ -479,25 +591,40 @@ object Bench {
       currCalib: Double,
       classes: Map[String, String] = Map.empty,
       currProbes: (Option[Double], Option[Double]) = (None, None),
-      prevProbes: (Option[Double], Option[Double]) = (None, None)): String = {
+      prevProbes: (Option[Double], Option[Double]) = (None, None),
+      ctlCurr: Map[String, Double] = Map.empty,
+      ctlSpread: Map[String, Double] = Map.empty,
+      ctlPrev: Map[String, Double] = Map.empty): String = {
     val (qa, calibA, va) = prev
     val host = calibA.filter(_ > 0).map(c => currCalib / c)
-    // per-class host factors (VERDICT r13 #2): shuffle/scan probe ratios
-    // when BOTH rounds carried the probes; each falls back to the
-    // integer-CPU factor (the pre-r14 behavior) when the prev round
-    // predates them — so classnorm == norm exactly until r15.
+    // per-class host factors, preference order (VERDICT r14 #2):
+    //  1. CONTROL-QUERY factor — this round's in-run control median over
+    //     the prev round's ctl_<cls>_sec trailer field, or (first
+    //     control round, prev predates the trailer fields) over the prev
+    //     QUERY MAP's entry for the same pinned query: a control is the
+    //     workload itself, sampled start/mid/end, where the synthetic
+    //     probes sample one instant and swung 1.77x within one r14 sweep;
+    //  2. synthetic probe ratio (shuffle/scan, r14 behavior);
+    //  3. the integer-CPU factor (pre-r14 behavior).
     val probeShuffle = for (c <- currProbes._1; p <- prevProbes._1 if p > 0)
       yield c / p
     val probeScan = for (c <- currProbes._2; p <- prevProbes._2 if p > 0)
       yield c / p
     val hostShuffle = probeShuffle.orElse(host)
     val hostScan = probeScan.orElse(host)
+    val ctlQ = ControlQueries.toMap
+    def ctlFactor(cls: String): Option[Double] =
+      ctlCurr.get(cls).flatMap { c =>
+        ctlPrev.get(cls).filter(_ > 0).map(c / _)
+          .orElse(ctlQ.get(cls).flatMap(n => qa.get(n).filter(_ > 0).map(c / _)))
+      }
     def clsOf(q: String): String = classes.getOrElse(q, "cpu")
-    def clsFactor(cls: String): Option[Double] = cls match {
-      case "shuffle" => hostShuffle
-      case "scan" => hostScan
-      case _ => host
-    }
+    def clsFactor(cls: String): Option[Double] =
+      ctlFactor(cls).orElse(cls match {
+        case "shuffle" => hostShuffle
+        case "scan" => hostScan
+        case _ => host
+      })
     val common = qa.keySet.intersect(currQ.keySet).toSeq.sorted
     val ta = va.orElse(Some(qa.values.sum).filter(_ => qa.nonEmpty))
     val totalRaw = ta.filter(_ > 0).map(currTotal / _)
@@ -511,7 +638,8 @@ object Bench {
       }
     def norm(v: Option[Double]): Option[Double] =
       for (h <- host; x <- v) yield x / h
-    def opt(name: String, v: Option[Double]) = v.map(d => s""""$name":$d""")
+    def opt(name: String, v: Option[Double]) =
+      v.map(d => s""""$name":${jnum(d)}""")
     // per-class raw medians over the common set (no prev probes needed —
     // the r14 disambiguation instrument: if cpu-class queries move with
     // the cpu probe while shuffle-class queries move past it, the residual
@@ -521,7 +649,7 @@ object Bench {
       case (c, qs) =>
         val rs = qs.map(q => currQ(q) / qa(q)).sorted
         Seq(Some(s""""n_$c":${qs.size}"""),
-          Some(s""""median_raw_$c":${rs(rs.size / 2)}"""))
+          Some(s""""median_raw_$c":${jnum(rs(rs.size / 2))}"""))
     }
     val classnormMedian = {
       val rs = commonPos.flatMap(q =>
@@ -539,6 +667,13 @@ object Bench {
     // quote or backslash would otherwise emit a malformed bench line (and
     // a `,"`-bearing path would desync vsPrevFlat's split)
     val prevEsc = prevPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    // control-query factors + spreads, one field pair per class that has
+    // them — the spread is the error bar the Done-gate reads (<10% means
+    // the class's normalized ratios are trustworthy this round)
+    val ctlFields = ControlQueries.flatMap { case (cls, _) =>
+      Seq(opt(s"ctl_factor_$cls", ctlFactor(cls)),
+        opt(s"ctl_spread_$cls", ctlSpread.get(cls).filter(_ => ctlCurr.contains(cls))))
+    }
     (Seq(Some(s""""prev":"$prevEsc""""), Some(s""""n_common":${common.size}"""),
       opt("host_factor", host),
       opt("host_factor_shuffle", probeShuffle),
@@ -549,7 +684,7 @@ object Bench {
       opt("median_ratio_raw", medianRaw), opt("median_ratio", norm(medianRaw)),
       opt("common_total_ratio_classnorm", classnormCommonTotal),
       opt("median_ratio_classnorm", classnormMedian))
-      .flatten ++ clsStats.flatten).mkString("{", ",", "}")
+      .flatten ++ ctlFields.flatten ++ clsStats.flatten).mkString("{", ",", "}")
   }
 
   /** The same vs-prev numbers FLATTENED to `vs_prev_*` scalar keys — the
@@ -603,6 +738,13 @@ object Bench {
     val calibShuffle = calibrateShuffle(spark)
     val calibScan = calibrateScan(spark)
 
+    // in-run control pack 1 of 3 — START of the sweep span (VERDICT r14
+    // #2). Controls are skipped under SPARK_GRAFT_ONLY (dev subset runs
+    // don't need cross-round factors).
+    val doCtl = only.isEmpty
+    val ctl1 = if (doCtl) runControlPack(spark, sfDir, warmup = true)
+      else Map.empty[String, Double]
+
     val compactDir = "/tmp/graft_bench_compact"
     val compacted: Option[Seq[(String, Option[Double])]] =
       if (sweeps == "raw") None
@@ -613,7 +755,8 @@ object Bench {
     def emit(raw: Option[Seq[(String, Option[Double])]],
         rawIsSubset: Boolean, streamLine: Option[String],
         vsPrev: Option[String],
-        post: Option[(Double, Double, Double)] = None): String = {
+        post: Option[(Double, Double, Double)] = None,
+        ctl: Option[(Map[String, Double], Map[String, Double])] = None): String = {
       // headline value = compacted total when available (layout-immune);
       // raw total rides along for continuity with pre-r9 BENCH files.
       // When the raw side ran the fixed diagnostic SUBSET (the default
@@ -636,8 +779,17 @@ object Bench {
       // log-tail capture still retains the per-query fragments + trailer)
       val qdiagJson = queryDiag.toSeq.sortBy(_._1)
         .map { case (k, d) => s""""$k":{${d.json}}""" }.mkString("{", ",", "}")
+      // per-class control medians + spreads (the temporal error bar)
+      val ctlJson = ctl.map { case (med, spr) =>
+        val names = ControlQueries.toMap
+        ControlQueries.flatMap { case (cls, _) => med.get(cls).map { m =>
+          s""""$cls":{"q":"${names(cls)}","sec":${jnum(m)},"spread":${
+            jnum(spr.getOrElse(cls, 0.0))}}"""
+        } }.mkString("{", ",", "}")
+      }.filter(_ != "{}")
       val extras = Seq(
         Some(s""""qdiag":$qdiagJson"""),
+        ctlJson.map(c => s""""ctl":$c"""),
         Some(s""""total_lifecycle":$lcTotal,"total_pure":${hTotal - lcTotal}"""),
         comp.map { case (_, _, t, _, _) => s""""total_compacted":$t""" },
         streamLine.map(sl => s""""stream_bench":$sl"""),
@@ -665,6 +817,11 @@ object Bench {
     // diagnostic subset (layout-shift detector) — "rawfull" restores the
     // full sweep; raw-primary mode (compaction failed or sweeps=raw)
     // always runs everything
+    // control pack 2 of 3 — MIDDLE of the sweep span (between the
+    // compacted and raw sweeps)
+    val ctl2 = if (doCtl) runControlPack(spark, sfDir, warmup = false)
+      else Map.empty[String, Double]
+
     val rawIsSubset = compacted.nonEmpty && sweeps != "rawfull" && only.isEmpty
     val raw: Option[Seq[(String, Option[Double])]] =
       if (sweeps == "compacted") None
@@ -676,6 +833,11 @@ object Bench {
       }
 
     val streamLine = streamBench(spark, sfDir)
+
+    // control pack 3 of 3 — END of the sweep span
+    val ctl3 = if (doCtl) runControlPack(spark, sfDir, warmup = false)
+      else Map.empty[String, Double]
+    val (ctlMed, ctlSpr) = ctlStats(Seq(ctl1, ctl2, ctl3))
 
     // post-sweep probe resample (r14): the pre-sweep probes sample host
     // speed at ONE instant while the sweep spans ~25 min — an A/B showed
@@ -702,31 +864,59 @@ object Bench {
         loadPrevBench(p).map(d => vsPrevJson(d, p, currQ, hTot, calibN,
           classes = queryClasses.toMap,
           currProbes = (Some(calibShuffle), Some(calibScan)),
-          prevProbes = loadPrevProbes(p))))
+          prevProbes = loadPrevProbes(p),
+          ctlCurr = ctlMed, ctlSpread = ctlSpr,
+          ctlPrev = loadPrevCtl(p))))
     }
 
     val line = emit(raw, rawIsSubset, streamLine, vsPrev,
-      post = Some((calibNPost, calibShufflePost, calibScanPost)))
+      post = Some((calibNPost, calibShufflePost, calibScanPost)),
+      ctl = Some((ctlMed, ctlSpr)))
     println(line)
     persist(line)
     // the stream bench also gets its own short line: the driver's log-tail
     // capture (~2000 chars) would usually cut it out of the full line
     streamLine.foreach(sl =>
       println(s"""{"metric":"stream_bench","processors":$sl,"sf":"$sfDir"}"""))
-    // The full line is ~20 KB at 245 queries; a log-tail capture (last ~2000
+    // Stable comparison core (VERDICT r14 #6): its own compact line right
+    // before the trailer, so the driver's ~2000-char tail capture retains
+    // ≥20 per-query fragments (loadPrevBench / bench_compare.py's
+    // fragment fallback reads them; last occurrence wins, so these values
+    // override any surviving queries_raw remnants with the same raw-first
+    // semantics at 3 decimals).
+    val rawMapC = raw.map(_.collect { case (k, Some(v)) => k -> v }.toMap)
+      .getOrElse(Map.empty)
+    val compMapC = compacted.map(_.collect { case (k, Some(v)) => k -> v }.toMap)
+      .getOrElse(Map.empty)
+    val coreVals = CoreQueries.flatMap(q =>
+      rawMapC.get(q).orElse(compMapC.get(q)).map(q -> _))
+    if (coreVals.nonEmpty)
+      println(coreVals.map { case (k, v) => s""""$k":${jnum(v, 3)}""" }
+        .mkString("""{"metric":"queries_core","queries":{""", ",", "}}"))
+    // The full line is ~20 KB at 290 queries; a log-tail capture (last ~2000
     // chars) would cut off the leading total. Repeat the headline metrics in
     // a short trailer line so any suffix of the output still carries them.
+    // Numerics are jnum-rounded: full-precision doubles would spend ~10
+    // chars per field of the same tail budget the core line needs.
     val (_, _, hTotal, hN, hE) = compacted.orElse(raw).map(fmt).get
-    val tc = compacted.map(fmt(_)._3).map(t => s""","total_compacted":$t""").getOrElse("")
+    val tc = compacted.map(fmt(_)._3)
+      .map(t => s""","total_compacted":${jnum(t)}""").getOrElse("")
     val trKey = if (rawIsSubset) "total_raw_subset" else "total_raw"
-    val tr = raw.map(fmt(_)._3).map(t => s""","$trKey":$t""").getOrElse("")
+    val tr = raw.map(fmt(_)._3).map(t => s""","$trKey":${jnum(t)}""").getOrElse("")
     // vs_prev + the lifecycle split ride the trailer too (FLATTENED —
     // the trailer must stay a nesting-free object, see vsPrevFlat): the
     // driver's tail capture keeps the END of the output, trailer last
     val vp = vsPrev.map(v => "," + vsPrevFlat(v)).getOrElse("")
     val lcT = compacted.orElse(raw).get
       .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
-    println(s"""{"metric":"total_trailer","value":$hTotal,"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":$lcT,"total_pure":${hTotal - lcT},"calib_mt_sec":$calibN,"calib_shuffle_sec":$calibShuffle,"calib_scan_sec":$calibScan,"calib_mt_post_sec":$calibNPost,"calib_shuffle_post_sec":$calibShufflePost,"calib_scan_post_sec":$calibScanPost$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
+    // per-class control medians + spreads, flat (loadPrevCtl reads the
+    // ctl_<cls>_sec fields from here next round)
+    val ctlFlat = ControlQueries.flatMap { case (cls, _) =>
+      ctlMed.get(cls).map(m =>
+        s""","ctl_${cls}_sec":${jnum(m)},"ctl_${cls}_spread":${
+          jnum(ctlSpr.getOrElse(cls, 0.0))}""")
+    }.mkString
+    println(s"""{"metric":"total_trailer","value":${jnum(hTotal)},"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":${jnum(lcT)},"total_pure":${jnum(hTotal - lcT)},"calib_mt_sec":${jnum(calibN)},"calib_shuffle_sec":${jnum(calibShuffle)},"calib_scan_sec":${jnum(calibScan)},"calib_mt_post_sec":${jnum(calibNPost)},"calib_shuffle_post_sec":${jnum(calibShufflePost)},"calib_scan_post_sec":${jnum(calibScanPost)}$ctlFlat$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }
 }

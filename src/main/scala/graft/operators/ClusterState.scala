@@ -136,6 +136,12 @@ object ClusterState {
     ()
   }
 
+  /** The raw current assignment (id, cluster_id) with no size window —
+    * the read for consumers that need only the labels, e.g. the
+    * leakage-free split keying ([[graft.queries.Dedup.clusterSplitFromState]]). */
+  def labels(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(labelsPath(stateDir)).select("id", "cluster_id")
+
   /** The current assignment with cluster sizes: one window over the
     * label table (never the corpus). */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =

@@ -478,6 +478,39 @@ object Dedup {
       .select("d1", "d2", "jacc")
   }
 
+  /** Split assignment shared by q291 (from-scratch CC) and
+    * [[clusterSplitFromState]] (standing labels): every doc keyed by its
+    * CLUSTER (labels carry (id, cluster_id) for clustered docs; a
+    * singleton falls back to its own id), the md5 bucket of the key picks
+    * train/val/test — whole clusters move atomically, so no verified
+    * near-dup pair ever straddles a split. One broadcast-size left join:
+    * the label table is one row per CLUSTERED doc, tiny next to the
+    * corpus. */
+  private[graft] def splitByClusterKey(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val bucket = TrainPrep.splitBucket(col("cluster_key"))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_key"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** The leakage-free split read from a STANDING [[graft.operators.ClusterState]]
+    * (VERDICT r14 #3) — the at-scale form of q291: the corpus's duplicate
+    * closure is maintained incrementally per ingest batch (star-fold, see
+    * ClusterState.appendEdges), so producing a fresh train/val/test split
+    * costs one read of the tiny label table plus a broadcast left join —
+    * never a corpus re-cluster. Identical assignment to q291's from-scratch
+    * CC whenever the state table holds the closure of the same verified
+    * pair set (DedupSpec pins the parity; the q292 oracle hash-checks it
+    * at all three SFs). */
+  def clusterSplitFromState(spark: SparkSession, docs: DataFrame,
+      stateDir: String): DataFrame =
+    splitByClusterKey(docs, graft.operators.ClusterState.labels(spark, stateDir))
+
   val queries: Map[String, Q] = Map(
     // ---- repeated-span REMOVAL accounting (the cut, not just the find) ---
     // q287's transform half, the Lee-et-al step that actually edits the
@@ -702,24 +735,45 @@ object Dedup {
     // ZERO by construction: both endpoints of every verified near-dup
     // pair share a cluster key, hence a split. Scale: q70's cost plus
     // one broadcast-size left join — the cluster table is one row per
-    // CLUSTERED doc, tiny next to the corpus.
+    // CLUSTERED doc, tiny next to the corpus. THE AT-SCALE FORM is
+    // q292_state_split / [[clusterSplitFromState]] (r15): a corpus that
+    // maintains a standing ClusterState reads the labels back instead of
+    // re-running the full closure per split — this query is the
+    // from-scratch reference the state variant is hash-checked against.
     "q291_cluster_split" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
       val base = minhashBase(docs)
       val pairs = lshPairs(base, LshBucketCap)
       val comp = graft.operators.ConnectedComponents.components(
         pairs.select(col("d1").as("src"), col("d2").as("dst")))
-      val bucket = TrainPrep.splitBucket(col("cluster_key"))
-      val out = docs.select(col("doc_id"))
-        .join(comp.select(col("id").as("doc_id"), col("cluster_id")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
-        .select(col("doc_id"), col("cluster_key"),
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id")
+      val out = splitByClusterKey(docs,
+          comp.select(col("id"), col("cluster_id")))
         .localCheckpoint(eager = true)
       comp.unpersist()
+      base.unpersist()
+      out
+    }),
+
+    // q291 from STANDING state (VERDICT r14 #3): the cluster labels come
+    // from a maintained ClusterState table — built here from the same
+    // verified pair set, so output is identical to q291 by construction
+    // (the oracle is shared verbatim) — and the split itself costs ONE
+    // read of the tiny label table + the broadcast left join. At 100 TB
+    // the closure is maintained incrementally per ingest batch (q275's
+    // star-fold), so re-splitting after an append never re-clusters the
+    // corpus; q291's full CC re-run is the from-scratch reference.
+    "q292_state_split" -> ((s: SparkSession, dir: String) => {
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-split-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val docs = Tables(s, dir, "documents")
+      val base = minhashBase(docs)
+      graft.operators.ClusterState.build(
+        lshPairs(base, LshBucketCap)
+          .select(col("d1").as("src"), col("d2").as("dst")),
+        stateDir)
+      val out = clusterSplitFromState(s, docs, stateDir)
+        .localCheckpoint(eager = true)
       base.unpersist()
       out
     }),
@@ -2474,10 +2528,14 @@ object Dedup {
     // tombstones before capping.
     // q289 runs q220's exact join through the shard loop; the pair set
     // is identical by construction, so the oracle is shared verbatim.
+    // q292 reads the split from a ClusterState built over the SAME pair
+    // set q291 clusters in-query — labels identical (star-fold ≡
+    // from-scratch CC), so the oracle is q291's SQL verbatim.
     m + ("q246_standing_index" -> m("q244_incremental_neardup")) +
       ("q270_tombstoned_index" -> m("q244_incremental_neardup").replace(
         "WHERE doc_id % 10 != 7\n",
         "WHERE doc_id % 10 != 7 AND doc_id % 10 != 3\n")) +
-      ("q289_sharded_prefix" -> m("q220_prefix_join"))
+      ("q289_sharded_prefix" -> m("q220_prefix_join")) +
+      ("q292_state_split" -> m("q291_cluster_split"))
   }
 }

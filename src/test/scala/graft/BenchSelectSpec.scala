@@ -96,21 +96,22 @@ class BenchSelectSpec extends AnyFunSuite {
       Some(1.0), Some(3.0))
     val curr = Map("qc" -> 2.0, "qs" -> 4.0, "qn" -> 1.0)
     val classes = Map("qc" -> "cpu", "qs" -> "shuffle", "qn" -> "scan")
+    // ratio fields are emitted at 4 decimals (jnum) since r15 — tolerances 5e-5
     val json = Bench.vsPrevJson(prev, "p.json", curr, 7.0, 2.0,
       classes = classes,
       currProbes = (Some(4.0), Some(1.0)), prevProbes = (Some(1.0), Some(1.0)))
-    assert(math.abs(field(json, "host_factor") - 2.0) < 1e-9)
-    assert(math.abs(field(json, "host_factor_shuffle") - 4.0) < 1e-9)
-    assert(math.abs(field(json, "host_factor_scan") - 1.0) < 1e-9)
-    assert(math.abs(field(json, "median_ratio_classnorm") - 1.0) < 1e-9)
+    assert(math.abs(field(json, "host_factor") - 2.0) < 5e-5)
+    assert(math.abs(field(json, "host_factor_shuffle") - 4.0) < 5e-5)
+    assert(math.abs(field(json, "host_factor_scan") - 1.0) < 5e-5)
+    assert(math.abs(field(json, "median_ratio_classnorm") - 1.0) < 5e-5)
     // classnorm common total: (2/2 + 4/4 + 1/1) / 3 = 1.0
-    assert(math.abs(field(json, "common_total_ratio_classnorm") - 1.0) < 1e-9)
+    assert(math.abs(field(json, "common_total_ratio_classnorm") - 1.0) < 5e-5)
     // cpu-only normalization misreads: common raw total 7/3 over host 2
-    assert(math.abs(field(json, "common_total_ratio") - 7.0 / 6.0) < 1e-9)
+    assert(math.abs(field(json, "common_total_ratio") - 7.0 / 6.0) < 5e-5)
     // per-class raw medians present
-    assert(math.abs(field(json, "median_raw_cpu") - 2.0) < 1e-9)
-    assert(math.abs(field(json, "median_raw_shuffle") - 4.0) < 1e-9)
-    assert(math.abs(field(json, "median_raw_scan") - 1.0) < 1e-9)
+    assert(math.abs(field(json, "median_raw_cpu") - 2.0) < 5e-5)
+    assert(math.abs(field(json, "median_raw_shuffle") - 4.0) < 5e-5)
+    assert(math.abs(field(json, "median_raw_scan") - 1.0) < 5e-5)
     assert(json.contains(""""n_cpu":1""") && json.contains(""""n_shuffle":1"""))
   }
 
@@ -124,9 +125,9 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(!json.contains("host_factor_shuffle"))
     assert(!json.contains("host_factor_scan"))
     assert(math.abs(
-      field(json, "common_total_ratio_classnorm") - field(json, "common_total_ratio")) < 1e-12)
+      field(json, "common_total_ratio_classnorm") - field(json, "common_total_ratio")) < 5e-5)
     assert(math.abs(
-      field(json, "median_ratio_classnorm") - field(json, "median_ratio")) < 1e-12)
+      field(json, "median_ratio_classnorm") - field(json, "median_ratio")) < 5e-5)
   }
 
   test("vsPrevFlat stays nesting-free with the per-class fields present") {
@@ -154,5 +155,106 @@ class BenchSelectSpec extends AnyFunSuite {
     val trailer = s"""{"metric":"total_trailer","value":1.0,$flat,"sf":"x"}"""
     val grabbed = "\\{\"metric\":\"total_trailer\".*?\\}".r.findFirstIn(trailer)
     assert(grabbed.contains(trailer), s"regex truncated: $grabbed")
+  }
+
+  // ---- in-run control queries (VERDICT r14 #2) ---------------------------
+
+  test("classifyNamed routes lifecycle queries by name before bytes") {
+    // q279 reads real input bytes — the byte classifier would say "scan";
+    // its cost is state choreography, so the name check wins
+    assert(Bench.classifyNamed("q279_cluster_takedown", 20L << 20, 1L << 20)
+      === "lifecycle")
+    assert(Bench.classifyNamed("q02_filter_project", 20L << 20, 0L) === "scan")
+  }
+
+  test("ctlStats: median over packs, (max-min)/median spread") {
+    val packs = Seq(
+      Map("cpu" -> 1.0, "shuffle" -> 2.0),
+      Map("cpu" -> 1.2, "shuffle" -> 2.2),
+      Map("cpu" -> 1.1))
+    val (med, spr) = Bench.ctlStats(packs)
+    assert(med("cpu") === 1.1)
+    assert(math.abs(spr("cpu") - 0.2 / 1.1) < 1e-12)
+    // 2-sample class: sorted(2.0, 2.2) -> median = element at size/2 = 2.2
+    assert(med("shuffle") === 2.2)
+    assert(med.get("scan").isEmpty && med.get("lifecycle").isEmpty)
+  }
+
+  test("control factor beats probe factor for its class; prev query map " +
+      "is the first-round denominator") {
+    // prev round predates ctl_* fields but its query map carries the
+    // pinned shuffle control (q67) at 1.0s; this round's in-run control
+    // median is 3.0s -> shuffle factor 3.0, even though the synthetic
+    // probes say 4.0. A shuffle query that went 3x slower then
+    // class-normalizes to 1.0.
+    val prev = (Map("qs" -> 1.0, "q67_simhash_pairs" -> 1.0), Some(1.0), Some(2.0))
+    val curr = Map("qs" -> 3.0, "q67_simhash_pairs" -> 3.0)
+    val json = Bench.vsPrevJson(prev, "p.json", curr, 6.0, 1.0,
+      classes = Map("qs" -> "shuffle", "q67_simhash_pairs" -> "shuffle"),
+      currProbes = (Some(4.0), Some(1.0)), prevProbes = (Some(1.0), Some(1.0)),
+      ctlCurr = Map("shuffle" -> 3.0), ctlSpread = Map("shuffle" -> 0.05))
+    assert(math.abs(field(json, "ctl_factor_shuffle") - 3.0) < 5e-5)
+    assert(math.abs(field(json, "ctl_spread_shuffle") - 0.05) < 5e-5)
+    assert(math.abs(field(json, "median_ratio_classnorm") - 1.0) < 5e-5)
+    // the probe field still reports what the probes said (diagnostic)
+    assert(math.abs(field(json, "host_factor_shuffle") - 4.0) < 5e-5)
+  }
+
+  test("ctl trailer fields from the prev round win over its query map") {
+    val prev = (Map("qs" -> 1.0), Some(1.0), Some(1.0))
+    val json = Bench.vsPrevJson(prev, "p.json", Map("qs" -> 2.0), 2.0, 1.0,
+      classes = Map("qs" -> "shuffle"),
+      ctlCurr = Map("shuffle" -> 3.0), ctlPrev = Map("shuffle" -> 1.5))
+    assert(math.abs(field(json, "ctl_factor_shuffle") - 2.0) < 5e-5)
+  }
+
+  test("loadPrevCtl reads trailer fields, missing file yields empty") {
+    val tmp = java.nio.file.Files.createTempFile("ctl", ".json")
+    java.nio.file.Files.write(tmp,
+      """{"metric":"total_trailer","ctl_cpu_sec":0.35,"ctl_cpu_spread":0.04,"ctl_lifecycle_sec":0.7}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = Bench.loadPrevCtl(tmp.toString)
+    assert(m === Map("cpu" -> 0.35, "lifecycle" -> 0.7))
+    assert(Bench.loadPrevCtl("/nonexistent/x.json").isEmpty)
+    java.nio.file.Files.deleteIfExists(tmp)
+    ()
+  }
+
+  test("jnum renders locale-independent compact decimals") {
+    assert(Bench.jnum(239.77181634299984) === "239.7718")
+    assert(Bench.jnum(1.0) === "1")
+    assert(Bench.jnum(0.05) === "0.05")
+    assert(Bench.jnum(1234.5, 3) === "1234.5")
+    assert(Bench.jnum(Double.NaN) === "0")
+    assert(Bench.jnum(120.0) === "120") // stripTrailingZeros must not go sci
+  }
+
+  test("CoreQueries superset rule: every member is a real query and the " +
+      "r15 core is preserved") {
+    Bench.CoreQueries.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"core member $q is not a query"))
+    // the r15 pin — future rounds may only APPEND (cross-round common
+    // sets must grow); shrinking this list breaks bench_compare
+    val r15 = Set("q01_pricing_summary", "q02_filter_project",
+      "q03_shipping_priority", "q05_local_supplier", "q09_topk_orders",
+      "q10_window_rank", "q21_semi_join", "q30_token_stats",
+      "q31_quality_score", "q33_fingerprint", "q35_dedup_exact",
+      "q37_minhash_lsh", "q51_ivf_search", "q52_window_frames",
+      "q58_native_asof", "q62_range_join", "q64_try_divide",
+      "q67_simhash_pairs", "q68_native_pivot", "q70_dup_clusters",
+      "q85_decontaminate", "q91_lm_score", "q99_pq_search",
+      "q220_prefix_join", "q257_agg_state", "q267_ivfpq_index",
+      "q279_cluster_takedown")
+    assert(r15.subsetOf(Bench.CoreQueries.toSet))
+    assert(Bench.CoreQueries.size >= 20) // the ≥20-common-fragment budget
+  }
+
+  test("every pinned control is a real query of its class family") {
+    Bench.ControlQueries.foreach { case (cls, q) =>
+      assert(SparkEntry.queries.contains(q), s"control $q missing")
+      assert(Set("cpu", "shuffle", "scan", "lifecycle")(cls))
+    }
+    // the lifecycle control must actually be a lifecycle query
+    assert(Bench.LifecycleQueries(Bench.ControlQueries.toMap.apply("lifecycle")))
   }
 }

@@ -226,6 +226,38 @@ class DedupSpec extends SparkSpec {
     assert(train / n > 0.8 && train / n < 0.97, s"train share ${train / n}")
   }
 
+  test("q292/clusterSplitFromState: standing-state split == q291, even " +
+      "when the state was grown incrementally") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = Dedup.minhashBase(docs)
+    val allEdges = Dedup.lshPairs(base, Dedup.LshBucketCap)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    // reference: the from-scratch split (q291's exact pipeline)
+    val ref = SparkEntry.queries("q291_cluster_split")(spark, dir)
+      .collect().toSeq
+    // state grown INCREMENTALLY: old slice first, then the delta's edges
+    // (within-delta + bridging) appended — the at-scale maintenance shape.
+    // Edge split by either endpoint in the delta covers bridges.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("split-state").toString
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    graft.operators.ClusterState.build(
+      allEdges.filter(!isNew(col("src")) && !isNew(col("dst"))), stateDir)
+    graft.operators.ClusterState.appendEdges(spark,
+      allEdges.filter(isNew(col("src")) || isNew(col("dst"))), stateDir)
+    val got = Dedup.clusterSplitFromState(spark, docs, stateDir)
+      .collect().toSeq
+    assert(got === ref,
+      "incrementally-grown standing labels produced a different split")
+    // and the q292 query itself (one-shot build) matches too
+    val q292 = SparkEntry.queries("q292_state_split")(spark, dir)
+      .collect().toSeq
+    assert(q292 === ref)
+  }
+
   test("prefixShardsFor: one shard below the budget, ceil above, capped") {
     // the 125k default comes from the r14 measurement: one-shot verify
     // spills around 500k docs, 4 shards (~125k in flight) spill zero

@@ -73,15 +73,43 @@ def main():
     qa, qb = a.get("queries", {}), b.get("queries", {})
     ca, cb = a.get("calib_mt_sec"), b.get("calib_mt_sec")
     host = (cb / ca) if (ca and cb) else None
-    # per-class host factors (r14+): shuffle/scan probes when both rounds
-    # carried them, falling back to the integer-CPU factor; query classes
-    # come from either side's qdiag (newer side preferred)
+    # per-class host factors. Preference per class (r15+, mirrors
+    # Bench.vsPrevJson): 1. control-query factor — B's in-run control
+    # median over A's (ctl_<cls>_sec trailer/ctl fields), or over A's
+    # query-map entry for the same pinned query when A predates the ctl
+    # fields; 2. shuffle/scan synthetic probe ratio (r14); 3. the
+    # integer-CPU factor. Controls are sweep queries sampled at sweep
+    # start/middle/end — the instant probes swung 1.77x within one r14
+    # sweep while a control stayed flat.
+    CONTROL_QUERIES = {"cpu": "q68_native_pivot",
+                       "shuffle": "q67_simhash_pairs",
+                       "scan": "q85_decontaminate",
+                       "lifecycle": "q257_agg_state"}
+
+    def ctl_med(side, cls):
+        v = side.get(f"ctl_{cls}_sec")
+        if v:
+            return v
+        nested = side.get("ctl")
+        if isinstance(nested, dict) and isinstance(nested.get(cls), dict):
+            return nested[cls].get("sec")
+        return None
+
+    def ctl_factor(cls):
+        c = ctl_med(b, cls)
+        if not c:
+            return None
+        p = ctl_med(a, cls) or qa.get(CONTROL_QUERIES[cls])
+        return (c / p) if p else None
+
     def probe(name):
         pa, pb = a.get(name), b.get(name)
         return (pb / pa) if (pa and pb) else None
-    class_host = {"shuffle": probe("calib_shuffle_sec") or host,
-                  "scan": probe("calib_scan_sec") or host,
-                  "cpu": host}
+    class_host = {
+        "shuffle": ctl_factor("shuffle") or probe("calib_shuffle_sec") or host,
+        "scan": ctl_factor("scan") or probe("calib_scan_sec") or host,
+        "lifecycle": ctl_factor("lifecycle") or host,
+        "cpu": ctl_factor("cpu") or host}
     classes = {}
     for side in (a, b):
         qd = side.get("qdiag")
@@ -129,10 +157,22 @@ def main():
               + (f"  normalized {fmt_ratio(med / host)}" if host else ""))
 
         if classes and host:
-            pshuf, pscan = probe("calib_shuffle_sec"), probe("calib_scan_sec")
-            print(f"class host factors: cpu {host:.3f}"
-                  + (f"  shuffle {pshuf:.3f}" if pshuf else "  shuffle --(cpu fallback)")
-                  + (f"  scan {pscan:.3f}" if pscan else "  scan --(cpu fallback)"))
+            parts = []
+            for c in ("cpu", "shuffle", "scan", "lifecycle"):
+                f = class_host.get(c)
+                src = ("ctl" if ctl_factor(c) else
+                       "probe" if c in ("shuffle", "scan")
+                       and probe(f"calib_{c}_sec") else "cpu-fallback")
+                parts.append(f"{c} {f:.3f}({src})" if f else f"{c} --")
+            print("class host factors: " + "  ".join(parts))
+            for c in ("cpu", "shuffle", "scan", "lifecycle"):
+                s = b.get(f"ctl_{c}_spread")
+                if s is None and isinstance(b.get("ctl"), dict) \
+                        and isinstance(b["ctl"].get(c), dict):
+                    s = b["ctl"][c].get("spread")
+                if s is not None:
+                    print(f"  ctl spread {c}: {s:.3f} "
+                          f"(in-run start/mid/end error bar)")
             bycls = {}
             for q in common:
                 if qa[q] > 0:

@@ -251,9 +251,11 @@ object Bench {
     "scan" -> "q85_decontaminate",
     "lifecycle" -> "q257_agg_state")
 
-  /** One control pack: each control query timed once (noop sink) after
-    * clearCache + leftover-unpersist + GC — the sweep's own steady-state
-    * discipline. A control that throws is skipped (never fails the bench). */
+  /** One control pack: each control query timed as min-of-2 (noop sink),
+    * clearCache + leftover-unpersist + GC before each timed run — the
+    * sweep's own steady-state discipline, so a control's pack value is
+    * directly comparable to its sweep value. A control that throws is
+    * skipped (never fails the bench). */
   private def runControlPack(spark: SparkSession, dir: String,
       warmup: Boolean): Map[String, Double] =
     ControlQueries.flatMap { case (cls, name) =>
@@ -262,12 +264,14 @@ object Bench {
           def run(): Unit =
             fn(spark, dir).write.format("noop").mode("overwrite").save()
           if (warmup) run()
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          System.gc()
-          val t0 = System.nanoTime(); run()
-          cls -> (System.nanoTime() - t0) / 1e9
+          cls -> (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+            System.gc()
+            val t0 = System.nanoTime(); run()
+            (System.nanoTime() - t0) / 1e9
+          }.min
         }.toOption
       }
     }.toMap
@@ -696,6 +700,20 @@ object Bench {
     nested.stripPrefix("{").stripSuffix("}").split(",(?=\")")
       .map(kv => "\"vs_prev_" + kv.stripPrefix("\"")).mkString(",")
 
+  /** [[vsPrevFlat]] minus the purely-diagnostic per-class fields — the
+    * TRAILER form since r15. The trailer, the queries_core line and the
+    * stream line must together fit the driver's ~2000-char tail capture;
+    * the dropped fields (per-class n/median_raw, ctl spreads already
+    * carried by the trailer's own ctl_<cls>_spread, the superseded
+    * synthetic-probe factors) all remain in the full line's nested
+    * vs_prev_normalized object on /tmp/bench.json. */
+  private[graft] def vsPrevFlatCore(nested: String): String = {
+    val drop = ("^\"vs_prev_(n_(?!common\")|median_raw_|ctl_spread_|" +
+      "host_factor_shuffle|host_factor_scan)").r
+    vsPrevFlat(nested).split(",(?=\")")
+      .filter(kv => drop.findFirstIn(kv).isEmpty).mkString(",")
+  }
+
   /** Previous round's bench file: env override, else the highest-numbered
     * `BENCH_r*.json` in the working directory (the driver checks them in). */
   private[graft] def prevBenchPath(): Option[String] =
@@ -906,7 +924,7 @@ object Bench {
     // vs_prev + the lifecycle split ride the trailer too (FLATTENED —
     // the trailer must stay a nesting-free object, see vsPrevFlat): the
     // driver's tail capture keeps the END of the output, trailer last
-    val vp = vsPrev.map(v => "," + vsPrevFlat(v)).getOrElse("")
+    val vp = vsPrev.map(v => "," + vsPrevFlatCore(v)).getOrElse("")
     val lcT = compacted.orElse(raw).get
       .collect { case (k, Some(v)) if LifecycleQueries(k) => v }.sum
     // per-class control medians + spreads, flat (loadPrevCtl reads the
@@ -916,7 +934,11 @@ object Bench {
         s""","ctl_${cls}_sec":${jnum(m)},"ctl_${cls}_spread":${
           jnum(ctlSpr.getOrElse(cls, 0.0))}""")
     }.mkString
-    println(s"""{"metric":"total_trailer","value":${jnum(hTotal)},"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":${jnum(lcT)},"total_pure":${jnum(hTotal - lcT)},"calib_mt_sec":${jnum(calibN)},"calib_shuffle_sec":${jnum(calibShuffle)},"calib_scan_sec":${jnum(calibScan)},"calib_mt_post_sec":${jnum(calibNPost)},"calib_shuffle_post_sec":${jnum(calibShufflePost)},"calib_scan_post_sec":${jnum(calibScanPost)}$ctlFlat$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
+    // calib_*_post_sec fields live in the FULL line only since r15: the
+    // ctl_<cls>_spread fields are the better temporal error bar (in-run
+    // control samples, not instant probes) and the tail budget is shared
+    // with the queries_core line
+    println(s"""{"metric":"total_trailer","value":${jnum(hTotal)},"unit":"sec","n_queries":$hN,"n_errors":$hE$tc$tr,"total_lifecycle":${jnum(lcT)},"total_pure":${jnum(hTotal - lcT)},"calib_mt_sec":${jnum(calibN)},"calib_shuffle_sec":${jnum(calibShuffle)},"calib_scan_sec":${jnum(calibScan)}$ctlFlat$vp,"sf":"$sfDir","full":"/tmp/bench.json"}""")
     spark.stop()
   }
 }

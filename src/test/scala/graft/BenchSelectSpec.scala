@@ -208,6 +208,28 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(math.abs(field(json, "ctl_factor_shuffle") - 2.0) < 5e-5)
   }
 
+  test("vsPrevFlatCore drops diagnostic per-class fields, keeps the signal") {
+    val prev = (Map("qs" -> 1.0, "q67_simhash_pairs" -> 1.0), Some(1.0), Some(2.0))
+    val json = Bench.vsPrevJson(prev, "p.json",
+      Map("qs" -> 3.0, "q67_simhash_pairs" -> 3.0), 6.0, 1.0,
+      classes = Map("qs" -> "shuffle", "q67_simhash_pairs" -> "shuffle"),
+      currProbes = (Some(4.0), Some(1.0)), prevProbes = (Some(1.0), Some(1.0)),
+      ctlCurr = Map("shuffle" -> 3.0), ctlSpread = Map("shuffle" -> 0.05))
+    val core = Bench.vsPrevFlatCore(json)
+    // kept: the aggregates + ctl factors + n_common
+    assert(core.contains("\"vs_prev_n_common\":"))
+    assert(core.contains("\"vs_prev_host_factor\":"))
+    assert(core.contains("\"vs_prev_median_ratio_classnorm\":"))
+    assert(core.contains("\"vs_prev_ctl_factor_shuffle\":"))
+    // dropped from the trailer (still in the nested full-line object)
+    assert(!core.contains("vs_prev_n_shuffle"))
+    assert(!core.contains("vs_prev_median_raw_"))
+    assert(!core.contains("vs_prev_ctl_spread_"))
+    assert(!core.contains("vs_prev_host_factor_shuffle"))
+    assert(json.contains("\"median_raw_shuffle\":")) // nested keeps them
+    assert(!core.contains("{") && !core.contains("}"))
+  }
+
   test("loadPrevCtl reads trailer fields, missing file yields empty") {
     val tmp = java.nio.file.Files.createTempFile("ctl", ".json")
     java.nio.file.Files.write(tmp,

@@ -300,6 +300,44 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.resolve(table) === new java.io.File(dst3).getCanonicalPath)
   }
 
+  test("degraded-lock end-to-end: with create-if-absent broken (two live " +
+      "writers), the racing append between validation and publish is " +
+      "refused — and a re-optimize publishes it") {
+    // Simulates the S3-style store where withWriterLock degrades to
+    // best-effort (PUT has no portable create-if-absent): writer A runs
+    // the real optimize flow while writer B — whom a working lock would
+    // have excluded — appends to the source AFTER A's rewrite validated.
+    // run() records the source fingerprint at VALIDATION time (r14
+    // ADVICE), so A's later pointer switch must refuse: publishing would
+    // silently drop B's append from the visible table. The recovery path
+    // (re-optimize, which now sees B's rows) must then publish cleanly.
+    val src = Files.createTempDirectory("graft_degraded_src").toString
+    val table = Files.createTempDirectory("graft_degraded_table").toString
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .write.parquet(s"$src/docs.parquet")
+    // writer A: rewrite + validate (fingerprint recorded inside run())
+    val out1 = s"$table/gen1"
+    val r1 = OptimizeMain.run(spark, src, out1, 1L << 20)
+    assert(r1.nonEmpty && r1.forall(_._2.content_match))
+    // writer B's append lands in the validate-to-publish window — the
+    // exact mutation a working lock serializes away
+    spark.range(100, 110).selectExpr("id", "id * 2 AS v")
+      .write.mode("append").parquet(s"$src/docs.parquet")
+    val e = intercept[IllegalStateException] {
+      Generations.publishChecked(table, out1)
+    }
+    assert(e.getMessage.contains("publish refused"))
+    assert(Generations.current(table).isEmpty, "refused publish must not switch CURRENT")
+    // recovery: writer A re-optimizes (rewrite now contains B's rows) and
+    // the pointer switch goes through with nothing lost
+    val out2 = s"$table/gen2"
+    val r2 = OptimizeMain.run(spark, src, out2, 1L << 20)
+    assert(r2.forall(_._2.content_match))
+    Generations.publishChecked(table, out2)
+    assert(Generations.resolve(table) === new java.io.File(out2).getCanonicalPath)
+    assert(spark.read.parquet(s"${Generations.resolve(table)}/docs").count() === 110L)
+  }
+
   test("cliLineage retire takes the table writer lock") {
     val table = Files.createTempDirectory("graft_retire_lock").toString
     val lock = new java.io.File(table, ".WRITER_LOCK")

@@ -74,6 +74,22 @@ object Generations {
     * mutation at sane scale, tune up for huge optimizes) is presumed
     * crashed and broken with a stderr note. NOT reentrant: one lock
     * scope per mutation, operators below the CLI layer never lock. */
+  /** Lock-hold observability (r15): cumulative held nanos per lock dir
+    * since the last drain — the pipeline scale harness reads a per-wave
+    * ledger from it ("how long were the standing tables writer-locked
+    * this batch"). Two nanoTime calls per scope; nothing else. */
+  private val lockHold =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  /** Drain and reset the per-lock hold times, in milliseconds. */
+  def drainLockHoldMs(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    lockHold.asScala
+      .map { case (k, v) => k -> v.getAndSet(0L) / 1000000L }
+      .filter(_._2 > 0L).toMap
+  }
+
   def withWriterLock[T](stateDir: String,
       staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val dir = new File(stateDir)
@@ -156,7 +172,11 @@ object Generations {
             "single-writer; retry after it finishes (or after stale expiry)")
       }
     }
+    val tAcq = System.nanoTime()
     try body finally {
+      lockHold.computeIfAbsent(stateDir,
+        _ => new java.util.concurrent.atomic.AtomicLong())
+        .addAndGet(System.nanoTime() - tAcq)
       val stillMine = scala.util.Try(new String(
         Files.readAllBytes(lock.toPath), StandardCharsets.UTF_8).trim == token)
         .getOrElse(false)

@@ -94,6 +94,16 @@ object PipeScaleMain {
       .select("doc_id", "text", "lang", "source")
       .localCheckpoint(eager = true)
     val totalDocs = docs.count()
+    // novelty filter sized to the TIER: ~8 bits per expected corpus
+    // 8-gram (≈ 33/doc here) — the r15 finding: the 2^20 default
+    // saturates at ~15k docs and the gate then drops everything, so an
+    // unsized 100x run measures empty batches, not scale. Prime modulus
+    // keeps the (h*salt + j) mod mBits positions well-distributed.
+    val bloomBits = java.math.BigInteger.valueOf(
+      math.max(graft.operators.AggState.BloomDefaultBits, totalDocs * 33L * 8L))
+      .nextProbablePrime().longValueExact()
+    println(s"""{"metric":"pipescale_setup","sf":"$sfDir","docs":$totalDocs,""" +
+      s""""bloom_bits":$bloomBits}""")
 
     def mb(b: Long): String = Bench.jnum(b / 1048576.0, 1)
     var wallTotal = 0.0; var spillTotal = 0L
@@ -128,7 +138,8 @@ object PipeScaleMain {
       val q = streaming.CorpusStream.curated(feed).writeStream
         .option("checkpointLocation", s"$workDir/checkpoint")
         .foreachBatch(streaming.CorpusStream.pipelineBatch(bloomTable,
-          indexTable, clusterDir, corpusDir, optimizeEvery) _)
+          indexTable, clusterDir, corpusDir, optimizeEvery,
+          bloomBits = bloomBits) _)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()

@@ -20,8 +20,14 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * ```
   * runMain graft.PipelineMain <inDir> <pipeDir> [optimizeEvery] [keepLast]
-  *                            [retentionHours] [minNovelBp]
+  *                            [retentionHours] [minNovelBp] [bloomBits]
   * ```
+  *
+  * `bloomBits` sizes the novelty filter at FIRST build — ~8 bits per
+  * expected corpus 8-gram (≈ docs × 33 for this corpus shape). The
+  * default 2^20 saturates around ~15k docs, after which the gate drops
+  * nearly everything (the r15 scale-tier finding; PipeScaleMain sizes it
+  * from the tier automatically).
   *
   * `pipeDir` layout: `bloom/` + `index/` (generation-managed standing
   * tables), `clusters/` (standing dup clusters), `corpus/` (admitted
@@ -46,6 +52,8 @@ object PipelineMain {
     val keepLast = args.lift(3).map(_.toInt).getOrElse(1)
     val retentionHours = args.lift(4).map(_.toDouble).getOrElse(0.0)
     val minNovelBp = args.lift(5).map(_.toLong).getOrElse(3000L)
+    val bloomBits = args.lift(6).map(_.toLong)
+      .getOrElse(graft.operators.AggState.BloomDefaultBits)
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,7 +74,7 @@ object PipelineMain {
       .option("checkpointLocation", s"$pipeDir/checkpoint")
       .foreachBatch(streaming.CorpusStream.pipelineBatch(bloomTable,
         indexTable, clusterDir, corpusDir, optimizeEvery, keepLast,
-        retentionHours, minNovelBp) _)
+        retentionHours, minNovelBp, bloomBits) _)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -67,12 +67,20 @@ object ScaleMain {
         acc.withColumn(k, col(k) + col("__copy") * lit(Offset))
       }
       val copy =
-        if (t == "documents")
-          // per-copy token prefix: zero cross-copy shingle overlap
+        if (t == "documents") {
+          // per-copy token prefix on CONTENT words only: cross-copy
+          // shingle overlap stays ~zero (every 3-shingle containing a
+          // content word differs between copies), while stopwords keep
+          // their surface form — the r15 fix: prefixing stopwords too
+          // zeroed every copy's stopword ratio and the curated quality
+          // gates dropped 100% of the scale-tier feed (the pipeline
+          // measurement then exercised empty batches, not scale)
+          val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
           shifted.withColumn("text",
             concat_ws(" ", transform(split(col("text"), "\\s+"),
-              tok => concat(lit("c"), col("__copy").cast("string"), tok))))
-        else shifted
+              tok => when(tok.isin(stop: _*), tok)
+                .otherwise(concat(lit("c"), col("__copy").cast("string"), tok)))))
+        } else shifted
       copy.drop("__copy")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"replicated $t x$factor")

@@ -18,14 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Text.queries ++ Dedup.queries ++
+    Relational.queries ++ Text.queries ++ Dedup.queries ++ Graph.queries ++
       Similarity.queries ++ Multimodal.queries ++ Stats.queries ++
       TrainPrep.queries ++ Lifecycle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Text.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ Text.oracles ++ Dedup.oracles ++ Graph.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Stats.oracles ++
       TrainPrep.oracles ++ Lifecycle.oracles
 }

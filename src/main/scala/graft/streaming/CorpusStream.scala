@@ -126,7 +126,16 @@ object CorpusStream {
     * the admitted set, fold its n-grams into the filter, and RETURN the
     * pinned admitted docs for whatever lands them (the plain sink in
     * [[noveltyBatch]]; the near-dup probe in [[pipelineBatch]]). */
-  private[graft] def noveltyAdmit(bloomDir: String, minNovelBp: Long = 3000L)(
+  /** `bloomBits` sizes the filter at FIRST build (appends inherit the
+    * built meta): the r15 scale tiers measured the default 2^20 filter
+    * saturating around ~15k docs of this corpus shape (~33 8-grams/doc;
+    * fill → 0.9, false-positive rate → 0.73), after which the novelty
+    * fraction of genuinely new docs reads below minNovelBp and the gate
+    * drops nearly everything. Size it at ~8 bits per expected corpus
+    * n-gram (fill ≈ 0.31 at capacity, FP ≈ 3%) — 500k docs ≈ 140M bits
+    * ≈ 17.5 MB packed, still one broadcast. */
+  private[graft] def noveltyAdmit(bloomDir: String, minNovelBp: Long = 3000L,
+      bloomBits: Long = graft.operators.AggState.BloomDefaultBits)(
       batch: DataFrame): DataFrame = {
     import graft.operators.AggState
     val spark = batch.sparkSession
@@ -159,7 +168,8 @@ object CorpusStream {
       val admittedNg = admitted.select(explode(col("__ng")).as("__h"))
       if (AggState.bloomExists(bloomDir))
         AggState.appendBloom(admittedNg, Nil, "__h", bloomDir)
-      else AggState.buildBloom(admittedNg, Nil, "__h", bloomDir)
+      else AggState.buildBloom(admittedNg, Nil, "__h", bloomDir,
+        mBits = bloomBits)
       admitted.drop("__ng")
     } finally base.unpersist()
   }
@@ -403,7 +413,9 @@ object CorpusStream {
   def pipelineBatch(bloomTable: String, indexTable: String,
       clusterDir: String, outDir: String, optimizeEvery: Int,
       keepLast: Int = 1, retentionHours: Double = 0.0,
-      minNovelBp: Long = 3000L)(batch: DataFrame, batchId: Long): Unit = {
+      minNovelBp: Long = 3000L,
+      bloomBits: Long = graft.operators.AggState.BloomDefaultBits)(
+      batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.{AggState, ClusterState, Generations}
     val spark = batch.sparkSession
     val bloomGen = currentGen(bloomTable)
@@ -412,7 +424,8 @@ object CorpusStream {
       Generations.withWriterLock(bloomGen) {
         Generations.withWriterLock(indexTable) {
           Generations.withWriterLock(indexGen) {
-            val admitted = noveltyAdmit(bloomGen, minNovelBp)(batch).persist()
+            val admitted =
+              noveltyAdmit(bloomGen, minNovelBp, bloomBits)(batch).persist()
             // base unpersists in the FINALLY (r14 ADVICE): a throw from
             // writeBase/the corpus append must not leak the cached base —
             // in a long-running PipelineMain stream every

@@ -260,7 +260,7 @@ object AggState {
   // fixed odd primes; position_j = (h * salt_j + j) mod mBits. h < 2^32
   // and salt < 2^20 keep the product < 2^52 — exact in BIGINT on both
   // engines (no float, no overflow).
-  private val BloomSalts = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L)
+  private[graft] val BloomSalts = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L)
 
   private def bloomStatePath(stateDir: String): String = s"$stateDir/bloom_state"
   private def bloomMetaPath(stateDir: String): String = s"$stateDir/bloom_meta.txt"

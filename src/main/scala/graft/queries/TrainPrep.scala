@@ -294,6 +294,46 @@ object TrainPrep {
     // (the runtime-filter pattern ScaleOpsSpec proves) so train rows that
     // can't match never shuffle. 8-grams are HASHED (md5-based, the shared
     // portable hash) so the shuffle moves longs, not 60-char strings.
+    // ---- novelty-filter sizing audit (r15) --------------------------------
+    // The operational question the r15 scale tiers surfaced: the standing
+    // novelty Bloom ([[graft.operators.AggState]], CorpusStream's gate) is
+    // mBits-bounded forever, and an under-sized filter silently degrades
+    // to over-dropping once fill climbs (measured: the 2^20 default
+    // saturates at ~15k docs of this corpus — fill 0.9, FP 0.73, gate
+    // admission collapses). This query IS the sizing run a deployment
+    // executes before picking `bloomBits`: for each candidate mBits it
+    // computes the EXACT bits-set count of the corpus's distinct 8-grams
+    // (the same md5 hash + (h*salt_j + j) mod mBits positions the filter
+    // uses — shared verbatim with the oracle), the fill in basis points,
+    // and the predicted false-positive rate fill^k in basis points — all
+    // integer arithmetic, no estimate. Scale: one distinct-n-gram shuffle
+    // (corpus-linear, moves longs) + per-candidate position distincts
+    // bounded by mBits; candidates are evaluated in ONE frame (explode
+    // over the mBits list), so the corpus is hashed once.
+    "q293_bloom_audit" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.AggState
+      val k = 3
+      val mList = Seq(1048573L, 4194301L, 16777213L) // primes ~2^20/22/24
+      val hs = Tables(s, dir, "documents")
+        .select(explode(hashedNgrams8(col("text"))).as("h"))
+        .distinct()
+        .localCheckpoint(eager = true) // feeds the count and the explode
+      val nNg = hs.agg(count(lit(1)).as("n_ngrams"))
+      val pos = hs.select(explode(array(mList.map(lit): _*)).as("m_bits"), col("h"))
+        .select(col("m_bits"), explode(array((0 until k).map(j =>
+          pmod(col("h") * lit(AggState.BloomSalts(j)) + lit(j.toLong),
+            col("m_bits"))): _*)).as("pos"))
+      val out = pos.groupBy("m_bits")
+        .agg(countDistinct(col("pos")).as("bits_set"))
+        .crossJoin(broadcast(nNg))
+        .select(col("m_bits"), col("n_ngrams"), col("bits_set"),
+          expr("(bits_set * 10000) DIV m_bits").as("fill_bp"),
+          expr("(((bits_set * 10000) DIV m_bits) * ((bits_set * 10000) DIV m_bits)" +
+            " * ((bits_set * 10000) DIV m_bits)) DIV 100000000").as("fp_bp"))
+        .orderBy("m_bits")
+      out
+    }),
+
     "q85_decontaminate" -> ((s: SparkSession, dir: String) => {
       val bucket = splitBucket(col("doc_id"))
       // the tokenize→8-gram→md5 base feeds BOTH the train and test
@@ -917,6 +957,36 @@ object TrainPrep {
         |FROM b JOIN tr USING (digest)
         |WHERE bucket >= 95
         |ORDER BY doc_id""".stripMargin,
+
+    // q293: the exact position math the engine's bloomPartials uses —
+    // h < 2^31 and salts ~1e6 keep h*salt < 2^51 (no overflow), h >= 0
+    // makes plain % == pmod. fill/fp in integer basis points (DIV ≡ //).
+    "q293_bloom_audit" ->
+      """WITH s AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |   CASE WHEN len(w) < 8 THEN []
+        |        ELSE list_distinct(list_transform(
+        |          [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+        |           w[i+5]||' '||w[i+6]||' '||w[i+7] for i in range(1, len(w) - 6)],
+        |          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)) END AS ng
+        |  FROM s),
+        |hs AS (SELECT DISTINCT unnest(ng) AS h FROM g),
+        |m AS (SELECT unnest([1048573, 4194301, 16777213]) AS m_bits),
+        |p AS (SELECT m_bits, (h * 1000003 + 0) % m_bits AS pos FROM hs, m
+        |      UNION ALL SELECT m_bits, (h * 1000033 + 1) % m_bits FROM hs, m
+        |      UNION ALL SELECT m_bits, (h * 1000037 + 2) % m_bits FROM hs, m),
+        |b AS (SELECT m_bits, CAST(count(DISTINCT pos) AS BIGINT) AS bits_set
+        |      FROM p GROUP BY m_bits),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_ngrams FROM hs)
+        |SELECT CAST(m_bits AS BIGINT) AS m_bits, n_ngrams, bits_set,
+        |  CAST((bits_set * 10000) // m_bits AS BIGINT) AS fill_bp,
+        |  CAST((((bits_set * 10000) // m_bits) * ((bits_set * 10000) // m_bits)
+        |    * ((bits_set * 10000) // m_bits)) // 100000000 AS BIGINT) AS fp_bp
+        |FROM b CROSS JOIN n
+        |ORDER BY m_bits""".stripMargin,
 
     "q85_decontaminate" ->
       """WITH s AS (SELECT doc_id,

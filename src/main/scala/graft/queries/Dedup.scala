@@ -789,6 +789,50 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
+    // ---- split stability under corpus growth (r15) ------------------------
+    // The training-reproducibility question q291/q292 raise: when a delta
+    // lands and near-dup clusters MERGE, the merged component takes the
+    // smaller min-id as its key — the losing cluster's docs re-hash and
+    // can move between train/val/test. This query measures that churn
+    // exactly: the split as of the old corpus (doc_id % 10 != 7, the q275
+    // delta convention) vs the split over the grown corpus, per old doc —
+    // `key_changed` marks docs whose cluster key moved (a merge or a
+    // delta-bridged component absorbed them), `split_moved` the subset
+    // that actually crossed a split boundary. A pipeline pins training
+    // membership by snapshotting the assignment (ClusterState time travel
+    // gives the as-of read); this is the audit that says how much would
+    // drift if it re-derived instead. Scale: two CC runs over capped pair
+    // sets (q291's cost x2) + one doc-keyed join; the minhash base is
+    // computed once and sliced (it is per-row, so slicing the persisted
+    // full base is content-identical to minhashBase(oldDocs) and scans
+    // the corpus once).
+    "q294_split_churn" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val base = minhashBase(docs)
+      val isOld = col("doc_id") % 10 =!= 7
+      val compOld = graft.operators.ConnectedComponents.components(
+        lshPairs(base.filter(isOld), LshBucketCap)
+          .select(col("d1").as("src"), col("d2").as("dst")))
+      val compAll = graft.operators.ConnectedComponents.components(
+        lshPairs(base, LshBucketCap)
+          .select(col("d1").as("src"), col("d2").as("dst")))
+      val so = splitByClusterKey(docs.filter(isOld), compOld)
+        .select(col("doc_id"), col("cluster_key").as("old_key"),
+          col("split").as("old_split"))
+      val sa = splitByClusterKey(docs, compAll)
+        .select(col("doc_id"), col("cluster_key").as("new_key"),
+          col("split").as("new_split"))
+      val out = so.join(sa, Seq("doc_id"))
+        .select(col("doc_id"), col("old_key"), col("new_key"),
+          col("old_split"), col("new_split"),
+          (col("old_key") =!= col("new_key")).cast("long").as("key_changed"),
+          (col("old_split") =!= col("new_split")).cast("long").as("split_moved"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      compOld.unpersist(); compAll.unpersist(); base.unpersist()
+      out
+    }),
+
     // (The duplicate-cluster / graph-analytics family — q70, q101, q102,
     // q116, q128, q161, q167, q175 — lives in [[Graph]] since the r15
     // file split; the splits below consume the same components.)
@@ -1763,6 +1807,58 @@ object Dedup {
         s"""WITH $lshPairCtes
            |SELECT d1, d2, jacc FROM pr
            |ORDER BY d1, d2""".stripMargin,
+
+      // q294: DOUBLE recursive closure (the q279 precedent) — old-slice
+      // pairs and full-corpus pairs via the per-slice tiered chain, both
+      // labeled min-reachable-id, split buckets off each key, churn flags
+      // as integer CASEs
+      "q294_split_churn" ->
+        s"""WITH RECURSIVE $shinglesSql,
+           |hs AS (SELECT doc_id, w, list_transform(w, t -> $tokHashSql) AS h
+           |       FROM sh WHERE len(w) > 0),
+           |sig AS (SELECT doc_id, w, ${sigExprs.mkString(", ")} FROM hs),
+           |bandsAll AS (${bandSelects.mkString(" UNION ALL ")}),
+           |hd AS (SELECT doc_id, list_distinct(h) AS hs2,
+           |              len(list_distinct(h)) AS sz FROM hs),
+           |${tieredPairCtes("o", "doc_id % 10 != 7")},
+           |${tieredPairCtes("a", "TRUE")},
+           |eo AS (SELECT d1 AS src, d2 AS dst FROM pro
+           |       UNION SELECT d2, d1 FROM pro),
+           |no AS (SELECT DISTINCT src AS id FROM eo),
+           |ro(id, r) AS (
+           |  SELECT id, id FROM no
+           |  UNION
+           |  SELECT e.src, ro.r FROM eo e JOIN ro ON e.dst = ro.id),
+           |co AS (SELECT id, min(r) AS ck FROM ro GROUP BY id),
+           |ea AS (SELECT d1 AS src, d2 AS dst FROM pra
+           |       UNION SELECT d2, d1 FROM pra),
+           |na AS (SELECT DISTINCT src AS id FROM ea),
+           |ra(id, r) AS (
+           |  SELECT id, id FROM na
+           |  UNION
+           |  SELECT e.src, ra.r FROM ea e JOIN ra ON e.dst = ra.id),
+           |ca AS (SELECT id, min(r) AS ck FROM ra GROUP BY id),
+           |go AS (SELECT d.doc_id, coalesce(co.ck, d.doc_id) AS old_key
+           |       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 7) d
+           |       LEFT JOIN co ON d.doc_id = co.id),
+           |ga AS (SELECT d.doc_id, coalesce(ca.ck, d.doc_id) AS new_key
+           |       FROM (SELECT doc_id FROM documents) d
+           |       LEFT JOIN ca ON d.doc_id = ca.id),
+           |so AS (SELECT doc_id, old_key,
+           |         CASE WHEN ('0x' || substr(md5(old_key::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+           |              WHEN ('0x' || substr(md5(old_key::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
+           |              ELSE 'test' END AS old_split
+           |       FROM go),
+           |sa AS (SELECT doc_id, new_key,
+           |         CASE WHEN ('0x' || substr(md5(new_key::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+           |              WHEN ('0x' || substr(md5(new_key::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
+           |              ELSE 'test' END AS new_split
+           |       FROM ga)
+           |SELECT so.doc_id, old_key, new_key, old_split, new_split,
+           |  CAST(CASE WHEN old_key != new_key THEN 1 ELSE 0 END AS BIGINT) AS key_changed,
+           |  CAST(CASE WHEN old_split != new_split THEN 1 ELSE 0 END AS BIGINT) AS split_moved
+           |FROM so JOIN sa USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // q291: q70's closure labels every clustered doc; singletons keep
       // their own id as the cluster key; the split bucket is q73's md5

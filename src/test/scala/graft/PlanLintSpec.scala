@@ -88,7 +88,8 @@ class PlanLintSpec extends SparkSpec {
       "q283_standing_bloom", // same 1-row filter-map cross from the standing state
       "q284_train_classifier", // 1-row GD weight vector cross, once per iteration
       "q285_train_eval", // same weight-vector cross: 3 train steps + 1 eval pass
-      "q290_converged_training") // same 1-row weight cross, loop-until-converged
+      "q290_converged_training", // same 1-row weight cross, loop-until-converged
+      "q293_bloom_audit") // 1-row n_ngrams total cross into the 3-row per-mBits aggregate
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

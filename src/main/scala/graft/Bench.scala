@@ -276,17 +276,21 @@ object Bench {
       }
     }.toMap
 
-  /** (median, spread) per class over the start/mid/end packs; spread =
-    * (max - min) / median, the per-class temporal error bar. */
+  /** (min, spread) per class over the start/mid/end packs. MIN is the
+    * factor statistic (the noise-floor estimator the sweep itself uses —
+    * min-of-2 per pack × 3 packs = min of 6 runs, far more stable
+    * cross-round than a median of 3); spread = (max - min) / min over
+    * the pack values, the per-class TEMPORAL ERROR BAR — on this shared
+    * container it reads 25-50%, which is the honest uncertainty any
+    * single-sample cross-round ratio carries (the r14 probes swung 1.77×
+    * and reported nothing). */
   private[graft] def ctlStats(packs: Seq[Map[String, Double]])
       : (Map[String, Double], Map[String, Double]) = {
     val pairs = ControlQueries.flatMap { case (cls, _) =>
       val xs = packs.flatMap(_.get(cls)).sorted
       if (xs.isEmpty) None
-      else {
-        val m = xs(xs.size / 2)
-        Some((cls -> m, cls -> (if (m > 0) (xs.last - xs.head) / m else 0.0)))
-      }
+      else Some((cls -> xs.head,
+        cls -> (if (xs.head > 0) (xs.last - xs.head) / xs.head else 0.0)))
     }
     (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
   }
@@ -616,12 +620,19 @@ object Bench {
       yield c / p
     val hostShuffle = probeShuffle.orElse(host)
     val hostScan = probeScan.orElse(host)
+    // context discipline: a factor's numerator and denominator must come
+    // from the SAME harness context. ctl-vs-ctl compares pack minimums
+    // across rounds (r16+); the first-control-round fallback compares the
+    // pinned query's RAW-SWEEP timing to the prev round's RAW-SWEEP
+    // timing (currQ/qa — NOT ctlCurr/qa: pack runs measure 16-35% slower
+    // than the same query in-sweep, and mixing contexts baked that bias
+    // straight into the factor).
     val ctlQ = ControlQueries.toMap
     def ctlFactor(cls: String): Option[Double] =
-      ctlCurr.get(cls).flatMap { c =>
-        ctlPrev.get(cls).filter(_ > 0).map(c / _)
-          .orElse(ctlQ.get(cls).flatMap(n => qa.get(n).filter(_ > 0).map(c / _)))
-      }
+      ctlCurr.get(cls).flatMap(c =>
+          ctlPrev.get(cls).filter(_ > 0).map(c / _))
+        .orElse(ctlQ.get(cls).flatMap(n =>
+          for (p <- qa.get(n).filter(_ > 0); c <- currQ.get(n)) yield c / p))
     def clsOf(q: String): String = classes.getOrElse(q, "cpu")
     def clsFactor(cls: String): Option[Double] =
       ctlFactor(cls).orElse(cls match {

@@ -167,17 +167,17 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(Bench.classifyNamed("q02_filter_project", 20L << 20, 0L) === "scan")
   }
 
-  test("ctlStats: median over packs, (max-min)/median spread") {
+  test("ctlStats: min over packs (noise floor), (max-min)/min spread") {
     val packs = Seq(
       Map("cpu" -> 1.0, "shuffle" -> 2.0),
       Map("cpu" -> 1.2, "shuffle" -> 2.2),
       Map("cpu" -> 1.1))
-    val (med, spr) = Bench.ctlStats(packs)
-    assert(med("cpu") === 1.1)
-    assert(math.abs(spr("cpu") - 0.2 / 1.1) < 1e-12)
-    // 2-sample class: sorted(2.0, 2.2) -> median = element at size/2 = 2.2
-    assert(med("shuffle") === 2.2)
-    assert(med.get("scan").isEmpty && med.get("lifecycle").isEmpty)
+    val (mn, spr) = Bench.ctlStats(packs)
+    assert(mn("cpu") === 1.0)
+    assert(math.abs(spr("cpu") - 0.2 / 1.0) < 1e-12)
+    assert(mn("shuffle") === 2.0)
+    assert(math.abs(spr("shuffle") - 0.2 / 2.0) < 1e-12)
+    assert(mn.get("scan").isEmpty && mn.get("lifecycle").isEmpty)
   }
 
   test("control factor beats probe factor for its class; prev query map " +

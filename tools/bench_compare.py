@@ -96,11 +96,17 @@ def main():
         return None
 
     def ctl_factor(cls):
-        c = ctl_med(b, cls)
-        if not c:
-            return None
-        p = ctl_med(a, cls) or qa.get(CONTROL_QUERIES[cls])
-        return (c / p) if p else None
+        # same-context discipline (mirrors Bench.vsPrevJson): pack-min vs
+        # pack-min when both rounds carry ctl fields; else the pinned
+        # query's sweep timing on BOTH sides (never pack-vs-sweep — packs
+        # measure 16-35% slower than the same query in-sweep)
+        cb, ca_ = ctl_med(b, cls), ctl_med(a, cls)
+        if cb and ca_:
+            return cb / ca_
+        name = CONTROL_QUERIES[cls]
+        if qa.get(name) and qb.get(name):
+            return qb[name] / qa[name]
+        return None
 
     def probe(name):
         pa, pb = a.get(name), b.get(name)

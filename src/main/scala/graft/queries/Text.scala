@@ -237,6 +237,46 @@ object Text {
     // per row (bit-parity pinned in TextHashesSpec; oracle unchanged).
     // The n-gram universe sizes are n, n-1, n-2 arithmetically — no n-gram
     // arrays are ever materialized.
+    // ---- curation-funnel ledger (r15) -------------------------------------
+    // The batch answer to "how much survives each curated gate" —
+    // CorpusStream.curated's exact gate chain (token-count + stopword
+    // ratio, then the q80 repetition fractions, then the exact-dup
+    // digest), replayed over the corpus as ONE aggregation pass with a
+    // per-stage retention count. The streaming pipeline observes these
+    // numbers per batch (observe() metrics); this is the whole-corpus
+    // audit a curation run publishes beside its output, and the shape a
+    // gate-tuning loop evaluates candidates against. Gate expressions are
+    // shared VERBATIM with curated (same double comparisons — IEEE
+    // agreement over identical inputs); distinct counting runs in the
+    // native one-pass NgramDistincts expression (string-distinct parity
+    // with the oracle pinned by q80). Scale: one corpus scan, per-row
+    // array math, one partial aggregation + one distinct-digest count.
+    "q295_curation_funnel" -> ((s: SparkSession, dir: String) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("w", toks(col("text")))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("w"), t => t.isin(stop: _*))).cast("long"))
+        .withColumn("d", TextHashes.ngram_distincts(col("w")))
+        .withColumn("g1", col("n") >= 10 &&
+          col("n_stop").cast("double") /
+            greatest(col("n").cast("double"), lit(1.0)) >= 0.01)
+        .withColumn("dupt", when(col("n") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("d.d_tok").cast("double") / col("n").cast("double")))
+        .withColumn("t3", greatest(col("n") - 2, lit(0L)))
+        .withColumn("dup3", when(col("t3") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("d.d_3g").cast("double") / col("t3").cast("double")))
+        .withColumn("g2", col("g1") && !(col("dupt") > 0.8 || col("dup3") > 0.3))
+        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+      base.agg(
+        count(lit(1)).as("n_intake"),
+        sum(col("g1").cast("long")).as("n_token_gate"),
+        sum(col("g2").cast("long")).as("n_repetition_gate"),
+        countDistinct(when(col("g2"), col("digest"))).as("n_unique_docs"))
+    }),
+
     "q80_repetition" -> ((s: SparkSession, dir: String) => {
       def frac(total: Column, distinct: Column): Column =
         when(total === 0, lit(0.0))
@@ -1476,6 +1516,35 @@ object Text {
           | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
           | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\f\r]+')) AS BIGINT) AS n_punct
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q295: the curated gate chain replayed relationally — same double
+      // comparisons, string-distinct 3-grams (== NgramDistincts counts,
+      // pinned by q80), digest-distinct survivors
+      "q295_curation_funnel" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS w FROM documents),
+           |v AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n,
+           |  CAST(len(list_filter(w, x -> x IN
+           |    ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+           |  CAST(len(list_distinct(w)) AS BIGINT) AS d_tok,
+           |  CAST(CASE WHEN len(w) < 3 THEN 0
+           |       ELSE len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+           |                               for i in range(1, len(w) - 1)]))
+           |       END AS BIGINT) AS d_3g
+           | FROM t),
+           |g AS (SELECT doc_id, text, n,
+           |  (n >= 10 AND CAST(n_stop AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0) >= 0.01) AS g1,
+           |  (CASE WHEN n = 0 THEN 0.0
+           |        ELSE 1.0 - CAST(d_tok AS DOUBLE) / CAST(n AS DOUBLE) END) AS dupt,
+           |  (CASE WHEN greatest(n - 2, 0) = 0 THEN 0.0
+           |        ELSE 1.0 - CAST(d_3g AS DOUBLE) / CAST(greatest(n - 2, 0) AS DOUBLE) END) AS dup3
+           | FROM v),
+           |h AS (SELECT doc_id, md5(lower(trim(text))) AS digest, g1,
+           |  (g1 AND NOT (dupt > 0.8 OR dup3 > 0.3)) AS g2 FROM g)
+           |SELECT CAST(count(*) AS BIGINT) AS n_intake,
+           |  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_token_gate,
+           |  CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_gate,
+           |  CAST(count(DISTINCT CASE WHEN g2 THEN digest END) AS BIGINT) AS n_unique_docs
+           |FROM h""".stripMargin,
 
       "q80_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -905,14 +905,14 @@ object Bench {
     persist(line)
     // the stream bench also gets its own short line: the driver's log-tail
     // capture (~2000 chars) would usually cut it out of the full line
-    streamLine.foreach(sl =>
-      println(s"""{"metric":"stream_bench","processors":$sl,"sf":"$sfDir"}"""))
-    // Stable comparison core (VERDICT r14 #6): its own compact line right
-    // before the trailer, so the driver's ~2000-char tail capture retains
-    // ≥20 per-query fragments (loadPrevBench / bench_compare.py's
+    // Stable comparison core (VERDICT r14 #6): a compact line before the
+    // stream + trailer lines, so the driver's ~2000-char tail capture
+    // retains ≥20 per-query fragments (loadPrevBench / bench_compare.py's
     // fragment fallback reads them; last occurrence wins, so these values
     // override any surviving queries_raw remnants with the same raw-first
-    // semantics at 3 decimals).
+    // semantics at 2 decimals). LINE ORDER is the tail budget: core FIRST
+    // (its head absorbs the cut), then stream_bench, then the trailer —
+    // stream + trailer + sbt's closing footer must survive whole.
     val rawMapC = raw.map(_.collect { case (k, Some(v)) => k -> v }.toMap)
       .getOrElse(Map.empty)
     val compMapC = compacted.map(_.collect { case (k, Some(v)) => k -> v }.toMap)
@@ -920,8 +920,10 @@ object Bench {
     val coreVals = CoreQueries.flatMap(q =>
       rawMapC.get(q).orElse(compMapC.get(q)).map(q -> _))
     if (coreVals.nonEmpty)
-      println(coreVals.map { case (k, v) => s""""$k":${jnum(v, 3)}""" }
+      println(coreVals.map { case (k, v) => s""""$k":${jnum(v, 2)}""" }
         .mkString("""{"metric":"queries_core","queries":{""", ",", "}}"))
+    streamLine.foreach(sl =>
+      println(s"""{"metric":"stream_bench","processors":$sl,"sf":"$sfDir"}"""))
     // The full line is ~20 KB at 290 queries; a log-tail capture (last ~2000
     // chars) would cut off the leading total. Repeat the headline metrics in
     // a short trailer line so any suffix of the output still carries them.

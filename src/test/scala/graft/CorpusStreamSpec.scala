@@ -194,6 +194,32 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("bloomBits sizes the novelty filter: a saturated tiny filter " +
+      "over-drops novel docs, a sized one admits them (the r15 finding)") {
+    // The scale-tier failure mode, pinned at fixture size: the filter is
+    // mBits forever, and once fill saturates every genuinely-novel doc
+    // reads as seen (false positives push its novel fraction under the
+    // gate) — the pipeline keeps "working" while admitting nothing. The
+    // knob must make the difference: same feed, tiny vs sized filter.
+    def mk(ids: Range, prefix: String): org.apache.spark.sql.DataFrame =
+      ids.map(i => Doc(i.toLong,
+        (1 to 30).map(j => s"$prefix${i}w$j").mkString(" "),
+        "en", "crawl", t("2024-01-01 10:00:00"))).toDF()
+    val seed = mk(1 to 10, "a")     // 10 docs x 23 8-grams x k=3 ≈ 690 bits
+    val fresh = mk(101 to 110, "b") // entirely new vocabulary: 100% novel
+    val tinyDir = java.nio.file.Files.createTempDirectory("bloom_tiny").toString
+    val bigDir = java.nio.file.Files.createTempDirectory("bloom_big").toString
+    CorpusStream.noveltyAdmit(tinyDir, 3000L, bloomBits = 64L)(seed).count()
+    CorpusStream.noveltyAdmit(bigDir, 3000L)(seed).count() // 2^20 default
+    val tinyAdmitted =
+      CorpusStream.noveltyAdmit(tinyDir, 3000L, bloomBits = 64L)(fresh).count()
+    val bigAdmitted = CorpusStream.noveltyAdmit(bigDir, 3000L)(fresh).count()
+    assert(bigAdmitted === 10L,
+      s"sized filter must admit every genuinely novel doc, got $bigAdmitted")
+    assert(tinyAdmitted < bigAdmitted,
+      s"saturated 64-bit filter must over-drop ($tinyAdmitted vs $bigAdmitted)")
+  }
+
   test("maintained loop: optimize + publish every N batches, probes survive the swap") {
     import graft.operators.{DedupIndex, Generations}
     val tableDir = java.nio.file.Files.createTempDirectory("graft_gen_tbl").toString

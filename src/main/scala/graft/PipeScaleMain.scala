@@ -156,6 +156,15 @@ object PipeScaleMain {
         s""""$key":$ms""" }.mkString("{", ",", "}")
       val corpusRows = scala.util.Try(
         spark.read.parquet(corpusDir).count()).getOrElse(0L)
+      // standing-filter occupancy (AggState.bloomFill): the saturation
+      // early-warning the r15 tiers showed the pipeline needs — fill_bp
+      // must stay well under ~5000 for the novelty gate to mean anything
+      val fillBp = scala.util.Try {
+        val gen = graft.operators.Generations.current(bloomTable)
+          .getOrElse(s"$bloomTable/gen-0")
+        graft.operators.AggState.bloomFill(spark, gen)
+          .select("fill_bp").head().getLong(0)
+      }.getOrElse(-1L)
       val line =
         s"""{"metric":"pipescale_wave","sf":"$sfDir","wave":$w,""" +
           s""""docs_in":$nIn,"wall_sec":${Bench.jnum(wall, 2)},""" +
@@ -164,6 +173,7 @@ object PipeScaleMain {
           s""""corpus_mb":${mb(dirBytes(corpusDir))},""" +
           s""""index_mb":${mb(dirBytes(indexTable))},""" +
           s""""bloom_mb":${mb(dirBytes(bloomTable))},""" +
+          s""""bloom_fill_bp":$fillBp,""" +
           s""""clusters_mb":${mb(dirBytes(clusterDir))}}"""
       println(line)
       java.nio.file.Files.write(ledgerPath, (line + "\n").getBytes("UTF-8"),

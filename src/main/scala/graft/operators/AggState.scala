@@ -370,6 +370,34 @@ object AggState {
       .drop("__bloom", "__bh")
   }
 
+  /** FILL MONITOR (r15): exact occupancy of the standing filter, read
+    * from the packed words alone — popcount over the merged slices,
+    * O(mBits/64) rows, never a corpus rescan. Returns one row:
+    * (m_bits, k, bits_set, fill_bp, fp_bp) with fill and predicted
+    * false-positive rate (fill^k) in integer basis points, the same
+    * formulas as the q293 corpus-side audit. This is the alert hook for
+    * the saturation failure mode the scale tiers measured (fill → 0.9
+    * silently turns the novelty gate into a drop-everything gate): a
+    * deployment reads it on the optimize cadence and re-sizes/rebuilds
+    * the filter when fill_bp crosses ~5000. Keyed filters report the
+    * GLOBAL occupancy across key groups (alerting wants the worst-case
+    * aggregate; per-key breakdown is a groupBy away from mergedBloom). */
+  def bloomFill(spark: SparkSession, stateDir: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val m = readBloomMeta(stateDir)
+    mergedBloom(spark, stateDir, keys)
+      .agg(sum(bit_count(col("__bits"))).cast("long").as("bits_set"))
+      .select(lit(m.mBits).as("m_bits"), lit(m.k).as("k"),
+        coalesce(col("bits_set"), lit(0L)).as("bits_set"))
+      .withColumn("fill_bp", expr("(bits_set * 10000) DIV m_bits"))
+      // fill^k in basis points, folded stepwise so intermediates stay
+      // <= 1e8 for any k (a flat fill_bp^k DIV 10000^(k-1) overflows
+      // BIGINT at k = 5)
+      .withColumn("fp_bp", expr(
+        (2 to m.k).foldLeft("fill_bp")((acc, _) =>
+          s"(($acc * fill_bp) DIV 10000)")))
+  }
+
   /** Screen `probe` against the standing filter under `stateDir` (meta
     * decides mBits/k): adds boolean `outCol`. */
   def bloomMightContain(spark: SparkSession, stateDir: String,

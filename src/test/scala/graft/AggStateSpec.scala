@@ -271,6 +271,37 @@ class AggStateSpec extends SparkSpec {
     assert(spark.read.parquet(s"$grown/bloom_state").count() > g.count())
   }
 
+  test("bloom: fill monitor reports exact occupancy, monotone under " +
+      "appends, saturating at a tiny mBits (the r15 alert hook)") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val dir = tmp()
+    AggState.buildBloom(tokens(docs.filter(col("doc_id") % 3 === 0)),
+      Nil, "tok", dir)
+    val f1 = AggState.bloomFill(spark, dir).head()
+    assert(f1.getAs[Long]("m_bits") === AggState.BloomDefaultBits)
+    assert(f1.getAs[Int]("k") === AggState.BloomDefaultK)
+    val bits1 = f1.getAs[Long]("bits_set")
+    assert(bits1 > 0L && bits1 <= AggState.BloomDefaultBits)
+    assert(f1.getAs[Long]("fill_bp") ===
+      bits1 * 10000L / AggState.BloomDefaultBits)
+    // occupancy is monotone under appends (OR never clears a bit)...
+    AggState.appendBloom(tokens(docs.filter(col("doc_id") % 3 =!= 0)),
+      Nil, "tok", dir)
+    val f2 = AggState.bloomFill(spark, dir).head()
+    assert(f2.getAs[Long]("bits_set") >= bits1)
+    // ...and fp_bp is the stepwise fill^k fold
+    val fb = f2.getAs[Long]("fill_bp")
+    assert(f2.getAs[Long]("fp_bp") === (fb * fb / 10000L) * fb / 10000L)
+    // a deliberately tiny filter reads as saturated — the alert case
+    // (the fixture vocabulary is ~60 distinct tokens, so 64 bits land at
+    // ~83% fill, far past any sane alert threshold)
+    val tiny = tmp()
+    AggState.buildBloom(tokens(docs), Nil, "tok", tiny, mBits = 64L)
+    val ft = AggState.bloomFill(spark, tiny).head()
+    assert(ft.getAs[Long]("fill_bp") > 5000L,
+      s"64-bit filter over the corpus should read saturated: $ft")
+  }
+
   test("bloom: no false negatives ever; false positives rare at the default sizing") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val dir = tmp()

@@ -535,6 +535,51 @@ object Similarity {
           floor(col("sum_sil_e4").cast("double") / col("n_vecs").cast("double"))
             .cast("long").as("avg_sil_e4"))
         .orderBy("label")
+    }),
+
+    // ---- SemDeDup: semantic dedup inside trained k-means clusters --------
+    // Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    // through semantic deduplication"): embed, k-means-cluster, then drop
+    // every vector that has a LOWER-ID cluster-mate above the cosine
+    // threshold — one survivor per semantic-duplicate group, pairwise
+    // comparison confined to each cluster. Complements the dedup family:
+    // q35 exact text, q37 lexical MinHash, q59 raw-seed bucketed cosine
+    // pairs; this is the cluster-then-prune SCALE recipe (candidate pairs
+    // are |cluster|², never |corpus|²) with the keep/drop LEDGER a curation
+    // pipeline consumes, under q78's TRAINED centroids (one Lloyd step).
+    // Threshold 0.45 per the q59 note: the synthetic corpus has no true
+    // semantic dups (max pairwise cosine ≈ 0.6), so the threshold is set to
+    // exercise the decision path with non-empty drops at all 3 SFs
+    // (2/9/51 dropped).
+    //
+    // Scale: the assignment is one broadcast of K centroids + a map-side
+    // argmin (assignL2's min_by — one row per vector crosses the shuffle);
+    // the pair join shuffles once on cid with the cosine threshold INSIDE
+    // the join condition after the cheap conjuncts (the PushPredicate
+    // lesson). At 100 TB you raise K so |cluster| stays bounded — the
+    // paper's own knob — and the per-cluster pair mass is the only
+    // quadratic term. The assignment feeds three consumers (both join
+    // sides + the output), so it is pinned once (eager localCheckpoint).
+    "q297_semdedup" -> ((s: SparkSession, dir: String) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val a2 = assignL2(e, trainedCentroids(e))
+        .select(col("vec_id"), col("cid"), col("embedding"))
+        .localCheckpoint(eager = true)
+      val x = a2.select(col("vec_id").as("v1"), col("cid").as("c1"),
+        col("embedding").as("e1"))
+      val y = a2.select(col("vec_id").as("v2"), col("cid").as("c2"),
+        col("embedding").as("e2"))
+      val cos = round(cosine_sim(col("e1"), col("e2")), 4)
+      val dropped = x
+        .join(y, col("c1") === col("c2") && col("v1") < col("v2") && cos >= 0.45)
+        .select(col("v2").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      val wC = Window.partitionBy("cid")
+      a2.join(dropped, Seq("vec_id"), "left")
+        .withColumn("n_members", count(lit(1)).over(wC))
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("n_members"),
+          coalesce(col("dropped"), lit(0L)).as("dropped"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1022,6 +1067,40 @@ object Similarity {
         | CAST(sum(sil_e4) AS BIGINT) AS sum_sil_e4,
         | CAST(floor(CAST(sum(sil_e4) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
         |   AS avg_sil_e4
-        |FROM sil GROUP BY label ORDER BY label""".stripMargin
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+
+    // q78's trained-centroid chain (c0 -> a1 -> c1 -> a2) verbatim, then
+    // the within-cluster pair screen: a vector is dropped when a lower-id
+    // cluster-mate clears the rounded cosine threshold.
+    "q297_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, v FROM (
+        |   SELECT e.vec_id, c0.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c0)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |   SELECT cid, pos, avg(v[pos]) AS m
+        |   FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+        |   GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid, v FROM (
+        |   SELECT e.vec_id, c1.cid, e.v,
+        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |   FROM e, c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |drp AS (SELECT DISTINCT y.vec_id AS vec_id
+        |  FROM a2 x JOIN a2 y
+        |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |   AND round(list_sum([x.v[i] * y.v[i] for i in range(1, 65)])
+        |     / (sqrt(list_sum([x.v[i] * x.v[i] for i in range(1, 65)]))
+        |      * sqrt(list_sum([y.v[i] * y.v[i] for i in range(1, 65)]))), 4) >= 0.45)
+        |SELECT a2.vec_id, a2.cid AS cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY a2.cid) AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.vec_id
+        |ORDER BY a2.vec_id""".stripMargin
   )
 }

@@ -1254,6 +1254,36 @@ object Text {
           expr("CAST(CASE WHEN first_rel_rank > 0 THEN 10000 div first_rel_rank ELSE 0 END AS BIGINT)")
             .as("mrr_bp"))
         .orderBy("term")
+    }),
+
+    // ---- CCNet-style LM-score terciles per language ----------------------
+    // The perplexity bucketing of Wenzek et al. 2020 (CCNet): rank each
+    // language's documents by model score and cut into head/middle/tail
+    // thirds — downstream pipelines keep "head", sample "middle", drop
+    // "tail". The model is the corpus's own bigram LM (q91's lmScore:
+    // higher avg log-likelihood = lower perplexity = head). Cuts are pure
+    // integer rank math (ceil(n/3) = (n+2) div 3, ties broken by doc_id),
+    // so bucket assignment is engine-exact — no quantile semantics risk.
+    //
+    // Scale: the per-lang window is a partitioned sort bounded by each
+    // language's corpus share; at 100 TB you'd swap the exact rank for
+    // approx-quantile score cutoffs per language (two aggregation passes,
+    // no sort) — same bucket semantics, documented trade. Covers docs with
+    // >= 2 tokens (q91's domain).
+    "q298_ppl_buckets" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val wRank = Window.partitionBy("lang").orderBy(desc("avg_lnp_e6"), asc("doc_id"))
+      val wLang = Window.partitionBy("lang")
+      lmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(wLang))
+        .withColumn("ppl_bucket",
+          when(col("rk") <= expr("(n_lang + 2) div 3"), lit("head"))
+            .when(col("rk") <= expr("(2 * n_lang + 2) div 3"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "avg_lnp_e6", "rk", "ppl_bucket")
+        .orderBy("doc_id")
     })
   )
 
@@ -1978,7 +2008,39 @@ object Text {
            |  CAST(s.ci * 48 AS BIGINT) AS tok_start,
            |  CAST(len(w[s.ci*48+1 : s.ci*48+64]) AS BIGINT) AS n_tok,
            |  md5(array_to_string(w[s.ci*48+1 : s.ci*48+64], ' ')) AS digest
-           |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+           |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q298_ppl_buckets" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |pr AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+           |         ELSE [{'prev': w[i], 'nxt': w[i+1]} for i in range(1, len(w))]
+           |       END) AS s
+           |       FROM t),
+           |b AS (SELECT doc_id, s.prev AS prev, s.nxt AS nxt FROM pr),
+           |pc AS (SELECT prev, nxt, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |lm AS (SELECT prev, nxt,
+           |   CAST(floor(ln(CAST(cnt AS DOUBLE) /
+           |     CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)) * 1000000.0)
+           |     AS BIGINT) AS lnp_e6
+           |  FROM pc),
+           |d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |        CAST(sum(lm.lnp_e6) AS BIGINT) AS sum_lnp_e6
+           |      FROM b JOIN lm ON b.prev = lm.prev AND b.nxt = lm.nxt
+           |      GROUP BY b.doc_id),
+           |sc AS (SELECT d.doc_id, docs.lang,
+           |   CAST(floor(CAST(sum_lnp_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+           |     AS avg_lnp_e6
+           |  FROM d JOIN documents docs ON d.doc_id = docs.doc_id),
+           |r AS (SELECT doc_id, lang, avg_lnp_e6,
+           |   CAST(row_number() OVER (PARTITION BY lang
+           |                           ORDER BY avg_lnp_e6 DESC, doc_id) AS BIGINT) AS rk,
+           |   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           |  FROM sc)
+           |SELECT doc_id, lang, avg_lnp_e6, rk,
+           |  CASE WHEN rk <= (n_lang + 2) // 3 THEN 'head'
+           |       WHEN rk <= (2 * n_lang + 2) // 3 THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM r ORDER BY doc_id""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines; the incremental postings state

@@ -60,4 +60,36 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0).isNaN)
   }
+
+  test("q297 SemDeDup: drop ledger equals a driver-side within-cluster cosine scan") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("q297_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.forall(_._3 == rs.length.toLong), s"cluster $cid n_members inconsistent")
+      // the lowest id in a cluster has no lower-id mate: it can never drop
+      val minVec = rs.map(_._1).min
+      assert(rs.find(_._1 == minVec).get._4 == 0L, s"cluster $cid lowest id dropped")
+      rs.filter(_._4 == 1L).foreach(r => assert(r._3 >= 2L))
+    }
+    // independent recomputation: same sequential-fold cosine, same
+    // HALF_UP 4-dp rounding (Spark's round), same lower-id-wins rule
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectDropped = byCluster.values.flatMap { rs =>
+      val ids = rs.map(_._1).sorted.toSeq
+      ids.filter(j => ids.exists(i => i < j && r4(cos(vecs(i), vecs(j))) >= 0.45))
+    }.toSet
+    assert(out.filter(_._4 == 1L).map(_._1).toSet == expectDropped)
+    assert(expectDropped.nonEmpty, "drop decision must be non-vacuous at sf0.001")
+  }
 }

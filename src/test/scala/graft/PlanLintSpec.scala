@@ -89,7 +89,8 @@ class PlanLintSpec extends SparkSpec {
       "q284_train_classifier", // 1-row GD weight vector cross, once per iteration
       "q285_train_eval", // same weight-vector cross: 3 train steps + 1 eval pass
       "q290_converged_training", // same 1-row weight cross, loop-until-converged
-      "q293_bloom_audit") // 1-row n_ngrams total cross into the 3-row per-mBits aggregate
+      "q293_bloom_audit", // 1-row n_ngrams total cross into the 3-row per-mBits aggregate
+      "q297_semdedup") // 8-row trained-centroid cross (assignL2), the q78/q169 shape
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are
@@ -102,7 +103,8 @@ class PlanLintSpec extends SparkSpec {
       "q177_hour_heatmap", "q181_auc", "q189_mutual_info", "q192_key_skew",
       "q195_calibration", "q196_decompose", "q198_er_eval", "q208_apportion",
       "q217_rrf", "q218_log_odds", "q226_pct_of_parent",
-      "q230_compaction_plan", "q232_heaps_curve")
+      "q230_compaction_plan", "q232_heaps_curve",
+      "q296_dsir_weights") // totals window over the 1024-row hashed-bucket aggregate
     val allow: Map[String, Set[String]] =
       (tinyBroadcastJoin.map(_ -> Set("nested-loop-join")) ++
         smallDomainWindow.map(_ ->

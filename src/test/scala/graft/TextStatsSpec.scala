@@ -98,4 +98,49 @@ class TextStatsSpec extends SparkSpec {
     // the classifier must do better than collapsing to one predicted class
     assert(rows.map(_._2).distinct.length > 1, "degenerate single-class prediction")
   }
+
+  test("q296 DSIR weights: admit == (w > 0); recovers the target label well above base rate") {
+    val rows = SparkEntry.queries("q296_dsir_weights")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, tgt, nFeats, wE6, admit) =>
+      assert(admit == (if (wE6 > 0) 1L else 0L))
+      assert(nFeats > 0)
+      assert(tgt == 0L || tgt == 1L)
+    }
+    val n = rows.length.toDouble
+    val nTgt = rows.count(_._2 == 1L).toDouble
+    val admitted = rows.filter(_._5 == 1L)
+    assert(admitted.nonEmpty, "admission must be non-vacuous")
+    // the hashed 1024-bucket sampler was fit on the target label: precision
+    // among admitted docs must clearly beat the target's base rate
+    val precision = admitted.count(_._2 == 1L).toDouble / admitted.length
+    val baseRate = nTgt / n
+    assert(precision > baseRate + 0.2,
+      s"DSIR admit precision $precision should beat base rate $baseRate")
+    // and it must recover most of the target slice (recall)
+    val recall = admitted.count(_._2 == 1L).toDouble / nTgt
+    assert(recall > 0.7, s"DSIR recall $recall too low")
+  }
+
+  test("q298 ppl buckets: terciles partition each language in rank order") {
+    val rows = SparkEntry.queries("q298_ppl_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val k1 = (n + 2) / 3
+      val k2 = (2 * n + 2) / 3
+      // ranks are a permutation of 1..n and buckets follow the integer cuts
+      assert(rs.map(_._4).sorted.toSeq == (1L to n).toSeq, s"$lang ranks not a permutation")
+      rs.foreach { case (_, _, _, rk, bucket) =>
+        val expect = if (rk <= k1) "head" else if (rk <= k2) "middle" else "tail"
+        assert(bucket == expect, s"$lang rk=$rk bucket=$bucket expect=$expect")
+      }
+      // higher-scored docs never land in a later bucket than lower-scored
+      val headMin = rs.filter(_._5 == "head").map(_._3).min
+      val tailMax = rs.filter(_._5 == "tail").map(_._3).maxOption.getOrElse(Long.MinValue)
+      assert(headMin >= tailMax, s"$lang head/tail score order violated")
+    }
+  }
 }

@@ -47,4 +47,51 @@ class TrainingSpec extends SparkSpec {
     // first checkable round, before the cap
     assert(iters > 2 && iters < TrainPrep.ConvergeCap)
   }
+
+  test("q299: positional merge rule == driver-side leftmost-greedy BPE reference") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("q299_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6), r.getString(7), r.getString(8)))
+    assert(out.nonEmpty)
+
+    // sequential greedy reference: scan left to right, merge and skip
+    var seqs: Map[Long, Vector[String]] = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)
+      .filter(_._2.nonEmpty)
+      .map { case (d, t) => d -> t.split("\\s+").toVector }.toMap
+    val n0Ref = seqs.map { case (d, s) => d -> s.length.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    val perIter = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.values.foreach(s => s.sliding(2).filter(_.length == 2)
+        .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + 1))
+      val (a, b) = pc.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+      merges += s"$a $b"
+      val mCount = scala.collection.mutable.Map.empty[Long, Long]
+      seqs = seqs.map { case (d, s) =>
+        val outSeq = Vector.newBuilder[String]
+        var i = 0; var m = 0L
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            outSeq += s"$a $b"; i += 2; m += 1
+          } else { outSeq += s(i); i += 1 }
+        }
+        mCount(d) = m
+        d -> outSeq.result()
+      }
+      perIter += mCount.toMap
+    }
+    out.foreach { case (d, n0, m1, m2, m3, n3, p1, p2, p3) =>
+      assert(n0 == n0Ref(d), s"doc $d n0")
+      assert(m1 == perIter(0)(d) && m2 == perIter(1)(d) && m3 == perIter(2)(d),
+        s"doc $d merge counts ($m1,$m2,$m3) vs ref (${perIter(0)(d)},${perIter(1)(d)},${perIter(2)(d)})")
+      assert(n3 == n0 - m1 - m2 - m3)
+      assert(p1 == merges(0) && p2 == merges(1) && p3 == merges(2))
+      assert(n3 == seqs(d).length.toLong)
+    }
+    assert(out.map(r => r._3 + r._4 + r._5).sum > 0, "merges must be non-vacuous")
+  }
 }

@@ -518,7 +518,7 @@ object Bench {
     "q271_agg_state_retract", "q272_hist_retract", "q273_incr_join_view",
     "q274_view_retract", "q275_incr_clusters", "q278_incr_rollup",
     "q279_cluster_takedown", "q280_incr_bm25", "q281_bm25_takedown",
-    "q283_standing_bloom", "q292_state_split")
+    "q283_standing_bloom", "q292_state_split", "q300_incr_dsir")
 
   /** Mirror of `tools/bench_compare.py`'s `load()` (VERDICT r11 #4): pull
     * (queries, calib_mt_sec, value) out of a previous round's bench JSON —

@@ -111,7 +111,15 @@ object ScaleMain {
     // data-dependent, so the grown tiers check both the per-pass
     // aggregate-broadcast cost AND that the loss-plateau loop still
     // terminates early on 100x data
-    "q290_converged_training")
+    "q290_converged_training",
+    // r15 continuation: the four new curation operators. q296 and q299
+    // are linear (bucket table / merge table bounded at any corpus size);
+    // q298 is a per-lang partitioned sort; q297 holds K=8 centroids FIXED
+    // while the corpus grows, so its within-cluster pair mass is the
+    // quadratic term the SemDeDup paper scales K against — the grown
+    // tiers measure exactly that trade
+    "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
+    "q299_bpe_merges", "q300_incr_dsir")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

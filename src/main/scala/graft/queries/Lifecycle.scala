@@ -504,6 +504,35 @@ object Lifecycle {
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- DSIR weights from standing bucket-count state -------------------
+    // q296's importance sampler maintained INCREMENTALLY: the per-bucket
+    // (target, rest) feature counts are additive, so they live as AggState
+    // scalar partials keyed by bucket — ct = sum of the 0/1 target label
+    // over feature occurrences, cn = n − sum, both exact BIGINTs under
+    // blind slice appends. Three corpus slices land as build + two
+    // appends; the merged state feeds q296's scoring half verbatim
+    // (TrainPrep.dsirScore), so grown-via-appends ≡ from-scratch is
+    // hash-checked — the oracle IS q296's SQL. The production shape: the
+    // sampler's count table updates at O(delta) per ingest batch (1024
+    // partial rows per slice), never a corpus rescan; retraction works for
+    // free (negated partials — count/sum are group-invertible).
+    "q300_incr_dsir" -> ((s: SparkSession, dir: String) => {
+      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-dsir-state-" +
+          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val feats = TrainPrep.dsirFeats(Tables(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      AggState.build(feats.filter(col("doc_id") % 3 === 0), Seq("bucket"), "tgt", stateDir)
+      AggState.append(feats.filter(col("doc_id") % 3 === 1), Seq("bucket"), "tgt", stateDir)
+      AggState.append(feats.filter(col("doc_id") % 3 === 2), Seq("bucket"), "tgt", stateDir)
+      val bc = AggState.merged(s, stateDir, Seq("bucket"))
+        .select(col("bucket"), col("sum").cast("long").as("ct"),
+          (col("n") - col("sum")).cast("long").as("cn"))
+      val out = TrainPrep.dsirScore(feats, bc).localCheckpoint(eager = true)
+      feats.unpersist()
+      out.orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -792,5 +821,8 @@ object Lifecycle {
         |      FROM st JOIN kk USING (source))
         |SELECT source, est_distinct, n_exact,
         | CAST((abs(est_distinct - n_exact) * 10000) // n_exact AS BIGINT) AS err_bp
-        |FROM e ORDER BY source""".stripMargin)
+        |FROM e ORDER BY source""".stripMargin) +
+    // the standing-state DSIR must answer exactly like the from-scratch
+    // q296 — the equivalence IS the gate (the q190/q280 precedent)
+    ("q300_incr_dsir" -> TrainPrep.oracles("q296_dsir_weights"))
 }

@@ -881,37 +881,13 @@ object TrainPrep {
     // recall — the hashed 1024-bucket model recovers the gate it was fit
     // on, which is the method working as the paper intends.
     "q296_dsir_weights" -> ((s: SparkSession, dir: String) => {
-      val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
-      val lab = Tables(s, dir, "documents")
-        .withColumn("w", rawToks(col("text")))
-        .filter(size(col("w")) > 0)
-        .withColumn("tgt",
-          (size(filter(col("w"), t => array_contains(stop, t))).cast("long") * lit(10000L)
-            >= size(col("w")).cast("long") * lit(800L)).cast("long"))
-      val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-      val feats = lab
-        .withColumn("f", explode(concat(col("w"), bigrams)))
-        .select(col("doc_id"), col("tgt"), (Dedup.tokHash(col("f")) % 1024).as("bucket"))
+      val feats = dsirFeats(Tables(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bc = feats.groupBy("bucket")
         .agg(sum(col("tgt")).as("ct"), sum(lit(1L) - col("tgt")).as("cn"))
-      val wAll = Window.partitionBy()
-      val lr = bc
-        .withColumn("tt", sum("ct").over(wAll))
-        .withColumn("tn", sum("cn").over(wAll))
-        .select(col("bucket"), expr(DsirLnrE6Sql).as("lnr_e6"))
-      val out = feats.join(broadcast(lr), Seq("bucket"))
-        .groupBy("doc_id", "tgt")
-        .agg(count(lit(1)).as("n_feats"), sum("lnr_e6").as("w_e6"))
-        .localCheckpoint(eager = true)
+      val out = dsirScore(feats, bc).localCheckpoint(eager = true)
       feats.unpersist()
-      out
-        .select(col("doc_id"), col("tgt"), col("n_feats"), col("w_e6"),
-          (col("w_e6") > 0).cast("long").as("admit"))
-        .orderBy("doc_id")
+      out.orderBy("doc_id")
     }),
 
     // ---- in-engine BPE merge learning (3 iterations) ---------------------
@@ -1007,6 +983,49 @@ object TrainPrep {
   private val DsirLnrE6Sql: String =
     "CAST(floor(ln(CAST((ct + 1) * (tn + 1024) AS DOUBLE) " +
       "/ CAST((cn + 1) * (tt + 1024) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** q296's labeled hashed-feature stream: one (doc_id, tgt, bucket) row
+    * per unigram AND bigram occurrence, tgt = the quality-gate label
+    * (stopword ratio >= 8% in integer math), bucket = shared md5 31-bit
+    * hash mod 1024. Single-sourced so the standing-state variant (q300)
+    * scores the exact feature stream the from-scratch query does. */
+  private[graft] def dsirFeats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+    val lab = docs
+      .withColumn("w", rawToks(col("text")))
+      .filter(size(col("w")) > 0)
+      .withColumn("tgt",
+        (size(filter(col("w"), t => array_contains(stop, t))).cast("long") * lit(10000L)
+          >= size(col("w")).cast("long") * lit(800L)).cast("long"))
+    val bigrams = when(size(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    lab
+      .withColumn("f", explode(concat(col("w"), bigrams)))
+      .select(col("doc_id"), col("tgt"), (Dedup.tokHash(col("f")) % 1024).as("bucket"))
+  }
+
+  /** The scoring half of q296: per-bucket smoothed log-odds from the
+    * (bucket, ct, cn) count table (totals window over the <=1024-row
+    * aggregate only), broadcast back over the feature stream, per-doc
+    * exact BIGINT weight sums, admit = w > 0. The count table's PROVENANCE
+    * is the caller's: q296 aggregates it in-query, q300 reads it from the
+    * standing AggState scalars — identical counts give identical output. */
+  private[graft] def dsirScore(feats: org.apache.spark.sql.DataFrame,
+      bc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.partitionBy()
+    val lr = bc
+      .withColumn("tt", sum("ct").over(wAll))
+      .withColumn("tn", sum("cn").over(wAll))
+      .select(col("bucket"), expr(DsirLnrE6Sql).as("lnr_e6"))
+    feats.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id", "tgt")
+      .agg(count(lit(1)).as("n_feats"), sum("lnr_e6").as("w_e6"))
+      .select(col("doc_id"), col("tgt"), col("n_feats"), col("w_e6"),
+        (col("w_e6") > 0).cast("long").as("admit"))
+  }
 
   /** One unrolled BPE round of the q299 oracle: from t(k-1)(doc_id, w)
     * derive the argmax pair p(k), the merge marks (the positional

@@ -364,4 +364,34 @@ class AggStateSpec extends SparkSpec {
     // the new generation stays appendable (meta travelled with the rewrite)
     AggState.appendBloom(tokens(docs.limit(5)), Nil, "tok", out)
   }
+
+  test("q300 standing DSIR == q296 from-scratch; retraction re-scores to survivors") {
+    import graft.queries.TrainPrep
+    val sfDir = sf("sf0.001")
+    val fromScratch = SparkEntry.queries("q296_dsir_weights")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val standing = SparkEntry.queries("q300_incr_dsir")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(standing == fromScratch, "grown-via-appends must equal from-scratch exactly")
+
+    // retraction: pull one ingested slice back out of the bucket counts —
+    // the merged counts must equal a from-scratch aggregate over the
+    // survivors (count/sum are group-invertible)
+    val dir = tmp()
+    val feats = TrainPrep.dsirFeats(
+      spark.read.parquet(s"$sfDir/documents.parquet")).persist()
+    AggState.build(feats.filter(col("doc_id") % 3 === 0), Seq("bucket"), "tgt", dir)
+    AggState.append(feats.filter(col("doc_id") % 3 === 1), Seq("bucket"), "tgt", dir)
+    AggState.append(feats.filter(col("doc_id") % 3 === 2), Seq("bucket"), "tgt", dir)
+    AggState.retract(feats.filter(col("doc_id") % 3 === 2), Seq("bucket"), "tgt", dir)
+    val got = AggState.merged(spark, dir, Seq("bucket"))
+      .select(col("bucket"), col("n"), col("sum").cast("long").as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = feats.filter(col("doc_id") % 3 =!= 2)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("tgt").cast("long").as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    feats.unpersist()
+    assert(got == want, "post-retraction counts must equal the survivor aggregate")
+  }
 }

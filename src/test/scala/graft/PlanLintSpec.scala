@@ -104,7 +104,9 @@ class PlanLintSpec extends SparkSpec {
       "q195_calibration", "q196_decompose", "q198_er_eval", "q208_apportion",
       "q217_rrf", "q218_log_odds", "q226_pct_of_parent",
       "q230_compaction_plan", "q232_heaps_curve",
-      "q296_dsir_weights") // totals window over the 1024-row hashed-bucket aggregate
+      // totals window over the 1024-row hashed-bucket aggregate (q300
+      // reads the same counts from the standing AggState scalars)
+      "q296_dsir_weights", "q300_incr_dsir")
     val allow: Map[String, Set[String]] =
       (tinyBroadcastJoin.map(_ -> Set("nested-loop-join")) ++
         smallDomainWindow.map(_ ->

@@ -59,6 +59,19 @@ object Similarity {
       .select(col("vec_id"), col("b.cid").as("cid"),
         col("b.embedding").as("embedding"), col("b.dist").as("dist"))
 
+  /** q297's corpus-sized centroid count: K = clamp(8..4096, n/250) — the
+    * SemDeDup paper's knob, applied so expected cluster cardinality stays
+    * ~250 as the corpus grows (the within-cluster pair mass is the only
+    * quadratic term; at fixed K=8 the 100× tier measured 45×/decade, with
+    * K-scaling it is re-measured in SCALE.md). The 4096 cap bounds the
+    * centroid broadcast (~2 MB of doubles); past it a deployment goes
+    * hierarchical (IVF-style coarse quantizer, q79's shape). At the three
+    * oracle SFs (500/500/2000 vectors) the clamp floors to K=8, so the
+    * DuckDB mirror — greatest(8, least(4096, count/250)) — is gate-checked
+    * at the value the tiers grow away from. */
+  private[queries] def semdedupK(n: Long): Long =
+    math.max(8L, math.min(4096L, n / 250L))
+
   /** One Lloyd step from the first-8 seed: assign → per-dimension means.
     * Member sums of float32-derived doubles are exact in f64, so the means
     * are order-independent (the q78 parity note). */
@@ -546,7 +559,8 @@ object Similarity {
     // q35 exact text, q37 lexical MinHash, q59 raw-seed bucketed cosine
     // pairs; this is the cluster-then-prune SCALE recipe (candidate pairs
     // are |cluster|², never |corpus|²) with the keep/drop LEDGER a curation
-    // pipeline consumes, under q78's TRAINED centroids (one Lloyd step).
+    // pipeline consumes, under TRAINED spherical centroids (one Lloyd
+    // step of cosine assignment + member mean).
     // Threshold 0.45 per the q59 note: the synthetic corpus has no true
     // semantic dups (max pairwise cosine ≈ 0.6), so the threshold is set to
     // exercise the decision path with non-empty drops at all 3 SFs
@@ -556,14 +570,51 @@ object Similarity {
     // argmin (assignL2's min_by — one row per vector crosses the shuffle);
     // the pair join shuffles once on cid with the cosine threshold INSIDE
     // the join condition after the cheap conjuncts (the PushPredicate
-    // lesson). At 100 TB you raise K so |cluster| stays bounded — the
-    // paper's own knob — and the per-cluster pair mass is the only
-    // quadratic term. The assignment feeds three consumers (both join
-    // sides + the output), so it is pinned once (eager localCheckpoint).
+    // lesson). K SCALES WITH THE CORPUS (semdedupK: n/250 clamped to
+    // 8..4096) so cluster cardinality — the only quadratic term — stays
+    // bounded: at fixed K=8 the 100× tier measured 45×/decade on the pair
+    // join; with K-scaling the decade is re-measured in SCALE.md. The
+    // assignment feeds three consumers (both join sides + the output), so
+    // it is pinned once (eager localCheckpoint).
     "q297_semdedup" -> ((s: SparkSession, dir: String) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val a2 = assignL2(e, trainedCentroids(e))
-        .select(col("vec_id"), col("cid"), col("embedding"))
+      val k = semdedupK(e.count()) // one scalar action; K=8 at all oracle SFs
+      // Spherical assignment via the NATIVE codegen'd cosine: at K=800
+      // (the 100x tier) the assignment evaluates K x |corpus| candidate
+      // rows, and an interpreted per-element HOF there is the bottleneck
+      // (measured: the L2-HOF form did not finish the tier the cosine
+      // form completes in minutes). argmax cosine is scale-invariant in
+      // the centroid, so the UNNORMALIZED member mean is the exact
+      // spherical-k-means update; means are computed in f64 (exact — the
+      // q78 note) and cast to f32 for the float-typed native expression,
+      // a rounding both engines perform identically.
+      //
+      // The argmax ordering (score DESC, cid ASC) is PACKED into one
+      // BIGINT — floor(cos*1e4)*2^40 - cid — so max_by's buffer is two
+      // longs and the partial aggregate runs as a map-side HashAggregate:
+      // the struct-ordered max_by form buffers a StructType, which is not
+      // hash-mutable, and fell back to SortAggregate — a sort of all
+      // K x |corpus| candidate rows (97 GB spilled at the 100x tier).
+      // cid < 2^40 bounds the pack exactly.
+      def assignCos(cent: org.apache.spark.sql.DataFrame) =
+        e.join(broadcast(cent))
+          .withColumn("akey",
+            floor(cosine_sim(col("cv"), col("embedding")) * lit(10000.0)).cast("long")
+              * lit(1099511627776L) - col("cid"))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), col("akey")).as("cid"))
+      val c0 = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val c1 = assignCos(c0).join(e, Seq("vec_id"))
+        .select(col("cid"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("m").cast("float").as("mf")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("mf")).as("cv"))
+      val a2 = assignCos(c1).join(e, Seq("vec_id"))
         .localCheckpoint(eager = true)
       val x = a2.select(col("vec_id").as("v1"), col("cid").as("c1"),
         col("embedding").as("e1"))
@@ -1069,34 +1120,42 @@ object Similarity {
         |   AS avg_sil_e4
         |FROM sil GROUP BY label ORDER BY label""".stripMargin,
 
-    // q78's trained-centroid chain (c0 -> a1 -> c1 -> a2) verbatim, then
-    // the within-cluster pair screen: a vector is dropped when a lower-id
-    // cluster-mate clears the rounded cosine threshold.
+    // the spherical trained-centroid chain (c0 -> a1 -> c1 -> a2: argmax
+    // rounded cosine, ties -> lowest cid; f64 member means cast to f32 to
+    // mirror the float-typed native expression), then the within-cluster
+    // pair screen: a vector is dropped when a lower-id cluster-mate
+    // clears the rounded cosine threshold.
     "q297_semdedup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |           FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, cid, v FROM (
-        |   SELECT e.vec_id, c0.cid, e.v,
-        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM e
+        |       WHERE vec_id < greatest(8, least(4096, (SELECT count(*) FROM e) // 250))),
+        |a1 AS (SELECT vec_id, cid, embedding FROM (
+        |   SELECT e.vec_id, c0.cid, e.embedding,
+        |     CAST(floor(list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)])
+        |       / (sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, 65)]))
+        |        * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)])))
+        |       * 10000.0) AS BIGINT) * 1099511627776 - c0.cid AS akey
         |   FROM e, c0)
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-        |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
-        |   SELECT cid, pos, avg(v[pos]) AS m
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY akey DESC) = 1),
+        |c1 AS (SELECT cid, list(mf ORDER BY pos) AS cv FROM (
+        |   SELECT cid, pos, CAST(avg(embedding[pos]::DOUBLE) AS FLOAT) AS mf
         |   FROM a1, (SELECT unnest(range(1, 65)) AS pos)
         |   GROUP BY cid, pos)
         |  GROUP BY cid),
-        |a2 AS (SELECT vec_id, cid, v FROM (
-        |   SELECT e.vec_id, c1.cid, e.v,
-        |     list_sum([ (v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)]) AS dist
+        |a2 AS (SELECT vec_id, cid, embedding FROM (
+        |   SELECT e.vec_id, c1.cid, e.embedding,
+        |     CAST(floor(list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)])
+        |       / (sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, 65)]))
+        |        * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)])))
+        |       * 10000.0) AS BIGINT) * 1099511627776 - c1.cid AS akey
         |   FROM e, c1)
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY akey DESC) = 1),
         |drp AS (SELECT DISTINCT y.vec_id AS vec_id
         |  FROM a2 x JOIN a2 y
         |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |   AND round(list_sum([x.v[i] * y.v[i] for i in range(1, 65)])
-        |     / (sqrt(list_sum([x.v[i] * x.v[i] for i in range(1, 65)]))
-        |      * sqrt(list_sum([y.v[i] * y.v[i] for i in range(1, 65)]))), 4) >= 0.45)
+        |   AND round(list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)])
+        |     / (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE for i in range(1, 65)]))
+        |      * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)]))), 4) >= 0.45)
         |SELECT a2.vec_id, a2.cid AS cluster_id,
         |  CAST(count(*) OVER (PARTITION BY a2.cid) AS BIGINT) AS n_members,
         |  CAST(CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped

@@ -914,15 +914,26 @@ object TrainPrep {
     // pattern); the chosen pairs ride every output row (p1-p3), so the
     // whole merge TRAJECTORY is hash-checked.
     "q299_bpe_merges" -> ((s: SparkSession, dir: String) => {
+      // Loop intermediates are DISK_ONLY persists, released as soon as the
+      // next round's sequences exist: corpus-sized MEMORY_AND_DISK blocks
+      // held across rounds squeeze the window sorts' execution memory (at
+      // 100x: 13.8 GB of sort spill with three live checkpoint sets; the
+      // r14 loop-shared-persist lesson). Each persisted frame is consumed
+      // by exactly two jobs (pair-count top-1, then mark+rebuild), so the
+      // disk re-read is paid twice and execution memory stays whole.
       val t0 = Tables(s, dir, "documents")
         .select(col("doc_id"), rawToks(col("text")).as("w"))
         .filter(size(col("w")) > 0)
-        .localCheckpoint(eager = true)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
-      // one BPE round: (current sequences) -> (merged sequences, per-doc
-      // merge counts, the chosen pair as "a b")
-      def round(cur: org.apache.spark.sql.DataFrame)
-          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String) = {
+      // one BPE round: (current sequences) -> (merged sequences unless
+      // this is the last round — the rebuild is pure cost then, per-doc
+      // merge counts, the chosen pair as "a b"). The top-1 collect is the
+      // round's first action, so it also materializes `cur`'s DISK_ONLY
+      // blocks before the mark+rebuild job re-reads them.
+      def round(cur: org.apache.spark.sql.DataFrame, buildNext: Boolean)
+          : (Option[org.apache.spark.sql.DataFrame],
+             org.apache.spark.sql.DataFrame, String) = {
         val wDoc = Window.partitionBy("doc_id").orderBy("pos")
         val x = cur
           .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
@@ -948,18 +959,28 @@ object TrainPrep {
           .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
         val perDoc = r.groupBy("doc_id").agg(sum("mh").cast("long").as("m"))
           .localCheckpoint(eager = true)
-        val next = r.filter(col("dropped") === 0)
-          .groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("pos"), col("tok2")))).as("pw"))
-          .select(col("doc_id"), transform(col("pw"), p => p.getField("tok2")).as("w"))
-          .localCheckpoint(eager = true)
+        val next = if (!buildNext) None else Some(
+          r.filter(col("dropped") === 0)
+            .groupBy("doc_id")
+            .agg(array_sort(collect_list(struct(col("pos"), col("tok2")))).as("pw"))
+            .select(col("doc_id"), transform(col("pw"), p => p.getField("tok2")).as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         (next, perDoc, pa + " " + pb)
       }
 
-      val (t1, c1, p1) = round(t0)
-      val (t2, c2, p2) = round(t1)
-      val (_, c3, p3) = round(t2)
-      t0.select(col("doc_id"), size(col("w")).cast("long").as("n0"))
+      // pin the tiny n0 ledger first so t0 can be released after round 1
+      // (this eager checkpoint also materializes t0's DISK_ONLY blocks)
+      val n0df = t0.select(col("doc_id"), size(col("w")).cast("long").as("n0"))
+        .localCheckpoint(eager = true)
+      val (t1o, c1, p1) = round(t0, buildNext = true)
+      val t1 = t1o.get
+      val (t2o, c2, p2) = round(t1, buildNext = true) // its top-1 pinned t1
+      t0.unpersist(blocking = true)
+      val t2 = t2o.get
+      val (_, c3, p3) = round(t2, buildNext = false) // its top-1 pinned t2
+      t1.unpersist(blocking = true)
+      t2.unpersist(blocking = true)
+      n0df
         .join(c1.withColumnRenamed("m", "m1"), Seq("doc_id"), "left")
         .join(c2.withColumnRenamed("m", "m2"), Seq("doc_id"), "left")
         .join(c3.withColumnRenamed("m", "m3"), Seq("doc_id"), "left")

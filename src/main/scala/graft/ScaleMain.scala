@@ -119,7 +119,7 @@ object ScaleMain {
     // quadratic term the SemDeDup paper scales K against — the grown
     // tiers measure exactly that trade
     "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
-    "q299_bpe_merges", "q300_incr_dsir")
+    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -934,37 +934,13 @@ object TrainPrep {
       def round(cur: org.apache.spark.sql.DataFrame, buildNext: Boolean)
           : (Option[org.apache.spark.sql.DataFrame],
              org.apache.spark.sql.DataFrame, String) = {
-        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-        val x = cur
-          .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
-          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-          .withColumn("nxt", lead("tok", 1).over(wDoc))
-        val top = x.filter(col("nxt").isNotNull)
-          .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), asc("tok"), asc("nxt")).limit(1)
-          .collect()(0)
-        val (pa, pb) = (top.getString(0), top.getString(1))
-        // a = b needs the run-parity guard; a != b provably never overlaps
-        val isMatch = col("tok") === lit(pa) && col("nxt").isNotNull && col("nxt") === lit(pb)
-        val mh = if (pa != pb) when(isMatch, 1).otherwise(0) else {
-          val lastNonA = max(when(col("tok") =!= lit(pa), col("pos")))
-            .over(Window.partitionBy("doc_id").orderBy("pos")
-              .rowsBetween(Window.unboundedPreceding, -1))
-          when(isMatch &&
-            (col("pos") - coalesce(lastNonA, lit(0)) - 1) % 2 === 0, 1).otherwise(0)
-        }
-        val r = x.withColumn("mh", mh)
-          .withColumn("tok2",
-            when(col("mh") === 1, lit(pa + " " + pb)).otherwise(col("tok")))
-          .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
+        val x = bpeExplode(cur)
+        val (pa, pb) = bpeTopPair(x)
+        val r = bpeMark(x, pa, pb)
         val perDoc = r.groupBy("doc_id").agg(sum("mh").cast("long").as("m"))
           .localCheckpoint(eager = true)
         val next = if (!buildNext) None else Some(
-          r.filter(col("dropped") === 0)
-            .groupBy("doc_id")
-            .agg(array_sort(collect_list(struct(col("pos"), col("tok2")))).as("pw"))
-            .select(col("doc_id"), transform(col("pw"), p => p.getField("tok2")).as("w"))
-            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+          bpeRebuild(r).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         (next, perDoc, pa + " " + pb)
       }
 
@@ -992,8 +968,110 @@ object TrainPrep {
             - coalesce(col("m3"), lit(0L))).as("n3"),
           lit(p1).as("p1"), lit(p2).as("p2"), lit(p3).as("p3"))
         .orderBy("doc_id")
+    }),
+
+    // ---- tokenizer train/apply split (BPE fertility on held-out text) ----
+    // The deployment half of q299: learn the 3 merges on the TRAIN split
+    // ONLY (q73's content-independent md5 bucket — the same 90/5/5
+    // contract every decontamination and eval query shares), then apply
+    // them in learned order to the HELD-OUT test split and report the
+    // compression each test doc actually gets. This is how a tokenizer
+    // ships: merges frozen from training data, applied to text the
+    // learner never saw — and the split-discipline is the point (pair
+    // statistics never read the test docs). Apply passes reuse the
+    // positional leftmost-greedy rule; train intermediates and the
+    // shrinking test corpus are DISK_ONLY persists released per round
+    // (the q299 memory discipline).
+    "q301_bpe_apply" -> ((s: SparkSession, dir: String) => {
+      val DISK = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val base = Tables(s, dir, "documents")
+        .withColumn("w", rawToks(col("text")))
+        .filter(size(col("w")) > 0)
+        .withColumn("bucket", splitBucket(col("doc_id")))
+      var train = base.filter(col("bucket") < 90).select("doc_id", "w").persist(DISK)
+      var test = base.filter(col("bucket") >= 95).select("doc_id", "w").persist(DISK)
+      // tiny per-doc n0 ledger; the eager checkpoint materializes `test`
+      val n0df = test.select(col("doc_id"), size(col("w")).cast("long").as("n0"))
+        .localCheckpoint(eager = true)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (k <- 1 to 3) {
+        val (pa, pb) = bpeTopPair(bpeExplode(train)) // also pins train's blocks
+        pairs += pa + " " + pb
+        if (k < 3) {
+          val nt = bpeRebuild(bpeMark(bpeExplode(train), pa, pb)).persist(DISK)
+          nt.count() // materialize before releasing the parent
+          train.unpersist(blocking = true)
+          train = nt
+        } else train.unpersist(blocking = true)
+        val ut = bpeRebuild(bpeMark(bpeExplode(test), pa, pb)).persist(DISK)
+        ut.count()
+        test.unpersist(blocking = true)
+        test = ut
+      }
+      val out = n0df
+        .join(test.select(col("doc_id"), size(col("w")).cast("long").as("n_after")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n0"), col("n_after"),
+          (col("n0") - col("n_after")).as("saved"),
+          expr("(n_after * 10000) div n0").as("comp_bp"),
+          lit(pairs(0)).as("p1"), lit(pairs(1)).as("p2"), lit(pairs(2)).as("p3"))
+        .orderBy("doc_id")
+        .localCheckpoint(eager = true)
+      test.unpersist(blocking = true)
+      out
     })
   )
+
+  /** q299/q301's exploded positional view: one (doc_id, pos, tok, nxt)
+    * row per token, 1-based positions, successor via lead over the
+    * per-doc window. */
+  private def bpeExplode(cur: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    cur.select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("nxt", lead("tok", 1).over(wDoc))
+  }
+
+  /** The corpus-global argmax pair (count DESC, pair ASC): a distributed
+    * TakeOrderedAndProject — ONE row reaches the driver. */
+  private def bpeTopPair(x: org.apache.spark.sql.DataFrame): (String, String) = {
+    val top = x.filter(col("nxt").isNotNull)
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"), asc("nxt")).limit(1)
+      .collect()(0)
+    (top.getString(0), top.getString(1))
+  }
+
+  /** Mark the leftmost-greedy non-overlapping merges of (pa, pb) on the
+    * exploded view: a = b needs the run-parity guard ("offset since the
+    * last non-a token is even"); a != b provably never overlaps (two
+    * adjacent matches force a = b). Emits mh/tok2/dropped. */
+  private def bpeMark(x: org.apache.spark.sql.DataFrame,
+      pa: String, pb: String): org.apache.spark.sql.DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val isMatch = col("tok") === lit(pa) && col("nxt").isNotNull && col("nxt") === lit(pb)
+    val mh = if (pa != pb) when(isMatch, 1).otherwise(0) else {
+      val lastNonA = max(when(col("tok") =!= lit(pa), col("pos")))
+        .over(Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1))
+      when(isMatch &&
+        (col("pos") - coalesce(lastNonA, lit(0)) - 1) % 2 === 0, 1).otherwise(0)
+    }
+    x.withColumn("mh", mh)
+      .withColumn("tok2",
+        when(col("mh") === 1, lit(pa + " " + pb)).otherwise(col("tok")))
+      .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
+  }
+
+  /** Rebuild per-doc sequences from the marked view (merged token kept,
+    * its consumed successor dropped). */
+  private def bpeRebuild(r: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    r.filter(col("dropped") === 0)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok2")))).as("pw"))
+      .select(col("doc_id"), transform(col("pw"), p => p.getField("tok2")).as("w"))
 
   /** q296's per-bucket smoothed log-odds (target vs rest of the pool),
     * shared VERBATIM between the Spark expr() and the DuckDB oracle: one
@@ -1081,6 +1159,35 @@ object TrainPrep {
        |c$k AS (SELECT doc_id, CAST(sum(mh) AS BIGINT) AS m FROM r$k GROUP BY doc_id),
        |t$k AS (SELECT doc_id, list(tok2 ORDER BY pos) AS w
        |        FROM r$k WHERE dropped = 0 GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q301 oracle's apply half for round k: replay the SAME positional
+    * merge rule on the held-out u(k-1) sequences under the TRAIN-derived
+    * pair p(k) (a 1-row cross join) — no pair counting touches the test
+    * docs, which is the split discipline the query exists to prove. */
+  private def bpeApplySql(k: Int): String = {
+    val p = k - 1
+    s""",
+       |ue$k AS (SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |        FROM u$p)),
+       |ux$k AS (SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM ue$k),
+       |um$k AS (SELECT doc_id, pos, tok, nxt, pa, pb,
+       |    CASE WHEN tok = pa AND nxt IS NOT NULL AND nxt = pb
+       |          AND (pa <> pb OR (pos - coalesce(max(CASE WHEN tok <> pa THEN pos END)
+       |                 OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - 1) % 2 = 0)
+       |         THEN 1 ELSE 0 END AS mh
+       |  FROM ux$k, p$k),
+       |ur$k AS (SELECT doc_id, pos,
+       |    CASE WHEN mh = 1 THEN pa || ' ' || pb ELSE tok END AS tok2, mh,
+       |    coalesce(lag(mh) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS dropped
+       |  FROM um$k),
+       |u$k AS (SELECT doc_id, list(tok2 ORDER BY pos) AS w
+       |        FROM ur$k WHERE dropped = 0 GROUP BY doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1597,6 +1704,28 @@ object TrainPrep {
          |  (SELECT pa || ' ' || pb FROM p3) AS p3
          |FROM t0 LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id)
          |        LEFT JOIN c3 USING (doc_id)
-         |ORDER BY t0.doc_id""".stripMargin)
+         |ORDER BY t0.doc_id""".stripMargin),
+
+    "q301_bpe_apply" ->
+      ("""WITH tk0 AS (SELECT doc_id,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w,
+         |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+         | FROM documents),
+         |t0 AS (SELECT doc_id, w FROM tk0 WHERE len(w) > 0 AND bucket < 90),
+         |u0 AS (SELECT doc_id, w FROM tk0 WHERE len(w) > 0 AND bucket >= 95)""".stripMargin
+        + bpeIterSql(1) + bpeApplySql(1)
+        + bpeIterSql(2) + bpeApplySql(2)
+        + bpeIterSql(3) + bpeApplySql(3) +
+        """
+         |SELECT u0.doc_id, CAST(len(u0.w) AS BIGINT) AS n0,
+         |  CAST(len(u3.w) AS BIGINT) AS n_after,
+         |  CAST(len(u0.w) - len(u3.w) AS BIGINT) AS saved,
+         |  CAST((len(u3.w) * 10000) // len(u0.w) AS BIGINT) AS comp_bp,
+         |  (SELECT pa || ' ' || pb FROM p1) AS p1,
+         |  (SELECT pa || ' ' || pb FROM p2) AS p2,
+         |  (SELECT pa || ' ' || pb FROM p3) AS p3
+         |FROM u0 JOIN u3 ON u0.doc_id = u3.doc_id
+         |ORDER BY u0.doc_id""".stripMargin)
   )
 }

@@ -94,4 +94,53 @@ class TrainingSpec extends SparkSpec {
     }
     assert(out.map(r => r._3 + r._4 + r._5).sum > 0, "merges must be non-vacuous")
   }
+
+  test("q301: merges trained on the train split only, applied to held-out docs") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("q301_bpe_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getString(6), r.getString(7)))
+    assert(out.nonEmpty)
+
+    // driver reference: greedy learn on train, greedy apply to test
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)
+      .filter(_._2.nonEmpty)
+      .map { case (d, t) => d -> t.split("\\s+").toVector }.toMap
+    var train = docs.filter { case (d, _) => bucket(d) < 90 }
+    var test = docs.filter { case (d, _) => bucket(d) >= 95 }
+    def applyMerge(seqs: Map[Long, Vector[String]], a: String, b: String) =
+      seqs.map { case (d, s) =>
+        val o = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { o += s"$a $b"; i += 2 }
+          else { o += s(i); i += 1 }
+        }
+        d -> o.result()
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      train.values.foreach(_.sliding(2).filter(_.length == 2)
+        .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + 1))
+      val (a, b) = pc.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+      merges += s"$a $b"
+      train = applyMerge(train, a, b)
+      test = applyMerge(test, a, b)
+    }
+    assert(out.map(_._1).toSet == test.keySet, "output must cover exactly the test split")
+    out.foreach { case (d, n0, nAfter, saved, compBp, p1, p2, p3) =>
+      assert(n0 == docs(d).length.toLong)
+      assert(nAfter == test(d).length.toLong, s"doc $d n_after")
+      assert(saved == n0 - nAfter)
+      assert(compBp == nAfter * 10000 / n0)
+      assert(p1 == merges(0) && p2 == merges(1) && p3 == merges(2))
+    }
+  }
 }

@@ -934,9 +934,8 @@ object TrainPrep {
       def round(cur: org.apache.spark.sql.DataFrame, buildNext: Boolean)
           : (Option[org.apache.spark.sql.DataFrame],
              org.apache.spark.sql.DataFrame, String) = {
-        val x = bpeExplode(cur)
-        val (pa, pb) = bpeTopPair(x)
-        val r = bpeMark(x, pa, pb)
+        val (pa, pb) = bpeTopPair(cur)
+        val r = bpeMark(bpeExplode(cur), pa, pb)
         val perDoc = r.groupBy("doc_id").agg(sum("mh").cast("long").as("m"))
           .localCheckpoint(eager = true)
         val next = if (!buildNext) None else Some(
@@ -995,7 +994,7 @@ object TrainPrep {
         .localCheckpoint(eager = true)
       val pairs = scala.collection.mutable.ArrayBuffer.empty[String]
       for (k <- 1 to 3) {
-        val (pa, pb) = bpeTopPair(bpeExplode(train)) // also pins train's blocks
+        val (pa, pb) = bpeTopPair(train) // also pins train's blocks
         pairs += pa + " " + pb
         if (k < 3) {
           val nt = bpeRebuild(bpeMark(bpeExplode(train), pa, pb)).persist(DISK)
@@ -1034,10 +1033,21 @@ object TrainPrep {
   }
 
   /** The corpus-global argmax pair (count DESC, pair ASC): a distributed
-    * TakeOrderedAndProject — ONE row reaches the driver. */
-  private def bpeTopPair(x: org.apache.spark.sql.DataFrame): (String, String) = {
-    val top = x.filter(col("nxt").isNotNull)
-      .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+    * TakeOrderedAndProject — ONE row reaches the driver. Takes the
+    * SEQUENCES, not the exploded view: adjacent-pair counting needs no
+    * positions, so the q87 zip_with shape replaces the explode+lead
+    * window — StageLedgerMain attributed the q299/q301 100×-tier
+    * residual spill (2 GB in-memory sorter per counting pass) to exactly
+    * that window sort, which this removes (the one remaining windowed
+    * pass per round is the mark/rebuild, which genuinely needs order). */
+  private def bpeTopPair(cur: org.apache.spark.sql.DataFrame): (String, String) = {
+    val w = col("w")
+    val pairs = when(size(w) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => struct(x.as("a"), y.as("b"))))
+    val top = cur.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("tok"), col("p.b").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("tok"), asc("nxt")).limit(1)
       .collect()(0)
     (top.getString(0), top.getString(1))

@@ -408,7 +408,11 @@ object Bench {
     "q62_range_join", "q64_try_divide", "q67_simhash_pairs",
     "q68_native_pivot", "q70_dup_clusters", "q85_decontaminate",
     "q91_lm_score", "q99_pq_search", "q220_prefix_join",
-    "q257_agg_state", "q267_ivfpq_index", "q279_cluster_takedown")
+    "q257_agg_state", "q267_ivfpq_index", "q279_cluster_takedown",
+    // r16 (VERDICT r15 #8): one per new curation family so cross-round
+    // comparisons cover them from the start (superset rule: append-only)
+    "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
+    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

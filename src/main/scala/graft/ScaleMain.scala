@@ -114,10 +114,10 @@ object ScaleMain {
     "q290_converged_training",
     // r15 continuation: the four new curation operators. q296 and q299
     // are linear (bucket table / merge table bounded at any corpus size);
-    // q298 is a per-lang partitioned sort; q297 holds K=8 centroids FIXED
-    // while the corpus grows, so its within-cluster pair mass is the
-    // quadratic term the SemDeDup paper scales K against — the grown
-    // tiers measure exactly that trade
+    // q298 is a per-lang partitioned sort; q297 SCALES K with the corpus
+    // (semdedupK = clamp(8..4096, n/250) — K=8 only at the oracle SFs),
+    // so within-cluster pair mass stays ~n·(n/K) and the grown tiers
+    // measure the scaled-K trade the SemDeDup paper prescribes
     "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
     "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply")
 

@@ -47,8 +47,15 @@ object StageLedgerMain {
         val si = sc.stageInfo
         val m = si.taskMetrics
         if (m != null) {
-          // first line of the call-site details = the user-code frame
-          val name = si.name.replace("\"", "'").take(120)
+          // first line of the call-site details = the user-code frame;
+          // minimal JSON-string escape (backslash, quote, control chars) so
+          // an odd call-site name can't produce an unparseable JSONL row
+          val name = si.name.take(120).flatMap {
+            case '\\' => "\\\\"
+            case '"' => "'"
+            case c if c < ' ' => " "
+            case c => c.toString
+          }
           rows.add(
             s"""{"stage":${si.stageId},"attempt":${si.attemptNumber},""" +
               s""""name":"$name","tasks":${si.numTasks},""" +

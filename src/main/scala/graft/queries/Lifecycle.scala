@@ -519,9 +519,11 @@ object Lifecycle {
     // partial rows per slice), never a corpus rescan; retraction works for
     // free (negated partials — count/sum are group-invertible).
     "q300_incr_dsir" -> ((s: SparkSession, dir: String) => {
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-dsir-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // unique per-invocation state dir (the query rebuilds from scratch
+      // every call): a fixed hashCode-keyed path raced concurrent runs on
+      // build/append/merged and was never cleaned up
+      val statePath = java.nio.file.Files.createTempDirectory("graft-dsir-state-")
+      val stateDir = statePath.toAbsolutePath.toString
       val feats = TrainPrep.dsirFeats(Tables(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       AggState.build(feats.filter(col("doc_id") % 3 === 0), Seq("bucket"), "tgt", stateDir)
@@ -532,6 +534,8 @@ object Lifecycle {
           (col("n") - col("sum")).cast("long").as("cn"))
       val out = TrainPrep.dsirScore(feats, bc).localCheckpoint(eager = true)
       feats.unpersist()
+      // the eager checkpoint pinned the output — state files are dead now
+      org.apache.commons.io.FileUtils.deleteQuietly(statePath.toFile)
       out.orderBy("doc_id")
     }))
 

@@ -1049,7 +1049,9 @@ object TrainPrep {
       .groupBy(col("p.a").as("tok"), col("p.b").as("nxt"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("tok"), asc("nxt")).limit(1)
-      .collect()(0)
+      .collect().headOption
+      .getOrElse(sys.error(
+        "bpeTopPair: no adjacent pairs in corpus/split (every doc < 2 tokens?)"))
     (top.getString(0), top.getString(1))
   }
 

@@ -119,7 +119,11 @@ object ScaleMain {
     // so within-cluster pair mass stays ~n·(n/K) and the grown tiers
     // measure the scaled-K trade the SemDeDup paper prescribes
     "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
-    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply")
+    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply",
+    // r16: q298's scale form — cutoffs from the distinct-score histogram,
+    // map-side assignment; the tiers measure it beating q298's per-lang
+    // single-task sort (the r15 VERDICT weak flag)
+    "q302_ppl_cutoffs")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -329,6 +329,39 @@ object AggState {
       .write.mode("append").parquet(bloomStatePath(stateDir))
   }
 
+  /** The staged half of [[appendBloom]]/[[buildBloom]] for callers that
+    * hold a writer lock only across the WRITE (r16 lock staging): compute
+    * the packed-word slice for `delta` — against the state's own meta when
+    * it exists, else `(mBitsIfNew, kIfNew)` — so the caller can PIN it
+    * (eager localCheckpoint) outside the lock and land it blindly inside
+    * one via [[writeBloomSlice]]. The caller must re-validate the state
+    * (listing fingerprint) under the lock before writing: a state
+    * built/rewritten between the two calls may carry different meta, and
+    * slice positions are only valid under the meta they were computed
+    * with. */
+  def bloomSliceFor(delta: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String, mBitsIfNew: Long = BloomDefaultBits,
+      kIfNew: Int = BloomDefaultK): DataFrame = {
+    val (m, k) =
+      if (bloomExists(stateDir)) {
+        val meta = readBloomMeta(stateDir); (meta.mBits, meta.k)
+      } else (mBitsIfNew, kIfNew)
+    bloomPartials(delta, keys, valueCol, m, k)
+  }
+
+  /** Land a [[bloomSliceFor]] slice: blind append onto an existing state,
+    * or first-build (meta written from `mBitsIfNew`/`kIfNew` — must match
+    * what the slice was computed with) when none exists. */
+  def writeBloomSlice(slice: DataFrame, stateDir: String,
+      mBitsIfNew: Long = BloomDefaultBits, kIfNew: Int = BloomDefaultK): Unit =
+    if (bloomExists(stateDir))
+      slice.write.mode("append").parquet(bloomStatePath(stateDir))
+    else {
+      require(mBitsIfNew >= 64, s"bloom mBits too small: $mBitsIfNew")
+      writeBloomMeta(stateDir, BloomMeta(mBitsIfNew, kIfNew))
+      slice.write.mode("overwrite").parquet(bloomStatePath(stateDir))
+    }
+
   /** The current filter: fold slice words with bit_or (associative +
     * commutative + idempotent, so any append history folds to the same
     * array a from-scratch build writes). */

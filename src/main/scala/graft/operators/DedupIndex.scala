@@ -84,10 +84,22 @@ object DedupIndex {
     * within-batch pairing, and this append. */
   private[graft] def writeBase(base: DataFrame, indexDir: String,
       mode: String): Unit = {
-    base.select("doc_id", "hs", "sz")
-      .write.mode(mode).parquet(sigsPath(indexDir))
-    Dedup.bandKeys(base).select("doc_id", "bh", "bi")
-      .write.mode(mode).partitionBy("bi").parquet(bandsPath(indexDir))
+    val (sigs, bands) = baseTables(base)
+    writeTables(sigs, bands, indexDir, mode)
+  }
+
+  /** [[writeBase]] split for staged callers (r16 lock staging): derive the
+    * (sigs, bands) tables so the caller can PIN them (eager localCheckpoint)
+    * outside a writer lock, then land them blindly inside one via
+    * [[writeTables]]. */
+  private[graft] def baseTables(base: DataFrame): (DataFrame, DataFrame) =
+    (base.select("doc_id", "hs", "sz"),
+      Dedup.bandKeys(base).select("doc_id", "bh", "bi"))
+
+  private[graft] def writeTables(sigs: DataFrame, bands: DataFrame,
+      indexDir: String, mode: String): Unit = {
+    sigs.write.mode(mode).parquet(sigsPath(indexDir))
+    bands.write.mode(mode).partitionBy("bi").parquet(bandsPath(indexDir))
   }
 
   /** Delete docs from the index: a blind append of their ids to the

@@ -1284,6 +1284,57 @@ object Text {
             .otherwise(lit("tail")))
         .select("doc_id", "lang", "avg_lnp_e6", "rk", "ppl_bucket")
         .orderBy("doc_id")
+    }),
+
+    // ---- CCNet buckets, the scale form: score cutoffs, no per-doc sort ----
+    // q298's production shape (the r15 VERDICT's one `weak` flag): the
+    // per-language rank window puts each language's ENTIRE document set
+    // through one task's sort — parallelism bounded at |languages|, a
+    // ~20 TB single-task sort per language at 100 TB. This form never
+    // ranks documents. Two aggregation passes instead:
+    //   1. per-(lang, score) counts — the only shuffle keyed finer than
+    //      lang, and its OUTPUT is bounded by the score VALUE DOMAIN
+    //      (avg_lnp_e6 is an e6-integerized mean log-prob, range ~[-2e7,0]
+    //      for any corpus), not by document count;
+    //   2. a per-lang cumulative window over those distinct scores (tiny,
+    //      domain-bounded) picks the tercile cutoff SCORES: cut_head =
+    //      the score of the ceil(n/3)-th best doc = max score s with
+    //      |{score >= s}| >= (n+2) div 3; cut_mid likewise at 2n/3.
+    // Bucket assignment is then MAP-SIDE (broadcast |langs|-row cutoffs,
+    // score comparison per doc). Semantics vs q298: identical except at a
+    // tie class straddling a cut — here the whole tie class goes to the
+    // better bucket (score-pure, tie-class-atomic: what Wenzek et al.'s
+    // cutoff assignment actually does), where q298 splits it by doc_id.
+    // The exact-rank q298 stays as the small-scale anchor; TextStatsSpec
+    // pins the plan (no row_number; no doc-level window) and the bucket
+    // agreement off tie boundaries.
+    "q302_ppl_cutoffs" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir, "documents")
+      val sc = lmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select("doc_id", "lang", "avg_lnp_e6")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wCum = Window.partitionBy("lang").orderBy(desc("avg_lnp_e6"))
+      val wLang = Window.partitionBy("lang")
+      val cuts = sc.groupBy("lang", "avg_lnp_e6").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wLang))
+        .groupBy("lang")
+        .agg(
+          max(when(col("cum") >= expr("(n + 2) div 3"), col("avg_lnp_e6")))
+            .as("cut_head_e6"),
+          max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("avg_lnp_e6")))
+            .as("cut_mid_e6"))
+      val out = sc.join(broadcast(cuts), Seq("lang"))
+        .withColumn("ppl_bucket",
+          when(col("avg_lnp_e6") >= col("cut_head_e6"), lit("head"))
+            .when(col("avg_lnp_e6") >= col("cut_mid_e6"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "avg_lnp_e6", "cut_head_e6", "cut_mid_e6",
+          "ppl_bucket")
+        .localCheckpoint(eager = true)
+      sc.unpersist()
+      out.orderBy("doc_id")
     })
   )
 
@@ -1292,6 +1343,32 @@ object Text {
                     |     ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
     def hitSql(words: Seq[String]): String =
       s"CAST(len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT)"
+
+    // q298/q302 shared CTE chain through `sc` = (doc_id, lang, avg_lnp_e6):
+    // lmScore's bigram-LM scoring + the lang join, single-sourced so the
+    // exact-rank anchor and its cutoff-based scale form bucket the SAME
+    // scored stream
+    val lmLangCtesSql: String =
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |pr AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+         |         ELSE [{'prev': w[i], 'nxt': w[i+1]} for i in range(1, len(w))]
+         |       END) AS s
+         |       FROM t),
+         |b AS (SELECT doc_id, s.prev AS prev, s.nxt AS nxt FROM pr),
+         |pc AS (SELECT prev, nxt, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |lm AS (SELECT prev, nxt,
+         |   CAST(floor(ln(CAST(cnt AS DOUBLE) /
+         |     CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)) * 1000000.0)
+         |     AS BIGINT) AS lnp_e6
+         |  FROM pc),
+         |d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(lm.lnp_e6) AS BIGINT) AS sum_lnp_e6
+         |      FROM b JOIN lm ON b.prev = lm.prev AND b.nxt = lm.nxt
+         |      GROUP BY b.doc_id),
+         |sc AS (SELECT d.doc_id, docs.lang,
+         |   CAST(floor(CAST(sum_lnp_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+         |     AS avg_lnp_e6
+         |  FROM d JOIN documents docs ON d.doc_id = docs.doc_id)""".stripMargin
 
     val m = Map(
       "q261_retrieval_eval" ->
@@ -2011,26 +2088,7 @@ object Text {
            |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q298_ppl_buckets" ->
-        s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-           |pr AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
-           |         ELSE [{'prev': w[i], 'nxt': w[i+1]} for i in range(1, len(w))]
-           |       END) AS s
-           |       FROM t),
-           |b AS (SELECT doc_id, s.prev AS prev, s.nxt AS nxt FROM pr),
-           |pc AS (SELECT prev, nxt, count(*) AS cnt FROM b GROUP BY 1, 2),
-           |lm AS (SELECT prev, nxt,
-           |   CAST(floor(ln(CAST(cnt AS DOUBLE) /
-           |     CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)) * 1000000.0)
-           |     AS BIGINT) AS lnp_e6
-           |  FROM pc),
-           |d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |        CAST(sum(lm.lnp_e6) AS BIGINT) AS sum_lnp_e6
-           |      FROM b JOIN lm ON b.prev = lm.prev AND b.nxt = lm.nxt
-           |      GROUP BY b.doc_id),
-           |sc AS (SELECT d.doc_id, docs.lang,
-           |   CAST(floor(CAST(sum_lnp_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
-           |     AS avg_lnp_e6
-           |  FROM d JOIN documents docs ON d.doc_id = docs.doc_id),
+        s"""$lmLangCtesSql,
            |r AS (SELECT doc_id, lang, avg_lnp_e6,
            |   CAST(row_number() OVER (PARTITION BY lang
            |                           ORDER BY avg_lnp_e6 DESC, doc_id) AS BIGINT) AS rk,
@@ -2040,7 +2098,29 @@ object Text {
            |  CASE WHEN rk <= (n_lang + 2) // 3 THEN 'head'
            |       WHEN rk <= (2 * n_lang + 2) // 3 THEN 'middle'
            |       ELSE 'tail' END AS ppl_bucket
-           |FROM r ORDER BY doc_id""".stripMargin
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // q302: the shared sc chain, then cutoffs from the distinct-score
+      // histogram (no document ever ranked) and a score-pure assignment
+      "q302_ppl_cutoffs" ->
+        s"""$lmLangCtesSql,
+           |cn AS (SELECT lang, avg_lnp_e6, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM sc GROUP BY 1, 2),
+           |cm AS (SELECT lang, avg_lnp_e6,
+           |         sum(cnt) OVER (PARTITION BY lang ORDER BY avg_lnp_e6 DESC) AS cum,
+           |         sum(cnt) OVER (PARTITION BY lang) AS n
+           |       FROM cn),
+           |cuts AS (SELECT lang,
+           |    CAST(max(CASE WHEN cum >= (n + 2) // 3 THEN avg_lnp_e6 END) AS BIGINT)
+           |      AS cut_head_e6,
+           |    CAST(max(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_lnp_e6 END) AS BIGINT)
+           |      AS cut_mid_e6
+           |  FROM cm GROUP BY lang)
+           |SELECT doc_id, lang, avg_lnp_e6, cut_head_e6, cut_mid_e6,
+           |  CASE WHEN avg_lnp_e6 >= cut_head_e6 THEN 'head'
+           |       WHEN avg_lnp_e6 >= cut_mid_e6 THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM sc JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
     )
     // the native-aggregate form computes the identical registers — the
     // q126 oracle verifies both pipelines; the incremental postings state

@@ -138,6 +138,19 @@ object CorpusStream {
       bloomBits: Long = graft.operators.AggState.BloomDefaultBits)(
       batch: DataFrame): DataFrame = {
     import graft.operators.AggState
+    val admitted = noveltyDecide(bloomDir, minNovelBp)(batch)
+    AggState.writeBloomSlice(admittedSlice(admitted, bloomDir, bloomBits),
+      bloomDir, bloomBits)
+    admitted.drop("__ng")
+  }
+
+  /** The probe-and-pin half of [[noveltyAdmit]] (r16 lock staging): probe
+    * the filter, PIN the admitted set — `__ng` kept so the caller can
+    * derive the fold slice — and mutate NOTHING. [[pipelineBatch]] runs
+    * this outside any writer lock and lands the fold under one. */
+  private[graft] def noveltyDecide(bloomDir: String, minNovelBp: Long = 3000L)(
+      batch: DataFrame): DataFrame = {
+    import graft.operators.AggState
     val spark = batch.sparkSession
     val base = batch
       .withColumn("__ng", graft.queries.TrainPrep.hashedNgrams8(col("text")))
@@ -162,17 +175,18 @@ object CorpusStream {
       // no-signal branch via coalesce: size(NULL __ng) is NULL under ANSI,
       // so a bare === 0 would silently drop null-text docs from BOTH
       // branches (they match neither the probe's > 0 nor an equality)
-      val admitted = base.join(novelIds, Seq("doc_id"), "left_semi")
+      base.join(novelIds, Seq("doc_id"), "left_semi")
         .unionByName(base.filter(coalesce(size(col("__ng")), lit(0)) === 0))
         .localCheckpoint(eager = true)
-      val admittedNg = admitted.select(explode(col("__ng")).as("__h"))
-      if (AggState.bloomExists(bloomDir))
-        AggState.appendBloom(admittedNg, Nil, "__h", bloomDir)
-      else AggState.buildBloom(admittedNg, Nil, "__h", bloomDir,
-        mBits = bloomBits)
-      admitted.drop("__ng")
     } finally base.unpersist()
   }
+
+  /** The pinned packed-word fold slice for a [[noveltyDecide]] output. */
+  private def admittedSlice(admitted: DataFrame, bloomDir: String,
+      bloomBits: Long): DataFrame =
+    graft.operators.AggState.bloomSliceFor(
+      admitted.select(explode(col("__ng")).as("__h")), Nil, "__h",
+      bloomDir, mBitsIfNew = bloomBits)
 
   /** [[noveltyBatch]] under generation management — the long-running form.
     * A streaming append loop accumulates one packed-word slice per batch,
@@ -404,81 +418,150 @@ object CorpusStream {
     *     (bloom + index) rewrite, publish (fingerprint-checked pointer
     *     switch) and retire under the keepLast/retentionHours policy.
     *
-    * The whole batch holds the writer locks of both tables AND their live
-    * generations (fixed order: bloom table, bloom gen, index table, index
-    * gen — CLI verbs take exactly one lock each, so no cycle exists).
-    * Crash-replay fail-safes compose: the novelty fold precedes landing
-    * (a replayed batch under-admits), the index append precedes the
-    * corpus write (ghost entries are [[repairIndex]]'s contract). */
+    * LOCK STAGING (r16 — the r15 tiers measured lock-hold ≈ wave wall
+    * because the whole batch ran under all four locks): every
+    * compute-heavy phase — novelty probe, packed fold slice, MinHash
+    * base, index probe, within-batch LSH pairing, the drop decision and
+    * the index tables to land — runs OPTIMISTICALLY with no lock held,
+    * pinned by eager localCheckpoints. Each table then gets its own lock
+    * window (fixed order preserved: bloom table, bloom gen, then index
+    * table, index gen — the windows are sequential, never nested across
+    * tables, and CLI verbs take exactly one lock each, so no cycle
+    * exists) that (1) re-validates the generation by pointer identity +
+    * listing fingerprint, (2) lands the pinned results as blind writes,
+    * (3) runs the maintain cadence. A writer that mutated the state
+    * between the unlocked read and the lock flips the fingerprint and
+    * the window REDOES its domain's compute under the lock — exactly the
+    * r15 monolithic behavior, demoted to the contended-rare path. Reads
+    * are never blocked either way (readers resolve published pointers).
+    *
+    * Crash-replay fail-safes compose unchanged: the novelty fold precedes
+    * landing (a replayed batch under-admits), the index append precedes
+    * the corpus write (ghost entries are [[repairIndex]]'s contract), and
+    * the cluster fold precedes the drop from inside the index window
+    * (edges derive from that window's validated probe).
+    *
+    * `raceHook` is a test seam: invoked with "bloom"/"index" after each
+    * optimistic compute, right before its lock window — specs mutate the
+    * state there to prove the fingerprint fallback recomputes correctly. */
   def pipelineBatch(bloomTable: String, indexTable: String,
       clusterDir: String, outDir: String, optimizeEvery: Int,
       keepLast: Int = 1, retentionHours: Double = 0.0,
       minNovelBp: Long = 3000L,
-      bloomBits: Long = graft.operators.AggState.BloomDefaultBits)(
+      bloomBits: Long = graft.operators.AggState.BloomDefaultBits,
+      raceHook: String => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.{AggState, ClusterState, Generations}
     val spark = batch.sparkSession
-    val bloomGen = currentGen(bloomTable)
-    val indexGen = currentGen(indexTable)
+
+    // ---- bloom window ------------------------------------------------
+    val bloomGen0 = currentGen(bloomTable)
+    val fpBloom0 = Generations.listingFingerprint(bloomGen0)
+    var admitted = noveltyDecide(bloomGen0, minNovelBp)(batch)
+    var slice = admittedSlice(admitted, bloomGen0, bloomBits)
+      .localCheckpoint(eager = true)
+    raceHook("bloom")
     Generations.withWriterLock(bloomTable) {
+      val bloomGen = currentGen(bloomTable)
       Generations.withWriterLock(bloomGen) {
+        if (bloomGen != bloomGen0 ||
+            Generations.listingFingerprint(bloomGen) != fpBloom0) {
+          // contended-rare: the filter (or the pointer) moved under us —
+          // the optimistic decision probed stale state; redo it here
+          admitted = noveltyDecide(bloomGen, minNovelBp)(batch)
+          slice = admittedSlice(admitted, bloomGen, bloomBits)
+        }
+        AggState.writeBloomSlice(slice, bloomGen, mBitsIfNew = bloomBits)
+        maintainGeneration(bloomTable, bloomGen, batchId, optimizeEvery,
+          keepLast, retentionHours, AggState.bloomExists,
+          AggState.optimize(spark, _, _, Nil))
+      }
+    }
+
+    // ---- index window ------------------------------------------------
+    val admittedDocs = admitted.drop("__ng")
+    // base unpersists in the FINALLY (r14 ADVICE): a throw must not leak
+    // the cached base — in a long-running PipelineMain stream every
+    // failed-then-retried batch would stack another persisted RDD
+    var base: DataFrame = null
+    try {
+      if (!admittedDocs.isEmpty) {
+        base = Dedup.minhashBase(admittedDocs)
+        val indexGen0 = currentGen(indexTable)
+        val fpIndex0 = Generations.listingFingerprint(indexGen0)
+        // probe + pair + decide + derive the tables to land, all pinned
+        def stage(gen: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+          val idxPairs =
+            if (DedupIndex.exists(gen))
+              DedupIndex.probePairsPersisted(spark, base, gen)
+                .select(col("b"), col("c"))
+                .localCheckpoint(eager = true)
+            else admittedDocs
+              .select(col("doc_id").as("b"), col("doc_id").as("c"))
+              .limit(0)
+          val batchPairs = Dedup.lshPairs(base, Dedup.LshBucketCap)
+            .select(col("d1"), col("d2")).localCheckpoint(eager = true)
+          val edges = idxPairs
+            .select(col("b").as("src"), col("c").as("dst"))
+            .unionByName(batchPairs
+              .select(col("d1").as("src"), col("d2").as("dst")))
+          val dropIds = idxPairs.select(col("b").as("doc_id"))
+            .unionByName(batchPairs.select(col("d2").as("doc_id")))
+            .distinct().localCheckpoint(eager = true)
+          val survivors = admittedDocs
+            .join(dropIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          val (sigs, bands) =
+            DedupIndex.baseTables(base.join(dropIds, Seq("doc_id"), "left_anti"))
+          (edges,
+            survivors,
+            sigs.localCheckpoint(eager = true),
+            bands.localCheckpoint(eager = true))
+        }
+        var (edges, survivors, sigs, bands) = stage(indexGen0)
+        var genExisted = DedupIndex.exists(indexGen0)
+        raceHook("index")
         Generations.withWriterLock(indexTable) {
+          val indexGen = currentGen(indexTable)
           Generations.withWriterLock(indexGen) {
-            val admitted =
-              noveltyAdmit(bloomGen, minNovelBp, bloomBits)(batch).persist()
-            // base unpersists in the FINALLY (r14 ADVICE): a throw from
-            // writeBase/the corpus append must not leak the cached base —
-            // in a long-running PipelineMain stream every
-            // failed-then-retried batch would stack another persisted RDD
-            var base: DataFrame = null
-            try {
-              if (!admitted.isEmpty) {
-                base = Dedup.minhashBase(admitted)
-                val idxPairs =
-                  if (DedupIndex.exists(indexGen))
-                    DedupIndex.probePairsPersisted(spark, base, indexGen)
-                      .select(col("b"), col("c"))
-                      .localCheckpoint(eager = true)
-                  else admitted
-                    .select(col("doc_id").as("b"), col("doc_id").as("c"))
-                    .limit(0)
-                val batchPairs = Dedup.lshPairs(base, Dedup.LshBucketCap)
-                  .select(col("d1"), col("d2")).localCheckpoint(eager = true)
-                val edges = idxPairs
-                  .select(col("b").as("src"), col("c").as("dst"))
-                  .unionByName(batchPairs
-                    .select(col("d1").as("src"), col("d2").as("dst")))
-                if (!edges.isEmpty) {
-                  if (ClusterState.exists(clusterDir))
-                    ClusterState.appendEdges(spark, edges, clusterDir)
-                  else ClusterState.build(edges, clusterDir)
-                }
-                val dropIds = idxPairs.select(col("b").as("doc_id"))
-                  .unionByName(batchPairs.select(col("d2").as("doc_id")))
-                  .distinct().localCheckpoint(eager = true)
-                val survivors = admitted
-                  .join(dropIds, Seq("doc_id"), "left_anti")
-                  .localCheckpoint(eager = true)
-                val survivorBase = base.join(dropIds, Seq("doc_id"), "left_anti")
-                DedupIndex.writeBase(survivorBase, indexGen,
-                  if (DedupIndex.exists(indexGen)) "append" else "overwrite")
-                survivors.write.mode("append").parquet(outDir)
-                ()
-              }
-            } finally {
-              if (base != null) base.unpersist()
-              admitted.unpersist()
-              ()
+            if (indexGen != indexGen0 ||
+                Generations.listingFingerprint(indexGen) != fpIndex0) {
+              val st = stage(indexGen) // contended-rare: re-probe under lock
+              edges = st._1; survivors = st._2; sigs = st._3; bands = st._4
+              genExisted = DedupIndex.exists(indexGen)
             }
-            maintainGeneration(bloomTable, bloomGen, batchId, optimizeEvery,
-              keepLast, retentionHours, AggState.bloomExists,
-              AggState.optimize(spark, _, _, Nil))
+            // cluster fold BEFORE the drop lands (the audit-trail
+            // contract), from inside the window whose probe produced it
+            if (!edges.isEmpty) {
+              if (ClusterState.exists(clusterDir))
+                ClusterState.appendEdges(spark, edges, clusterDir)
+              else ClusterState.build(edges, clusterDir)
+            }
+            DedupIndex.writeTables(sigs, bands, indexGen,
+              if (genExisted) "append" else "overwrite")
+            maintainGeneration(indexTable, indexGen, batchId, optimizeEvery,
+              keepLast, retentionHours, DedupIndex.exists,
+              DedupIndex.optimize(spark, _, _))
+          }
+        }
+        // the corpus landing needs no standing-table lock; the index
+        // append still PRECEDES it (the ghost-entry crash contract)
+        survivors.write.mode("append").parquet(outDir)
+        ()
+      } else {
+        // empty batch: only the maintain cadence needs the index locks
+        Generations.withWriterLock(indexTable) {
+          val indexGen = currentGen(indexTable)
+          Generations.withWriterLock(indexGen) {
             maintainGeneration(indexTable, indexGen, batchId, optimizeEvery,
               keepLast, retentionHours, DedupIndex.exists,
               DedupIndex.optimize(spark, _, _))
           }
         }
       }
+    } finally {
+      if (base != null) base.unpersist()
+      ()
     }
   }
 

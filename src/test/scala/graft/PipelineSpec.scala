@@ -120,4 +120,95 @@ class PipelineSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
   }
+
+  // ---- r16 lock staging: the optimistic-compute fallback ------------------
+  // pipelineBatch now computes probes/pairs/slices with NO lock held and
+  // re-validates each generation (pointer + listing fingerprint) inside its
+  // lock window. These specs mutate the state in exactly that window (the
+  // raceHook seam) and prove the fallback re-reads: a concurrent mutation
+  // can delay a batch, never corrupt it or leak a duplicate.
+
+  test("lock staging: index append racing the window is seen by the re-probe") {
+    val freshB = "a curious model reads the long corpus and it " +
+      "notes every rare word while the index stays small in memory"
+    val nearB = freshB.replaceAll("rare", "odd") // middle-token edit: J = 16/22 >= 0.7
+    def setup(root: String): (String, String, String, String) = {
+      val pipe = s"$root/pipe"
+      val tables = (s"$pipe/bloom", s"$pipe/index", s"$pipe/clusters", s"$pipe/corpus")
+      val seed = Seq(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00"))).toDF()
+      CorpusStream.pipelineBatch(tables._1, tables._2, tables._3, tables._4,
+        optimizeEvery = 100)(seed, 0L)
+      tables
+    }
+    // control: without the race, the near-dup's only index neighbor is
+    // absent and doc 21 LANDS — proving the racing append below is what
+    // the optimistic probe genuinely missed
+    val rootA = java.nio.file.Files.createTempDirectory("graft_race_a").toString
+    val (_, _, _, corpusA) = setup(rootA)
+    locally {
+      val (bloomT, indexT, clusterD, corpusD) = setup(rootA + "/ctl")
+      CorpusStream.pipelineBatch(bloomT, indexT, clusterD, corpusD,
+        optimizeEvery = 100)(
+        Seq(Doc(21, nearB, "en", "crawl", t("2024-01-01 11:00:00"))).toDF(), 1L)
+      val landed = spark.read.parquet(corpusD)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 21L), s"control run landed $landed")
+    }
+    // raced: doc 20 (near-dup source) is appended to the live index
+    // generation between the optimistic probe and the index lock window
+    val (bloomT, indexT, clusterD, corpusD) = setup(rootA + "/raced")
+    var fired = false
+    val hook: String => Unit = {
+      case "index" =>
+        fired = true
+        DedupIndex.append(
+          Seq(Doc(20, freshB, "en", "crawl", t("2024-01-01 10:30:00"))).toDF(),
+          Generations.resolve(indexT))
+      case _ => ()
+    }
+    CorpusStream.pipelineBatch(bloomT, indexT, clusterD, corpusD,
+      optimizeEvery = 100, raceHook = hook)(
+      Seq(Doc(21, nearB, "en", "crawl", t("2024-01-01 11:00:00"))).toDF(), 1L)
+    assert(fired, "race hook never fired")
+    val landed = spark.read.parquet(corpusD)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(1L), s"raced run landed $landed — the fallback " +
+      "missed the concurrent append and leaked a near-duplicate")
+    // and the duplicate EDGE made it into the standing clusters
+    val c = ClusterState.clusters(spark, clusterD)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c.contains(20L) && c.contains(21L) && c(20L) == c(21L),
+      s"near-dup edge missing from clusters: $c")
+  }
+
+  test("lock staging: bloom fold racing the window is seen by the re-probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft_race_b").toString
+    val pipe = s"$root/pipe"
+    val (bloomT, indexT, clusterD, corpusD) =
+      (s"$pipe/bloom", s"$pipe/index", s"$pipe/clusters", s"$pipe/corpus")
+    val seed = Seq(Doc(1, good, "en", "crawl", t("2024-01-01 10:00:00"))).toDF()
+    CorpusStream.pipelineBatch(bloomT, indexT, clusterD, corpusD,
+      optimizeEvery = 100)(seed, 0L)
+    // a concurrent writer lands doc 31's CONTENT (folds its n-grams) in
+    // the bloom race window; the batch carries the identical content under
+    // a new id — the optimistic decision admitted it, the locked re-probe
+    // must drop it (novelty 0 bp)
+    var fired = false
+    val hook: String => Unit = {
+      case "bloom" =>
+        fired = true
+        CorpusStream.noveltyAdmit(Generations.resolve(bloomT))(
+          Seq(Doc(30, fresh2, "en", "crawl", t("2024-01-01 10:30:00"))).toDF())
+        ()
+      case _ => ()
+    }
+    CorpusStream.pipelineBatch(bloomT, indexT, clusterD, corpusD,
+      optimizeEvery = 100, raceHook = hook)(
+      Seq(Doc(31, fresh2, "en", "crawl", t("2024-01-01 11:00:00"))).toDF(), 1L)
+    assert(fired, "race hook never fired")
+    val landed = spark.read.parquet(corpusD)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(1L), s"raced run landed $landed — the bloom " +
+      "fallback did not re-probe the concurrently folded filter")
+  }
 }

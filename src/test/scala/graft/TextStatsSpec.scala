@@ -143,4 +143,94 @@ class TextStatsSpec extends SparkSpec {
       assert(headMin >= tailMax, s"$lang head/tail score order violated")
     }
   }
+
+  test("q302 ppl cutoffs: cuts are the k-th ranked scores; agrees with q298 off tie boundaries") {
+    val rows = SparkEntry.queries("q302_ppl_cutoffs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val k1 = ((n + 2) / 3).toInt
+      val k2 = ((2 * n + 2) / 3).toInt
+      val c1 = rs.head._4
+      val c2 = rs.head._5
+      assert(rs.forall(r => r._4 == c1 && r._5 == c2), s"$lang cutoffs not constant")
+      // the cutoff IS the k-th best score (driver-side recompute)
+      val sorted = rs.map(_._3).sorted(Ordering[Long].reverse)
+      assert(sorted(k1 - 1) == c1, s"$lang cut_head ${c1} != k1-th score ${sorted(k1 - 1)}")
+      assert(sorted(k2 - 1) == c2, s"$lang cut_mid ${c2} != k2-th score ${sorted(k2 - 1)}")
+      // assignment is score-pure against those cutoffs
+      rs.foreach { case (id, _, sc2, _, _, b) =>
+        val expect = if (sc2 >= c1) "head" else if (sc2 >= c2) "middle" else "tail"
+        assert(b == expect, s"doc $id score=$sc2 bucket=$b expect=$expect")
+      }
+      // tie classes go whole to the better bucket: sizes bracket the terciles
+      val nh = rs.count(_._6 == "head")
+      val nhm = nh + rs.count(_._6 == "middle")
+      assert(nh >= k1 && nhm >= k2, s"$lang bucket sizes below the tercile floor")
+    }
+    // wherever a (lang, score) tie class sits entirely inside one q298
+    // bucket (i.e. no cut straddle), the two forms must agree exactly
+    val r298 = SparkEntry.queries("q298_ppl_buckets")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(4)))
+    val b302 = rows.map(r => r._1 -> r._6).toMap
+    var checked = 0
+    r298.groupBy(r => (r._2, r._3)).foreach { case (_, cls) =>
+      if (cls.map(_._4).distinct.length == 1) {
+        cls.foreach { case (id, _, _, b) =>
+          assert(b302(id) == b, s"doc $id: q302=${b302(id)} q298=$b off a tie boundary")
+        }
+        checked += cls.length
+      }
+    }
+    assert(checked > 0, "agreement check was vacuous")
+  }
+
+  test("q302 plan pin: no rank window — no row_number, no document-level WindowExec") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        captured.add(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q302_ppl_cutoffs")(spark, dir).collect()
+      // async execution-listener bus: poll until the capture count settles
+      val deadline = System.nanoTime() + 3000000000L
+      var prev = -1
+      while (prev != captured.size && System.nanoTime() < deadline) {
+        prev = captured.size; Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec        => p +: walk(q.plan)
+      case _                        => p +: p.children.flatMap(walk)
+    }
+    import scala.jdk.CollectionConverters._
+    val nodes = captured.asScala.toSeq.flatMap(walk)
+    assert(nodes.nonEmpty, "listener captured no executed plans")
+    // the q298 weakness was a row_number window over every document of a
+    // language — q302 must never rank documents, and every window it DOES
+    // run (per-lang cumulative counts, lmScore's per-prev totals) operates
+    // on an aggregated stream, never on doc-level rows
+    nodes.foreach { p =>
+      assert(!p.simpleStringWithNodeId().contains("row_number"),
+        s"rank window crept back in: ${p.simpleStringWithNodeId().take(200)}")
+    }
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the aggregated-stream windows to execute")
+    windows.foreach { w =>
+      val cols = w.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("doc_id"),
+        s"document-level window (parallelism bound by |langs|): ${cols.mkString(",")}")
+    }
+  }
 }

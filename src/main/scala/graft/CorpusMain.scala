@@ -70,10 +70,16 @@ object CorpusMain {
     * 8-grams with any val/test doc are dropped, so the heldout splits stay
     * unseen. The heldout n-gram set is the SMALL side; at 100 TB it rides
     * a bloom/runtime filter on the train scan. */
+  /** `paraGate`: optional paragraph-granularity dedup (q303's operator,
+    * r16): after whole-doc near-dedup, drop surviving docs whose 16-token
+    * paragraph mass is >= 50% duplicated in OTHER survivors — sub-document
+    * boilerplate that whole-doc Jaccard misses when a fresh paragraph
+    * dilutes the pairwise score under 0.7. CLI flag `paradedup`. */
   def curate(spark: SparkSession, docs: DataFrame,
              lmGateE6: Option[Long] = None,
              keepLongest: Boolean = false,
-             decontam: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
+             decontam: Boolean = false,
+             paraGate: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
     // 1. exact dedup: keep the smallest doc_id per content digest.
@@ -121,11 +127,29 @@ object CorpusMain {
     base.unpersist()
     keepExact.unpersist()
 
+    // 2b. optional paragraph-granularity gate (q303's operator): survivors
+    // of the whole-doc near-dedup whose paragraph mass is mostly
+    // duplicated elsewhere still ship boilerplate — drop the 'drop'
+    // verdicts (dup_bp >= 5000). The drop list is checkpointed before the
+    // anti join so the gate never re-runs the paragraph LSH.
+    val (paraGated, nPara) =
+      if (!paraGate) (nearDeduped, nNear)
+      else {
+        val dropP = Dedup.paraDedup(nearDeduped.select("doc_id", "text"))
+          .filter(col("verdict") === "drop").select("doc_id")
+          .localCheckpoint(eager = true)
+        val g = nearDeduped.join(dropP, Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = g.count()
+        nearDeduped.unpersist()
+        (g, n)
+      }
+
     // 3. quality gate: q31's signals as a filter
     val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(col("text"))), "\\s+"))
     val stopwords = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
-    val quality = nearDeduped
+    val quality = paraGated
       .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("stop_ratio",
@@ -135,7 +159,7 @@ object CorpusMain {
       .drop("n_tokens", "stop_ratio")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nQuality = quality.count()
-    nearDeduped.unpersist()
+    paraGated.unpersist() // == nearDeduped when the para gate is off
 
     // 4. repetition gate: q80's duplicate-fraction signals as a filter,
     // computed by the native one-pass NgramDistincts expression
@@ -257,7 +281,9 @@ object CorpusMain {
     val funnel = Seq(
       "input" -> total, "exact_dedup" -> nExact,
       "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
-      "near_dedup" -> nNear, "quality" -> nQuality,
+      "near_dedup" -> nNear) ++
+      (if (paraGate) Seq("para_dedup" -> nPara) else Nil) ++
+      Seq("quality" -> nQuality,
       "repetition" -> nRep, "boilerplate" -> nBoil) ++
       (if (lmGateE6.isDefined) Seq("lm_gate" -> nLm) else Nil) ++
       (if (decontam) Seq("decontam" -> nDecontam) else Nil) ++
@@ -294,15 +320,18 @@ object CorpusMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam]")
+      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam] [paradedup]")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val keepLongest = args.drop(2).contains("keep=longest")
     val decontam = args.drop(2).contains("decontam")
+    val paraGate = args.drop(2).contains("paradedup")
     val lmGate = args.drop(2)
-      .find(a => !a.startsWith("keep=") && a != "decontam").map(_.toLong)
+      .find(a => !a.startsWith("keep=") && a != "decontam" && a != "paradedup")
+      .map(_.toLong)
     val (curated, funnel, release) =
-      curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest, decontam)
+      curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest,
+        decontam, paraGate)
     val gate = publishGate(curated)
     gate.foreach { case (c, v) => println(s"gate $c: $v") }
     require(gate.forall(_._2 == 0L),

@@ -50,7 +50,8 @@ object ScaleMain {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def gen(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def gen(spark: SparkSession, src: String, out: String, factor: Int,
+      fixedVocab: Boolean = false): Unit = {
     // dimensions: one copy, verbatim
     Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
@@ -61,13 +62,58 @@ object ScaleMain {
     // per table at the 100x tier). Output content is identical: keys
     // shift by copy*1e9, document tokens get the same c<copy> prefix.
     val copies = spark.range(factor).select(col("id").as("__copy"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     keyCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val shifted = keys.foldLeft(df.crossJoin(broadcast(copies))) { (acc, k) =>
         acc.withColumn(k, col(k) + col("__copy") * lit(Offset))
       }
       val copy =
-        if (t == "documents") {
+        if (t == "documents" && fixedVocab) {
+          // FIXED-VOCAB mode (VERDICT r15 #3): the prefix mode below grows
+          // the vocabulary LINEARLY with the factor — real corpora grow
+          // sublinearly (Heaps), so state whose size is vocabulary-bounded
+          // (q299/q301 pair counts, q296/q300 feature buckets, q298 score
+          // domains) reads artificially inflated on prefix fixtures. Here
+          // each copy applies a per-copy ROTATION of the base CONTENT
+          // vocabulary (rank -> (rank + copy*step) mod |V|, step coprime
+          // to |V| so distinct copies get distinct shifts): the corpus
+          // vocabulary is EXACTLY the base vocab at any factor, every
+          // copy's token stream is isomorphic to the original (token
+          // counts, stopword ratio, within-copy dup structure all
+          // preserved — stopwords are not rotated), and cross-copy shingle
+          // overlap stays ~zero because a content shingle's ranks land on
+          // different target words in every copy.
+          val vocab = df
+            .select(explode(split(col("text"), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .filter(!col("tok").isin(stop: _*))
+            .distinct()
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("tok"))
+              .cast("long") - 1)
+            .localCheckpoint(eager = true) // builder-scale vocab sort
+          val vsize = vocab.count()
+          val step = Seq(10007L, 10009L, 10037L, 10039L)
+            .find(p => vsize % p != 0L).get
+          val ex = shifted
+            .select(col("doc_id"), col("__copy"),
+              posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+          val rebuilt = ex
+            .join(broadcast(vocab), Seq("tok"), "left")
+            .withColumn("rank2",
+              pmod(col("rank") + col("__copy") * lit(step), lit(vsize)))
+            .join(broadcast(vocab.select(col("rank").as("rank2"),
+              col("tok").as("tok2"))), Seq("rank2"), "left")
+            .withColumn("otok", coalesce(col("tok2"), col("tok")))
+            .groupBy("doc_id")
+            .agg(concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("otok")))),
+              p => p.getField("otok"))).as("__text2"))
+          shifted.join(rebuilt, Seq("doc_id"), "left")
+            .withColumn("text", coalesce(col("__text2"), col("text")))
+            .drop("__text2")
+        } else if (t == "documents") {
           // per-copy token prefix on CONTENT words only: cross-copy
           // shingle overlap stays ~zero (every 3-shingle containing a
           // content word differs between copies), while stopwords keep
@@ -75,7 +121,6 @@ object ScaleMain {
           // zeroed every copy's stopword ratio and the curated quality
           // gates dropped 100% of the scale-tier feed (the pipeline
           // measurement then exercised empty batches, not scale)
-          val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
           shifted.withColumn("text",
             concat_ws(" ", transform(split(col("text"), "\\s+"),
               tok => when(tok.isin(stop: _*), tok)
@@ -83,7 +128,8 @@ object ScaleMain {
         } else shifted
       copy.drop("__copy")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"replicated $t x$factor")
+      println(s"replicated $t x$factor" +
+        (if (t == "documents" && fixedVocab) " (fixed-vocab rotation)" else ""))
     }
   }
 
@@ -192,13 +238,15 @@ object ScaleMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ScaleMain gen <srcSfDir> <outDir> [factor] | run <sfDir> <outJsonl> [q1,q2,...]")
+      "usage: ScaleMain gen <srcSfDir> <outDir> [factor] [fixed-vocab] | " +
+        "run <sfDir> <outJsonl> [q1,q2,...]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "gen" => gen(spark, args(1), args(2),
-        if (args.length >= 4) args(3).toInt else 10)
+        if (args.length >= 4) args(3).toInt else 10,
+        fixedVocab = args.lift(4).contains("fixed-vocab"))
       case "run" => run(spark, args(1), args(2), Bench.parseOnly(args.lift(3)))
       case other => sys.error(s"unknown command: $other")
     }

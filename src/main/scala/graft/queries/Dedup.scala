@@ -67,17 +67,23 @@ object Dedup {
   private[queries] val TokHashSql =
     "('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647"
 
-  /** Distinct 3-word shingle set, mirroring hashedDocs (CTEs tk -> sh). */
-  private[queries] val ShinglesSql =
-    """tk AS (SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN []
-      |       ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
-      | FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(t) < 3 THEN []
-      |       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-      |                           for i in range(1, len(t) - 1)]) END AS w
-      | FROM tk)""".stripMargin
+  /** Distinct 3-word shingle set, mirroring hashedDocs (CTEs tk -> sh).
+    * Parametrized by the source relation (r16): q303 runs the identical
+    * chain over a derived paragraph relation — the fragment must stay
+    * single-sourced or the pair semantics fork. The `documents` instance
+    * is byte-identical to the pre-r16 literal (oracle_sql.json diffed). */
+  private[queries] def shinglesSqlFrom(src: String): String =
+    s"""tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+       | FROM $src),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 3 THEN []
+       |       ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                           for i in range(1, len(t) - 1)]) END AS w
+       | FROM tk)""".stripMargin
+
+  private[queries] val ShinglesSql = shinglesSqlFrom("documents")
 
   /** Shared MinHash SQL pieces: per-permutation signature minima and the
     * per-band bucket keys (used by the pair chain below AND the
@@ -99,8 +105,8 @@ object Dedup {
     * q37 pipeline) as a reusable CTE chain ending in pr(d1, d2, jacc) —
     * shared by the q37/q291 oracles here and every [[Graph]] oracle's
     * transitive structure over it. */
-  private[queries] lazy val LshPairCtesSql: String =
-    s"""$ShinglesSql,
+  private[queries] def lshPairCtesFrom(src: String): String =
+    s"""${shinglesSqlFrom(src)},
        |hs AS (SELECT doc_id, w, list_transform(w, t -> $TokHashSql) AS h
        |       FROM sh WHERE len(w) > 0),
        |sig AS (SELECT doc_id, w, ${SigExprsSql.mkString(", ")} FROM hs),
@@ -127,6 +133,8 @@ object Dedup {
        | FROM j
        | WHERE round(CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE), 4) >= 0.7)""".stripMargin
 
+  private[queries] lazy val LshPairCtesSql: String = lshPairCtesFrom("documents")
+
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
   private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
@@ -150,6 +158,92 @@ object Dedup {
         posexplode(transform(grams(col("w")), g => tokHash(g)))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+  }
+
+  /** q303's paragraph width: 16-token blocks, ragged last. */
+  private[graft] val ParaW = 16
+
+  /** q304's occurrence cap: a window hash with more corpus occurrences
+    * than this is boilerplate (q287's flag owns it) and never pairs — the
+    * pair mass stays <= cap² per hash, the one quadratic term. */
+  private[graft] val SpanOccCap = 32
+
+  /** q303's body over any (doc_id, text) frame — spec-callable so planted
+    * paragraph-dup cases run without fixture I/O. See the queries-map
+    * scaladoc for semantics. */
+  private[graft] def paraDedup(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .withColumn("pi", explode(sequence(lit(0L), expr(s"(n + ${ParaW - 1}) div $ParaW") - 1)))
+      .select(col("doc_id").as("src_doc"),
+        (col("doc_id") * 1000 + col("pi")).as("doc_id"),
+        concat_ws(" ", expr(s"slice(w, CAST(pi * $ParaW + 1 AS INT), $ParaW)")).as("text"))
+      .localCheckpoint(eager = true) // consumed by minhash + both roll-ups
+    val base = minhashBase(paras.select("doc_id", "text"))
+    // cross-DOCUMENT pairs only; of each pair, only the LATER doc's copy
+    // counts as duplicated (pair order d1 < d2 is doc-then-position order
+    // under the pid encoding — keep-first, the q35 discipline: the
+    // original's paragraphs never push IT toward a drop verdict)
+    val pairs = lshPairs(base, LshBucketCap)
+      .filter(expr("d1 div 1000 <> d2 div 1000"))
+    val dupP = pairs.select(col("d2").as("doc_id")).distinct()
+    val nd = paras.join(dupP, Seq("doc_id"), "left_semi")
+      .groupBy("src_doc").agg(count(lit(1)).as("nd"))
+    val out = paras.groupBy("src_doc").agg(count(lit(1)).as("n_paras"))
+      .join(nd, Seq("src_doc"), "left")
+      .select(col("src_doc").as("doc_id"),
+        col("n_paras").cast("long").as("n_paras"),
+        coalesce(col("nd"), lit(0L)).cast("long").as("n_dup_paras"))
+      .withColumn("dup_bp", expr("(n_dup_paras * 10000) div n_paras"))
+      .withColumn("verdict",
+        when(col("dup_bp") >= 5000, lit("drop"))
+          .when(col("dup_bp") >= 2000, lit("trim"))
+          .otherwise(lit("keep")))
+      .orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
+  }
+
+  /** q304's body over any (doc_id, text) frame — see the queries-map
+    * scaladoc. Diagonal runs of matching 12-token windows are EXACT
+    * maximal common substrings between two positions. */
+  private[graft] def maximalSpans(docs: DataFrame): DataFrame = {
+    val base = spanWindows(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // occurrence screen by a window count over the same h shuffle the
+    // pairing needs anyway (the r13 bucket-screen discipline), pinned so
+    // the self-join reads one stable relation
+    val capped = base
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c").between(2, SpanOccCap))
+      .select("doc_id", "pos", "h")
+      .localCheckpoint(eager = true)
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.h") === col("y.h") &&
+        (col("x.doc_id") < col("y.doc_id") ||
+          (col("x.doc_id") === col("y.doc_id") && col("x.pos") < col("y.pos"))))
+      .select(col("x.doc_id").as("d1"), col("x.pos").as("p1"),
+        col("y.doc_id").as("d2"), col("y.pos").as("p2"))
+    val wDiag = Window.partitionBy("d1", "d2", "off").orderBy("p1")
+    val runs = pairs.withColumn("off", col("p2") - col("p1"))
+      .withColumn("grp", col("p1") - row_number().over(wDiag))
+      .groupBy("d1", "d2", "off", "grp")
+      .agg((count(lit(1)) + (SpanW - 1)).as("span_tokens"))
+    val sides = runs.select(col("d1").as("doc_id"), col("span_tokens"))
+      .unionByName(runs.select(col("d2").as("doc_id"), col("span_tokens")))
+    val perDoc = sides.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), max("span_tokens").as("max_span_tokens"))
+    val out = base.select("doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).cast("long").as("max_span_tokens"))
+      .orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
   }
 
   /** Distinct 3-word shingles of a token array, built with slice+zip_with.
@@ -658,6 +752,39 @@ object Dedup {
       base.unpersist()
       out
     }),
+
+    // ---- paragraph-granularity near-dup with doc roll-up (r16) -----------
+    // Production LLM pipelines dedup below the document: a doc whose
+    // PARAGRAPHS are mostly duplicated elsewhere should be dropped or
+    // trimmed even when the whole-doc Jaccard stays under 0.7 (one fresh
+    // paragraph dilutes it). Paragraphs here are deterministic 16-token
+    // blocks (the fixture text carries no newline/punctuation boundaries);
+    // each paragraph runs the EXACT q37 machinery — minhashBase + banded,
+    // tiered-capped, Jaccard-verified lshPairs — under a synthetic
+    // paragraph id (doc_id*1000 + idx), same-doc pairs excluded
+    // (within-doc repetition is q287's domain), then dup fractions roll
+    // up per doc into a drop(>=50%)/trim(>=20%)/keep verdict. Scale: the
+    // paragraph table is ~tokens/16 rows; everything downstream is the
+    // LSH family's own banded/capped shape — never all-pairs.
+    "q303_para_dedup" -> ((s: SparkSession, dir: String) =>
+      paraDedup(Tables(s, dir, "documents"))),
+
+    // ---- TRUE maximal repeated spans via diagonal runs (r16) --------------
+    // q287 reports the longest run of positions whose 12-token window
+    // repeats ANYWHERE — an upper-bound shape for Lee et al.'s maximal
+    // repeated substrings, because consecutive windows may repeat against
+    // DIFFERENT partners. This query computes the real thing: matching
+    // window pairs (same 31-bit hash, occurrence-capped groups), grouped
+    // by (d1, d2, offset) DIAGONALS — a maximal run of k consecutive
+    // matching windows on one diagonal is EXACTLY a maximal common
+    // substring of k+11 tokens between those two positions (one more
+    // shared token ⟺ one more matching window). Per doc: participating
+    // span count and the longest true span. Scale: pair mass is bounded
+    // by cap² per window hash (over-cap boilerplate groups are excluded —
+    // q287's flag owns those); the diagonal window is keyed by
+    // (d1, d2, off), never global.
+    "q304_maximal_spans" -> ((s: SparkSession, dir: String) =>
+      maximalSpans(Tables(s, dir, "documents"))),
 
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
@@ -1623,6 +1750,74 @@ object Dedup {
            |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
            |FROM st LEFT JOIN runs USING (doc_id)
            |ORDER BY st.doc_id""".stripMargin,
+
+      // q303: 16-token paragraph blocks under synthetic ids, the SHARED
+      // verbatim LSH pair chain over the paragraph relation, cross-doc
+      // pairs only, integer roll-up per source doc
+      "q303_para_dedup" ->
+        s"""WITH tkr AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |td AS (SELECT doc_id, w, (len(w) + 15) // 16 AS nc
+           |       FROM tkr WHERE len(w) > 0),
+           |pex AS (SELECT doc_id, w,
+           |    unnest([{'pi': i} for i in range(0, nc)]) AS s
+           |  FROM td),
+           |paras AS (SELECT doc_id AS src_doc, doc_id * 1000 + s.pi AS doc_id,
+           |    array_to_string(w[s.pi*16+1 : s.pi*16+16], ' ') AS text
+           |  FROM pex),
+           |${lshPairCtesFrom("paras")},
+           |cpr AS (SELECT d1, d2 FROM pr WHERE d1 // 1000 <> d2 // 1000),
+           |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
+           |np AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS n_paras
+           |       FROM paras GROUP BY 1),
+           |nd AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS ndp FROM paras
+           |       JOIN dup ON paras.doc_id = dup.pid GROUP BY 1)
+           |SELECT np.src_doc AS doc_id, np.n_paras,
+           |  CAST(coalesce(nd.ndp, 0) AS BIGINT) AS n_dup_paras,
+           |  CAST((coalesce(nd.ndp, 0) * 10000) // np.n_paras AS BIGINT) AS dup_bp,
+           |  CASE WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 5000 THEN 'drop'
+           |       WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 2000 THEN 'trim'
+           |       ELSE 'keep' END AS verdict
+           |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin,
+
+      // q304: q287's windows, occurrence-capped groups, matching pairs
+      // grouped by (d1, d2, offset) diagonals — a maximal diagonal run of
+      // k windows is a maximal common substring of k+11 tokens
+      "q304_maximal_spans" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, s.i AS pos,
+           |    ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 2147483647 AS h
+           |  FROM (SELECT doc_id, unnest([{'i': i, 'g': $gram12Cat}
+           |          for i in range(1, len(w) - 10)]) AS s
+           |        FROM tk WHERE len(w) >= 12)),
+           |cap AS (SELECT doc_id, pos, h FROM
+           |        (SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS c
+           |         FROM g0)
+           |        WHERE c BETWEEN 2 AND 32),
+           |prs AS (SELECT x.doc_id AS d1, x.pos AS p1, y.doc_id AS d2, y.pos AS p2
+           |        FROM cap x JOIN cap y ON x.h = y.h
+           |         AND (x.doc_id < y.doc_id OR
+           |              (x.doc_id = y.doc_id AND x.pos < y.pos))),
+           |runs AS (SELECT d1, d2, count(*) + 11 AS span_tokens FROM
+           |        (SELECT d1, d2, p2 - p1 AS off,
+           |           p1 - row_number() OVER (PARTITION BY d1, d2, p2 - p1
+           |                                   ORDER BY p1) AS grp
+           |         FROM prs)
+           |        GROUP BY d1, d2, off, grp),
+           |sides AS (SELECT d1 AS doc_id, span_tokens FROM runs
+           |          UNION ALL SELECT d2, span_tokens FROM runs),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |         CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+           |        FROM sides GROUP BY doc_id),
+           |alld AS (SELECT DISTINCT doc_id FROM g0)
+           |SELECT alld.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           |  CAST(coalesce(max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+           |FROM alld LEFT JOIN agg USING (doc_id) ORDER BY alld.doc_id""".stripMargin,
 
       // grown-labels ≡ from-scratch closure over the CUMULATIVE edge set:
       // corpus-slice tiered pairs ∪ batch-slice tiered pairs ∪ the

@@ -54,7 +54,7 @@ object TrainPrep {
       .orderBy(desc("n_tokens"), asc("source"))
   }
 
-  private[queries] def rawToks(c: Column): Column =
+  private[graft] def rawToks(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
@@ -1024,7 +1024,7 @@ object TrainPrep {
   /** q299/q301's exploded positional view: one (doc_id, pos, tok, nxt)
     * row per token, 1-based positions, successor via lead over the
     * per-doc window. */
-  private def bpeExplode(cur: org.apache.spark.sql.DataFrame)
+  private[graft] def bpeExplode(cur: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     cur.select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
@@ -1040,7 +1040,7 @@ object TrainPrep {
     * residual spill (2 GB in-memory sorter per counting pass) to exactly
     * that window sort, which this removes (the one remaining windowed
     * pass per round is the mark/rebuild, which genuinely needs order). */
-  private def bpeTopPair(cur: org.apache.spark.sql.DataFrame): (String, String) = {
+  private[graft] def bpeTopPair(cur: org.apache.spark.sql.DataFrame): (String, String) = {
     val w = col("w")
     val pairs = when(size(w) < 2, array().cast("array<struct<a:string,b:string>>"))
       .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
@@ -1055,11 +1055,55 @@ object TrainPrep {
     (top.getString(0), top.getString(1))
   }
 
+  /** [[bpeTopPair]]'s top-K form for the batched trainer (BpeScaleMain):
+    * the K most frequent adjacent pairs (count DESC, pair ASC), one
+    * distributed TakeOrderedAndProject, K rows to the driver. */
+  private[graft] def bpeTopPairs(cur: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(String, String, Long)] = {
+    val w = col("w")
+    val pairs = when(size(w) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => struct(x.as("a"), y.as("b"))))
+    cur.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("tok"), col("p.b").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"), asc("nxt")).limit(k)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** [[bpeMark]] for a BATCH of token-disjoint a != b pairs (the batched
+    * trainer's one-pass form): with no token shared between pairs and no
+    * a = b pair, two adjacent matches are impossible (a match at pos+1
+    * would need nxt = b_i = a_j, crossing pair token sets), so the
+    * leftmost-greedy rule needs no parity guard and each position matches
+    * at most one pair. */
+  private[graft] def bpeMarkMany(x: org.apache.spark.sql.DataFrame,
+      prs: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(prs.nonEmpty && prs.forall { case (a, b) => a != b },
+      "bpeMarkMany: a = b pairs need the single-pair parity guard")
+    val toks = prs.flatMap { case (a, b) => Seq(a, b) }
+    require(toks.distinct.size == toks.size,
+      "bpeMarkMany: pairs must be token-disjoint")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val mh = prs.map { case (a, b) =>
+      (col("tok") === lit(a) && col("nxt").isNotNull && col("nxt") === lit(b))
+        .cast("int")
+    }.reduce(_ + _) // disjoint: at most one term is 1
+    val tok2 = prs.foldLeft(col("tok")) { case (acc, (a, b)) =>
+      when(col("tok") === lit(a) && col("nxt").isNotNull && col("nxt") === lit(b),
+        lit(a + " " + b)).otherwise(acc)
+    }
+    x.withColumn("mh", mh)
+      .withColumn("tok2", tok2)
+      .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
+  }
+
   /** Mark the leftmost-greedy non-overlapping merges of (pa, pb) on the
     * exploded view: a = b needs the run-parity guard ("offset since the
     * last non-a token is even"); a != b provably never overlaps (two
     * adjacent matches force a = b). Emits mh/tok2/dropped. */
-  private def bpeMark(x: org.apache.spark.sql.DataFrame,
+  private[graft] def bpeMark(x: org.apache.spark.sql.DataFrame,
       pa: String, pb: String): org.apache.spark.sql.DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val isMatch = col("tok") === lit(pa) && col("nxt").isNotNull && col("nxt") === lit(pb)
@@ -1078,7 +1122,7 @@ object TrainPrep {
 
   /** Rebuild per-doc sequences from the marked view (merged token kept,
     * its consumed successor dropped). */
-  private def bpeRebuild(r: org.apache.spark.sql.DataFrame)
+  private[graft] def bpeRebuild(r: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     r.filter(col("dropped") === 0)
       .groupBy("doc_id")

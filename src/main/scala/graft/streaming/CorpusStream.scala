@@ -501,6 +501,8 @@ object CorpusStream {
               .limit(0)
           val batchPairs = Dedup.lshPairs(base, Dedup.LshBucketCap)
             .select(col("d1"), col("d2")).localCheckpoint(eager = true)
+          // edges stay LAZY off the two pins (an eager checkpoint here is
+          // one more per-batch job for a frame the fold reads once)
           val edges = idxPairs
             .select(col("b").as("src"), col("c").as("dst"))
             .unionByName(batchPairs

@@ -289,4 +289,78 @@ class DedupSpec extends SparkSpec {
     // signatures, would verify at jacc 1.0 — is excluded by the cap screen
     assert(out == Seq(600000L, 600001L, 600002L))
   }
+
+  // ---- q303: paragraph-granularity dedup (r16) ----------------------------
+
+  test("paraDedup: planted paragraph dup caught below the whole-doc Jaccard gate") {
+    def para(tag: String): String = (1 to 16).map(i => s"${tag}w$i").mkString(" ")
+    val p1 = para("p1"); val p2 = para("p2")
+    val docs = Seq(
+      (1L, s"$p1 $p2 ${para("a3")}"), // the original: 3 paras, all kept
+      (2L, s"$p1 $p2 ${para("b3")}"), // 2 of 3 paras copied from doc 1
+      (3L, s"$p1 ${para("c2")} ${para("c3")} ${para("c4")}") // 1 of 4
+    ).toDF("doc_id", "text")
+    // the motivating gap: NO whole-doc near-dup pair exists (shared mass
+    // dilutes pairwise Jaccard under 0.7) — only the paragraph view sees it
+    val base = Dedup.minhashBase(docs)
+    try assert(Dedup.lshPairs(base, Dedup.LshBucketCap).isEmpty,
+      "planted docs must not pair at whole-doc granularity")
+    finally base.unpersist()
+    val out = Dedup.paraDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // keep-first: the ORIGINAL's paragraphs never count against it
+    assert(out(1L) == ((3L, 0L, 0L, "keep")), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, 2L, 6666L, "drop")), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((4L, 1L, 2500L, "trim")), s"doc 3: ${out(3L)}")
+  }
+
+  // ---- q304: true maximal repeated spans (r16) -----------------------------
+
+  test("maximalSpans: exact planted span length; q287's run merges what q304 keeps apart") {
+    def words(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"${tag}w$i")
+    val shared20 = words("s", 20)
+    val s13 = words("t", 13)
+    val docs = Seq(
+      // X and Y share EXACTLY a 20-token passage at different offsets
+      (10L, (words("xa", 8) ++ shared20 ++ words("xb", 6)).mkString(" ")),
+      (11L, (words("ya", 3) ++ shared20 ++ words("yb", 11)).mkString(" ")),
+      // Z holds t1..t13; A1 holds t1..t12, A2 holds t2..t13: Z's two
+      // repeated windows are CONSECUTIVE but repeat against DIFFERENT
+      // partners — no 13-token string occurs twice anywhere
+      (20L, (words("za", 5) ++ s13 ++ words("zb", 5)).mkString(" ")),
+      (21L, (words("ka", 4) ++ s13.take(12) ++ words("kb", 4)).mkString(" ")),
+      (22L, (s13.drop(1) ++ words("mb", 8)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.maximalSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the 20-token shared passage is reported at its TRUE length
+    assert(spans(10L) == ((1L, 20L)), s"doc 10: ${spans(10L)}")
+    assert(spans(11L) == ((1L, 20L)), s"doc 11: ${spans(11L)}")
+    // Z: two 12-token maximal spans, never a 13 — while q287's
+    // repeated-window RUN (length 2) would naively read as 13 tokens
+    assert(spans(20L) == ((2L, 12L)), s"doc 20: ${spans(20L)}")
+    assert(spans(21L) == ((1L, 12L)), s"doc 21: ${spans(21L)}")
+    assert(spans(22L) == ((1L, 12L)), s"doc 22: ${spans(22L)}")
+  }
+
+  test("maximalSpans vs q287 on the fixture: span bounded by run, repeats imply spans") {
+    val dir = sf("sf0.001")
+    val q287 = SparkEntry.queries("q287_repeated_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap // (n_repeated, longest_run)
+    val q304 = SparkEntry.queries("q304_maximal_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap // (n_spans, max_span)
+    assert(q304.nonEmpty && q304.keySet == q287.keySet, "same >=12-token doc domain")
+    q304.foreach { case (id, (nSpans, maxSpan)) =>
+      val (nRep, run) = q287(id)
+      // a diagonal run is a subset of q287's anywhere-repeated run, so the
+      // true span can never exceed the naive run-derived estimate
+      assert(maxSpan <= run + 11, s"doc $id: span $maxSpan > run-bound ${run + 11}")
+      // a true span needs repeated windows; the converse can fail (over-cap
+      // boilerplate groups are excluded from pairing by design)
+      if (nSpans > 0) assert(nRep > 0, s"doc $id: spans without repeats")
+      if (nSpans > 0) assert(maxSpan >= 12)
+    }
+    assert(q304.values.exists(_._1 > 0), "fixture has no spans — vacuous")
+  }
 }

@@ -17,7 +17,7 @@ import graft.queries.TrainPrep
   * This main produces that cost curve, plus the BATCHED variant: per
   * pass, learn the top-B most frequent pairs that are pairwise
   * TOKEN-DISJOINT and a != b (so their leftmost-greedy merges provably
-  * cannot interact within the pass — see [[TrainPrep.bpeMarkMany]]), then
+  * cannot interact within the pass — see [[TrainPrep.bpeMergeTokens]]), then
   * recount. Batching is the standard fast-trainer approximation: the
   * trajectory can diverge from pure greedy BPE exactly where the true
   * next-best pair overlaps a pair already taken this pass (those are
@@ -48,31 +48,60 @@ object BpeScaleMain {
   private def totalToks(df: DataFrame): Long =
     df.agg(sum(size(col("w")).cast("long"))).collect()(0).getLong(0)
 
+  /** Cut the iterative lineage for real (the ConnectedComponents lesson,
+    * round-count edition): a DISK_ONLY persist caches BLOCKS but the RDD
+    * object graph still chains every prior round — by round ~10 the
+    * recursive task/plan serialization overflows the stack (q299's 3
+    * rounds never reached it; this harness's very first 16-round run
+    * did). `localCheckpoint(eager, DISK_ONLY)` truncates the dependency
+    * graph after materializing; per-round blocks are released by
+    * RDD-level unpersist of everything except the newest (checkpoint
+    * blocks are invisible to Dataset.unpersist — the r15 lesson — but
+    * getPersistentRDDs reaches them). */
+  private def step(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+
+  /** Release every persistent RDD except the NEWEST (the checkpoint `step`
+    * just created — RDD ids are monotone and this harness is
+    * single-threaded, so max id == the live round). */
+  private def releaseOld(spark: SparkSession): Unit = {
+    val m = spark.sparkContext.getPersistentRDDs
+    if (m.nonEmpty) {
+      val newest = m.keys.max
+      m.filterNot(_._1 == newest).values.foreach(_.unpersist(blocking = true))
+    }
+  }
+
+  private def releaseAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
   /** One greedy run of `rounds` sequential merges. Returns
     * (per-round seconds, merges, tokens before, tokens after). */
   def greedy(spark: SparkSession, dir: String,
       rounds: Int): (Seq[Double], Seq[String], Long, Long) = {
-    var cur = tokens(spark, dir).persist(StorageLevel.DISK_ONLY)
-    val n0 = totalToks(cur) // also materializes the DISK_ONLY blocks
+    var cur = step(tokens(spark, dir))
+    val n0 = totalToks(cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probe = sys.env.contains("SPARK_GRAFT_BPE_PROBE")
     for (k <- 1 to rounds) {
       val t0 = System.nanoTime()
       val (pa, pb) = TrainPrep.bpeTopPair(cur)
+      val t1 = System.nanoTime()
       merges += s"$pa $pb"
       // the last round's rebuild is NOT skipped here (unlike q299): the
       // measured unit must be the full learn-round cost, and the final
       // sequences are read once more for the compression number
-      val nxt = TrainPrep.bpeRebuild(
-        TrainPrep.bpeMark(TrainPrep.bpeExplode(cur), pa, pb))
-        .persist(StorageLevel.DISK_ONLY)
-      nxt.count() // materialize before releasing the parent
-      cur.unpersist(blocking = true)
-      cur = nxt
+      cur = step(TrainPrep.bpeApplyPairs(cur, Seq((pa, pb))))
+      val t2 = System.nanoTime()
+      releaseOld(spark)
+      if (probe) println(f"round $k: top1 ${(t1 - t0) / 1e9}%.2f s, " +
+        f"merge+ckpt ${(t2 - t1) / 1e9}%.2f s, release ${(System.nanoTime() - t2) / 1e9}%.2f s")
       secs += (System.nanoTime() - t0) / 1e9
     }
     val nAfter = totalToks(cur)
-    cur.unpersist(blocking = true)
+    releaseAll(spark)
     (secs.toSeq, merges.toSeq, n0, nAfter)
   }
 
@@ -83,7 +112,7 @@ object BpeScaleMain {
     * until `targetMerges` merges are learned. */
   def batched(spark: SparkSession, dir: String, targetMerges: Int,
       perPass: Int): (Seq[Double], Seq[String], Long, Long, Int) = {
-    var cur = tokens(spark, dir).persist(StorageLevel.DISK_ONLY)
+    var cur = step(tokens(spark, dir))
     val n0 = totalToks(cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -103,17 +132,13 @@ object BpeScaleMain {
         }
       require(taken.nonEmpty, "batched: no applicable pair left")
       merges ++= taken.map { case (a, b) => s"$a $b" }
-      val nxt = TrainPrep.bpeRebuild(
-        TrainPrep.bpeMarkMany(TrainPrep.bpeExplode(cur), taken.toSeq))
-        .persist(StorageLevel.DISK_ONLY)
-      nxt.count()
-      cur.unpersist(blocking = true)
-      cur = nxt
+      cur = step(TrainPrep.bpeApplyPairs(cur, taken.toSeq))
+      releaseOld(spark)
       passes += 1
       secs += (System.nanoTime() - t0) / 1e9
     }
     val nAfter = totalToks(cur)
-    cur.unpersist(blocking = true)
+    releaseAll(spark)
     (secs.toSeq, merges.toSeq, n0, nAfter, passes)
   }
 

@@ -168,8 +168,10 @@ object ScaleMain {
     "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply",
     // r16: q298's scale form — cutoffs from the distinct-score histogram,
     // map-side assignment; the tiers measure it beating q298's per-lang
-    // single-task sort (the r15 VERDICT weak flag)
-    "q302_ppl_cutoffs")
+    // single-task sort (the r15 VERDICT weak flag) — plus the two new
+    // dedup queries (paragraph LSH roll-up; diagonal-run maximal spans,
+    // whose pair mass is cap²-bounded per window hash)
+    "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -895,77 +895,68 @@ object TrainPrep {
     // granularity as pure DataFrame algebra: each iteration counts adjacent
     // unit pairs over the whole corpus, picks the most frequent (count
     // DESC, pair ASC tie-break), and applies the merge LEFTMOST-GREEDY
-    // non-overlapping — exactly the sequential BPE rule, but expressed
-    // positionally so it distributes: for pair (a,b) with a != b matches
-    // can never overlap (two adjacent matches force a = b), and for a = b
-    // greedy merges exactly the even offsets within each run of a's, so
-    // "offset since the last non-a token is even" reproduces the scan
-    // without scanning. Verified against a driver-side greedy reference
-    // per doc at all 3 SFs (TrainingSpec).
+    // non-overlapping — exactly the sequential BPE rule, applied PER ROW
+    // as array algebra ([[bpeMergeTokens]]): the greedy recurrence
+    // mh(i) = match(i) AND NOT mh(i-1) folds within each bounded document,
+    // never across the corpus. Verified against a driver-side greedy
+    // reference per doc at all 3 SFs (TrainingSpec).
     //
-    // Scale: each iteration is one pair-count partial-agg shuffle + one
-    // per-doc window/rebuild shuffle — linear in corpus size, K iterations
-    // = K passes (the real cost knob, same as q284's GD rounds). The
-    // driver collects ONE row per iteration (TakeOrderedAndProject, the
-    // distributed top-1 — never the pair table); each round's output is
-    // pinned (eager localCheckpoint) to cut the iterative lineage. The
-    // data-dependent pair choice stays oracle-checkable because the oracle
-    // unrolls all 3 rounds and re-derives the same argmax (the q290
-    // pattern); the chosen pairs ride every output row (p1-p3), so the
-    // whole merge TRAJECTORY is hash-checked.
+    // Scale (r16 form): each iteration is ONE pair-count partial-agg
+    // shuffle + one MAP-ONLY merge pass — the r15 form's per-doc
+    // posexplode exchange + window sort + collect_list rebuild per round
+    // are gone (the fixed-vocab tier falsified r15's pair-count-state
+    // attribution of the 100x residual spill: with 961 distinct pairs the
+    // spill was unchanged, StageLedgerMain placed it in the lazily-
+    // materialized mark/rebuild sort — so the sort was removed, not
+    // resized). The driver collects ONE row per iteration
+    // (TakeOrderedAndProject, the distributed top-1 — never the pair
+    // table). Per-round merge counts derive from the per-doc SIZE ledger
+    // (each applied merge shortens a doc by exactly 1), so the output
+    // trajectory is unchanged and stays hash-checked by the unrolled
+    // oracle (the q290 pattern); the chosen pairs ride every row (p1-p3).
     "q299_bpe_merges" -> ((s: SparkSession, dir: String) => {
       // Loop intermediates are DISK_ONLY persists, released as soon as the
-      // next round's sequences exist: corpus-sized MEMORY_AND_DISK blocks
-      // held across rounds squeeze the window sorts' execution memory (at
-      // 100x: 13.8 GB of sort spill with three live checkpoint sets; the
-      // r14 loop-shared-persist lesson). Each persisted frame is consumed
-      // by exactly two jobs (pair-count top-1, then mark+rebuild), so the
-      // disk re-read is paid twice and execution memory stays whole.
-      val t0 = Tables(s, dir, "documents")
+      // next round's sequences exist (the r14 loop-shared-persist lesson).
+      // Each persisted frame is consumed by exactly two jobs (pair-count
+      // top-1, then the merge pass), so the disk re-read is paid twice
+      // and execution memory stays whole.
+      val DISK = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      var cur = Tables(s, dir, "documents")
         .select(col("doc_id"), rawToks(col("text")).as("w"))
         .filter(size(col("w")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-
-      // one BPE round: (current sequences) -> (merged sequences unless
-      // this is the last round — the rebuild is pure cost then, per-doc
-      // merge counts, the chosen pair as "a b"). The top-1 collect is the
-      // round's first action, so it also materializes `cur`'s DISK_ONLY
-      // blocks before the mark+rebuild job re-reads them.
-      def round(cur: org.apache.spark.sql.DataFrame, buildNext: Boolean)
-          : (Option[org.apache.spark.sql.DataFrame],
-             org.apache.spark.sql.DataFrame, String) = {
+        .persist(DISK)
+      // tiny per-round size ledgers (s0..s3): pinned eagerly — the pin
+      // also materializes the round's DISK_ONLY blocks before release
+      val sizes = scala.collection.mutable.ArrayBuffer(
+        cur.select(col("doc_id"), size(col("w")).cast("long").as("s0"))
+          .localCheckpoint(eager = true))
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (k <- 1 to 3) {
         val (pa, pb) = bpeTopPair(cur)
-        val r = bpeMark(bpeExplode(cur), pa, pb)
-        val perDoc = r.groupBy("doc_id").agg(sum("mh").cast("long").as("m"))
-          .localCheckpoint(eager = true)
-        val next = if (!buildNext) None else Some(
-          bpeRebuild(r).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-        (next, perDoc, pa + " " + pb)
+        pairs += pa + " " + pb
+        if (k < 3) {
+          val nxt = bpeApplyPairs(cur, Seq((pa, pb))).persist(DISK)
+          sizes += nxt
+            .select(col("doc_id"), size(col("w")).cast("long").as(s"s$k"))
+            .localCheckpoint(eager = true)
+          cur.unpersist(blocking = true)
+          cur = nxt
+        } else {
+          // the last round's SEQUENCES have no reader — only the size
+          // ledger does; one unpersisted map pass, no round persist
+          sizes += bpeApplyPairs(cur, Seq((pa, pb)))
+            .select(col("doc_id"), size(col("w")).cast("long").as(s"s$k"))
+            .localCheckpoint(eager = true)
+          cur.unpersist(blocking = true)
+        }
       }
-
-      // pin the tiny n0 ledger first so t0 can be released after round 1
-      // (this eager checkpoint also materializes t0's DISK_ONLY blocks)
-      val n0df = t0.select(col("doc_id"), size(col("w")).cast("long").as("n0"))
-        .localCheckpoint(eager = true)
-      val (t1o, c1, p1) = round(t0, buildNext = true)
-      val t1 = t1o.get
-      val (t2o, c2, p2) = round(t1, buildNext = true) // its top-1 pinned t1
-      t0.unpersist(blocking = true)
-      val t2 = t2o.get
-      val (_, c3, p3) = round(t2, buildNext = false) // its top-1 pinned t2
-      t1.unpersist(blocking = true)
-      t2.unpersist(blocking = true)
-      n0df
-        .join(c1.withColumnRenamed("m", "m1"), Seq("doc_id"), "left")
-        .join(c2.withColumnRenamed("m", "m2"), Seq("doc_id"), "left")
-        .join(c3.withColumnRenamed("m", "m3"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n0"),
-          coalesce(col("m1"), lit(0L)).as("m1"),
-          coalesce(col("m2"), lit(0L)).as("m2"),
-          coalesce(col("m3"), lit(0L)).as("m3"),
-          (col("n0") - coalesce(col("m1"), lit(0L)) - coalesce(col("m2"), lit(0L))
-            - coalesce(col("m3"), lit(0L))).as("n3"),
-          lit(p1).as("p1"), lit(p2).as("p2"), lit(p3).as("p3"))
+      sizes.reduce((a, b) => a.join(b, Seq("doc_id")))
+        .select(col("doc_id"), col("s0").as("n0"),
+          (col("s0") - col("s1")).as("m1"),
+          (col("s1") - col("s2")).as("m2"),
+          (col("s2") - col("s3")).as("m3"),
+          col("s3").as("n3"),
+          lit(pairs(0)).as("p1"), lit(pairs(1)).as("p2"), lit(pairs(2)).as("p3"))
         .orderBy("doc_id")
     }),
 
@@ -997,12 +988,12 @@ object TrainPrep {
         val (pa, pb) = bpeTopPair(train) // also pins train's blocks
         pairs += pa + " " + pb
         if (k < 3) {
-          val nt = bpeRebuild(bpeMark(bpeExplode(train), pa, pb)).persist(DISK)
+          val nt = bpeApplyPairs(train, Seq((pa, pb))).persist(DISK)
           nt.count() // materialize before releasing the parent
           train.unpersist(blocking = true)
           train = nt
         } else train.unpersist(blocking = true)
-        val ut = bpeRebuild(bpeMark(bpeExplode(test), pa, pb)).persist(DISK)
+        val ut = bpeApplyPairs(test, Seq((pa, pb))).persist(DISK)
         ut.count()
         test.unpersist(blocking = true)
         test = ut
@@ -1021,15 +1012,30 @@ object TrainPrep {
     })
   )
 
-  /** q299/q301's exploded positional view: one (doc_id, pos, tok, nxt)
-    * row per token, 1-based positions, successor via lead over the
-    * per-doc window. */
-  private[graft] def bpeExplode(cur: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    cur.select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-      .withColumn("nxt", lead("tok", 1).over(wDoc))
+  /** The r16 row-wise BPE merge pass: apply `prs` leftmost-greedy
+    * non-overlapping to each token array IN PLACE via the native codegen'd
+    * [[org.apache.spark.sql.graft.BpeMerge]] scan — no posexplode, no
+    * per-doc window sort, no collect_list rebuild (the r15 per-round
+    * corpus exchange+sort this replaces held the 100x residual spill; the
+    * fixed-vocab tier falsified the pair-count attribution). An interim
+    * HOF-fold form was measured at ~200 s per a=b pass at the 100x tier —
+    * interpreted aggregate() per token; the native single-loop scan is
+    * the house answer (TextHashes precedent). Batched pairs must be
+    * token-disjoint with a != b so their merges provably cannot interact
+    * within one pass (at most one pair can match a position and a match
+    * never enables a neighbor). */
+  private[graft] def bpeApplyPairs(cur: org.apache.spark.sql.DataFrame,
+      prs: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(prs.nonEmpty, "bpeApplyPairs: no pairs")
+    if (prs.size > 1) {
+      require(prs.forall { case (a, b) => a != b },
+        "bpeApplyPairs: a = b pairs must be applied alone")
+      val toks = prs.flatMap { case (a, b) => Seq(a, b) }
+      require(toks.distinct.size == toks.size,
+        "bpeApplyPairs: batched pairs must be token-disjoint")
+    }
+    cur.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextHashes.bpe_merge(col("w"), prs).as("w"))
   }
 
   /** The corpus-global argmax pair (count DESC, pair ASC): a distributed
@@ -1071,63 +1077,6 @@ object TrainPrep {
       .collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
   }
-
-  /** [[bpeMark]] for a BATCH of token-disjoint a != b pairs (the batched
-    * trainer's one-pass form): with no token shared between pairs and no
-    * a = b pair, two adjacent matches are impossible (a match at pos+1
-    * would need nxt = b_i = a_j, crossing pair token sets), so the
-    * leftmost-greedy rule needs no parity guard and each position matches
-    * at most one pair. */
-  private[graft] def bpeMarkMany(x: org.apache.spark.sql.DataFrame,
-      prs: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    require(prs.nonEmpty && prs.forall { case (a, b) => a != b },
-      "bpeMarkMany: a = b pairs need the single-pair parity guard")
-    val toks = prs.flatMap { case (a, b) => Seq(a, b) }
-    require(toks.distinct.size == toks.size,
-      "bpeMarkMany: pairs must be token-disjoint")
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val mh = prs.map { case (a, b) =>
-      (col("tok") === lit(a) && col("nxt").isNotNull && col("nxt") === lit(b))
-        .cast("int")
-    }.reduce(_ + _) // disjoint: at most one term is 1
-    val tok2 = prs.foldLeft(col("tok")) { case (acc, (a, b)) =>
-      when(col("tok") === lit(a) && col("nxt").isNotNull && col("nxt") === lit(b),
-        lit(a + " " + b)).otherwise(acc)
-    }
-    x.withColumn("mh", mh)
-      .withColumn("tok2", tok2)
-      .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
-  }
-
-  /** Mark the leftmost-greedy non-overlapping merges of (pa, pb) on the
-    * exploded view: a = b needs the run-parity guard ("offset since the
-    * last non-a token is even"); a != b provably never overlaps (two
-    * adjacent matches force a = b). Emits mh/tok2/dropped. */
-  private[graft] def bpeMark(x: org.apache.spark.sql.DataFrame,
-      pa: String, pb: String): org.apache.spark.sql.DataFrame = {
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val isMatch = col("tok") === lit(pa) && col("nxt").isNotNull && col("nxt") === lit(pb)
-    val mh = if (pa != pb) when(isMatch, 1).otherwise(0) else {
-      val lastNonA = max(when(col("tok") =!= lit(pa), col("pos")))
-        .over(Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, -1))
-      when(isMatch &&
-        (col("pos") - coalesce(lastNonA, lit(0)) - 1) % 2 === 0, 1).otherwise(0)
-    }
-    x.withColumn("mh", mh)
-      .withColumn("tok2",
-        when(col("mh") === 1, lit(pa + " " + pb)).otherwise(col("tok")))
-      .withColumn("dropped", coalesce(lag("mh", 1).over(wDoc), lit(0)))
-  }
-
-  /** Rebuild per-doc sequences from the marked view (merged token kept,
-    * its consumed successor dropped). */
-  private[graft] def bpeRebuild(r: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    r.filter(col("dropped") === 0)
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("tok2")))).as("pw"))
-      .select(col("doc_id"), transform(col("pw"), p => p.getField("tok2")).as("w"))
 
   /** q296's per-bucket smoothed log-odds (target vs rest of the pool),
     * shared VERBATIM between the Spark expr() and the DuckDB oracle: one

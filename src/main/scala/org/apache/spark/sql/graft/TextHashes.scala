@@ -41,6 +41,108 @@ object TextHashes {
   def sorted_intersect_size(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectSize(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def bpe_merge(tokens: Column, pairs: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeMerge(ExpressionUtils.expression(tokens), pairs))
+}
+
+/** Leftmost-greedy non-overlapping BPE merge pass over a token array — the
+  * sequential scan of Sennrich et al. 2016 as ONE codegen'd loop per row:
+  * at position i, if (w(i), w(i+1)) equals any learned pair, emit the
+  * merged token ("a b") and advance 2, else emit w(i) and advance 1. This
+  * IS the canonical greedy semantics for every pair shape (a = b run
+  * parity included — the scan never re-examines a consumed successor), so
+  * it replaces both the r15 exploded window-mark/rebuild (a corpus
+  * exchange + sort + collect_list per round; held the 100x residual
+  * spill) and the r16 interim HOF fold (interpreted aggregate() measured
+  * ~200 s per a=b pass at the 100x tier — the "native expression beats
+  * HOF" lesson once more). Pairs ride as reference objects; for batched
+  * token-disjoint pairs at most one can match at a position, so list
+  * order is immaterial. Equality with a driver-side sequential reference
+  * is pinned in TrainingSpec; q299/q301's DuckDB oracles are unchanged. */
+case class BpeMerge(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(pairs.nonEmpty, "bpe_merge: no pairs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+  override def prettyName: String = "bpe_merge"
+
+  @transient private lazy val paArr: Array[UTF8String] =
+    pairs.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val pbArr: Array[UTF8String] =
+    pairs.map(p => UTF8String.fromString(p._2)).toArray
+  @transient private lazy val mergedArr: Array[UTF8String] =
+    pairs.map(p => UTF8String.fromString(p._1 + " " + p._2)).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val t: UTF8String = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      var m = -1
+      if (t != null && i + 1 < n && !arr.isNullAt(i + 1)) {
+        val nx = arr.getUTF8String(i + 1)
+        var j = 0
+        while (m < 0 && j < paArr.length) {
+          if (t.equals(paArr(j)) && nx.equals(pbArr(j))) m = j
+          j += 1
+        }
+      }
+      if (m >= 0) { out.add(mergedArr(m)); i += 2 }
+      else { out.add(t); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val paRef = ctx.addReferenceObj("bpePa", paArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val pbRef = ctx.addReferenceObj("bpePb", pbArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val mgRef = ctx.addReferenceObj("bpeMerged", mergedArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val t = ctx.freshName("t")
+      val nx = ctx.freshName("nx")
+      // raw ArrayList: Janino has no generics
+      s"""
+         |int $n = $a.numElements();
+         |java.util.ArrayList $out = new java.util.ArrayList($n);
+         |int $i = 0;
+         |while ($i < $n) {
+         |  org.apache.spark.unsafe.types.UTF8String $t =
+         |    $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |  int $m = -1;
+         |  if ($t != null && $i + 1 < $n && !$a.isNullAt($i + 1)) {
+         |    org.apache.spark.unsafe.types.UTF8String $nx = $a.getUTF8String($i + 1);
+         |    for (int $j = 0; $m < 0 && $j < $paRef.length; $j++) {
+         |      if ($t.equals($paRef[$j]) && $nx.equals($pbRef[$j])) $m = $j;
+         |    }
+         |  }
+         |  if ($m >= 0) { $out.add($mgRef[$m]); $i += 2; }
+         |  else { $out.add($t); $i += 1; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $out.toArray(new Object[0]));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMerge =
+    copy(child = newChild)
 }
 
 /** |A ∩ B| of two SORTED ascending `array<bigint>` (distinct elements) via

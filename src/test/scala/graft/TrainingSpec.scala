@@ -143,4 +143,69 @@ class TrainingSpec extends SparkSpec {
       assert(p1 == merges(0) && p2 == merges(1) && p3 == merges(2))
     }
   }
+
+  // ---- r16: batched BPE merges (BpeScaleMain's one-pass form) -------------
+
+  test("bpeMergeTokens: token-disjoint batch == sequential single-pair merges, either order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b x c d y a b"),
+      (2L, "c d c d a b c d"),
+      (3L, "z z a b z c d"),
+      (4L, "solo tokens only here")).toDF("doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+    def collectW(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val cur = toks(docs)
+    val many = collectW(TrainPrep.bpeApplyPairs(cur, Seq(("a", "b"), ("c", "d"))))
+    val seqAB = collectW(TrainPrep.bpeApplyPairs(
+      TrainPrep.bpeApplyPairs(cur, Seq(("a", "b"))), Seq(("c", "d"))))
+    val seqBA = collectW(TrainPrep.bpeApplyPairs(
+      TrainPrep.bpeApplyPairs(cur, Seq(("c", "d"))), Seq(("a", "b"))))
+    // disjoint pairs provably cannot interact: the batch equals the
+    // sequential composition in either order (doc 4 untouched)
+    assert(many == seqAB && many == seqBA, s"batch $many vs $seqAB / $seqBA")
+    assert(many(1L) == Seq("a b", "c d", "a b", "x", "c d", "y", "a b"))
+    assert(many(4L) == Seq("solo", "tokens", "only", "here"))
+    // contract guards: overlapping pairs or batched a=b refused loudly
+    intercept[IllegalArgumentException] {
+      TrainPrep.bpeApplyPairs(cur, Seq(("a", "b"), ("b", "c")))
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.bpeApplyPairs(cur, Seq(("z", "z"), ("a", "b")))
+    }
+  }
+
+  test("bpeMergeTokens: a = b takes the fold path — even run offsets, leftmost-greedy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "z z z z z"),     // runs of 5: merges at offsets 0, 2 -> zz zz z
+      (2L, "z z x z z z x z"),
+      (3L, "y z z y"),
+      (4L, "z")).toDF("doc_id", "text")
+    val cur = docs.select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+    val out = TrainPrep.bpeApplyPairs(cur, Seq(("z", "z"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out(1L) == Seq("z z", "z z", "z"), s"doc 1: ${out(1L)}")
+    assert(out(2L) == Seq("z z", "x", "z z", "z", "x", "z"), s"doc 2: ${out(2L)}")
+    assert(out(3L) == Seq("y", "z z", "y"), s"doc 3: ${out(3L)}")
+    assert(out(4L) == Seq("z"), s"doc 4: ${out(4L)}")
+  }
+
+  test("bpeTopPairs: top-k agrees with a driver-side recount in (count desc, pair) order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c d"),
+      (2L, "a b c d c d c a")).toDF("doc_id", "text")
+    val cur = docs.select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+    val got = TrainPrep.bpeTopPairs(cur, 3)
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.collect().map(_.getString(1).split(" ").toSeq).foreach(
+      _.sliding(2).filter(_.length == 2)
+        .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + 1))
+    val want = pc.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(3)
+    assert(got == want, s"got $got want $want")
+  }
 }

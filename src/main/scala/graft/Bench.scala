@@ -412,7 +412,11 @@ object Bench {
     // r16 (VERDICT r15 #8): one per new curation family so cross-round
     // comparisons cover them from the start (superset rule: append-only)
     "q296_dsir_weights", "q297_semdedup", "q298_ppl_buckets",
-    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply")
+    "q299_bpe_merges", "q300_incr_dsir", "q301_bpe_apply",
+    // r16's own queries, appended LAST so the driver's tail capture (which
+    // keeps the END of the core line) always retains the newest families
+    "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans",
+    "q305_para_trim")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

@@ -171,7 +171,8 @@ object ScaleMain {
     // single-task sort (the r15 VERDICT weak flag) — plus the two new
     // dedup queries (paragraph LSH roll-up; diagonal-run maximal spans,
     // whose pair mass is cap²-bounded per window hash)
-    "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans")
+    "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans",
+    "q305_para_trim")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

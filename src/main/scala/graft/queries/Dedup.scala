@@ -168,10 +168,13 @@ object Dedup {
     * pair mass stays <= cap² per hash, the one quadratic term. */
   private[graft] val SpanOccCap = 32
 
-  /** q303's body over any (doc_id, text) frame — spec-callable so planted
-    * paragraph-dup cases run without fixture I/O. See the queries-map
-    * scaladoc for semantics. */
-  private[graft] def paraDedup(docs: DataFrame): DataFrame = {
+  /** q303/q305 shared machinery: the pinned paragraph relation
+    * (src_doc, doc_id = pid, text) and the duplicated-pid set
+    * (keep-first: of a cross-doc near-dup pair only the LATER doc's copy
+    * counts — pair order d1 < d2 is doc-then-position order under the pid
+    * encoding, the q35 discipline). Caller must unpersist the returned
+    * base after materializing its outputs. */
+  private def paraDups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val paras = docs
       .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
       .withColumn("n", size(col("w")))
@@ -180,15 +183,19 @@ object Dedup {
       .select(col("doc_id").as("src_doc"),
         (col("doc_id") * 1000 + col("pi")).as("doc_id"),
         concat_ws(" ", expr(s"slice(w, CAST(pi * $ParaW + 1 AS INT), $ParaW)")).as("text"))
-      .localCheckpoint(eager = true) // consumed by minhash + both roll-ups
+      .localCheckpoint(eager = true) // consumed by minhash + the roll-ups
     val base = minhashBase(paras.select("doc_id", "text"))
-    // cross-DOCUMENT pairs only; of each pair, only the LATER doc's copy
-    // counts as duplicated (pair order d1 < d2 is doc-then-position order
-    // under the pid encoding — keep-first, the q35 discipline: the
-    // original's paragraphs never push IT toward a drop verdict)
     val pairs = lshPairs(base, LshBucketCap)
-      .filter(expr("d1 div 1000 <> d2 div 1000"))
+      .filter(expr("d1 div 1000 <> d2 div 1000")) // cross-DOCUMENT only
     val dupP = pairs.select(col("d2").as("doc_id")).distinct()
+    (paras, dupP, base)
+  }
+
+  /** q303's body over any (doc_id, text) frame — spec-callable so planted
+    * paragraph-dup cases run without fixture I/O. See the queries-map
+    * scaladoc for semantics. */
+  private[graft] def paraDedup(docs: DataFrame): DataFrame = {
+    val (paras, dupP, base) = paraDups(docs)
     val nd = paras.join(dupP, Seq("doc_id"), "left_semi")
       .groupBy("src_doc").agg(count(lit(1)).as("nd"))
     val out = paras.groupBy("src_doc").agg(count(lit(1)).as("n_paras"))
@@ -201,6 +208,43 @@ object Dedup {
         when(col("dup_bp") >= 5000, lit("drop"))
           .when(col("dup_bp") >= 2000, lit("trim"))
           .otherwise(lit("keep")))
+      .orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
+  }
+
+  /** q305's body: the TRANSFORM half of q303 (what q288 is to q287, at
+    * paragraph granularity) — duplicated paragraphs are REMOVED and the
+    * retention ledger reports tokens in/kept plus an md5 digest of the
+    * kept text (paragraphs rejoined in document order), so downstream
+    * trainers can verify exactly what content shipped. Keep-first: the
+    * earliest copy of every duplicated paragraph survives somewhere in
+    * the corpus — trimming never destroys content, it deduplicates it. */
+  private[graft] def paraTrim(docs: DataFrame): DataFrame = {
+    val (paras, dupP, base) = paraDups(docs)
+    val marked = paras
+      .join(dupP.withColumn("__dup", lit(1L)), Seq("doc_id"), "left")
+      .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
+        coalesce(col("__dup"), lit(0L)).as("d"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val out = marked.groupBy("src_doc")
+      .agg(count(lit(1)).as("n_paras"),
+        sum("d").as("n_dropped"),
+        sum("nt").as("tokens_in"),
+        sum(when(col("d") === 0L, col("nt")).otherwise(0L)).as("tokens_kept"),
+        md5(concat_ws(" ",
+          transform(
+            filter(array_sort(collect_list(struct(col("pid"), col("d"), col("text")))),
+              s => s.getField("d") === 0L),
+            s => s.getField("text"))).cast("binary")).as("kept_digest"))
+      .select(col("src_doc").as("doc_id"),
+        col("n_paras").cast("long").as("n_paras"),
+        col("n_dropped").cast("long").as("n_dropped"),
+        col("tokens_in").cast("long").as("tokens_in"),
+        col("tokens_kept").cast("long").as("tokens_kept"),
+        expr("(tokens_kept * 10000) div tokens_in").as("kept_bp"),
+        col("kept_digest"))
       .orderBy("doc_id")
       .localCheckpoint(eager = true)
     base.unpersist()
@@ -785,6 +829,15 @@ object Dedup {
     // (d1, d2, off), never global.
     "q304_maximal_spans" -> ((s: SparkSession, dir: String) =>
       maximalSpans(Tables(s, dir, "documents"))),
+
+    // ---- paragraph trim: the q303 roll-up's TRANSFORM half (r16) ----------
+    // What q288 is to q287, at paragraph granularity: duplicated
+    // paragraphs (keep-first — the earliest copy always survives) are
+    // removed and the retention ledger reports tokens in/kept in integer
+    // basis points plus an md5 digest of the kept text in document order
+    // — the verifiable artifact a curation run hands the trainer.
+    "q305_para_trim" -> ((s: SparkSession, dir: String) =>
+      paraTrim(Tables(s, dir, "documents"))),
 
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
@@ -1781,6 +1834,41 @@ object Dedup {
            |       WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 2000 THEN 'trim'
            |       ELSE 'keep' END AS verdict
            |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin,
+
+      // q305: same paragraph chain + keep-first dup set; the ledger sums
+      // paragraph token counts and digests the kept text in pid order
+      // (string_agg skips the dropped NULLs; coalesce('') makes the
+      // fully-dropped doc digest md5("") on both engines)
+      "q305_para_trim" ->
+        s"""WITH tkr AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |td AS (SELECT doc_id, w, (len(w) + 15) // 16 AS nc
+           |       FROM tkr WHERE len(w) > 0),
+           |pex AS (SELECT doc_id, w,
+           |    unnest([{'pi': i} for i in range(0, nc)]) AS s
+           |  FROM td),
+           |paras AS (SELECT doc_id AS src_doc, doc_id * 1000 + s.pi AS doc_id,
+           |    array_to_string(w[s.pi*16+1 : s.pi*16+16], ' ') AS text
+           |  FROM pex),
+           |${lshPairCtesFrom("paras")},
+           |cpr AS (SELECT d1, d2 FROM pr WHERE d1 // 1000 <> d2 // 1000),
+           |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
+           |mk AS (SELECT src_doc, paras.doc_id AS pid, text,
+           |         CASE WHEN dup.pid IS NULL THEN 0 ELSE 1 END AS d,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           |       FROM paras LEFT JOIN dup ON paras.doc_id = dup.pid)
+           |SELECT src_doc AS doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_paras,
+           |  CAST(sum(d) AS BIGINT) AS n_dropped,
+           |  CAST(sum(nt) AS BIGINT) AS tokens_in,
+           |  CAST(sum(CASE WHEN d = 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+           |  CAST((sum(CASE WHEN d = 0 THEN nt ELSE 0 END) * 10000) // sum(nt)
+           |       AS BIGINT) AS kept_bp,
+           |  md5(coalesce(string_agg(CASE WHEN d = 0 THEN text END, ' '
+           |                          ORDER BY pid), '')) AS kept_digest
+           |FROM mk GROUP BY src_doc ORDER BY doc_id""".stripMargin,
 
       // q304: q287's windows, occurrence-capped groups, matching pairs
       // grouped by (d1, d2, offset) diagonals — a maximal diagonal run of

@@ -458,8 +458,6 @@ object CorpusStream {
     val bloomGen0 = currentGen(bloomTable)
     val fpBloom0 = Generations.listingFingerprint(bloomGen0)
     var admitted = noveltyDecide(bloomGen0, minNovelBp)(batch)
-    var slice = admittedSlice(admitted, bloomGen0, bloomBits)
-      .localCheckpoint(eager = true)
     raceHook("bloom")
     Generations.withWriterLock(bloomTable) {
       val bloomGen = currentGen(bloomTable)
@@ -469,9 +467,13 @@ object CorpusStream {
           // contended-rare: the filter (or the pointer) moved under us —
           // the optimistic decision probed stale state; redo it here
           admitted = noveltyDecide(bloomGen, minNovelBp)(batch)
-          slice = admittedSlice(admitted, bloomGen, bloomBits)
         }
-        AggState.writeBloomSlice(slice, bloomGen, mBitsIfNew = bloomBits)
+        // the fold slice derives from the PINNED decision but is computed
+        // inside the window against the locked gen's own meta — one
+        // aggregation of the batch's n-grams, cheap relative to the probe
+        // and one fewer per-batch checkpoint job (the 1x fixed-cost A/B)
+        AggState.writeBloomSlice(admittedSlice(admitted, bloomGen, bloomBits),
+          bloomGen, mBitsIfNew = bloomBits)
         maintainGeneration(bloomTable, bloomGen, batchId, optimizeEvery,
           keepLast, retentionHours, AggState.bloomExists,
           AggState.optimize(spark, _, _, Nil))
@@ -489,7 +491,12 @@ object CorpusStream {
         base = Dedup.minhashBase(admittedDocs)
         val indexGen0 = currentGen(indexTable)
         val fpIndex0 = Generations.listingFingerprint(indexGen0)
-        // probe + pair + decide + derive the tables to land, all pinned
+        // probe + pair + the DROP DECISION, all pinned (these are the
+        // corpus-sized shuffles and the rows the sink re-evaluation must
+        // never re-derive); the sig/band tables to land are cheap
+        // projections of the persisted base against the pinned dropIds —
+        // computed inside the window (lock-hold has 3-50x headroom at
+        // every tier; a checkpoint job per batch does not)
         def stage(gen: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
           val idxPairs =
             if (DedupIndex.exists(gen))
@@ -513,14 +520,9 @@ object CorpusStream {
           val survivors = admittedDocs
             .join(dropIds, Seq("doc_id"), "left_anti")
             .localCheckpoint(eager = true)
-          val (sigs, bands) =
-            DedupIndex.baseTables(base.join(dropIds, Seq("doc_id"), "left_anti"))
-          (edges,
-            survivors,
-            sigs.localCheckpoint(eager = true),
-            bands.localCheckpoint(eager = true))
+          (edges, survivors, dropIds, batchPairs)
         }
-        var (edges, survivors, sigs, bands) = stage(indexGen0)
+        var (edges, survivors, dropIds, _) = stage(indexGen0)
         var genExisted = DedupIndex.exists(indexGen0)
         raceHook("index")
         Generations.withWriterLock(indexTable) {
@@ -529,7 +531,7 @@ object CorpusStream {
             if (indexGen != indexGen0 ||
                 Generations.listingFingerprint(indexGen) != fpIndex0) {
               val st = stage(indexGen) // contended-rare: re-probe under lock
-              edges = st._1; survivors = st._2; sigs = st._3; bands = st._4
+              edges = st._1; survivors = st._2; dropIds = st._3
               genExisted = DedupIndex.exists(indexGen)
             }
             // cluster fold BEFORE the drop lands (the audit-trail
@@ -539,7 +541,8 @@ object CorpusStream {
                 ClusterState.appendEdges(spark, edges, clusterDir)
               else ClusterState.build(edges, clusterDir)
             }
-            DedupIndex.writeTables(sigs, bands, indexGen,
+            DedupIndex.writeBase(
+              base.join(dropIds, Seq("doc_id"), "left_anti"), indexGen,
               if (genExisted) "append" else "overwrite")
             maintainGeneration(indexTable, indexGen, batchId, optimizeEvery,
               keepLast, retentionHours, DedupIndex.exists,

@@ -313,6 +313,25 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0L, 0L, "keep")), s"doc 1: ${out(1L)}")
     assert(out(2L) == ((3L, 2L, 6666L, "drop")), s"doc 2: ${out(2L)}")
     assert(out(3L) == ((4L, 1L, 2500L, "trim")), s"doc 3: ${out(3L)}")
+
+    // q305, the transform half on the same planted corpus: the trim
+    // removes exactly the duplicated copies and the kept digest is the
+    // md5 of the surviving paragraphs rejoined in document order
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val trim = Dedup.paraTrim(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(trim(1L) == ((3L, 0L, 48L, 48L, 10000L,
+      md5hex(s"$p1 $p2 ${para("a3")}"))), s"doc 1: ${trim(1L)}")
+    assert(trim(2L) == ((3L, 2L, 48L, 16L, 3333L,
+      md5hex(para("b3")))), s"doc 2: ${trim(2L)}")
+    assert(trim(3L) == ((4L, 1L, 64L, 48L, 7500L,
+      md5hex(s"${para("c2")} ${para("c3")} ${para("c4")}"))), s"doc 3: ${trim(3L)}")
+    // keep-first conservation: every dropped paragraph's text still ships
+    // somewhere (doc 1 keeps the originals of both duplicated paragraphs)
+    assert(trim(1L)._4 == 48L)
   }
 
   // ---- q304: true maximal repeated spans (r16) -----------------------------

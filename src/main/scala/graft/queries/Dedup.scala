@@ -135,6 +135,39 @@ object Dedup {
 
   private[queries] lazy val LshPairCtesSql: String = lshPairCtesFrom("documents")
 
+  /** The q303/q305 paragraph relation as a CTE chain ending in
+    * paras(src_doc, doc_id = pid, text) — the SQL twin of [[paraDups]]'s
+    * paragraph build, single-sourced across both oracles. Blank-line docs
+    * split on the real boundary (normalized like the Spark side: lower +
+    * whitespace collapse); the rest fall back to ParaW-token blocks. The
+    * pid stride mirrors [[ParaIdScale]]; DuckDB needs no overflow guard —
+    * the guard is a Spark-side fail-loud, identity on in-range data. */
+  private[queries] lazy val ParaCtesSql: String =
+    s"""bp0 AS (SELECT doc_id,
+       |    list_filter([regexp_replace(lower(trim(p)), '\\s+', ' ', 'g')
+       |                 for p in string_split_regex(text, '\\n\\s*\\n')],
+       |                p -> len(p) > 0) AS ps
+       |  FROM documents WHERE regexp_matches(text, '\\n\\s*\\n')),
+       |bd AS (SELECT doc_id, s.pi AS pi, s.t AS text
+       |  FROM (SELECT doc_id,
+       |          unnest([{'pi': i, 't': ps[i+1]} for i in range(0, len(ps))]) AS s
+       |        FROM bp0)),
+       |tkr AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+       |  FROM documents WHERE NOT regexp_matches(text, '\\n\\s*\\n')),
+       |td AS (SELECT doc_id, w, (len(w) + ${ParaW - 1}) // $ParaW AS nc
+       |       FROM tkr WHERE len(w) > 0),
+       |pex AS (SELECT doc_id, w,
+       |    unnest([{'pi': i} for i in range(0, nc)]) AS s
+       |  FROM td),
+       |blk AS (SELECT doc_id, s.pi AS pi,
+       |    array_to_string(w[s.pi*$ParaW+1 : s.pi*$ParaW+$ParaW], ' ') AS text
+       |  FROM pex),
+       |pall AS (SELECT * FROM bd UNION ALL SELECT * FROM blk),
+       |paras AS (SELECT doc_id AS src_doc, doc_id * $ParaIdScale + pi AS doc_id,
+       |    text FROM pall)""".stripMargin
+
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
   private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
@@ -160,8 +193,22 @@ object Dedup {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
   }
 
-  /** q303's paragraph width: 16-token blocks, ragged last. */
+  /** q303's fallback paragraph width: 16-token blocks, ragged last. */
   private[graft] val ParaW = 16
+
+  /** q303/q305's pid stride: pid = doc_id * 2^20 + paragraph index. 2^20
+    * paragraphs/doc ≈ 16.7M tokens at ParaW=16 — beyond it the encoding
+    * would bleed into the next doc's range, so paraDups raises rather than
+    * silently mislabeling (the r16 `weak`: a 1000 stride overflows at a
+    * routine 16k tokens). doc_id must stay under 2^42 so pid fits a Long. */
+  private[graft] val ParaIdScale: Long = 1L << 20
+  private[graft] val MaxParaDocId: Long = 1L << 42
+
+  /** Real paragraph boundary: a blank line (single newlines are
+    * intra-paragraph whitespace). Docs carrying one split on it; docs
+    * without (the fixtures — no newlines at any SF) fall back to
+    * deterministic ParaW-token blocks. */
+  private[graft] val ParaSepRe = "\\n\\s*\\n"
 
   /** q304's occurrence cap: a window hash with more corpus occurrences
     * than this is boilerplate (q287's flag owns it) and never pairs — the
@@ -172,21 +219,47 @@ object Dedup {
     * (src_doc, doc_id = pid, text) and the duplicated-pid set
     * (keep-first: of a cross-doc near-dup pair only the LATER doc's copy
     * counts — pair order d1 < d2 is doc-then-position order under the pid
-    * encoding, the q35 discipline). Caller must unpersist the returned
-    * base after materializing its outputs. */
+    * encoding, the q35 discipline). Paragraphs come from real blank-line
+    * boundaries when the doc has any ([[ParaSepRe]], text normalized the
+    * same way rawToks normalizes — lower + whitespace collapse); docs
+    * without fall back to deterministic ParaW-token blocks. The pid
+    * encoding is range-GUARDED (assert_true in the projection): a doc
+    * with >= 2^20 paragraphs or an id >= 2^42 fails loudly instead of
+    * bleeding pids into a neighboring doc's range. Caller must unpersist
+    * the returned base after materializing its outputs. */
   private def paraDups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val paras = docs
+    val hasSep = col("text").rlike(ParaSepRe)
+    val bounded = docs.filter(hasSep)
+      .select(col("doc_id"),
+        posexplode(filter(
+          transform(split(col("text"), ParaSepRe),
+            p => regexp_replace(lower(trim(p)), "\\s+", " ")),
+          p => length(p) > 0)).as(Seq("pi", "text")))
+      .select(col("doc_id"), col("pi").cast("long").as("pi"), col("text"))
+    val blocks = docs.filter(!hasSep)
       .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") > 0)
       .withColumn("pi", explode(sequence(lit(0L), expr(s"(n + ${ParaW - 1}) div $ParaW") - 1)))
-      .select(col("doc_id").as("src_doc"),
-        (col("doc_id") * 1000 + col("pi")).as("doc_id"),
+      .select(col("doc_id"), col("pi"),
         concat_ws(" ", expr(s"slice(w, CAST(pi * $ParaW + 1 AS INT), $ParaW)")).as("text"))
+    // the guard rides INSIDE the pid expression (coalesce of assert_true's
+    // null) so column pruning can never drop it; it costs two comparisons
+    // per paragraph row
+    val guard = coalesce(
+      assert_true(col("pi") < ParaIdScale &&
+        col("doc_id").between(0L, MaxParaDocId - 1),
+        concat(lit("paragraph id out of range: doc_id="),
+          col("doc_id").cast("string"), lit(" pi="), col("pi").cast("string"))
+      ).cast("long"), lit(0L))
+    val paras = bounded.unionByName(blocks)
+      .select(col("doc_id").as("src_doc"),
+        (col("doc_id") * ParaIdScale + col("pi") + guard).as("doc_id"),
+        col("text"))
       .localCheckpoint(eager = true) // consumed by minhash + the roll-ups
     val base = minhashBase(paras.select("doc_id", "text"))
     val pairs = lshPairs(base, LshBucketCap)
-      .filter(expr("d1 div 1000 <> d2 div 1000")) // cross-DOCUMENT only
+      .filter(expr(s"d1 div $ParaIdScale <> d2 div $ParaIdScale")) // cross-DOCUMENT only
     val dupP = pairs.select(col("d2").as("doc_id")).distinct()
     (paras, dupP, base)
   }
@@ -801,11 +874,13 @@ object Dedup {
     // Production LLM pipelines dedup below the document: a doc whose
     // PARAGRAPHS are mostly duplicated elsewhere should be dropped or
     // trimmed even when the whole-doc Jaccard stays under 0.7 (one fresh
-    // paragraph dilutes it). Paragraphs here are deterministic 16-token
-    // blocks (the fixture text carries no newline/punctuation boundaries);
-    // each paragraph runs the EXACT q37 machinery — minhashBase + banded,
-    // tiered-capped, Jaccard-verified lshPairs — under a synthetic
-    // paragraph id (doc_id*1000 + idx), same-doc pairs excluded
+    // paragraph dilutes it). Paragraphs are real blank-line-delimited
+    // blocks when the doc carries any (r17 — the fixture text has no
+    // newlines, so the fixtures exercise the fallback), else deterministic
+    // 16-token blocks; each paragraph runs the EXACT q37 machinery —
+    // minhashBase + banded, tiered-capped, Jaccard-verified lshPairs —
+    // under a range-guarded synthetic paragraph id
+    // (doc_id*2^20 + idx, fail-loud past the bound), same-doc pairs excluded
     // (within-doc repetition is q287's domain), then dup fractions roll
     // up per doc into a drop(>=50%)/trim(>=20%)/keep verdict. Scale: the
     // paragraph table is ~tokens/16 rows; everything downstream is the
@@ -1804,24 +1879,14 @@ object Dedup {
            |FROM st LEFT JOIN runs USING (doc_id)
            |ORDER BY st.doc_id""".stripMargin,
 
-      // q303: 16-token paragraph blocks under synthetic ids, the SHARED
-      // verbatim LSH pair chain over the paragraph relation, cross-doc
-      // pairs only, integer roll-up per source doc
+      // q303: blank-line paragraphs (block fallback) under synthetic ids,
+      // the SHARED verbatim LSH pair chain over the paragraph relation,
+      // cross-doc pairs only, integer roll-up per source doc
       "q303_para_dedup" ->
-        s"""WITH tkr AS (SELECT doc_id,
-           |    CASE WHEN length(trim(text)) = 0 THEN []
-           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
-           |  FROM documents),
-           |td AS (SELECT doc_id, w, (len(w) + 15) // 16 AS nc
-           |       FROM tkr WHERE len(w) > 0),
-           |pex AS (SELECT doc_id, w,
-           |    unnest([{'pi': i} for i in range(0, nc)]) AS s
-           |  FROM td),
-           |paras AS (SELECT doc_id AS src_doc, doc_id * 1000 + s.pi AS doc_id,
-           |    array_to_string(w[s.pi*16+1 : s.pi*16+16], ' ') AS text
-           |  FROM pex),
+        s"""WITH $ParaCtesSql,
            |${lshPairCtesFrom("paras")},
-           |cpr AS (SELECT d1, d2 FROM pr WHERE d1 // 1000 <> d2 // 1000),
+           |cpr AS (SELECT d1, d2 FROM pr
+           |        WHERE d1 // $ParaIdScale <> d2 // $ParaIdScale),
            |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
            |np AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS n_paras
            |       FROM paras GROUP BY 1),
@@ -1840,20 +1905,10 @@ object Dedup {
       // (string_agg skips the dropped NULLs; coalesce('') makes the
       // fully-dropped doc digest md5("") on both engines)
       "q305_para_trim" ->
-        s"""WITH tkr AS (SELECT doc_id,
-           |    CASE WHEN length(trim(text)) = 0 THEN []
-           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
-           |  FROM documents),
-           |td AS (SELECT doc_id, w, (len(w) + 15) // 16 AS nc
-           |       FROM tkr WHERE len(w) > 0),
-           |pex AS (SELECT doc_id, w,
-           |    unnest([{'pi': i} for i in range(0, nc)]) AS s
-           |  FROM td),
-           |paras AS (SELECT doc_id AS src_doc, doc_id * 1000 + s.pi AS doc_id,
-           |    array_to_string(w[s.pi*16+1 : s.pi*16+16], ' ') AS text
-           |  FROM pex),
+        s"""WITH $ParaCtesSql,
            |${lshPairCtesFrom("paras")},
-           |cpr AS (SELECT d1, d2 FROM pr WHERE d1 // 1000 <> d2 // 1000),
+           |cpr AS (SELECT d1, d2 FROM pr
+           |        WHERE d1 // $ParaIdScale <> d2 // $ParaIdScale),
            |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
            |mk AS (SELECT src_doc, paras.doc_id AS pid, text,
            |         CASE WHEN dup.pid IS NULL THEN 0 ELSE 1 END AS d,

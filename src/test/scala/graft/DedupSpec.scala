@@ -334,6 +334,67 @@ class DedupSpec extends SparkSpec {
     assert(trim(1L)._4 == 48L)
   }
 
+  test("paraDedup: >1000-paragraph doc — the r16 stride-1000 collision zone — labels cleanly") {
+    def para(tag: String): String = (1 to 16).map(i => s"${tag}w$i").mkString(" ")
+    val nP = 1050 // pi 1000..1049 would bleed into doc 2's pid range at stride 1000
+    val docs = Seq(
+      (1L, (0 until nP).map(i => para(s"L$i")).mkString(" ")),
+      (2L, s"${para("L0")} ${para("fresh")}") // copies doc 1's FIRST paragraph
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // keep-first: the long original keeps everything; doc 2's copy is the
+    // only duplicate in the corpus — no pid ever crosses doc ranges
+    assert(out(1L) == ((nP.toLong, 0L, 0L, "keep")), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 5000L, "drop")), s"doc 2: ${out(2L)}")
+  }
+
+  test("paraDedup: pid guard fails loudly past the doc-id bound") {
+    val docs = Seq((Dedup.MaxParaDocId, "some short text here")).toDF("doc_id", "text")
+    val e = intercept[Exception] { Dedup.paraDedup(docs).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("paragraph id out of range")),
+      s"unexpected failure: $e")
+  }
+
+  test("paraDedup/paraTrim: blank-line boundaries win over the block fallback") {
+    def words(tag: String, n: Int): String = (1 to n).map(i => s"${tag}$i").mkString(" ")
+    val pa = words("a", 10) // a 10-token paragraph, shared verbatim
+    // messy whitespace inside a paragraph: double space + single newline —
+    // both normalize to one space (single \n is NOT a boundary)
+    val messy = s"f1  f2\nf3 ${words("f", 16).split(" ").drop(3).mkString(" ")}"
+    val docs = Seq(
+      (31L, s"$pa\n\n$messy"),
+      (32L, s"${words("g", 16)}\n\n$pa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(31L) == ((2L, 0L, "keep")), s"doc 31: ${out(31L)}")
+    assert(out(32L) == ((2L, 1L, "drop")), s"doc 32: ${out(32L)}")
+
+    // the SAME content with boundaries erased: 16-token blocks never
+    // isolate the shared paragraph (Jaccard 8/14 < 0.7) — the boundary
+    // answer is strictly better, which is the point of preferring it
+    val flat = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "\\s+", " ").as("text"))
+    val blk = Dedup.paraDedup(flat).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(blk(31L) == "keep" && blk(32L) == "keep",
+      s"block fallback unexpectedly paired: $blk")
+
+    // q305 on the boundary docs: doc 32 keeps only its fresh paragraph and
+    // the digest is the md5 of the NORMALIZED kept text (lower + collapse)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val trim = Dedup.paraTrim(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(6)))).toMap
+    assert(trim(31L) == ((0L, md5hex(s"$pa ${words("f", 16)}"))), s"doc 31: ${trim(31L)}")
+    assert(trim(32L) == ((1L, md5hex(words("g", 16)))), s"doc 32: ${trim(32L)}")
+  }
+
   // ---- q304: true maximal repeated spans (r16) -----------------------------
 
   test("maximalSpans: exact planted span length; q287's run merges what q304 keeps apart") {

@@ -17,7 +17,7 @@ import graft.queries.TrainPrep
   * This main produces that cost curve, plus the BATCHED variant: per
   * pass, learn the top-B most frequent pairs that are pairwise
   * TOKEN-DISJOINT and a != b (so their leftmost-greedy merges provably
-  * cannot interact within the pass — see [[TrainPrep.bpeMergeTokens]]), then
+  * cannot interact within the pass — see [[graft.queries.TrainPrep.bpeApplyPairs]]), then
   * recount. Batching is the standard fast-trainer approximation: the
   * trajectory can diverge from pure greedy BPE exactly where the true
   * next-best pair overlaps a pair already taken this pass (those are

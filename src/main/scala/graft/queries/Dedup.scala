@@ -325,8 +325,14 @@ object Dedup {
   }
 
   /** q304's body over any (doc_id, text) frame — see the queries-map
-    * scaladoc. Diagonal runs of matching 12-token windows are EXACT
-    * maximal common substrings between two positions. */
+    * scaladoc. Diagonal runs of matching 12-token windows are exact
+    * maximal common substrings between two positions PROVIDED every
+    * constituent window stays under [[SpanOccCap]]: an over-cap window
+    * inside a genuine long span is screened out, splitting the reported
+    * run in two (over-cap boilerplate is q287's flag's job), and a 31-bit
+    * hash collision can in principle fabricate a match. Both engines
+    * share the screen and the hash, so results verify; the exactness
+    * claim holds only away from the cap boundary. */
   private[graft] def maximalSpans(docs: DataFrame): DataFrame = {
     val base = spanWindows(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // occurrence screen by a window count over the same h shuffle the
@@ -895,13 +901,15 @@ object Dedup {
     // DIFFERENT partners. This query computes the real thing: matching
     // window pairs (same 31-bit hash, occurrence-capped groups), grouped
     // by (d1, d2, offset) DIAGONALS — a maximal run of k consecutive
-    // matching windows on one diagonal is EXACTLY a maximal common
-    // substring of k+11 tokens between those two positions (one more
-    // shared token ⟺ one more matching window). Per doc: participating
-    // span count and the longest true span. Scale: pair mass is bounded
-    // by cap² per window hash (over-cap boilerplate groups are excluded —
-    // q287's flag owns those); the diagonal window is keyed by
-    // (d1, d2, off), never global.
+    // matching windows on one diagonal is a maximal common substring of
+    // k+11 tokens between those two positions (one more shared token ⟺
+    // one more matching window), exact as long as every constituent
+    // window stays under the occurrence cap (an over-cap window inside a
+    // long span splits the reported run — see maximalSpans' scaladoc).
+    // Per doc: participating span count and the longest true span.
+    // Scale: pair mass is bounded by cap² per window hash (over-cap
+    // boilerplate groups are excluded — q287's flag owns those); the
+    // diagonal window is keyed by (d1, d2, off), never global.
     "q304_maximal_spans" -> ((s: SparkSession, dir: String) =>
       maximalSpans(Tables(s, dir, "documents"))),
 
@@ -1128,10 +1136,7 @@ object Dedup {
     // the closure is maintained incrementally per ingest batch (q275's
     // star-fold), so re-splitting after an append never re-clusters the
     // corpus; q291's full CC re-run is the from-scratch reference.
-    "q292_state_split" -> ((s: SparkSession, dir: String) => {
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-split-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    "q292_state_split" -> ((s: SparkSession, dir: String) => withStateDir("graft-split-state-") { stateDir =>
       val docs = Tables(s, dir, "documents")
       val base = minhashBase(docs)
       graft.operators.ClusterState.build(
@@ -1567,11 +1572,8 @@ object Dedup {
     // is never rescanned), then probed by the delta. The final answer
     // depends only on index CONTENT, so the q244 oracle verifies the whole
     // build/append/probe path end-to-end at every sf.
-    "q246_standing_index" -> ((s: SparkSession, dir: String) => {
+    "q246_standing_index" -> ((s: SparkSession, dir: String) => withStateDir("graft-standing-index-") { idxDir =>
       val docs = Tables(s, dir, "documents")
-      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-standing-index-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       graft.operators.DedupIndex.build(
         docs.filter(col("doc_id") % 10 < 5), idxDir)
       graft.operators.DedupIndex.append(
@@ -1591,11 +1593,8 @@ object Dedup {
     // so that equivalence is hash-checked at every sf, not just
     // spec-asserted. The first production lifecycle op after append for
     // any index with takedown obligations.
-    "q270_tombstoned_index" -> ((s: SparkSession, dir: String) => {
+    "q270_tombstoned_index" -> ((s: SparkSession, dir: String) => withStateDir("graft-tombstone-index-") { idxDir =>
       val docs = Tables(s, dir, "documents")
-      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-tombstone-index-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       graft.operators.DedupIndex.build(
         docs.filter(col("doc_id") % 10 < 5), idxDir)
       graft.operators.DedupIndex.append(
@@ -1620,10 +1619,7 @@ object Dedup {
     // equivalence is hash-checked at every sf. A batch edge that bridges
     // two old clusters merges them (the losing side relabels) — the case
     // a pairwise-only index can't answer.
-    "q275_incr_clusters" -> ((s: SparkSession, dir: String) => {
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-cluster-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    "q275_incr_clusters" -> ((s: SparkSession, dir: String) => withStateDir("graft-cluster-state-") { stateDir =>
       val base = minhashBase(Tables(s, dir, "documents"))
       val old = base.filter(col("doc_id") % 10 =!= 7)
       val nw = base.filter(col("doc_id") % 10 === 7)
@@ -1659,11 +1655,9 @@ object Dedup {
     // relationally — cumulative closure, touched components, survivor
     // re-pairing under the probe cap, second closure — so the whole
     // takedown path is hash-checked at every sf.
-    "q279_cluster_takedown" -> ((s: SparkSession, dir: String) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      val hex = java.lang.Integer.toHexString(dir.hashCode)
-      val stateDir = new java.io.File(tmp, s"graft-takedown-cl-$hex").getAbsolutePath
-      val idxDir = new java.io.File(tmp, s"graft-takedown-idx-$hex").getAbsolutePath
+    "q279_cluster_takedown" -> ((s: SparkSession, dir: String) => withStateDir("graft-takedown-") { root =>
+      val stateDir = new java.io.File(root, "cl").getAbsolutePath
+      val idxDir = new java.io.File(root, "idx").getAbsolutePath
       val docs = Tables(s, dir, "documents")
       val base = minhashBase(docs)
       val old = base.filter(col("doc_id") % 10 =!= 7)

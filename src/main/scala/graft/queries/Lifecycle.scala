@@ -35,6 +35,7 @@ object Lifecycle {
         s"(((l_suppkey % 16) $divOp ${1 << b}) % 2) * ${1 << (2 * b + 1)}"
     }.mkString(" + ")
 
+
   val queries: Map[String, Q] = Map(
     // ---- keyed MERGE / upsert with last-writer-wins feed dedup -----------
     // operators/Merge: feed → one row per key by max version (one partial-
@@ -138,19 +139,18 @@ object Lifecycle {
     // the daily recount becomes a delta-sized fold.
     "q257_agg_state" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-agg-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val keys = Seq("source", "lang")
-      AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
-      AggState.append(docs.filter(col("doc_id") % 3 === 1), keys, "n_chars", stateDir)
-      AggState.append(docs.filter(col("doc_id") % 3 === 2), keys, "n_chars", stateDir)
-      AggState.merged(s, stateDir, keys)
-        .select(col("source"), col("lang"), col("n").as("n_docs"),
-          col("sum").cast("long").as("sum_chars"),
-          col("min").cast("long").as("min_chars"),
-          col("max").cast("long").as("max_chars"))
-        .orderBy("source", "lang")
+      withStateDir("graft-agg-state-") { stateDir =>
+        val keys = Seq("source", "lang")
+        AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
+        AggState.append(docs.filter(col("doc_id") % 3 === 1), keys, "n_chars", stateDir)
+        AggState.append(docs.filter(col("doc_id") % 3 === 2), keys, "n_chars", stateDir)
+        AggState.merged(s, stateDir, keys)
+          .select(col("source"), col("lang"), col("n").as("n_docs"),
+            col("sum").cast("long").as("sum_chars"),
+            col("min").cast("long").as("min_chars"),
+            col("max").cast("long").as("max_chars"))
+          .orderBy("source", "lang")
+      }
     }),
 
     // ---- standing membership state (packed Bloom filter) -----------------
@@ -166,21 +166,20 @@ object Lifecycle {
     // every scan task, and ingest cost is O(delta) forever.
     "q283_standing_bloom" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bloom-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val bucket = TrainPrep.splitBucket(col("doc_id"))
-      val toks = docs.withColumn("bucket", bucket)
-        .select(col("doc_id"), col("bucket"),
-          explode(TrainPrep.rawToks(col("text"))).as("tok"))
-      val train = toks.filter(col("bucket") < 90)
-      AggState.buildBloom(train.filter(col("doc_id") % 3 === 0), Nil, "tok", stateDir)
-      AggState.appendBloom(train.filter(col("doc_id") % 3 === 1), Nil, "tok", stateDir)
-      AggState.appendBloom(train.filter(col("doc_id") % 3 === 2), Nil, "tok", stateDir)
-      val probe = toks.filter(col("bucket") >= 95).select("tok").distinct()
-      AggState.bloomMightContain(s, stateDir, probe, Nil, "tok", "might")
-        .select(col("tok"), col("might").cast("long").as("in_train_bloom"))
-        .orderBy("tok")
+      withStateDir("graft-bloom-state-") { stateDir =>
+        val bucket = TrainPrep.splitBucket(col("doc_id"))
+        val toks = docs.withColumn("bucket", bucket)
+          .select(col("doc_id"), col("bucket"),
+            explode(TrainPrep.rawToks(col("text"))).as("tok"))
+        val train = toks.filter(col("bucket") < 90)
+        AggState.buildBloom(train.filter(col("doc_id") % 3 === 0), Nil, "tok", stateDir)
+        AggState.appendBloom(train.filter(col("doc_id") % 3 === 1), Nil, "tok", stateDir)
+        AggState.appendBloom(train.filter(col("doc_id") % 3 === 2), Nil, "tok", stateDir)
+        val probe = toks.filter(col("bucket") >= 95).select("tok").distinct()
+        AggState.bloomMightContain(s, stateDir, probe, Nil, "tok", "might")
+          .select(col("tok"), col("might").cast("long").as("in_train_bloom"))
+          .orderBy("tok")
+      }
     }),
 
     // ---- incremental SCD2 maintenance ------------------------------------
@@ -283,28 +282,27 @@ object Lifecycle {
     // point).
     "q268_agg_state_distinct" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-agg-distinct-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      def toksOf(c: org.apache.spark.sql.Column) =
-        when(length(trim(c)) === 0, array().cast("array<string>"))
-          .otherwise(split(lower(trim(c)), "\\s+"))
-      def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
-        .select(col("source"), explode(toksOf(col("text"))).as("term"))
-      AggState.buildDistinct(slice(0), Seq("source"), "term", stateDir)
-      AggState.appendDistinct(slice(1), Seq("source"), "term", stateDir)
-      AggState.appendDistinct(slice(2), Seq("source"), "term", stateDir)
-      val exact = docs
-        .select(col("source"), explode(toksOf(col("text"))).as("term"))
-        .groupBy("source")
-        .agg(countDistinct(col("term")).as("n_exact"))
-      AggState.mergedDistinct(s, stateDir, Seq("source"))
-        .join(exact, Seq("source"))
-        .select(col("source"), col("est_distinct"),
-          col("n_exact").cast("long").as("n_exact"),
-          expr("CAST((abs(est_distinct - n_exact) * 10000) DIV n_exact AS BIGINT)")
-            .as("err_bp"))
-        .orderBy("source")
+      withStateDir("graft-agg-distinct-") { stateDir =>
+        def toksOf(c: org.apache.spark.sql.Column) =
+          when(length(trim(c)) === 0, array().cast("array<string>"))
+            .otherwise(split(lower(trim(c)), "\\s+"))
+        def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+          .select(col("source"), explode(toksOf(col("text"))).as("term"))
+        AggState.buildDistinct(slice(0), Seq("source"), "term", stateDir)
+        AggState.appendDistinct(slice(1), Seq("source"), "term", stateDir)
+        AggState.appendDistinct(slice(2), Seq("source"), "term", stateDir)
+        val exact = docs
+          .select(col("source"), explode(toksOf(col("text"))).as("term"))
+          .groupBy("source")
+          .agg(countDistinct(col("term")).as("n_exact"))
+        AggState.mergedDistinct(s, stateDir, Seq("source"))
+          .join(exact, Seq("source"))
+          .select(col("source"), col("est_distinct"),
+            col("n_exact").cast("long").as("n_exact"),
+            expr("CAST((abs(est_distinct - n_exact) * 10000) DIV n_exact AS BIGINT)")
+              .as("err_bp"))
+          .orderBy("source")
+      }
     }),
 
     // ---- standing-state RETRACTION (the CDC delete half) -----------------
@@ -318,17 +316,16 @@ object Lifecycle {
     // bounds once a retraction touches a key (AggState.retract scaladoc).
     "q271_agg_state_retract" -> ((s: SparkSession, dir: String) => {
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-agg-retract-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val keys = Seq("source", "lang")
-      AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
-      AggState.append(docs.filter(col("doc_id") % 3 =!= 0), keys, "n_chars", stateDir)
-      AggState.retract(docs.filter(col("doc_id") % 7 === 3), keys, "n_chars", stateDir)
-      AggState.merged(s, stateDir, keys)
-        .select(col("source"), col("lang"), col("n").as("n_docs"),
-          col("sum").cast("long").as("sum_chars"))
-        .orderBy("source", "lang")
+      withStateDir("graft-agg-retract-") { stateDir =>
+        val keys = Seq("source", "lang")
+        AggState.build(docs.filter(col("doc_id") % 3 === 0), keys, "n_chars", stateDir)
+        AggState.append(docs.filter(col("doc_id") % 3 =!= 0), keys, "n_chars", stateDir)
+        AggState.retract(docs.filter(col("doc_id") % 7 === 3), keys, "n_chars", stateDir)
+        AggState.merged(s, stateDir, keys)
+          .select(col("source"), col("lang"), col("n").as("n_docs"),
+            col("sum").cast("long").as("sum_chars"))
+          .orderBy("source", "lang")
+      }
     }),
 
     // ---- incremental materialized JOIN view (z-set delta maintenance) ----
@@ -342,25 +339,24 @@ object Lifecycle {
     // weights, not count) — the shape a 100 TB summary table consumes a
     // maintained join through.
     "q273_incr_join_view" -> ((s: SparkSession, dir: String) => {
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-join-view-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val orders = Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          col("o_orderstatus"),
-          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
-      val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
-        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
-      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
-      ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
-      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
-      ViewState.merged(s, stateDir)
-        .groupBy("c_mktsegment", "o_orderstatus")
-        .agg(sum(col("mult")).cast("long").as("n_orders"),
-          sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
-        .orderBy("c_mktsegment", "o_orderstatus")
+      withStateDir("graft-join-view-") { stateDir =>
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+          cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
+        ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
+        ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
+        ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
+        ViewState.merged(s, stateDir)
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(sum(col("mult")).cast("long").as("n_orders"),
+            sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      }
     }),
 
     // ---- view maintenance under DELETES (retraction through the join) ----
@@ -371,29 +367,28 @@ object Lifecycle {
     // Oracle = the join over the SURVIVORS, so grown-with-deletes ≡
     // scratch-on-survivors is hash-checked at every sf.
     "q274_view_retract" -> ((s: SparkSession, dir: String) => {
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-view-retract-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val orders = Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          col("o_orderstatus"),
-          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
-      val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
-        cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
-      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
-      ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
-      ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
-      // takedowns: only rows previously ingested (both filters partition
-      // the full input, so the %5 / %7 slices were all added above)
-      ViewState.retractLeft(s, orders.filter(col("o_orderkey") % 5 === 0), stateDir)
-      ViewState.retractRight(s, cust.filter(col("custkey") % 7 === 3), stateDir)
-      ViewState.merged(s, stateDir)
-        .groupBy("c_mktsegment", "o_orderstatus")
-        .agg(sum(col("mult")).cast("long").as("n_orders"),
-          sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
-        .orderBy("c_mktsegment", "o_orderstatus")
+      withStateDir("graft-view-retract-") { stateDir =>
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        ViewState.build(orders.filter(col("o_orderkey") % 3 === 0),
+          cust.filter(col("custkey") % 2 === 0), Seq("custkey"), stateDir)
+        ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 1), stateDir)
+        ViewState.appendRight(s, cust.filter(col("custkey") % 2 === 1), stateDir)
+        ViewState.appendLeft(s, orders.filter(col("o_orderkey") % 3 === 2), stateDir)
+        // takedowns: only rows previously ingested (both filters partition
+        // the full input, so the %5 / %7 slices were all added above)
+        ViewState.retractLeft(s, orders.filter(col("o_orderkey") % 5 === 0), stateDir)
+        ViewState.retractRight(s, cust.filter(col("custkey") % 7 === 3), stateDir)
+        ViewState.merged(s, stateDir)
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(sum(col("mult")).cast("long").as("n_orders"),
+            sum(col("o_cents") * col("mult")).cast("long").as("sum_cents"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      }
     }),
 
     // ---- composed IVM: a summary table maintained over a maintained join -
@@ -407,11 +402,9 @@ object Lifecycle {
     // the from-scratch aggregate over the join of the survivors, so the
     // WHOLE chain — delta join, delta routing, partial-aggregate fold —
     // is hash-checked end to end at every sf.
-    "q278_incr_rollup" -> ((s: SparkSession, dir: String) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      val hex = java.lang.Integer.toHexString(dir.hashCode)
-      val vDir = new java.io.File(tmp, s"graft-rollup-view-$hex").getAbsolutePath
-      val aDir = new java.io.File(tmp, s"graft-rollup-agg-$hex").getAbsolutePath
+    "q278_incr_rollup" -> ((s: SparkSession, dir: String) => withStateDir("graft-rollup-") { root =>
+      val vDir = new java.io.File(root, "view").getAbsolutePath
+      val aDir = new java.io.File(root, "agg").getAbsolutePath
       val keys = Seq("c_mktsegment")
       val orders = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("custkey"),
@@ -486,11 +479,8 @@ object Lifecycle {
     // reproduces the same union from the base table, so the reconciled
     // semantics (not just the IO) are hash-checked. Generation writes are
     // deterministic slices — rerunning the query rewrites identical data.
-    "q263_schema_drift" -> ((s: SparkSession, dir: String) => {
+    "q263_schema_drift" -> ((s: SparkSession, dir: String) => withStateDir("graft-schema-drift-") { tmp =>
       val orders = Tables(s, dir, "orders")
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-schema-drift-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
         .write.mode("overwrite").parquet(s"$tmp/gen=1")

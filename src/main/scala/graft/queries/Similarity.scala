@@ -148,13 +148,10 @@ object Similarity {
     // first slice is never rescanned), then the q51 query set probes the
     // standing table. The answer depends only on index CONTENT, so q51's
     // own oracle verifies the whole build/append/probe path at every sf.
-    "q253_ann_index" -> ((s: SparkSession, dir: String) => {
+    "q253_ann_index" -> ((s: SparkSession, dir: String) => withStateDir("graft-ann-index-") { idxDir =>
       val e = Tables(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-ann-index-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       graft.operators.AnnIndex.build(e.filter(col("vec_id") % 10 < 5), cent, idxDir)
       graft.operators.AnnIndex.append(s, e.filter(col("vec_id") % 10 >= 5), idxDir)
       graft.operators.AnnIndex.probe(s,
@@ -328,12 +325,9 @@ object Similarity {
     // rebuilds the identical pipeline relationally (q51's assignment ∩
     // q99's ADC chain ∩ q247's re-rank), so IVF pruning, compressed
     // scoring and the refine stage are all hash-checked together.
-    "q267_ivfpq_index" -> ((s: SparkSession, dir: String) => {
+    "q267_ivfpq_index" -> ((s: SparkSession, dir: String) => withStateDir("graft-ivfpq-index-") { idxDir =>
       import graft.operators.AnnIndex
       val e = Tables(s, dir, "embeddings")
-      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-ivfpq-index-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
       val cw = e.filter(col("vec_id") < 4)

@@ -1795,14 +1795,11 @@ object Stats {
     // applied to a quantile sketch), and the merged read walks the folded
     // cumulative histogram. The oracle is q219's from-scratch SQL
     // verbatim, so incremental ≡ rebuild is the correctness gate itself.
-    "q269_agg_state_quantiles" -> ((s: SparkSession, dir: String) => {
+    "q269_agg_state_quantiles" -> ((s: SparkSession, dir: String) => withStateDir("graft-agg-hist-") { stateDir =>
       import graft.operators.AggState
       val li = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
           expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-agg-hist-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       def slice(r: Int) = li.filter(col("l_orderkey") % 3 === r)
       AggState.buildHist(slice(0), Seq("l_returnflag"), "cents", stateDir)
       AggState.appendHist(slice(1), Seq("l_returnflag"), "cents", stateDir)
@@ -1819,14 +1816,11 @@ object Stats {
     // SQL restricted to survivors, so grown-with-retractions ≡
     // scratch-on-survivors is hash-checked in the gate (the q264/q270
     // equivalence discipline).
-    "q272_hist_retract" -> ((s: SparkSession, dir: String) => {
+    "q272_hist_retract" -> ((s: SparkSession, dir: String) => withStateDir("graft-agg-hist-retract-") { stateDir =>
       import graft.operators.AggState
       val li = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
           expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-agg-hist-retract-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       AggState.buildHist(li.filter(col("l_orderkey") % 3 === 0),
         Seq("l_returnflag"), "cents", stateDir)
       AggState.appendHist(li.filter(col("l_orderkey") % 3 =!= 0),

@@ -564,12 +564,9 @@ object Text {
     // table, not the documents. Scoring is q109's BM25 verbatim over the
     // state-derived tf/df/dl, and the oracle IS q109's from-scratch SQL:
     // the incremental-index ≡ full-rescan equivalence is hash-checked.
-    "q280_incr_bm25" -> ((s: SparkSession, dir: String) => {
+    "q280_incr_bm25" -> ((s: SparkSession, dir: String) => withStateDir("graft-bm25-state-") { stateDir =>
       import graft.operators.AggState
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bm25-state-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       val keys = Seq("doc_id", "term")
       def postings(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -602,12 +599,9 @@ object Text {
     // re-derived from the post-takedown df — the oracle builds the
     // survivor index from scratch, so grown-minus-retracted ≡
     // survivors-only is hash-checked end to end.
-    "q281_bm25_takedown" -> ((s: SparkSession, dir: String) => {
+    "q281_bm25_takedown" -> ((s: SparkSession, dir: String) => withStateDir("graft-bm25-takedown-") { stateDir =>
       import graft.operators.AggState
       val docs = Tables(s, dir, "documents")
-      val stateDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bm25-takedown-" +
-          java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
       val keys = Seq("doc_id", "term")
       def postings(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), explode(toks(col("text"))).as("term"))

@@ -896,7 +896,8 @@ object TrainPrep {
     // unit pairs over the whole corpus, picks the most frequent (count
     // DESC, pair ASC tie-break), and applies the merge LEFTMOST-GREEDY
     // non-overlapping — exactly the sequential BPE rule, applied PER ROW
-    // as array algebra ([[bpeMergeTokens]]): the greedy recurrence
+    // as array algebra ([[bpeApplyPairs]] / the native
+    // [[org.apache.spark.sql.graft.BpeMerge]] scan): the greedy recurrence
     // mh(i) = match(i) AND NOT mh(i-1) folds within each bounded document,
     // never across the corpus. Verified against a driver-side greedy
     // reference per doc at all 3 SFs (TrainingSpec).

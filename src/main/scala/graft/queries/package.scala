@@ -19,4 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 package object queries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Unique per-invocation standing-state directory with cleanup-after-pin
+    * (q300's r16 pattern, made the shared idiom in r17): build the query's
+    * final frame against a fresh `Files.createTempDirectory` path, PIN the
+    * output with an eager localCheckpoint (until then the frame lazily
+    * reads the state files), then delete the directory. The previous fixed
+    * hashCode-keyed tmp paths raced concurrent runs against the same sfDir
+    * on build/append/merged and leaked state across runs. */
+  private[queries] def withStateDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    try f(p.toAbsolutePath.toString).localCheckpoint(eager = true)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+  }
 }

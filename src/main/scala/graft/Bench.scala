@@ -416,7 +416,9 @@ object Bench {
     // r16's own queries, appended LAST so the driver's tail capture (which
     // keeps the END of the core line) always retains the newest families
     "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans",
-    "q305_para_trim")
+    "q305_para_trim",
+    // r17: the batched-BPE gate query (superset rule: append-only)
+    "q306_bpe_batch")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

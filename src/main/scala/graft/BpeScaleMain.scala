@@ -15,10 +15,10 @@ import graft.queries.TrainPrep
   * full adjacent-pair-count shuffle + a per-doc mark/rebuild + exactly one
   * collected row — a round-count axis the tier table had never measured.
   * This main produces that cost curve, plus the BATCHED variant: per
-  * pass, learn the top-B most frequent pairs that are pairwise
-  * TOKEN-DISJOINT and a != b (so their leftmost-greedy merges provably
-  * cannot interact within the pass — see [[graft.queries.TrainPrep.bpeApplyPairs]]), then
-  * recount. Batching is the standard fast-trainer approximation: the
+  * pass, learn the top-B most frequent pairs with pairwise-disjoint
+  * FOOTPRINTS {a, b, "a b"} and a != b (so their leftmost-greedy merges
+  * provably cannot interact within the pass — see
+  * [[graft.queries.TrainPrep.bpeApplyPairs]]), then recount. Batching is the standard fast-trainer approximation: the
   * trajectory can diverge from pure greedy BPE exactly where the true
   * next-best pair overlaps a pair already taken this pass (those are
   * deferred to the next pass, never misapplied), in exchange for
@@ -120,16 +120,12 @@ object BpeScaleMain {
     while (merges.size < targetMerges) {
       val t0 = System.nanoTime()
       val want = math.min(perPass, targetMerges - merges.size)
-      val cand = TrainPrep.bpeTopPairs(cur, perPass * 4)
-      val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      val used = scala.collection.mutable.HashSet.empty[String]
-      cand.iterator
-        .filter { case (a, b, _) => a != b }
-        .foreach { case (a, b, _) =>
-          if (taken.size < want && !used(a) && !used(b)) {
-            taken += ((a, b)); used += a; used += b
-          }
-        }
+      // shared selection (TrainPrep.bpeSelectBatch): greedy over rank with
+      // the FOOTPRINT rule — a candidate whose token equals another take's
+      // merged output (or vice versa) is deferred, closing the r16 advice
+      // gap where {(a,b), (x,"a b")} passed the token-only screen
+      val taken = TrainPrep.bpeSelectBatch(
+        TrainPrep.bpeTopPairs(cur, perPass * 4), want)
       require(taken.nonEmpty, "batched: no applicable pair left")
       merges ++= taken.map { case (a, b) => s"$a $b" }
       cur = step(TrainPrep.bpeApplyPairs(cur, taken.toSeq))

@@ -172,7 +172,11 @@ object ScaleMain {
     // dedup queries (paragraph LSH roll-up; diagonal-run maximal spans,
     // whose pair mass is cap²-bounded per window hash)
     "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans",
-    "q305_para_trim")
+    "q305_para_trim",
+    // r17: batched BPE under the gate — 8 merges in 2 passes; per pass one
+    // pair-count shuffle + one map-only scan, so the tier cost is ~2/8 of
+    // greedy's at the same merge count (BpeScaleMain's measured trade)
+    "q306_bpe_batch")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

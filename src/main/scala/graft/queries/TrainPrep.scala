@@ -1010,8 +1010,73 @@ object TrainPrep {
         .localCheckpoint(eager = true)
       test.unpersist(blocking = true)
       out
+    }),
+
+    // ---- BATCHED BPE merges (the production trainer path, r17) -----------
+    // BpeScaleMain's cost model names batched top-B token-disjoint merges
+    // the production path (~8x less wall per merge at 81% of the token
+    // savings) — this puts its SEMANTICS under the oracle gate, not just
+    // specs. Two passes, B = 4 per pass: rank adjacent pairs (count DESC,
+    // pair ASC), scan the top 16 candidates in rank order and take up to 4
+    // whose footprints {a, b, "a b"} are pairwise disjoint with a != b
+    // ([[bpeSelectBatch]] — the skipped overlappers defer to pass 2), then
+    // apply the whole batch in ONE native map-only scan. Disjointness
+    // makes two ADJACENT positions unable to both match (b1 = a2 would
+    // share a token), so no greedy recurrence is needed within a pass —
+    // which is exactly why one pass equals sequential composition in any
+    // order, and why the oracle can mark matches with a plain join
+    // instead of the parity window. The oracle re-derives each pass's
+    // ranked candidates AND the greedy disjoint selection itself (chained
+    // min-rank CTEs — the q290/q299 unrolled-trajectory pattern), so the
+    // batch choice is hash-checked, not trusted. Per-doc ledger: sizes
+    // before/between/after (each applied merge shortens a doc by exactly
+    // 1) plus the chosen batches on every row.
+    "q306_bpe_batch" -> ((s: SparkSession, dir: String) => {
+      val DISK = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      var cur = Tables(s, dir, "documents")
+        .select(col("doc_id"), rawToks(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .persist(DISK)
+      val sizes = scala.collection.mutable.ArrayBuffer(
+        cur.select(col("doc_id"), size(col("w")).cast("long").as("s0"))
+          .localCheckpoint(eager = true))
+      val batches = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (k <- 1 to BpeBatchPasses) {
+        val taken = bpeSelectBatch(bpeTopPairs(cur, BpeBatchCandCap), BpeBatchB)
+        require(taken.nonEmpty, s"q306: no applicable pair in pass $k")
+        batches += taken.map { case (a, b) => s"$a $b" }.mkString("|")
+        if (k < BpeBatchPasses) {
+          val nxt = bpeApplyPairs(cur, taken).persist(DISK)
+          sizes += nxt
+            .select(col("doc_id"), size(col("w")).cast("long").as(s"s$k"))
+            .localCheckpoint(eager = true)
+          cur.unpersist(blocking = true)
+          cur = nxt
+        } else {
+          // the last pass's sequences have no reader beyond the ledger
+          sizes += bpeApplyPairs(cur, taken)
+            .select(col("doc_id"), size(col("w")).cast("long").as(s"s$k"))
+            .localCheckpoint(eager = true)
+          cur.unpersist(blocking = true)
+        }
+      }
+      sizes.reduce((a, b) => a.join(b, Seq("doc_id")))
+        .select(col("doc_id"), col("s0").as("n0"),
+          (col("s0") - col("s1")).as("m1"),
+          (col("s1") - col("s2")).as("m2"),
+          col("s2").as("n_final"),
+          lit(batches(0)).as("b1"), lit(batches(1)).as("b2"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q306's fixed shape: 2 passes of up to B = 4 merges selected from the
+    * top 16 ranked candidates — small enough to unroll in the oracle,
+    * large enough that pass 2's candidates contain pass-1 merged tokens
+    * (the footprint rule's reason to exist). */
+  private[graft] val BpeBatchPasses = 2
+  private[graft] val BpeBatchB = 4
+  private[graft] val BpeBatchCandCap = 16
 
   /** The r16 row-wise BPE merge pass: apply `prs` leftmost-greedy
     * non-overlapping to each token array IN PLACE via the native codegen'd
@@ -1031,9 +1096,16 @@ object TrainPrep {
     if (prs.size > 1) {
       require(prs.forall { case (a, b) => a != b },
         "bpeApplyPairs: a = b pairs must be applied alone")
-      val toks = prs.flatMap { case (a, b) => Seq(a, b) }
-      require(toks.distinct.size == toks.size,
-        "bpeApplyPairs: batched pairs must be token-disjoint")
+      // the FOOTPRINT rule (r17, closing the r16 advice gap): not just the
+      // pair tokens but each pair's merged OUTPUT ("a b") must be disjoint
+      // across the batch — {(a,b), (x,"a b")} has four distinct tokens yet
+      // merging (a,b) creates "a b" tokens mid-scan, so a single pass
+      // diverges from sequential composition. Within one pair a/b/"a b"
+      // are automatically distinct given a != b.
+      val strs = prs.flatMap { case (a, b) => Seq(a, b, a + " " + b) }
+      require(strs.distinct.size == strs.size,
+        "bpeApplyPairs: batched pairs must be token-disjoint, " +
+          "including every pair's merged output")
     }
     cur.select(col("doc_id"),
       org.apache.spark.sql.graft.TextHashes.bpe_merge(col("w"), prs).as("w"))
@@ -1060,6 +1132,27 @@ object TrainPrep {
       .getOrElse(sys.error(
         "bpeTopPair: no adjacent pairs in corpus/split (every doc < 2 tokens?)"))
     (top.getString(0), top.getString(1))
+  }
+
+  /** Greedy batch selection over a rank-ordered candidate list (count
+    * DESC, pair ASC — [[bpeTopPairs]]' order): scan in rank, take up to
+    * `b` pairs whose FOOTPRINT {a, b, "a b"} is disjoint from every
+    * already-taken pair's footprint (and a != b) — exactly
+    * [[bpeApplyPairs]]' batch contract, so a selected batch always
+    * passes its require. Skipped pairs are deferred to the next pass,
+    * never misapplied. Shared by q306 and BpeScaleMain so the oracle,
+    * the gate query and the measurement harness select identically. */
+  private[graft] def bpeSelectBatch(cand: Seq[(String, String, Long)],
+      b: Int): Seq[(String, String)] = {
+    val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    def fp(a: String, bb: String) = Seq(a, bb, a + " " + bb)
+    cand.foreach { case (a, bb, _) =>
+      if (taken.size < b && a != bb && fp(a, bb).forall(!used(_))) {
+        taken += ((a, bb)); used ++= fp(a, bb)
+      }
+    }
+    taken.toSeq
   }
 
   /** [[bpeTopPair]]'s top-K form for the batched trainer (BpeScaleMain):
@@ -1194,6 +1287,62 @@ object TrainPrep {
        |  FROM um$k),
        |u$k AS (SELECT doc_id, list(tok2 ORDER BY pos) AS w
        |        FROM ur$k WHERE dropped = 0 GROUP BY doc_id)""".stripMargin
+  }
+
+  /** One unrolled BATCHED pass of the q306 oracle: from t(k-1)(doc_id, w)
+    * rank the adjacent pairs (count DESC, pair ASC, capped at `cap`
+    * candidates — mirroring [[bpeTopPairs]]' driver window), re-derive the
+    * greedy disjoint selection as chained min-rank CTEs (each s{k}_n = the
+    * lowest-ranked a != b candidate whose footprint {pa, pb, pa||' '||pb}
+    * avoids every earlier take — [[bpeSelectBatch]]'s scan, relationally),
+    * then apply the whole batch with a plain pair join: footprint
+    * disjointness makes adjacent double-matches impossible (b1 = a2 would
+    * share a token), so no parity recurrence is needed within a pass. */
+  private def bpeBatchSql(k: Int, b: Int, cap: Int): String = {
+    val p = k - 1
+    def ov(acc: String): String =
+      s"""NOT EXISTS (SELECT 1 FROM $acc t
+         |      WHERE c.pa IN (t.pa, t.pb, t.pa || ' ' || t.pb)
+         |         OR c.pb IN (t.pa, t.pb, t.pa || ' ' || t.pb)
+         |         OR (c.pa || ' ' || c.pb) IN (t.pa, t.pb, t.pa || ' ' || t.pb))""".stripMargin
+    val sel = (2 to b).map { n =>
+      val acc = s"a${k}_${n - 1}"
+      val accNext =
+        if (n == b) s"tb$k AS (SELECT * FROM $acc UNION ALL SELECT * FROM s${k}_$n)"
+        else s"a${k}_$n AS (SELECT * FROM $acc UNION ALL SELECT * FROM s${k}_$n)"
+      s""",
+         |s${k}_$n AS (SELECT c.pa, c.pb, c.rn FROM cd$k c
+         |  WHERE c.pa <> c.pb AND ${ov(acc)}
+         |  ORDER BY c.rn LIMIT 1),
+         |$accNext""".stripMargin
+    }.mkString
+    s""",
+       |e$k AS (SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |        FROM t$p)),
+       |x$k AS (SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM e$k),
+       |pc$k AS (SELECT tok AS pa, nxt AS pb, count(*) AS cnt FROM x$k
+       |  WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+       |cd$k AS (SELECT pa, pb, rn FROM
+       |  (SELECT pa, pb, row_number() OVER (ORDER BY cnt DESC, pa, pb) AS rn
+       |   FROM pc$k) WHERE rn <= $cap),
+       |s${k}_1 AS (SELECT pa, pb, rn FROM cd$k WHERE pa <> pb
+       |  ORDER BY rn LIMIT 1),
+       |a${k}_1 AS (SELECT * FROM s${k}_1)$sel,
+       |bm$k AS (SELECT x.doc_id, x.pos, x.tok,
+       |    CASE WHEN t.pa IS NOT NULL THEN 1 ELSE 0 END AS mh,
+       |    t.pa AS mpa, t.pb AS mpb
+       |  FROM x$k x LEFT JOIN tb$k t ON x.tok = t.pa AND x.nxt = t.pb),
+       |br$k AS (SELECT doc_id, pos,
+       |    CASE WHEN mh = 1 THEN mpa || ' ' || mpb ELSE tok END AS tok2, mh,
+       |    coalesce(lag(mh) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS dropped
+       |  FROM bm$k),
+       |c$k AS (SELECT doc_id, CAST(sum(mh) AS BIGINT) AS m FROM br$k GROUP BY doc_id),
+       |t$k AS (SELECT doc_id, list(tok2 ORDER BY pos) AS w
+       |        FROM br$k WHERE dropped = 0 GROUP BY doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1732,6 +1881,25 @@ object TrainPrep {
          |  (SELECT pa || ' ' || pb FROM p2) AS p2,
          |  (SELECT pa || ' ' || pb FROM p3) AS p3
          |FROM u0 JOIN u3 ON u0.doc_id = u3.doc_id
-         |ORDER BY u0.doc_id""".stripMargin)
+         |ORDER BY u0.doc_id""".stripMargin),
+
+    "q306_bpe_batch" ->
+      ("""WITH tk0 AS (SELECT doc_id,
+         |   CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+         | FROM documents),
+         |t0 AS (SELECT doc_id, w FROM tk0 WHERE len(w) > 0)""".stripMargin
+        + bpeBatchSql(1, BpeBatchB, BpeBatchCandCap)
+        + bpeBatchSql(2, BpeBatchB, BpeBatchCandCap) +
+        """
+         |SELECT t0.doc_id, CAST(len(t0.w) AS BIGINT) AS n0,
+         |  CAST(coalesce(c1.m, 0) AS BIGINT) AS m1,
+         |  CAST(coalesce(c2.m, 0) AS BIGINT) AS m2,
+         |  CAST(len(t0.w) - coalesce(c1.m, 0) - coalesce(c2.m, 0)
+         |       AS BIGINT) AS n_final,
+         |  (SELECT string_agg(pa || ' ' || pb, '|' ORDER BY rn) FROM tb1) AS b1,
+         |  (SELECT string_agg(pa || ' ' || pb, '|' ORDER BY rn) FROM tb2) AS b2
+         |FROM t0 LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id)
+         |ORDER BY t0.doc_id""".stripMargin)
   )
 }

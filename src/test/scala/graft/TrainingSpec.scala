@@ -175,6 +175,60 @@ class TrainingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainPrep.bpeApplyPairs(cur, Seq(("z", "z"), ("a", "b")))
     }
+    // the r17 FOOTPRINT guard: all four tokens distinct, yet merging
+    // (a, b) creates "a b" tokens mid-scan that (x, "a b") targets — a
+    // single pass would diverge from sequential composition
+    intercept[IllegalArgumentException] {
+      TrainPrep.bpeApplyPairs(cur, Seq(("a", "b"), ("x", "a b")))
+    }
+    intercept[IllegalArgumentException] { // the mirror direction
+      TrainPrep.bpeApplyPairs(cur, Seq(("x", "a b"), ("a", "b")))
+    }
+  }
+
+  test("bpeSelectBatch: greedy rank scan defers footprint collisions, never misapplies") {
+    // rank order: (a,b) taken; (x,"a b") collides with take 1's merged
+    // output; ("a b",y) likewise; (b,q) shares a token; (z,z) skipped;
+    // (c,d) clean — selection = [(a,b), (c,d)], capped at B
+    val cand = Seq(
+      ("a", "b", 10L), ("x", "a b", 9L), ("a b", "y", 8L),
+      ("b", "q", 7L), ("z", "z", 6L), ("c", "d", 5L), ("e", "f", 4L))
+    assert(TrainPrep.bpeSelectBatch(cand, 2) == Seq(("a", "b"), ("c", "d")))
+    assert(TrainPrep.bpeSelectBatch(cand, 3) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // a selected batch always satisfies bpeApplyPairs' require
+    import spark.implicits._
+    val cur = Seq((1L, "a b c d e f x y q z z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+    TrainPrep.bpeApplyPairs(cur, TrainPrep.bpeSelectBatch(cand, 4)).collect()
+  }
+
+  test("q306: batched passes equal sequential composition; ledger reconciles; batches ride rows") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("q306_bpe_batch")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val b1 = out.head.getString(5); val b2 = out.head.getString(6)
+    assert(out.forall(r => r.getString(5) == b1 && r.getString(6) == b2))
+    val batch1 = b1.split('|').toSeq.map { s =>
+      val Array(a, b) = s.split(' ') // pass-1 tokens carry no spaces
+      (a, b)
+    }
+    assert(batch1.nonEmpty && batch1.size <= TrainPrep.BpeBatchB)
+    out.foreach { r =>
+      val (n0, m1, m2, nf) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m1 >= 0 && m2 >= 0 && nf == n0 - m1 - m2, s"ledger: $r")
+    }
+    // pass 1's batch applied as ONE scan == applied pair-by-pair in order
+    val cur = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    def collectW(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val once = collectW(TrainPrep.bpeApplyPairs(cur, batch1))
+    val composed = collectW(
+      batch1.foldLeft(cur)((d, p) => TrainPrep.bpeApplyPairs(d, Seq(p))))
+    assert(once == composed, "pass-1 batch must equal its sequential composition")
   }
 
   test("bpeMergeTokens: a = b takes the fold path — even run offsets, leftmost-greedy") {

@@ -164,4 +164,55 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
     // minimal sanity: every query answered with a full top-5
     assert(a.groupBy(_.head).forall(_._2.size == 5))
   }
+
+  // ---- r17: recall/fit decay under a drifted append ------------------------
+
+  test("drift audit: planted orthogonal drift fires the reindex trigger; rebuild restores fit") {
+    import spark.implicits._
+    // base (even ids): tight clusters on the e1/e2 axes — the frozen
+    // quantizer (even ids < 16) fits them near-perfectly. Odd ids hold
+    // NEGATIVE axis vectors: after the affine shift (x*0.5 + 0.25) they
+    // point near the all-ones direction, far from every one-hot centroid.
+    def axis(d: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == d) v else 0.0f)
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, axis(if (i % 4 == 0) 0 else 1, 1.0f + (i % 8) * 0.01f))
+      else (i.toLong, axis(if (i % 4 == 1) 0 else 1, -1.0f))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val rep = graft.queries.Similarity.annDriftReport(spark, e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val baseR = rep("base"); val driftR = rep("drift")
+    // the drifted slice fits the frozen quantizer far worse than the base
+    assert(baseR.getLong(2) > 9000, s"base fit: $baseR")  // mean_assign_e4
+    assert(driftR.getLong(2) < baseR.getLong(2) - 1000, s"drift fit: $driftR")
+    assert(baseR.getLong(8) == 1L && driftR.getLong(8) == 1L, "reindex_advised must fire")
+    assert(baseR.getLong(7) == driftR.getLong(7), "drop_e4 is index-level")
+
+    // the retrain trigger's payoff: REBUILDING with drift-aware centroids
+    // (one exemplar per slice) restores the drifted slice's assignment fit
+    val drifted = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * 0.5 + 0.25).cast("float")).as("embedding"))
+    val cent2 = e.filter(col("vec_id") === 0).unionByName(drifted.filter(col("vec_id") === 1))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val fit = drifted
+      .join(broadcast(cent2))
+      .withColumn("ascore",
+        org.apache.spark.sql.graft.CosineSimilarity.cosine_sim(col("centv"), col("embedding")))
+      .groupBy("vec_id").agg(max("ascore").as("best"))
+      .agg(avg("best")).head().getDouble(0)
+    assert(fit > driftR.getLong(2) / 10000.0 + 0.05,
+      s"retrained fit $fit must beat the frozen quantizer's ${driftR.getLong(2)}")
+  }
+
+  test("drift audit: fixture report matches shape and the flag fires at sf0.001") {
+    val rep = SparkEntry.queries("q307_ann_drift")(spark, dir).collect()
+    assert(rep.length == 2)
+    val m = rep.map(r => r.getString(0) -> r).toMap
+    assert(m("drift").getLong(2) < m("base").getLong(2), "drifted slice must fit worse")
+    assert(m("drift").getLong(3) <= m("base").getLong(3), "centroid usage collapses")
+    assert(m("base").getLong(8) == 1L, "the fixture drift fires the trigger")
+  }
 }

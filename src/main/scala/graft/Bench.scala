@@ -417,9 +417,9 @@ object Bench {
     // keeps the END of the core line) always retains the newest families
     "q302_ppl_cutoffs", "q303_para_dedup", "q304_maximal_spans",
     "q305_para_trim",
-    // r17: the batched-BPE gate query and the ANN drift audit
-    // (superset rule: append-only)
-    "q306_bpe_batch", "q307_ann_drift")
+    // r17: the batched-BPE gate query, the ANN drift audit and the span
+    // cap-loss audit (superset rule: append-only)
+    "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

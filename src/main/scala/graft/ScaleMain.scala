@@ -175,8 +175,10 @@ object ScaleMain {
     "q305_para_trim",
     // r17: batched BPE under the gate — 8 merges in 2 passes; per pass one
     // pair-count shuffle + one map-only scan, so the tier cost is ~2/8 of
-    // greedy's at the same merge count (BpeScaleMain's measured trade)
-    "q306_bpe_batch")
+    // greedy's at the same merge count (BpeScaleMain's measured trade) —
+    // and the q304 cap-loss audit, whose capped band only materializes on
+    // replicated tiers (the fixtures never exceed 32 occurrences)
+    "q306_bpe_batch", "q308_span_cap_audit")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -922,6 +922,38 @@ object Dedup {
     "q305_para_trim" -> ((s: SparkSession, dir: String) =>
       paraTrim(Tables(s, dir, "documents"))),
 
+    // ---- q304's cap-loss audit (r17) --------------------------------------
+    // SpanOccCap = 32 keeps q304's pair mass <= cap² per window hash, but
+    // whatever sits in over-cap groups never pairs — an interior over-cap
+    // window inside a genuine long span splits its reported run. This
+    // audit MEASURES that exclusion: window hashes banded into
+    // unique (c = 1, never pairs by definition), pairable (2..cap) and
+    // capped (> cap), with per-band hash/window counts, the window-mass
+    // share in basis points, and the would-be pair mass c*(c-1)/2 — the
+    // quadratic cost the cap refuses (q287's boilerplate flag owns that
+    // content instead). One groupBy(h) + a 3-row fold; the number that
+    // decides whether the cap needs q37's tiered-rekey treatment lives in
+    // SCALE.md per tier.
+    "q308_span_cap_audit" -> ((s: SparkSession, dir: String) => {
+      spanWindows(Tables(s, dir, "documents"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .withColumn("band",
+          when(col("c") === 1, lit("unique"))
+            .when(col("c") <= SpanOccCap, lit("pairable"))
+            .otherwise(lit("capped")))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_hashes"),
+          sum("c").as("n_windows"),
+          sum(expr("c * (c - 1) div 2")).as("pair_mass"))
+        .withColumn("win_bp",
+          expr("(n_windows * 10000) div sum(n_windows) OVER ()"))
+        .select(col("band"), col("n_hashes").cast("long").as("n_hashes"),
+          col("n_windows").cast("long").as("n_windows"),
+          col("pair_mass").cast("long").as("pair_mass"),
+          col("win_bp").cast("long").as("win_bp"))
+        .orderBy("band")
+    }),
+
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
     // actually exercised on a corpus with real duplicates.
@@ -1955,6 +1987,31 @@ object Dedup {
            |SELECT alld.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
            |  CAST(coalesce(max_span_tokens, 0) AS BIGINT) AS max_span_tokens
            |FROM alld LEFT JOIN agg USING (doc_id) ORDER BY alld.doc_id""".stripMargin,
+
+      // q308: q304's window build + per-hash counts banded by the cap;
+      // pair_mass = c*(c-1)/2 per band is the quadratic work the cap
+      // accepts (pairable) vs refuses (capped)
+      "q308_span_cap_audit" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, s.i AS pos,
+           |    ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 2147483647 AS h
+           |  FROM (SELECT doc_id, unnest([{'i': i, 'g': $gram12Cat}
+           |          for i in range(1, len(w) - 10)]) AS s
+           |        FROM tk WHERE len(w) >= 12)),
+           |ph AS (SELECT h, count(*) AS c FROM g0 GROUP BY h),
+           |b AS (SELECT CASE WHEN c = 1 THEN 'unique'
+           |                  WHEN c <= $SpanOccCap THEN 'pairable'
+           |                  ELSE 'capped' END AS band, c FROM ph),
+           |a AS (SELECT band, CAST(count(*) AS BIGINT) AS n_hashes,
+           |        CAST(sum(c) AS BIGINT) AS n_windows,
+           |        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_mass
+           |      FROM b GROUP BY band)
+           |SELECT band, n_hashes, n_windows, pair_mass,
+           |  CAST((n_windows * 10000) // sum(n_windows) OVER () AS BIGINT) AS win_bp
+           |FROM a ORDER BY band""".stripMargin,
 
       // grown-labels ≡ from-scratch closure over the CUMULATIVE edge set:
       // corpus-slice tiered pairs ∪ batch-slice tiered pairs ∪ the

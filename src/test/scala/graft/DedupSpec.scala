@@ -424,6 +424,35 @@ class DedupSpec extends SparkSpec {
     assert(spans(22L) == ((1L, 12L)), s"doc 22: ${spans(22L)}")
   }
 
+  test("q308: cap bands partition the window mass; a planted 33x window lands in capped") {
+    val dir = sf("sf0.001")
+    val df = SparkEntry.queries("q308_span_cap_audit")(spark, dir)
+    assert(df.columns.toSeq ==
+      Seq("band", "n_hashes", "n_windows", "pair_mass", "win_bp"))
+    val rows = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // the bands partition the window mass and the shares fold to ~10000
+    val q287 = SparkEntry.queries("q287_repeated_spans")(spark, dir)
+      .agg(sum("n_windows")).head().getLong(0)
+    assert(rows.values.map(_._2).sum == q287, "window mass must partition")
+    assert(math.abs(rows.values.map(_._4).sum - 10000L) <= rows.size, "bp fold")
+    assert(rows("unique")._3 == 0L, "unique hashes carry no pair mass")
+    // the fixtures never exceed the cap (the SCALE.md tier rows are where
+    // the capped band materializes)
+    assert(!rows.contains("capped"), s"fixture unexpectedly capped: $rows")
+
+    // planted over-cap: one 12-token window repeated 33 times across docs —
+    // the screen q308 quantifies: maximalSpans reports NO spans despite 33
+    // identical passages (that content is q287's boilerplate flag's job)
+    import spark.implicits._
+    val w12 = (1 to 12).map(i => s"capw$i").mkString(" ")
+    val planted = (1 to 33).map(i => (i.toLong, s"pre$i $w12 post$i")).toDF("doc_id", "text")
+    val audit = Dedup.maximalSpans(planted).collect()
+    assert(audit.nonEmpty && audit.forall(r => r.getLong(1) == 0L),
+      "an over-cap group must be screened out of pairing entirely")
+  }
+
   test("maximalSpans vs q287 on the fixture: span bounded by run, repeats imply spans") {
     val dir = sf("sf0.001")
     val q287 = SparkEntry.queries("q287_repeated_spans")(spark, dir).collect()

@@ -94,6 +94,54 @@ object StreamProfileMain {
       } finally q.stop()
     }
 
+    // r17 repeat mode (the BENCH_r16 running-quantiles watch item):
+    // SPARK_GRAFT_STREAM_REPEAT=N runs N ALTERNATING (quantiles, drift)
+    // throughput cells in ONE JVM at the stream_bench shape — the drift
+    // cell is the in-run control, so a quantiles swing beyond the pair's
+    // common movement is real and within it is sampling noise. Bench's
+    // number is a 4-batch sample; this is its temporal error bar.
+    def runNamed(name: String,
+        mode: String, mk: Dataset[graft.streaming.EventRow] => Dataset[_]): Cell = {
+      val in = MemoryStream[graft.streaming.EventRow]
+      val q = mk(in.toDS()).writeStream.format("noop").outputMode(mode)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData(batches.head: _*); q.processAllAvailable()
+        val lats = batches.tail.map { b =>
+          val t0 = System.nanoTime()
+          in.addData(b: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val nRows = batches.tail.map(_.length).sum
+        Cell(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          changelog = true, math.round(nRows / (lats.sum / 1e3)),
+          math.round(lats(lats.size / 2)),
+          math.round(lats(math.min(lats.size - 1, lats.size * 19 / 20))),
+          lats.size)
+      } finally q.stop()
+    }
+    val repeat = sys.env.get("SPARK_GRAFT_STREAM_REPEAT").map(_.toInt).getOrElse(0)
+    if (repeat > 0) {
+      val nKeys = rows.iterator.map(_.event_type).toSet.size
+      val sized = graft.streaming.EventsPipeline.statePartitionsFor(
+        nKeys.toLong, spark.sparkContext.defaultParallelism,
+        rowsPerBatch = perBatch.toLong)
+      spark.conf.set("spark.sql.shuffle.partitions", sized.toString)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      (1 to repeat).foreach { i =>
+        val qc = runNamed("quantiles", "update",
+          ds => graft.streaming.EventsPipeline.runningQuantiles(ds))
+        val dc = runNamed("drift", "append",
+          ds => graft.streaming.EventsPipeline.driftAlerts(ds, bucketMs = 3600L * 1000))
+        println(s"""{"rep":$i,"quantiles_rps":${qc.rowsPerSec},""" +
+          s""""quantiles_p50":${qc.p50Ms},"drift_rps":${dc.rowsPerSec},""" +
+          s""""drift_p50":${dc.p50Ms},"partitions":$sized,"n_batches":${qc.nBatches}}""")
+      }
+      spark.stop(); return
+    }
+
     val grid = (for {
       p <- Seq(cpus.toInt, 8, 4, 1)
       c <- Seq(false, true)

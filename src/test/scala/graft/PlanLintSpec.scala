@@ -90,7 +90,8 @@ class PlanLintSpec extends SparkSpec {
       "q285_train_eval", // same weight-vector cross: 3 train steps + 1 eval pass
       "q290_converged_training", // same 1-row weight cross, loop-until-converged
       "q293_bloom_audit", // 1-row n_ngrams total cross into the 3-row per-mBits aggregate
-      "q297_semdedup") // 8-row trained-centroid cross (assignL2), the q78/q169 shape
+      "q297_semdedup", // 8-row trained-centroid cross (assignL2), the q78/q169 shape
+      "q307_ann_drift") // 20-row query-set cross (q39's shape) + 8-row frozen-centroid cross
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are
@@ -106,7 +107,10 @@ class PlanLintSpec extends SparkSpec {
       "q230_compaction_plan", "q232_heaps_curve",
       // totals window over the 1024-row hashed-bucket aggregate (q300
       // reads the same counts from the standing AggState scalars)
-      "q296_dsir_weights", "q300_incr_dsir")
+      "q296_dsir_weights", "q300_incr_dsir",
+      // r17 audits: base/drift deltas over the 2-row per-slice fold;
+      // win-share window over the <=3-row cap-band aggregate
+      "q307_ann_drift", "q308_span_cap_audit")
     val allow: Map[String, Set[String]] =
       (tinyBroadcastJoin.map(_ -> Set("nested-loop-join")) ++
         smallDomainWindow.map(_ ->

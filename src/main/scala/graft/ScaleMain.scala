@@ -177,8 +177,10 @@ object ScaleMain {
     // pair-count shuffle + one map-only scan, so the tier cost is ~2/8 of
     // greedy's at the same merge count (BpeScaleMain's measured trade) —
     // and the q304 cap-loss audit, whose capped band only materializes on
-    // replicated tiers (the fixtures never exceed 32 occurrences)
-    "q306_bpe_batch", "q308_span_cap_audit")
+    // replicated tiers (the fixtures never exceed 32 occurrences), and the
+    // ANN drift audit (20-query ground truth × the grown corpus — the
+    // brute-force side is the only term that scales)
+    "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

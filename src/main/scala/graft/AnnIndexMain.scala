@@ -16,7 +16,15 @@ import graft.operators.{AnnIndex, Generations}
   * runMain graft.AnnIndexMain resolve  <tableDir> [seq]
   * runMain graft.AnnIndexMain history  <tableDir>
   * runMain graft.AnnIndexMain retire   <tableDir> [keepLast] [retentionHours]
+  * runMain graft.AnnIndexMain fitstats  <embParquet> <indexDir> <batchId>
+  * runMain graft.AnnIndexMain fitledger <indexDir> [outDir]
   * ```
+  *
+  * `fitstats` records a batch's quantizer-fit row beside the index (run
+  * it after `build` with batchId "build", then after each `append` —
+  * O(|batch|), no corpus rescan); `fitledger` prints/writes every batch's
+  * mean assignment fit, its drop vs the build anchor, and the
+  * reindex_advised verdict (the q307/q309 retrain trigger).
   *
   * `<embParquet>` carries (vec_id BIGINT, embedding ARRAY) — a testdata
   * `embeddings.parquet` works directly; `<queriesParquet>` the same shape
@@ -93,6 +101,20 @@ object AnnIndexMain {
           Generations.publishChecked(args(1), args(2))
         }
         println(s"CURRENT of ${args(1)} -> ${args(2)}")
+      case "fitstats" =>
+        require(args.length >= 4, "fitstats needs <embParquet> <indexDir> <batchId>")
+        require(AnnIndex.exists(args(2)), s"no index at ${args(2)} — build first")
+        Generations.withWriterLock(args(2)) {
+          AnnIndex.recordFitStats(spark, emb(args(1)), args(2), args(3))
+        }
+        println(s"recorded fit stats for batch ${args(3)} in ${args(2)}")
+      case "fitledger" =>
+        require(AnnIndex.exists(args(1)), s"no index at ${args(1)} — build first")
+        val led = AnnIndex.fitLedger(spark, args(1))
+        if (args.length >= 3) {
+          led.write.mode("overwrite").parquet(args(2))
+          println(s"fit ledger -> ${args(2)}")
+        } else led.collect().foreach(r => println(r.mkString("\t")))
       case c @ ("resolve" | "history" | "retire") =>
         Generations.cliLineage(c, args)
       case other => sys.error(s"unknown command: $other")

@@ -180,7 +180,8 @@ object ScaleMain {
     // replicated tiers (the fixtures never exceed 32 occurrences), and the
     // ANN drift audit (20-query ground truth × the grown corpus — the
     // brute-force side is the only term that scales)
-    "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit")
+    "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
+    "q309_ann_fit_ledger")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

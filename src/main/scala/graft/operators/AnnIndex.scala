@@ -44,6 +44,7 @@ object AnnIndex {
   private def vectorsPath(indexDir: String): String = s"$indexDir/vectors"
   private def codebooksPath(indexDir: String): String = s"$indexDir/codebooks"
   private def tombstonesPath(indexDir: String): String = s"$indexDir/tombstones"
+  private def fitStatsPath(indexDir: String): String = s"$indexDir/fitstats"
 
   def exists(indexDir: String): Boolean =
     new File(centroidsPath(indexDir)).isDirectory &&
@@ -77,6 +78,52 @@ object AnnIndex {
       indexDir, "append",
       if (new File(codebooksPath(indexDir)).isDirectory)
         Some(spark.read.parquet(codebooksPath(indexDir))) else None)
+
+  /** Record a batch's quantizer-FIT statistics beside the index (r17 —
+    * the standing form of the q307 drift audit): one blind 1-row append
+    * to `fitstats/` per ingest batch, computed from the batch alone
+    * against the frozen quantizer — O(|batch|), the corpus is never
+    * rescanned. The per-vector argmax is the index's own assignment
+    * shape ([[assignCosine]]'s max_by), so the statistic measures exactly
+    * the assignment the stored vectors received. Call it beside `build`
+    * (batchId "build" anchors the ledger) and each `append`. */
+  def recordFitStats(spark: SparkSession, embeddings: DataFrame,
+      indexDir: String, batchId: String): Unit = {
+    val cent = spark.read.parquet(centroidsPath(indexDir))
+    embeddings.select("vec_id", "embedding").join(broadcast(cent))
+      .withColumn("ascore",
+        round(cosine_sim(col("centv"), col("embedding")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("ascore")),
+        struct(col("ascore"), -col("centroid_id"))).as("b"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(floor(b.ascore * 10000) AS BIGINT)")).as("sum_assign_e4"),
+        countDistinct(col("b.centroid_id")).as("n_cent_used"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("append").parquet(fitStatsPath(indexDir))
+  }
+
+  /** The standing retrain-trigger read: every recorded batch's mean
+    * assignment fit (e4-integerized), its drop vs the "build" anchor
+    * batch, and `reindex_advised` at a >= `dropE4` (default 0.01 cosine)
+    * decay — the q307 audit's verdict, answered from the persisted
+    * 1-row-per-batch ledger instead of a corpus scan. */
+  def fitLedger(spark: SparkSession, indexDir: String,
+      dropE4: Long = 100L): DataFrame = {
+    val st = spark.read.parquet(fitStatsPath(indexDir))
+      .withColumn("mean_assign_e4", expr("sum_assign_e4 div n_vecs"))
+    val anchor = st.filter(col("batch_id") === "build")
+      .select(col("mean_assign_e4").as("base_e4"))
+    st.crossJoin(broadcast(anchor))
+      .select(col("batch_id"), col("n_vecs").cast("long").as("n_vecs"),
+        col("mean_assign_e4").cast("long").as("mean_assign_e4"),
+        col("n_cent_used").cast("long").as("n_cent_used"),
+        (col("base_e4") - col("mean_assign_e4")).cast("long").as("drop_e4"),
+        ((col("base_e4") - col("mean_assign_e4")) >= dropE4)
+          .cast("long").as("reindex_advised"))
+      .orderBy("batch_id")
+  }
 
   /** Delete vectors from the index: a blind append of their ids to the
     * tombstone table — O(|removed|), no rewrite. Probes (both the cosine
@@ -262,6 +309,12 @@ object AnnIndex {
     if (new File(codebooksPath(indexDir)).isDirectory)
       Compaction.compact(spark, codebooksPath(indexDir),
         codebooksPath(outIndexDir), targetFileBytes)
+    // the fit ledger is standing state a fitLedger reader depends on —
+    // a generation silently missing it would break the retrain trigger
+    // after a publish switch (the codebooks precedent)
+    if (new File(fitStatsPath(indexDir)).isDirectory)
+      Compaction.compact(spark, fitStatsPath(indexDir),
+        fitStatsPath(outIndexDir), targetFileBytes)
     val vecs = liveVectors(spark, indexDir)
     val bytesIn = spark.read.parquet(vectorsPath(indexDir)).inputFiles.toSeq
       .map(p => new File(new java.net.URI(p)).length()).sum

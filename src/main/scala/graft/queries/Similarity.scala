@@ -275,6 +275,31 @@ object Similarity {
     "q307_ann_drift" -> ((s: SparkSession, dir: String) =>
       annDriftReport(s, Tables(s, dir, "embeddings"))),
 
+    // ---- standing fit ledger: the retrain trigger at O(batch) (r17) ------
+    // q307 audits drift by rescanning the corpus; production wants the
+    // statistic maintained AT INGEST. AnnIndex.recordFitStats appends ONE
+    // row per batch (its mean assignment fit against the frozen quantizer
+    // and centroid usage, computed from the batch alone), and fitLedger
+    // answers reindex_advised from the persisted rows — the corpus is
+    // never rescanned, ingest cost stays O(|batch|), and the trigger is a
+    // metadata read. Same slices/shift as q307, so the drift row's
+    // statistics must equal q307's drift slice (the oracle re-derives the
+    // per-batch fold from the slice definitions — content-determined, the
+    // q253 discipline for persisted state).
+    "q309_ann_fit_ledger" -> ((s: SparkSession, dir: String) => withStateDir("graft-ann-fit-") { idxDir =>
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+      val drift = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), driftShift(col("embedding")).as("embedding"))
+      val cent = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      graft.operators.AnnIndex.build(base, cent, idxDir)
+      graft.operators.AnnIndex.recordFitStats(s, base, idxDir, "build")
+      graft.operators.AnnIndex.append(s, drift, idxDir)
+      graft.operators.AnnIndex.recordFitStats(s, drift, idxDir, "b1_drift")
+      graft.operators.AnnIndex.fitLedger(s, idxDir)
+    }),
+
     // ---- SQ8 scalar quantization: reconstruction error per label ---------
     "q50_quantize" -> ((s: SparkSession, dir: String) => {
       val recon = aggregate(
@@ -1058,6 +1083,37 @@ object Similarity {
          |  CAST(CASE WHEN dd.drop_e4 >= $ReindexDropE4 THEN 1 ELSE 0 END
          |       AS BIGINT) AS reindex_advised
          |FROM j, dd ORDER BY j.slice""".stripMargin,
+
+    // q309: the persisted per-batch fold re-derived from the slice
+    // definitions — the ledger is content-determined, so grown-state
+    // equals from-scratch is hash-checked (the q253 discipline)
+    "q309_ann_fit_ledger" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |drift AS (SELECT vec_id,
+         |    [CAST(x::DOUBLE * 0.5 + 0.25 AS FLOAT) for x in embedding] AS embedding
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+         |         FROM base WHERE vec_id < 16),
+         |corpus AS (SELECT *, 'build' AS batch_id FROM base
+         |           UNION ALL SELECT *, 'b1_drift' AS batch_id FROM drift),
+         |asg AS (SELECT vec_id, batch_id, ccid, ascore FROM (
+         |   SELECT c.vec_id, c.batch_id, cent.centroid_id AS ccid,
+         |     round(${dotSql("centv", "embedding")}
+         |           / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
+         |   FROM corpus c, cent)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY ascore DESC, ccid) = 1),
+         |st AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |        CAST(sum(CAST(floor(ascore * 10000) AS BIGINT)) // count(*)
+         |             AS BIGINT) AS mean_assign_e4,
+         |        CAST(count(DISTINCT ccid) AS BIGINT) AS n_cent_used
+         |       FROM asg GROUP BY batch_id),
+         |a AS (SELECT mean_assign_e4 AS base_e4 FROM st WHERE batch_id = 'build')
+         |SELECT st.batch_id, st.n_vecs, st.mean_assign_e4, st.n_cent_used,
+         |  CAST(a.base_e4 - st.mean_assign_e4 AS BIGINT) AS drop_e4,
+         |  CAST(CASE WHEN a.base_e4 - st.mean_assign_e4 >= $ReindexDropE4
+         |       THEN 1 ELSE 0 END AS BIGINT) AS reindex_advised
+         |FROM st, a ORDER BY st.batch_id""".stripMargin,
 
     "q50_quantize" ->
       """WITH t AS (SELECT label,

@@ -207,6 +207,42 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
       s"retrained fit $fit must beat the frozen quantizer's ${driftR.getLong(2)}")
   }
 
+  test("fit ledger: per-batch stats persist at O(batch), agree with the audit, survive optimize") {
+    import graft.queries.Similarity
+    val e = emb
+    val base = e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val drift = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * 0.5 + 0.25).cast("float")).as("embedding"))
+    val cent16 = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val idx = tmp()
+    AnnIndex.build(base, cent16, idx)
+    AnnIndex.recordFitStats(spark, base, idx, "build")
+    AnnIndex.append(spark, drift, idx)
+    AnnIndex.recordFitStats(spark, drift, idx, "b1_drift")
+    val led = AnnIndex.fitLedger(spark, idx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(led.keySet == Set("build", "b1_drift"))
+    assert(led("build").getLong(4) == 0L && led("build").getLong(5) == 0L)
+    assert(led("b1_drift").getLong(4) >= 100L && led("b1_drift").getLong(5) == 1L,
+      s"drift batch must trip the trigger: ${led("b1_drift")}")
+    // the ledger's drift row equals the corpus-rescan audit's drift slice
+    // (same slices, same shift — the O(batch) form must not change the
+    // statistic)
+    val audit = Similarity.annDriftReport(spark, e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(led("b1_drift").getLong(2) == audit("drift").getLong(2), "mean fit")
+    assert(led("b1_drift").getLong(3) == audit("drift").getLong(3), "centroid usage")
+    assert(led("build").getLong(2) == audit("base").getLong(2))
+    // optimize carries the fit ledger into the output generation
+    val out = tmp()
+    AnnIndex.optimize(spark, idx, out)
+    val led2 = AnnIndex.fitLedger(spark, out).collect().map(_.toSeq).toSet
+    assert(led2 == AnnIndex.fitLedger(spark, idx).collect().map(_.toSeq).toSet)
+  }
+
   test("drift audit: fixture report matches shape and the flag fires at sf0.001") {
     val rep = SparkEntry.queries("q307_ann_drift")(spark, dir).collect()
     assert(rep.length == 2)

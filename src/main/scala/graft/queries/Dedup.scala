@@ -137,17 +137,19 @@ object Dedup {
 
   /** The q303/q305 paragraph relation as a CTE chain ending in
     * paras(src_doc, doc_id = pid, text) — the SQL twin of [[paraDups]]'s
-    * paragraph build, single-sourced across both oracles. Blank-line docs
+    * paragraph build, single-sourced across the paragraph oracles
+    * (parametrized by source relation since r17: q310 runs the identical
+    * chain over a derived boundary-bearing corpus). Blank-line docs
     * split on the real boundary (normalized like the Spark side: lower +
     * whitespace collapse); the rest fall back to ParaW-token blocks. The
     * pid stride mirrors [[ParaIdScale]]; DuckDB needs no overflow guard —
     * the guard is a Spark-side fail-loud, identity on in-range data. */
-  private[queries] lazy val ParaCtesSql: String =
+  private[queries] def paraCtesFrom(src: String): String =
     s"""bp0 AS (SELECT doc_id,
        |    list_filter([regexp_replace(lower(trim(p)), '\\s+', ' ', 'g')
        |                 for p in string_split_regex(text, '\\n\\s*\\n')],
        |                p -> len(p) > 0) AS ps
-       |  FROM documents WHERE regexp_matches(text, '\\n\\s*\\n')),
+       |  FROM $src WHERE regexp_matches(text, '\\n\\s*\\n')),
        |bd AS (SELECT doc_id, s.pi AS pi, s.t AS text
        |  FROM (SELECT doc_id,
        |          unnest([{'pi': i, 't': ps[i+1]} for i in range(0, len(ps))]) AS s
@@ -155,7 +157,7 @@ object Dedup {
        |tkr AS (SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN []
        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
-       |  FROM documents WHERE NOT regexp_matches(text, '\\n\\s*\\n')),
+       |  FROM $src WHERE NOT regexp_matches(text, '\\n\\s*\\n')),
        |td AS (SELECT doc_id, w, (len(w) + ${ParaW - 1}) // $ParaW AS nc
        |       FROM tkr WHERE len(w) > 0),
        |pex AS (SELECT doc_id, w,
@@ -167,6 +169,29 @@ object Dedup {
        |pall AS (SELECT * FROM bd UNION ALL SELECT * FROM blk),
        |paras AS (SELECT doc_id AS src_doc, doc_id * $ParaIdScale + pi AS doc_id,
        |    text FROM pall)""".stripMargin
+
+  private[queries] lazy val ParaCtesSql: String = paraCtesFrom("documents")
+
+  /** The q303 roll-up over the pair chain's `pr` and the paragraph
+    * relation `paras`: cross-document keep-first dup set, per-source-doc
+    * integer fractions, drop/trim/keep verdicts — shared verbatim by the
+    * q303 and q310 oracles (the boundary-gated q310 runs the identical
+    * roll-up over its derived corpus). */
+  private[queries] lazy val ParaRollupSql: String =
+    s"""cpr AS (SELECT d1, d2 FROM pr
+       |        WHERE d1 // $ParaIdScale <> d2 // $ParaIdScale),
+       |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
+       |np AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS n_paras
+       |       FROM paras GROUP BY 1),
+       |nd AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS ndp FROM paras
+       |       JOIN dup ON paras.doc_id = dup.pid GROUP BY 1)
+       |SELECT np.src_doc AS doc_id, np.n_paras,
+       |  CAST(coalesce(nd.ndp, 0) AS BIGINT) AS n_dup_paras,
+       |  CAST((coalesce(nd.ndp, 0) * 10000) // np.n_paras AS BIGINT) AS dup_bp,
+       |  CASE WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 5000 THEN 'drop'
+       |       WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 2000 THEN 'trim'
+       |       ELSE 'keep' END AS verdict
+       |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin
 
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
   private[queries] def tokHash(t: Column): Column =
@@ -952,6 +977,40 @@ object Dedup {
           col("pair_mass").cast("long").as("pair_mass"),
           col("win_bp").cast("long").as("win_bp"))
         .orderBy("band")
+    }),
+
+    // ---- boundary-split paragraphs under the gate (r17) -------------------
+    // The fixtures carry no newlines, so q303/q305 only ever exercise the
+    // BLOCK fallback at the oracle gate — the blank-line boundary path was
+    // spec-only. This query derives a delimiter-bearing corpus
+    // deterministically FROM the fixture (doc_id % 3 == 0 docs rebuilt as
+    // 10-token chunks joined by blank lines; the rest keep raw text) and
+    // injects guaranteed full duplicates (doc_id % 11 == 5 docs copied
+    // under id + 1e6, same derived text), then runs the exact q303
+    // machinery. Both engines derive the same corpus, so the boundary
+    // split (bp0/bd CTEs), its normalization, and keep-first trimming at
+    // boundary granularity are all hash-checked cross-engine — the copies
+    // MUST come back verdict=drop (every paragraph duplicated,
+    // keep-first: only the later copy counts). Docs under 10 tokens get
+    // no separator and take the block fallback in both engines.
+    "q310_para_boundary" -> ((s: SparkSession, dir: String) => {
+      val base = Tables(s, dir, "documents")
+        .withColumn("w", TrainPrep.rawToks(col("text")))
+        // the chunk lambda re-reads w per chunk after projection collapse
+        // (~nc extra tokenizations per doc) — row-local and bounded by
+        // doc length / 10; acceptable for a gate query, noted on purpose
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            when(size(col("w")) === 0, lit(""))
+              .otherwise(expr(
+                "concat_ws('\\n\\n', transform(" +
+                  "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
+                  "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      val dups = base.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      paraDedup(base.unionByName(dups))
     }),
 
     // ---- exact dedup: hash-groupBy on content digest ---------------------
@@ -1911,20 +1970,7 @@ object Dedup {
       "q303_para_dedup" ->
         s"""WITH $ParaCtesSql,
            |${lshPairCtesFrom("paras")},
-           |cpr AS (SELECT d1, d2 FROM pr
-           |        WHERE d1 // $ParaIdScale <> d2 // $ParaIdScale),
-           |dup AS (SELECT DISTINCT d2 AS pid FROM cpr),
-           |np AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS n_paras
-           |       FROM paras GROUP BY 1),
-           |nd AS (SELECT src_doc, CAST(count(*) AS BIGINT) AS ndp FROM paras
-           |       JOIN dup ON paras.doc_id = dup.pid GROUP BY 1)
-           |SELECT np.src_doc AS doc_id, np.n_paras,
-           |  CAST(coalesce(nd.ndp, 0) AS BIGINT) AS n_dup_paras,
-           |  CAST((coalesce(nd.ndp, 0) * 10000) // np.n_paras AS BIGINT) AS dup_bp,
-           |  CASE WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 5000 THEN 'drop'
-           |       WHEN (coalesce(nd.ndp, 0) * 10000) // np.n_paras >= 2000 THEN 'trim'
-           |       ELSE 'keep' END AS verdict
-           |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin,
+           |$ParaRollupSql""".stripMargin,
 
       // q305: same paragraph chain + keep-first dup set; the ledger sums
       // paragraph token counts and digests the kept text in pid order
@@ -2012,6 +2058,32 @@ object Dedup {
            |SELECT band, n_hashes, n_windows, pair_mass,
            |  CAST((n_windows * 10000) // sum(n_windows) OVER () AS BIGINT) AS win_bp
            |FROM a ORDER BY band""".stripMargin,
+
+      // q310: the derived boundary-bearing corpus (10-token chunks joined
+      // by blank lines for doc_id % 3 = 0, injected +1e6 full copies of
+      // % 11 = 5 docs), then the SHARED paragraph + pair chains — the
+      // boundary CTEs (bp0/bd) are live here, unlike on the raw fixture
+      "q310_para_boundary" ->
+        s"""WITH w0 AS (SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+           |  FROM documents),
+           |d0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN
+           |      CASE WHEN len(w) = 0 THEN ''
+           |           ELSE array_to_string(
+           |             [array_to_string(w[i*10+1 : i*10+10], ' ')
+           |              for i in range(0, (len(w) + 9) // 10)],
+           |             chr(10) || chr(10)) END
+           |    ELSE text END AS text
+           |  FROM w0),
+           |pdocs AS (SELECT doc_id, text FROM d0
+           |          UNION ALL
+           |          SELECT doc_id + 1000000 AS doc_id, text FROM d0
+           |          WHERE doc_id % 11 = 5),
+           |${paraCtesFrom("pdocs")},
+           |${lshPairCtesFrom("paras")},
+           |$ParaRollupSql""".stripMargin,
 
       // grown-labels ≡ from-scratch closure over the CUMULATIVE edge set:
       // corpus-slice tiered pairs ∪ batch-slice tiered pairs ∪ the

@@ -395,6 +395,32 @@ class DedupSpec extends SparkSpec {
     assert(trim(32L) == ((1L, md5hex(words("g", 16)))), s"doc 32: ${trim(32L)}")
   }
 
+  test("q310: injected full copies drop; the boundary path is live on the derived corpus") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("q310_para_boundary")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    val copies = out.keys.filter(_ >= 1000000L).toSeq
+    assert(copies.nonEmpty, "no injected copies — derivation broken")
+    copies.foreach { id =>
+      val (np, nd, v) = out(id)
+      // every copy paragraph with >= 3 tokens has an identical earlier
+      // twin in the original (keep-first), and at most one ragged tail
+      // paragraph is too short to shingle — so any multi-paragraph copy
+      // must fully drop
+      if (np >= 2) assert(v == "drop" && nd >= np - 1, s"copy $id: ${out(id)}")
+    }
+    // both classes of copy exist: boundary-split (%3==0 originals,
+    // cross-engine bp0/bd CTEs live) and block-fallback
+    assert(copies.exists(id => (id - 1000000L) % 3 == 0))
+    assert(copies.exists(id => (id - 1000000L) % 3 != 0))
+    // boundary docs paragraph at chunk-10 granularity: a %3==0 original
+    // with >= 20 tokens reports more paragraphs than its 16-token block
+    // form would only sometimes — instead pin the live path structurally:
+    // some %3==0 original has n_paras >= 2 (a 10-token chunking artifact)
+    assert(out.exists { case (id, (np, _, _)) =>
+      id < 1000000L && id % 3 == 0 && np >= 2 })
+  }
+
   // ---- q304: true maximal repeated spans (r16) -----------------------------
 
   test("maximalSpans: exact planted span length; q287's run merges what q304 keeps apart") {

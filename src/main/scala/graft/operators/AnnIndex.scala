@@ -115,6 +115,13 @@ object AnnIndex {
       .withColumn("mean_assign_e4", expr("sum_assign_e4 div n_vecs"))
     val anchor = st.filter(col("batch_id") === "build")
       .select(col("mean_assign_e4").as("base_e4"))
+    // fail loudly, not emptily: without exactly one "build" anchor the
+    // cross join would silently return an empty (or row-duplicated)
+    // ledger — a missing anchor means recordFitStats was never called at
+    // build time, a doubled one that it was re-recorded
+    val nAnchor = anchor.count()
+    require(nAnchor == 1L,
+      s"fitLedger: expected exactly one 'build' fit-stats row at $indexDir, found $nAnchor")
     st.crossJoin(broadcast(anchor))
       .select(col("batch_id"), col("n_vecs").cast("long").as("n_vecs"),
         col("mean_assign_e4").cast("long").as("mean_assign_e4"),

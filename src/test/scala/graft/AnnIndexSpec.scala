@@ -241,6 +241,19 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
     AnnIndex.optimize(spark, idx, out)
     val led2 = AnnIndex.fitLedger(spark, out).collect().map(_.toSeq).toSet
     assert(led2 == AnnIndex.fitLedger(spark, idx).collect().map(_.toSeq).toSet)
+
+    // anchor discipline is fail-loud: a ledger without a "build" row (the
+    // caller never recorded build-time stats) or with a doubled one must
+    // raise, never return an empty/duplicated ledger
+    val noAnchor = tmp()
+    AnnIndex.build(base, cent16, noAnchor)
+    AnnIndex.recordFitStats(spark, drift, noAnchor, "b1_only")
+    val e1 = intercept[IllegalArgumentException] { AnnIndex.fitLedger(spark, noAnchor) }
+    assert(e1.getMessage.contains("exactly one 'build'"))
+    AnnIndex.recordFitStats(spark, base, noAnchor, "build")
+    AnnIndex.recordFitStats(spark, base, noAnchor, "build") // re-recorded
+    val e2 = intercept[IllegalArgumentException] { AnnIndex.fitLedger(spark, noAnchor) }
+    assert(e2.getMessage.contains("found 2"))
   }
 
   test("drift audit: fixture report matches shape and the flag fires at sf0.001") {

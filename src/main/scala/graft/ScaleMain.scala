@@ -181,7 +181,7 @@ object ScaleMain {
     // ANN drift audit (20-query ground truth × the grown corpus — the
     // brute-force side is the only term that scales)
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
-    "q309_ann_fit_ledger")
+    "q309_ann_fit_ledger", "q310_para_boundary")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

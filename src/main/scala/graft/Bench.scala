@@ -420,7 +420,7 @@ object Bench {
     // r17: the batched-BPE gate query, the ANN drift audits and the span
     // cap-loss audit (superset rule: append-only)
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
-    "q309_ann_fit_ledger", "q310_para_boundary")
+    "q309_ann_fit_ledger", "q310_para_boundary", "q311_para_exact")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

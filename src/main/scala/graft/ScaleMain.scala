@@ -181,7 +181,9 @@ object ScaleMain {
     // ANN drift audit (20-query ground truth × the grown corpus — the
     // brute-force side is the only term that scales)
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
-    "q309_ann_fit_ledger", "q310_para_boundary")
+    "q309_ann_fit_ledger", "q310_para_boundary",
+    // r17: exact paragraph dedup — one digest shuffle, the cheapest op here
+    "q311_para_exact")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

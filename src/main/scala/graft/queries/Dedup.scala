@@ -193,6 +193,23 @@ object Dedup {
        |       ELSE 'keep' END AS verdict
        |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin
 
+  /** The retention-ledger SELECT over a marked paragraph CTE
+    * mk(src_doc, pid, text, d, nt) — [[paraLedger]]'s SQL twin, shared
+    * verbatim by the q305 and q311 oracles. string_agg skips the dropped
+    * NULLs = Spark's filter-then-concat_ws; coalesce('') makes a
+    * fully-dropped doc digest md5("") on both engines. */
+  private[queries] lazy val ParaLedgerSelectSql: String =
+    """SELECT src_doc AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_paras,
+      |  CAST(sum(d) AS BIGINT) AS n_dropped,
+      |  CAST(sum(nt) AS BIGINT) AS tokens_in,
+      |  CAST(sum(CASE WHEN d = 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  CAST((sum(CASE WHEN d = 0 THEN nt ELSE 0 END) * 10000) // sum(nt)
+      |       AS BIGINT) AS kept_bp,
+      |  md5(coalesce(string_agg(CASE WHEN d = 0 THEN text END, ' '
+      |                          ORDER BY pid), '')) AS kept_digest
+      |FROM mk GROUP BY src_doc ORDER BY doc_id""".stripMargin
+
   /** 31-bit md5-based token hash, identical in Spark and DuckDB. */
   private[queries] def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % P
@@ -252,7 +269,11 @@ object Dedup {
     * with >= 2^20 paragraphs or an id >= 2^42 fails loudly instead of
     * bleeding pids into a neighboring doc's range. Caller must unpersist
     * the returned base after materializing its outputs. */
-  private def paraDups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** The paragraph relation (src_doc, doc_id = pid, text) shared by every
+    * paragraph query — boundary split with block fallback and the
+    * fail-loud pid guard (see [[paraDups]]' scaladoc). Un-checkpointed:
+    * callers pin it once before multi-consumer use. */
+  private[graft] def paraRelation(docs: DataFrame): DataFrame = {
     val hasSep = col("text").rlike(ParaSepRe)
     val bounded = docs.filter(hasSep)
       .select(col("doc_id"),
@@ -277,10 +298,14 @@ object Dedup {
         concat(lit("paragraph id out of range: doc_id="),
           col("doc_id").cast("string"), lit(" pi="), col("pi").cast("string"))
       ).cast("long"), lit(0L))
-    val paras = bounded.unionByName(blocks)
+    bounded.unionByName(blocks)
       .select(col("doc_id").as("src_doc"),
         (col("doc_id") * ParaIdScale + col("pi") + guard).as("doc_id"),
         col("text"))
+  }
+
+  private def paraDups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val paras = paraRelation(docs)
       .localCheckpoint(eager = true) // consumed by minhash + the roll-ups
     val base = minhashBase(paras.select("doc_id", "text"))
     val pairs = lshPairs(base, LshBucketCap)
@@ -326,7 +351,20 @@ object Dedup {
       .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
         coalesce(col("__dup"), lit(0L)).as("d"),
         size(split(col("text"), " ")).cast("long").as("nt"))
-    val out = marked.groupBy("src_doc")
+    val out = paraLedger(marked).localCheckpoint(eager = true)
+    base.unpersist()
+    out
+  }
+
+  /** The per-doc retention ledger over a marked paragraph frame
+    * (src_doc, pid, text, d = 0|1 dropped, nt tokens) — shared by the
+    * near-dup trim (q305) and the exact trim (q311): counts, token
+    * retention in integer basis points, and an md5 digest of the KEPT
+    * text rejoined in document (pid) order. The per-doc collect_list is
+    * bounded by one document's paragraphs (ObjectHashAggregate, measured
+    * clean at the 100x tier). */
+  private def paraLedger(marked: DataFrame): DataFrame =
+    marked.groupBy("src_doc")
       .agg(count(lit(1)).as("n_paras"),
         sum("d").as("n_dropped"),
         sum("nt").as("tokens_in"),
@@ -344,9 +382,26 @@ object Dedup {
         expr("(tokens_kept * 10000) div tokens_in").as("kept_bp"),
         col("kept_digest"))
       .orderBy("doc_id")
-      .localCheckpoint(eager = true)
-    base.unpersist()
-    out
+
+  /** q311's body: EXACT paragraph dedup — the cheapest, most-deployed
+    * curation op (the Dolma/FineWeb shape): paragraphs keyed by their md5
+    * digest, keep-first GLOBALLY in pid (doc-then-position) order, so
+    * within-doc repeats are removed too (unlike q303/q305's cross-doc
+    * near-dup semantics), and no minimum length applies (near-dup needs
+    * >= 3 tokens to shingle; a digest matches at any length). One
+    * digest-keyed partial-aggregated shuffle + a join back on the same
+    * key — the groupBy(min) form, NOT a window min per digest: a
+    * boilerplate paragraph with millions of copies folds to one row per
+    * map partition instead of buffering a degenerate window group. */
+  private[graft] def paraExact(docs: DataFrame): DataFrame = {
+    val paras = paraRelation(docs).localCheckpoint(eager = true)
+    val digested = paras.withColumn("dig", md5(col("text").cast("binary")))
+    val keep = digested.groupBy("dig").agg(min(col("doc_id")).as("keep_pid"))
+    val marked = digested.join(keep, Seq("dig"))
+      .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
+        (col("doc_id") =!= col("keep_pid")).cast("long").as("d"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    paraLedger(marked).localCheckpoint(eager = true)
   }
 
   /** q304's body over any (doc_id, text) frame — see the queries-map
@@ -1012,6 +1067,21 @@ object Dedup {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       paraDedup(base.unionByName(dups))
     }),
+
+    // ---- EXACT paragraph dedup: digest keep-first (r17) -------------------
+    // The workhorse curation op real pipelines run FIRST (Dolma/FineWeb's
+    // shape), q35's exact dedup pushed below the document: every
+    // paragraph (boundary-aware relation, block fallback) keyed by its
+    // md5 digest, keep-first globally in pid order — so WITHIN-doc
+    // repeats drop too (q303/q305 are cross-doc near-dup; this is the
+    // complementary exact form) and no minimum length applies (a digest
+    // matches at any length; shingle-based near-dup needs >= 3 tokens).
+    // Output: q305's retention ledger verbatim. Scale: one digest-keyed
+    // partial-aggregated shuffle + one same-key join back — no candidate
+    // generation, no verification, skew-safe on mega-duplicated
+    // boilerplate (the paraExact scaladoc).
+    "q311_para_exact" -> ((s: SparkSession, dir: String) =>
+      paraExact(Tables(s, dir, "documents"))),
 
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
@@ -1986,16 +2056,20 @@ object Dedup {
            |         CASE WHEN dup.pid IS NULL THEN 0 ELSE 1 END AS d,
            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
            |       FROM paras LEFT JOIN dup ON paras.doc_id = dup.pid)
-           |SELECT src_doc AS doc_id,
-           |  CAST(count(*) AS BIGINT) AS n_paras,
-           |  CAST(sum(d) AS BIGINT) AS n_dropped,
-           |  CAST(sum(nt) AS BIGINT) AS tokens_in,
-           |  CAST(sum(CASE WHEN d = 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
-           |  CAST((sum(CASE WHEN d = 0 THEN nt ELSE 0 END) * 10000) // sum(nt)
-           |       AS BIGINT) AS kept_bp,
-           |  md5(coalesce(string_agg(CASE WHEN d = 0 THEN text END, ' '
-           |                          ORDER BY pid), '')) AS kept_digest
-           |FROM mk GROUP BY src_doc ORDER BY doc_id""".stripMargin,
+           |$ParaLedgerSelectSql""".stripMargin,
+
+      // q311: exact paragraph dedup — digest keep-first globally (within-
+      // AND cross-doc, any paragraph length), then the SHARED ledger
+      "q311_para_exact" ->
+        s"""WITH $ParaCtesSql,
+           |dg AS (SELECT src_doc, doc_id AS pid, text, md5(text) AS dig
+           |       FROM paras),
+           |kp AS (SELECT dig, min(pid) AS keep_pid FROM dg GROUP BY dig),
+           |mk AS (SELECT src_doc, pid, text,
+           |         CASE WHEN pid <> keep_pid THEN 1 ELSE 0 END AS d,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           |       FROM dg JOIN kp USING (dig))
+           |$ParaLedgerSelectSql""".stripMargin,
 
       // q304: q287's windows, occurrence-capped groups, matching pairs
       // grouped by (d1, d2, offset) diagonals — a maximal diagonal run of

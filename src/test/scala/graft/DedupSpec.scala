@@ -421,6 +421,37 @@ class DedupSpec extends SparkSpec {
       id < 1000000L && id % 3 == 0 && np >= 2 })
   }
 
+  test("paraExact: global digest keep-first drops within-doc repeats and short paragraphs too") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val p1 = "alpha beta gamma delta eps"
+    val p2 = "zeta eta theta"
+    val p3 = "only in doc two here"
+    val short = "xy" // 1 token — below the shingle minimum, exact still catches it
+    val docs = Seq(
+      (1L, s"$p1\n\n$p2\n\n$p1"),          // within-doc repeat of p1
+      (2L, s"$p3\n\n$p1\n\n$short"),        // cross-doc copy of p1
+      (3L, s"$short\n\n${"fresh words here".trim}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraExact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(6)))).toMap
+    // doc 1: second p1 dropped (keep-first WITHIN the doc), p2 kept
+    assert(out(1L) == ((3L, 1L, md5hex(s"$p1 $p2"))), s"doc 1: ${out(1L)}")
+    // doc 2: its p1 dropped (doc 1 holds the first copy); "xy" kept
+    // (doc 2's copy precedes doc 3's in pid order)
+    assert(out(2L) == ((3L, 1L, md5hex(s"$p3 $short"))), s"doc 2: ${out(2L)}")
+    // doc 3: its "xy" dropped — a 1-token paragraph the shingle-based
+    // near-dup path could never pair
+    assert(out(3L) == ((2L, 1L, md5hex("fresh words here"))), s"doc 3: ${out(3L)}")
+    // the near-dup roll-up (cross-doc only) does NOT count doc 1's
+    // within-doc repeat — the complementary-semantics contrast
+    val nd = Dedup.paraDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nd(1L) == 0L, s"near-dup must ignore within-doc repeats: $nd")
+  }
+
   // ---- q304: true maximal repeated spans (r16) -----------------------------
 
   test("maximalSpans: exact planted span length; q287's run merges what q304 keeps apart") {

@@ -420,7 +420,8 @@ object Bench {
     // r17: the batched-BPE gate query, the ANN drift audits and the span
     // cap-loss audit (superset rule: append-only)
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
-    "q309_ann_fit_ledger", "q310_para_boundary", "q311_para_exact")
+    "q309_ann_fit_ledger", "q310_para_boundary", "q311_para_exact",
+    "q312_incr_para_exact")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift
@@ -531,7 +532,7 @@ object Bench {
     "q274_view_retract", "q275_incr_clusters", "q278_incr_rollup",
     "q279_cluster_takedown", "q280_incr_bm25", "q281_bm25_takedown",
     "q283_standing_bloom", "q292_state_split", "q300_incr_dsir",
-    "q307_ann_drift", "q309_ann_fit_ledger")
+    "q307_ann_drift", "q309_ann_fit_ledger", "q312_incr_para_exact")
 
   /** Mirror of `tools/bench_compare.py`'s `load()` (VERDICT r11 #4): pull
     * (queries, calib_mt_sec, value) out of a previous round's bench JSON —

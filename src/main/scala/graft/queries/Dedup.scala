@@ -193,6 +193,20 @@ object Dedup {
        |       ELSE 'keep' END AS verdict
        |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin
 
+  /** The exact paragraph keep-first chain + ledger — q311's oracle,
+    * reused verbatim by q312 (whose standing-state min(pid) per digest
+    * must equal this from-scratch map). */
+  private[queries] lazy val ParaExactSql: String =
+    s"""WITH $ParaCtesSql,
+       |dg AS (SELECT src_doc, doc_id AS pid, text, md5(text) AS dig
+       |       FROM paras),
+       |kp AS (SELECT dig, min(pid) AS keep_pid FROM dg GROUP BY dig),
+       |mk AS (SELECT src_doc, pid, text,
+       |         CASE WHEN pid <> keep_pid THEN 1 ELSE 0 END AS d,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |       FROM dg JOIN kp USING (dig))
+       |$ParaLedgerSelectSql""".stripMargin
+
   /** The retention-ledger SELECT over a marked paragraph CTE
     * mk(src_doc, pid, text, d, nt) — [[paraLedger]]'s SQL twin, shared
     * verbatim by the q305 and q311 oracles. string_agg skips the dropped
@@ -1082,6 +1096,36 @@ object Dedup {
     // boilerplate (the paraExact scaladoc).
     "q311_para_exact" -> ((s: SparkSession, dir: String) =>
       paraExact(Tables(s, dir, "documents"))),
+
+    // ---- INCREMENTAL exact paragraph dedup (standing digest state) -------
+    // q311's production form: the (digest -> first-seen pid) table lives
+    // as standing AggState scalar partials keyed by the digest — min(pid)
+    // is algebraic, so three corpus slices landing as build + two BLIND
+    // appends merge into exactly the global keep-first map (the q257
+    // equivalence discipline), ingest stays O(delta) forever, and the
+    // trim ledger read from the merged state must equal from-scratch
+    // q311 bit-for-bit — the oracle IS q311's SQL, so that equivalence is
+    // hash-checked in the gate itself. Retraction comes free for count
+    // but NOT for min (a retracted first-copy needs a rebuild — the
+    // AggState.retract min/max caveat applies).
+    "q312_incr_para_exact" -> ((s: SparkSession, dir: String) => withStateDir("graft-para-digest-") { stateDir =>
+      import graft.operators.AggState
+      val paras = paraRelation(Tables(s, dir, "documents"))
+        .localCheckpoint(eager = true)
+      val digested = paras.withColumn("dig", md5(col("text").cast("binary")))
+      def slice(r: Int) = digested.filter(col("src_doc") % 3 === r)
+        .select(col("dig"), col("doc_id").as("pid"))
+      AggState.build(slice(0), Seq("dig"), "pid", stateDir)
+      AggState.append(slice(1), Seq("dig"), "pid", stateDir)
+      AggState.append(slice(2), Seq("dig"), "pid", stateDir)
+      val keep = AggState.merged(s, stateDir, Seq("dig"))
+        .select(col("dig"), col("min").cast("long").as("keep_pid"))
+      val marked = digested.join(keep, Seq("dig"))
+        .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
+          (col("doc_id") =!= col("keep_pid")).cast("long").as("d"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      paraLedger(marked)
+    }),
 
     // ---- exact dedup: hash-groupBy on content digest ---------------------
     // Input doubled (union all) so the keep-first/count semantics are
@@ -2059,17 +2103,12 @@ object Dedup {
            |$ParaLedgerSelectSql""".stripMargin,
 
       // q311: exact paragraph dedup — digest keep-first globally (within-
-      // AND cross-doc, any paragraph length), then the SHARED ledger
-      "q311_para_exact" ->
-        s"""WITH $ParaCtesSql,
-           |dg AS (SELECT src_doc, doc_id AS pid, text, md5(text) AS dig
-           |       FROM paras),
-           |kp AS (SELECT dig, min(pid) AS keep_pid FROM dg GROUP BY dig),
-           |mk AS (SELECT src_doc, pid, text,
-           |         CASE WHEN pid <> keep_pid THEN 1 ELSE 0 END AS d,
-           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-           |       FROM dg JOIN kp USING (dig))
-           |$ParaLedgerSelectSql""".stripMargin,
+      // AND cross-doc, any paragraph length), then the SHARED ledger.
+      // q312 reuses it VERBATIM (the q190 -> q126 precedent): the
+      // standing-state form's merged min(pid) per digest must equal the
+      // from-scratch keep-first map, so the equivalence is hash-checked.
+      "q311_para_exact" -> ParaExactSql,
+      "q312_incr_para_exact" -> ParaExactSql,
 
       // q304: q287's windows, occurrence-capped groups, matching pairs
       // grouped by (d1, d2, offset) diagonals — a maximal diagonal run of

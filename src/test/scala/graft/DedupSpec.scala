@@ -452,6 +452,16 @@ class DedupSpec extends SparkSpec {
     assert(nd(1L) == 0L, s"near-dup must ignore within-doc repeats: $nd")
   }
 
+  test("q312: standing digest state reproduces from-scratch exact paragraph dedup") {
+    val dir = sf("sf0.001")
+    val scratch = SparkEntry.queries("q311_para_exact")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val grown = SparkEntry.queries("q312_incr_para_exact")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(scratch.nonEmpty && grown == scratch,
+      "grown-via-appends keep-first map must equal from-scratch exactly")
+  }
+
   // ---- q304: true maximal repeated spans (r16) -----------------------------
 
   test("maximalSpans: exact planted span length; q287's run merges what q304 keeps apart") {

@@ -100,8 +100,10 @@ object StreamProfileMain {
     // cell is the in-run control, so a quantiles swing beyond the pair's
     // common movement is real and within it is sampling noise. Bench's
     // number is a 4-batch sample; this is its temporal error bar.
+    // `name` builds the printed JSON keys (r17 ADVICE: it was dead, and a
+    // third cell added at a call site could silently mislabel its output)
     def runNamed(name: String,
-        mode: String, mk: Dataset[graft.streaming.EventRow] => Dataset[_]): Cell = {
+        mode: String, mk: Dataset[graft.streaming.EventRow] => Dataset[_]): (String, Cell) = {
       val in = MemoryStream[graft.streaming.EventRow]
       val q = mk(in.toDS()).writeStream.format("noop").outputMode(mode)
         .trigger(Trigger.ProcessingTime(0)).start()
@@ -113,7 +115,7 @@ object StreamProfileMain {
           (System.nanoTime() - t0) / 1e6
         }.sorted
         val nRows = batches.tail.map(_.length).sum
-        Cell(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        name -> Cell(spark.conf.get("spark.sql.shuffle.partitions").toInt,
           changelog = true, math.round(nRows / (lats.sum / 1e3)),
           math.round(lats(lats.size / 2)),
           math.round(lats(math.min(lats.size - 1, lats.size * 19 / 20))),
@@ -131,13 +133,16 @@ object StreamProfileMain {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
       (1 to repeat).foreach { i =>
-        val qc = runNamed("quantiles", "update",
-          ds => graft.streaming.EventsPipeline.runningQuantiles(ds))
-        val dc = runNamed("drift", "append",
-          ds => graft.streaming.EventsPipeline.driftAlerts(ds, bucketMs = 3600L * 1000))
-        println(s"""{"rep":$i,"quantiles_rps":${qc.rowsPerSec},""" +
-          s""""quantiles_p50":${qc.p50Ms},"drift_rps":${dc.rowsPerSec},""" +
-          s""""drift_p50":${dc.p50Ms},"partitions":$sized,"n_batches":${qc.nBatches}}""")
+        val cells = Seq(
+          runNamed("quantiles", "update",
+            ds => graft.streaming.EventsPipeline.runningQuantiles(ds)),
+          runNamed("drift", "append",
+            ds => graft.streaming.EventsPipeline.driftAlerts(ds, bucketMs = 3600L * 1000)))
+        val fields = cells.map { case (n, c) =>
+          s""""${n}_rps":${c.rowsPerSec},"${n}_p50":${c.p50Ms}"""
+        }.mkString(",")
+        println(s"""{"rep":$i,$fields,"partitions":$sized,""" +
+          s""""n_batches":${cells.head._2.nBatches}}""")
       }
       spark.stop(); return
     }

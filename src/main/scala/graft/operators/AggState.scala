@@ -60,9 +60,11 @@ object AggState {
     * (n=0 rows are filtered from the merged view). min/max are NOT
     * invertible — the retraction slice carries NULL min/max (ignored by
     * the fold), so after a retraction has touched a key its min/max are
-    * LIFETIME bounds (conservative, still valid), exact again after the
-    * next `optimize`-less rebuild. Contract: retract only rows previously
-    * added — the caller owns that discipline, same as every CDC feed. */
+    * LIFETIME bounds (conservative, still valid); use [[retractExact]]
+    * when a takedown must leave the bounds exact (it rebuilds only the
+    * keys whose extreme was retracted). Contract: retract only rows
+    * previously added — the caller owns that discipline, same as every
+    * CDC feed. */
   def retract(deleted: DataFrame, keys: Seq[String], valueCol: String,
       stateDir: String): Unit = {
     val p = partials(deleted, keys, valueCol)
@@ -71,6 +73,55 @@ object AggState {
         lit(null).cast(p.schema("__min").dataType).as("__min"),
         lit(null).cast(p.schema("__max").dataType).as("__max")): _*)
       .write.mode("append").parquet(statePath(stateDir))
+  }
+
+  /** Takedown with EXACT min/max (r18 — closes the [[retract]] caveat):
+    * retracting the row that carries a key's min (or max) leaves the
+    * lifetime bound stale; this rebuilds exactly the AFFECTED keys from
+    * `survivors` (the [[ClusterState]].removeDocs affected-only
+    * discipline applied to the scalar table).
+    *
+    *  - affected = deleted keys whose deleted extreme reaches the current
+    *    merged min/max (delta-sized: one partials pass over `deleted` +
+    *    a join against the merged view);
+    *  - unaffected deleted keys take the plain O(|deleted|) negative-
+    *    partial append — no state rewrite, min/max stay EXACT (the
+    *    deleted values were strictly inside the bounds);
+    *  - affected keys' slice rows are REPLACED by scratch partials over
+    *    the surviving rows of only those keys (`survivors` is semi-joined
+    *    against the broadcast-sized affected set, so a corpus-backed
+    *    caller pays one pruned scan, never a re-aggregation of the
+    *    world). A key with no surviving rows produces no partial and
+    *    vanishes, exactly as from scratch.
+    *
+    * The state rewrite happens ONLY when some extreme was actually
+    * retracted; `survivors` must hold every surviving (keys, value) row
+    * of the affected keys (rows of other keys are pruned, extra ones are
+    * harmless). Same CDC contract as [[retract]]: only retract rows
+    * previously added. After this, `merged` equals a from-scratch
+    * aggregate over the survivors on ALL four measures (gate-checked by
+    * q314's oracle). */
+  def retractExact(spark: SparkSession, deleted: DataFrame,
+      survivors: DataFrame, keys: Seq[String], valueCol: String,
+      stateDir: String): Unit = {
+    val dp = partials(deleted, keys, valueCol)
+      .localCheckpoint(eager = true)
+    val affected = dp.join(merged(spark, stateDir, keys), keys)
+      .filter(col("__min") <= col("min") || col("__max") >= col("max"))
+      .select(keys.map(col): _*)
+      .localCheckpoint(eager = true)
+    val plainDeleted = deleted.join(broadcast(affected), keys, "left_anti")
+    retract(plainDeleted, keys, valueCol, stateDir)
+    if (!affected.isEmpty) {
+      val rebuilt = partials(
+        survivors.join(broadcast(affected), keys, "left_semi"), keys, valueCol)
+      // pin before overwriting the directory the plan reads from
+      val newState = spark.read.parquet(statePath(stateDir))
+        .join(broadcast(affected), keys, "left_anti")
+        .unionByName(rebuilt)
+        .localCheckpoint(eager = true)
+      newState.write.mode("overwrite").parquet(statePath(stateDir))
+    }
   }
 
   /** The exact current aggregate: fold all slice rows per key. */

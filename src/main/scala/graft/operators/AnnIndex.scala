@@ -100,6 +100,11 @@ object AnnIndex {
         sum(expr("CAST(floor(b.ascore * 10000) AS BIGINT)")).as("sum_assign_e4"),
         countDistinct(col("b.centroid_id")).as("n_cent_used"))
       .withColumn("batch_id", lit(batchId))
+      // an EMPTY batch would write n_vecs=0 with NULL sum_assign_e4, and
+      // fitLedger would then emit null statistics for it (a null "build"
+      // anchor would nullify every drop) — skip the row instead (r17
+      // ADVICE); the filter is blind, no extra action
+      .filter(col("n_vecs") > 0)
       .coalesce(1)
       .write.mode("append").parquet(fitStatsPath(indexDir))
   }
@@ -118,10 +123,15 @@ object AnnIndex {
     // fail loudly, not emptily: without exactly one "build" anchor the
     // cross join would silently return an empty (or row-duplicated)
     // ledger — a missing anchor means recordFitStats was never called at
-    // build time, a doubled one that it was re-recorded
-    val nAnchor = anchor.count()
-    require(nAnchor == 1L,
-      s"fitLedger: expected exactly one 'build' fit-stats row at $indexDir, found $nAnchor")
+    // build time, a doubled one that it was re-recorded. The anchor's
+    // mean must also be non-null (r17 ADVICE: a null anchor — possible
+    // only in legacy state written before the empty-batch guard — would
+    // silently nullify every drop_e4/reindex_advised downstream).
+    val anchorRows = anchor.collect()
+    require(anchorRows.length == 1,
+      s"fitLedger: expected exactly one 'build' fit-stats row at $indexDir, found ${anchorRows.length}")
+    require(!anchorRows.head.isNullAt(0),
+      s"fitLedger: the 'build' anchor at $indexDir has null mean_assign_e4 (empty build batch?)")
     st.crossJoin(broadcast(anchor))
       .select(col("batch_id"), col("n_vecs").cast("long").as("n_vecs"),
         col("mean_assign_e4").cast("long").as("mean_assign_e4"),

@@ -172,6 +172,31 @@ object Dedup {
 
   private[queries] lazy val ParaCtesSql: String = paraCtesFrom("documents")
 
+  /** [[paraBoundaryCorpus]]'s SQL twin: the derived delimiter-bearing
+    * corpus as a CTE chain ending in pdocs(doc_id, text) — 10-token
+    * chunks joined by blank lines for doc_id % 3 = 0, injected full
+    * copies of % 11 = 5 docs at + [[ParaCopyOffset]]. DuckDB needs no
+    * range guard — the Spark-side assert_true is identity on in-range
+    * data. Shared verbatim by the q310 and q313 oracles. */
+  private[queries] lazy val ParaBoundaryCorpusCtesSql: String =
+    s"""w0 AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+       |  FROM documents),
+       |d0 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      CASE WHEN len(w) = 0 THEN ''
+       |           ELSE array_to_string(
+       |             [array_to_string(w[i*10+1 : i*10+10], ' ')
+       |              for i in range(0, (len(w) + 9) // 10)],
+       |             chr(10) || chr(10)) END
+       |    ELSE text END AS text
+       |  FROM w0),
+       |pdocs AS (SELECT doc_id, text FROM d0
+       |          UNION ALL
+       |          SELECT doc_id + $ParaCopyOffset AS doc_id, text FROM d0
+       |          WHERE doc_id % 11 = 5)""".stripMargin
+
   /** The q303 roll-up over the pair chain's `pr` and the paragraph
     * relation `paras`: cross-document keep-first dup set, per-source-doc
     * integer fractions, drop/trim/keep verdicts — shared verbatim by the
@@ -193,12 +218,11 @@ object Dedup {
        |       ELSE 'keep' END AS verdict
        |FROM np LEFT JOIN nd USING (src_doc) ORDER BY doc_id""".stripMargin
 
-  /** The exact paragraph keep-first chain + ledger — q311's oracle,
-    * reused verbatim by q312 (whose standing-state min(pid) per digest
-    * must equal this from-scratch map). */
-  private[queries] lazy val ParaExactSql: String =
-    s"""WITH $ParaCtesSql,
-       |dg AS (SELECT src_doc, doc_id AS pid, text, md5(text) AS dig
+  /** The digest keep-first chain + ledger over a `paras` CTE — the tail
+    * every exact-paragraph oracle shares (q311/q312 over the raw fixture,
+    * q313 over the derived boundary corpus, q314 over survivors). */
+  private[queries] lazy val ParaExactChainSql: String =
+    s"""dg AS (SELECT src_doc, doc_id AS pid, text, md5(text) AS dig
        |       FROM paras),
        |kp AS (SELECT dig, min(pid) AS keep_pid FROM dg GROUP BY dig),
        |mk AS (SELECT src_doc, pid, text,
@@ -206,6 +230,13 @@ object Dedup {
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
        |       FROM dg JOIN kp USING (dig))
        |$ParaLedgerSelectSql""".stripMargin
+
+  /** The exact paragraph keep-first chain + ledger — q311's oracle,
+    * reused verbatim by q312 (whose standing-state min(pid) per digest
+    * must equal this from-scratch map). */
+  private[queries] lazy val ParaExactSql: String =
+    s"""WITH $ParaCtesSql,
+       |$ParaExactChainSql""".stripMargin
 
   /** The retention-ledger SELECT over a marked paragraph CTE
     * mk(src_doc, pid, text, d, nt) — [[paraLedger]]'s SQL twin, shared
@@ -271,6 +302,14 @@ object Dedup {
     * pair mass stays <= cap² per hash, the one quadratic term. */
   private[graft] val SpanOccCap = 32
 
+  /** q310/q313's injected-copy id offset. 2^40 (not the r17 1e6 — ADVICE:
+    * a scale-tier base doc_id >= 1e6 would collide with an injected
+    * copy's id, silently merging two docs' paragraph ledgers identically
+    * in both engines): base ids are guarded < 2^40 by a fail-loud
+    * assert_true riding inside the copy-id projection, and copies land at
+    * < 2^41, safely under [[MaxParaDocId]] = 2^42. */
+  private[graft] val ParaCopyOffset: Long = 1L << 40
+
   /** q303/q305 shared machinery: the pinned paragraph relation
     * (src_doc, doc_id = pid, text) and the duplicated-pid set
     * (keep-first: of a cross-doc near-dup pair only the LATER doc's copy
@@ -288,34 +327,81 @@ object Dedup {
     * fail-loud pid guard (see [[paraDups]]' scaladoc). Un-checkpointed:
     * callers pin it once before multi-consumer use. */
   private[graft] def paraRelation(docs: DataFrame): DataFrame = {
+    // SINGLE-PASS (r18 — the r17 form drove two filtered scan branches,
+    // rlike and !rlike, each reading the full corpus; at 100 TB the
+    // second scan is real money): one projection computes a per-row array
+    // — the normalized paragraph list for boundary docs, the raw token
+    // list for block-fallback docs — one generator explodes the paragraph
+    // indexes, and the text projection branches per paragraph row. `arr`
+    // is a generator-child attribute, evaluated once per DOC row
+    // (Generate is a projection-collapse barrier — the q310 chunk-lambda
+    // recompute cannot happen here).
     val hasSep = col("text").rlike(ParaSepRe)
-    val bounded = docs.filter(hasSep)
-      .select(col("doc_id"),
-        posexplode(filter(
+    docs
+      .select(col("doc_id"), hasSep.as("sep"),
+        when(hasSep, filter(
           transform(split(col("text"), ParaSepRe),
             p => regexp_replace(lower(trim(p)), "\\s+", " ")),
-          p => length(p) > 0)).as(Seq("pi", "text")))
-      .select(col("doc_id"), col("pi").cast("long").as("pi"), col("text"))
-    val blocks = docs.filter(!hasSep)
-      .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
-      .withColumn("n", size(col("w")))
-      .filter(col("n") > 0)
-      .withColumn("pi", explode(sequence(lit(0L), expr(s"(n + ${ParaW - 1}) div $ParaW") - 1)))
+          p => length(p) > 0))
+          .otherwise(TrainPrep.rawToks(col("text"))).as("arr"))
+      .withColumn("np", when(col("sep"), size(col("arr")).cast("long"))
+        .otherwise(expr(s"(size(arr) + ${ParaW - 1}) div $ParaW")))
+      .filter(col("np") > 0)
+      .withColumn("pi", explode(sequence(lit(0L), col("np") - 1)))
       .select(col("doc_id"), col("pi"),
-        concat_ws(" ", expr(s"slice(w, CAST(pi * $ParaW + 1 AS INT), $ParaW)")).as("text"))
-    // the guard rides INSIDE the pid expression (coalesce of assert_true's
-    // null) so column pruning can never drop it; it costs two comparisons
-    // per paragraph row
-    val guard = coalesce(
-      assert_true(col("pi") < ParaIdScale &&
-        col("doc_id").between(0L, MaxParaDocId - 1),
-        concat(lit("paragraph id out of range: doc_id="),
-          col("doc_id").cast("string"), lit(" pi="), col("pi").cast("string"))
-      ).cast("long"), lit(0L))
-    bounded.unionByName(blocks)
+        when(col("sep"), element_at(col("arr"), (col("pi") + 1).cast("int")))
+          .otherwise(concat_ws(" ",
+            expr(s"slice(arr, CAST(pi * $ParaW + 1 AS INT), $ParaW)")))
+          .as("text"))
+      // the guard rides INSIDE the pid expression (coalesce of
+      // assert_true's null) so column pruning can never drop it; it costs
+      // two comparisons per paragraph row
       .select(col("doc_id").as("src_doc"),
-        (col("doc_id") * ParaIdScale + col("pi") + guard).as("doc_id"),
+        (col("doc_id") * ParaIdScale + col("pi") + coalesce(
+          assert_true(col("pi") < ParaIdScale &&
+            col("doc_id").between(0L, MaxParaDocId - 1),
+            concat(lit("paragraph id out of range: doc_id="),
+              col("doc_id").cast("string"), lit(" pi="), col("pi").cast("string"))
+          ).cast("long"), lit(0L))).as("doc_id"),
         col("text"))
+  }
+
+  /** q310/q313's derived delimiter-bearing corpus: the fixtures carry no
+    * newlines, so the blank-line boundary path of [[paraRelation]] would
+    * be spec-only at the gate — this rebuilds doc_id % 3 == 0 docs as
+    * 10-token chunks joined by blank lines (the rest keep raw text) and
+    * injects guaranteed full duplicates (doc_id % 11 == 5 docs copied
+    * under id + [[ParaCopyOffset]], same derived text). Both engines
+    * derive the same corpus, so the boundary split is hash-checked
+    * cross-engine. The copy offset is 2^40 with a fail-loud range guard
+    * riding INSIDE the copy-id projection (r17 ADVICE: the old 1e6 offset
+    * would collide with a scale-tier base doc_id >= 1e6 — identically in
+    * both engines, invisible to the oracle gate). */
+  private[graft] def paraBoundaryCorpus(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("w", TrainPrep.rawToks(col("text")))
+      // the chunk lambda re-reads w per chunk after projection collapse
+      // (~nc extra tokenizations per doc) — row-local and bounded by
+      // doc length / 10; acceptable for a gate query, noted on purpose
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          when(size(col("w")) === 0, lit(""))
+            .otherwise(expr(
+              "concat_ws('\\n\\n', transform(" +
+                "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
+                "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")))
+          .otherwise(col("text")))
+      // the collision guard rides EVERY base doc's id (not just copied
+      // ones): any base doc_id >= offset would collide with the copy of
+      // (doc_id - offset) — identity on in-range data, pruning-proof
+      .select((col("doc_id") + coalesce(
+        assert_true(col("doc_id").between(0L, ParaCopyOffset - 1),
+          concat(lit("q310 copy id collision: base doc_id="),
+            col("doc_id").cast("string"), lit(s" >= offset $ParaCopyOffset"))
+        ).cast("long"), lit(0L))).as("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + lit(ParaCopyOffset)).as("doc_id"), col("text"))
+    base.unionByName(dups)
   }
 
   private def paraDups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
@@ -1062,25 +1148,8 @@ object Dedup {
     // MUST come back verdict=drop (every paragraph duplicated,
     // keep-first: only the later copy counts). Docs under 10 tokens get
     // no separator and take the block fallback in both engines.
-    "q310_para_boundary" -> ((s: SparkSession, dir: String) => {
-      val base = Tables(s, dir, "documents")
-        .withColumn("w", TrainPrep.rawToks(col("text")))
-        // the chunk lambda re-reads w per chunk after projection collapse
-        // (~nc extra tokenizations per doc) — row-local and bounded by
-        // doc length / 10; acceptable for a gate query, noted on purpose
-        .withColumn("text",
-          when(col("doc_id") % 3 === 0,
-            when(size(col("w")) === 0, lit(""))
-              .otherwise(expr(
-                "concat_ws('\\n\\n', transform(" +
-                  "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
-                  "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")))
-            .otherwise(col("text")))
-        .select("doc_id", "text")
-      val dups = base.filter(col("doc_id") % 11 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      paraDedup(base.unionByName(dups))
-    }),
+    "q310_para_boundary" -> ((s: SparkSession, dir: String) =>
+      paraDedup(paraBoundaryCorpus(Tables(s, dir, "documents")))),
 
     // ---- EXACT paragraph dedup: digest keep-first (r17) -------------------
     // The workhorse curation op real pipelines run FIRST (Dolma/FineWeb's
@@ -1105,9 +1174,9 @@ object Dedup {
     // equivalence discipline), ingest stays O(delta) forever, and the
     // trim ledger read from the merged state must equal from-scratch
     // q311 bit-for-bit — the oracle IS q311's SQL, so that equivalence is
-    // hash-checked in the gate itself. Retraction comes free for count
-    // but NOT for min (a retracted first-copy needs a rebuild — the
-    // AggState.retract min/max caveat applies).
+    // hash-checked in the gate itself. Retraction of a kept copy is
+    // q314's gate: AggState.retractExact rebuilds only the affected
+    // digests (min partials alone are not invertible).
     "q312_incr_para_exact" -> ((s: SparkSession, dir: String) => withStateDir("graft-para-digest-") { stateDir =>
       import graft.operators.AggState
       val paras = paraRelation(Tables(s, dir, "documents"))
@@ -1121,6 +1190,55 @@ object Dedup {
       val keep = AggState.merged(s, stateDir, Seq("dig"))
         .select(col("dig"), col("min").cast("long").as("keep_pid"))
       val marked = digested.join(keep, Seq("dig"))
+        .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
+          (col("doc_id") =!= col("keep_pid")).cast("long").as("d"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      paraLedger(marked)
+    }),
+
+    // ---- exact paragraph dedup ON the boundary path (r18) -----------------
+    // q310's derived-delimiter-corpus trick applied to q311 (VERDICT r17
+    // task 3): the raw fixtures carry no newlines, so q311/q312 only ever
+    // hash-checked the BLOCK-fallback split — this runs the identical
+    // digest keep-first machinery over the boundary-bearing derived
+    // corpus (10-token chunks joined by blank lines + injected full
+    // copies), so the blank-line split, its normalization and the global
+    // keep-first are cross-engine-checked at paragraph granularity. q312
+    // shares paraRelation with q311 verbatim, so one gate covers the
+    // boundary path of both.
+    "q313_para_boundary_exact" -> ((s: SparkSession, dir: String) =>
+      paraExact(paraBoundaryCorpus(Tables(s, dir, "documents")))),
+
+    // ---- standing exact-paragraph TAKEDOWN (r18) ---------------------------
+    // Closes q312's documented gap (VERDICT r17 task 2): retracting the
+    // KEPT (min-pid) copy used to leave a stale keep map — min partials
+    // are not invertible. AggState.retractExact rebuilds ONLY the digests
+    // whose minimum was retracted (delta-sized affected set, one pruned
+    // pass over the survivor paragraphs); digests with every copy deleted
+    // vanish via the count retraction. The gate: grown state (build + one
+    // blind append) + takedown of doc_id % 7 == 3 docs, then the ledger
+    // read from the post-takedown state over the survivor corpus — the
+    // oracle is q311's from-scratch SQL over survivors, so
+    // grown+takedown ≡ scratch is hash-checked (the q270/q281 shape).
+    // The deleted set includes keepers by construction (doc 3 is the
+    // first copy of every paragraph it originated), so the rebuild path
+    // is live at every SF.
+    "q314_para_takedown" -> ((s: SparkSession, dir: String) => withStateDir("graft-para-takedown-") { stateDir =>
+      import graft.operators.AggState
+      val paras = paraRelation(Tables(s, dir, "documents"))
+        .localCheckpoint(eager = true)
+      val digested = paras.withColumn("dig", md5(col("text").cast("binary")))
+      def rel(df: DataFrame) = df.select(col("dig"), col("doc_id").as("pid"))
+      AggState.build(rel(digested.filter(col("src_doc") % 2 === 0)),
+        Seq("dig"), "pid", stateDir)
+      AggState.append(rel(digested.filter(col("src_doc") % 2 === 1)),
+        Seq("dig"), "pid", stateDir)
+      val survivors = digested.filter(col("src_doc") % 7 =!= 3)
+      AggState.retractExact(s, rel(digested.filter(col("src_doc") % 7 === 3)),
+        rel(survivors), Seq("dig"), "pid", stateDir)
+      val keep = AggState.merged(s, stateDir, Seq("dig"))
+        .select(col("dig"), col("min").cast("long").as("keep_pid"))
+      val marked = survivors.join(keep, Seq("dig"))
         .select(col("src_doc"), col("doc_id").as("pid"), col("text"),
           (col("doc_id") =!= col("keep_pid")).cast("long").as("d"),
           size(split(col("text"), " ")).cast("long").as("nt"))
@@ -2110,6 +2228,24 @@ object Dedup {
       "q311_para_exact" -> ParaExactSql,
       "q312_incr_para_exact" -> ParaExactSql,
 
+      // q313: the exact chain over the derived boundary-bearing corpus —
+      // the bp0/bd CTEs are live under the DIGEST path here (q310 covers
+      // the near-dup roll-up; this covers keep-first at boundary
+      // granularity)
+      "q313_para_boundary_exact" ->
+        s"""WITH $ParaBoundaryCorpusCtesSql,
+           |${paraCtesFrom("pdocs")},
+           |$ParaExactChainSql""".stripMargin,
+
+      // q314: from-scratch exact dedup over the SURVIVOR corpus — the
+      // Spark side reads its ledger from the grown-then-taken-down
+      // standing state, so state ≡ scratch is the hash check itself
+      "q314_para_takedown" ->
+        s"""WITH sdocs AS (SELECT doc_id, text FROM documents
+           |               WHERE doc_id % 7 <> 3),
+           |${paraCtesFrom("sdocs")},
+           |$ParaExactChainSql""".stripMargin,
+
       // q304: q287's windows, occurrence-capped groups, matching pairs
       // grouped by (d1, d2, offset) diagonals — a maximal diagonal run of
       // k windows is a maximal common substring of k+11 tokens
@@ -2177,23 +2313,7 @@ object Dedup {
       // % 11 = 5 docs), then the SHARED paragraph + pair chains — the
       // boundary CTEs (bp0/bd) are live here, unlike on the raw fixture
       "q310_para_boundary" ->
-        s"""WITH w0 AS (SELECT doc_id, text,
-           |    CASE WHEN length(trim(text)) = 0 THEN []
-           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
-           |  FROM documents),
-           |d0 AS (SELECT doc_id,
-           |    CASE WHEN doc_id % 3 = 0 THEN
-           |      CASE WHEN len(w) = 0 THEN ''
-           |           ELSE array_to_string(
-           |             [array_to_string(w[i*10+1 : i*10+10], ' ')
-           |              for i in range(0, (len(w) + 9) // 10)],
-           |             chr(10) || chr(10)) END
-           |    ELSE text END AS text
-           |  FROM w0),
-           |pdocs AS (SELECT doc_id, text FROM d0
-           |          UNION ALL
-           |          SELECT doc_id + 1000000 AS doc_id, text FROM d0
-           |          WHERE doc_id % 11 = 5),
+        s"""WITH $ParaBoundaryCorpusCtesSql,
            |${paraCtesFrom("pdocs")},
            |${lshPairCtesFrom("paras")},
            |$ParaRollupSql""".stripMargin,

@@ -129,6 +129,48 @@ class AggStateSpec extends SparkSpec {
     assert(left.count() === 0, "fully-retracted key still in the merged view")
   }
 
+  test("retractExact: retracting the kept (min) copy promotes the next; " +
+      "all four measures equal scratch-on-survivors") {
+    import spark.implicits._
+    val dir = tmp()
+    // digest-map shape: key = dig, value = pid; "a" has three copies in
+    // pid order 10 < 20 < 30, "b" two, "c" one (fully retracted below)
+    val rows = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 5L), ("b", 7L),
+      ("c", 99L)).toDF("dig", "pid")
+    AggState.build(rows.filter(col("pid") < 15), Seq("dig"), "pid", dir)
+    AggState.append(rows.filter(col("pid") >= 15), Seq("dig"), "pid", dir)
+    // takedown retracts a's FIRST copy (the keeper), b's LAST (max), and
+    // all of c — exercising the min-rebuild, the max-rebuild and the
+    // vanish path in one call
+    val deleted = Seq(("a", 10L), ("b", 7L), ("c", 99L)).toDF("dig", "pid")
+    val survivors = Seq(("a", 20L), ("a", 30L), ("b", 5L)).toDF("dig", "pid")
+    AggState.retractExact(spark, deleted, survivors, Seq("dig"), "pid", dir)
+    val m = AggState.merged(spark, dir, Seq("dig")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // the SECOND copy of "a" is now the keeper — min is exact, not the
+    // stale lifetime bound the plain retract would have left
+    assert(m("a") == ((2L, 50L, 20L, 30L)), s"a: ${m.get("a")}")
+    assert(m("b") == ((1L, 5L, 5L, 5L)), s"b: ${m.get("b")}")
+    assert(!m.contains("c"), "fully-retracted key must vanish")
+
+    // a takedown touching NO extreme takes the pure O(delta) append path
+    // (no state rewrite): append a middle copy of "a" (25), retract it —
+    // min 20 / max 30 hold exactly and the state grows by slices only
+    AggState.append(Seq(("a", 25L)).toDF("dig", "pid"), Seq("dig"), "pid", dir)
+    val rowsBefore = spark.read.parquet(s"$dir/state").count()
+    AggState.retractExact(spark, Seq(("a", 25L)).toDF("dig", "pid"),
+      Seq(("a", 20L), ("a", 30L)).toDF("dig", "pid"), Seq("dig"), "pid", dir)
+    val m2 = AggState.merged(spark, dir, Seq("dig")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(m2("a") == ((2L, 50L, 20L, 30L)), s"a after mid retract: ${m2.get("a")}")
+    assert(spark.read.parquet(s"$dir/state").count() > rowsBefore,
+      "extreme-free takedown must append a negated slice, not rewrite the state")
+  }
+
   test("retractHist: histogram counts retract exactly to scratch-on-survivors") {
     val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
       .select(col("l_returnflag"),

@@ -399,7 +399,7 @@ class DedupSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val out = SparkEntry.queries("q310_para_boundary")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
-    val copies = out.keys.filter(_ >= 1000000L).toSeq
+    val copies = out.keys.filter(_ >= Dedup.ParaCopyOffset).toSeq
     assert(copies.nonEmpty, "no injected copies — derivation broken")
     copies.foreach { id =>
       val (np, nd, v) = out(id)
@@ -411,14 +411,37 @@ class DedupSpec extends SparkSpec {
     }
     // both classes of copy exist: boundary-split (%3==0 originals,
     // cross-engine bp0/bd CTEs live) and block-fallback
-    assert(copies.exists(id => (id - 1000000L) % 3 == 0))
-    assert(copies.exists(id => (id - 1000000L) % 3 != 0))
+    assert(copies.exists(id => (id - Dedup.ParaCopyOffset) % 3 == 0))
+    assert(copies.exists(id => (id - Dedup.ParaCopyOffset) % 3 != 0))
     // boundary docs paragraph at chunk-10 granularity: a %3==0 original
     // with >= 20 tokens reports more paragraphs than its 16-token block
     // form would only sometimes — instead pin the live path structurally:
     // some %3==0 original has n_paras >= 2 (a 10-token chunking artifact)
     assert(out.exists { case (id, (np, _, _)) =>
-      id < 1000000L && id % 3 == 0 && np >= 2 })
+      id < Dedup.ParaCopyOffset && id % 3 == 0 && np >= 2 })
+  }
+
+  test("q310 copy-id guard fails loudly when a base doc_id reaches the offset") {
+    val docs = Seq((Dedup.ParaCopyOffset + 5L, "five plain words here now"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.paraBoundaryCorpus(docs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("copy id collision")),
+      s"unexpected failure: $e")
+  }
+
+  test("paraRelation is single-pass: one FileScan of documents (r18 plan pin)") {
+    // the r17 form drove TWO rlike-filtered scan branches; the dual scan
+    // doubles I/O at 100 TB. Pin the single-scan shape on the real
+    // parquet-backed relation (an in-memory localRelation would not show
+    // a FileScan at all).
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val plan = Dedup.paraRelation(docs).queryExecution.executedPlan.toString
+    val nScans = plan.sliding("FileScan".length).count(_ == "FileScan")
+    assert(nScans == 1, s"expected exactly one FileScan, got $nScans:\n$plan")
   }
 
   test("paraExact: global digest keep-first drops within-doc repeats and short paragraphs too") {

@@ -12,6 +12,7 @@ import graft.operators.{AnnIndex, Generations}
   * runMain graft.AnnIndexMain probe    <queriesParquet> <indexDir> <outDir>
   * runMain graft.AnnIndexMain remove   <vecIdsParquetOrCsvIds> <indexDir>
   * runMain graft.AnnIndexMain optimize <indexDir> <outIndexDir> [targetFileMB]
+  * runMain graft.AnnIndexMain reindex  <indexDir> <outIndexDir> [k]
   * runMain graft.AnnIndexMain publish  <tableDir> <generationDir>
   * runMain graft.AnnIndexMain resolve  <tableDir> [seq]
   * runMain graft.AnnIndexMain history  <tableDir>
@@ -24,7 +25,11 @@ import graft.operators.{AnnIndex, Generations}
   * it after `build` with batchId "build", then after each `append` —
   * O(|batch|), no corpus rescan); `fitledger` prints/writes every batch's
   * mean assignment fit, its drop vs the build anchor, and the
-  * reindex_advised verdict (the q307/q309 retrain trigger).
+  * reindex_advised verdict (the q307/q309 retrain trigger). `reindex` is
+  * the advised ACTION (r18): retrain the quantizer over the live
+  * (tombstone-filtered) vectors, rebuild assignments into a NEW
+  * generation dir with a fresh fit-ledger anchor, then `publish` to
+  * switch readers atomically (q315 gates probe parity vs scratch).
   *
   * `<embParquet>` carries (vec_id BIGINT, embedding ARRAY) — a testdata
   * `embeddings.parquet` works directly; `<queriesParquet>` the same shape
@@ -43,7 +48,7 @@ object AnnIndexMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 &&
         (Set("resolve", "history", "retire")(args(0)) || args.length >= 3),
-      "usage: AnnIndexMain build|append|probe|remove|optimize|publish|resolve|history|retire <in> [<indexDir>] [out|targetMB]")
+      "usage: AnnIndexMain build|append|probe|remove|optimize|reindex|publish|resolve|history|retire <in> [<indexDir>] [out|targetMB|k]")
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +91,17 @@ object AnnIndexMain {
           AnnIndex.remove(ids, args(2))
         }
         println(s"tombstoned ${args(1)} in ${args(2)}")
+      case "reindex" =>
+        require(args.length >= 3, "reindex needs <indexDir> <outIndexDir> [k]")
+        require(AnnIndex.exists(args(1)), s"no index at ${args(1)} — build first")
+        val k = if (args.length >= 4) args(3).toInt else 8
+        // lock the SOURCE (the optimize discipline): an append landing
+        // after the live-vector read would vanish from the new generation
+        Generations.withWriterLock(args(1)) {
+          AnnIndex.reindex(spark, args(1), args(2), k)
+          Generations.recordSourceFingerprint(args(2), args(1))
+        }
+        println(s"reindexed ${args(1)} -> ${args(2)} (k=$k quantizer retrained)")
       case "optimize" =>
         val target = (if (args.length >= 4) args(3).toLong else 128L) << 20
         // lock the SOURCE: an append after the rewrite's listing would

@@ -533,7 +533,7 @@ object Bench {
     "q279_cluster_takedown", "q280_incr_bm25", "q281_bm25_takedown",
     "q283_standing_bloom", "q292_state_split", "q300_incr_dsir",
     "q307_ann_drift", "q309_ann_fit_ledger", "q312_incr_para_exact",
-    "q314_para_takedown")
+    "q314_para_takedown", "q315_ann_reindex")
 
   /** Mirror of `tools/bench_compare.py`'s `load()` (VERDICT r11 #4): pull
     * (queries, calib_mt_sec, value) out of a previous round's bench JSON —

@@ -79,6 +79,70 @@ object AnnIndex {
       if (new File(codebooksPath(indexDir)).isDirectory)
         Some(spark.read.parquet(codebooksPath(indexDir))) else None)
 
+  /** Drift-aware REBUILD into a new generation dir (r18 — the action the
+    * q307/q309 retrain trigger advises): retrain the coarse quantizer
+    * over the index's LIVE (tombstone-filtered) vectors, re-assign every
+    * live vector against it, and write a fresh index at `outIndexDir` —
+    * the Generations publish/retire choreography is the caller's
+    * (AnnIndexMain `reindex` + `publish`; the maintained streaming loops'
+    * cadence). Specifics:
+    *
+    *  - retraining is ONE Lloyd step under the index's own assignment
+    *    metric (rounded cosine, lowest-id tie-break): seeds = the `k`
+    *    lowest-vec_id live vectors, then per-dimension member means —
+    *    float32-derived doubles sum exactly in f64, so the means are
+    *    order-independent and the float round-trip is deterministic
+    *    (the q78 parity discipline). Content-determined, so a reindexed
+    *    grown index probes identically to one built from scratch over
+    *    the survivors — q315's oracle hash-checks exactly that;
+    *  - PQ codebooks, when present, are CARRIED (codes are recomputed by
+    *    the build, identically — encoding depends only on the codebooks):
+    *    the drift statistic the reindex answers is coarse-quantizer fit;
+    *    codebook retraining would be this same discipline per subspace;
+    *  - the fit ledger RESETS: a fresh "build" anchor row over the live
+    *    vectors against the NEW quantizer lands at `outIndexDir` (drops
+    *    are meaningless across quantizers); the old ledger stays with
+    *    the old generation for history.
+    *
+    * 100 TB: seeds are a k-row TakeOrdered; the Lloyd step is one
+    * broadcast-assign + one (centroid, dim) aggregation shuffle; the
+    * rebuild itself is [[build]]'s one assignment pass — all linear, no
+    * step rescans more than the live corpus once. */
+  def reindex(spark: SparkSession, indexDir: String, outIndexDir: String,
+      k: Int = 8): Unit = {
+    require(new File(indexDir).getCanonicalPath !=
+        new File(outIndexDir).getCanonicalPath,
+      s"reindex: outIndexDir must differ from indexDir ($indexDir)")
+    val live = liveVectors(spark, indexDir).select("vec_id", "embedding")
+      .localCheckpoint(eager = true) // one materialization feeds seed/assign/build
+    val cent = retrainCentroids(live, k)
+    val cb =
+      if (new File(codebooksPath(indexDir)).isDirectory)
+        Some(spark.read.parquet(codebooksPath(indexDir)))
+      else None
+    build(live, cent, outIndexDir, cb)
+    recordFitStats(spark, live, outIndexDir, "build")
+  }
+
+  /** One cosine-metric Lloyd step from the k lowest-id seeds — the
+    * retrained quantizer (centroid_id = seed vec_id, centv ARRAY<FLOAT>).
+    * A seed whose cluster is empty cannot occur (each seed assigns to
+    * itself at cosine 1.0, losing ties only to a parallel lower-id seed —
+    * in which case the two clusters merge, exactly as from scratch). */
+  private[graft] def retrainCentroids(live: DataFrame, k: Int): DataFrame = {
+    val seeds = live.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    assignCosine(live, seeds)
+      .select(col("centroid_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("centv"))
+  }
+
   /** Record a batch's quantizer-FIT statistics beside the index (r17 —
     * the standing form of the q307 drift audit): one blind 1-row append
     * to `fitstats/` per ingest batch, computed from the batch alone

@@ -300,6 +300,39 @@ object Similarity {
       graft.operators.AnnIndex.fitLedger(s, idxDir)
     }),
 
+    // ---- drift -> REINDEX: the retrain trigger's action (r18) ------------
+    // q307/q309 fire reindex_advised; this drives the advised action
+    // end-to-end through the standing index: build on the base slice,
+    // blind-append the drifted slice, tombstone a takedown set
+    // (vec_id % 7 == 2 — hits both slices, so the retrain provably reads
+    // LIVE vectors only), then AnnIndex.reindex into a new generation
+    // (quantizer retrained over the live corpus: 8 lowest-id seeds + one
+    // cosine Lloyd step, fit ledger re-anchored) and answer the q51-shape
+    // probe from it. The oracle re-derives everything from the slice
+    // definitions — seeds, means (exact f64 sums of floats, cast back to
+    // FLOAT), re-assignment and probe — so "post-reindex probe ≡ index
+    // scratch-built on the current corpus" is hash-checked at 3 SFs.
+    "q315_ann_reindex" -> ((s: SparkSession, dir: String) => withStateDir("graft-ann-reindex-") { tmpDir =>
+      val idx0 = s"$tmpDir/gen0"; val idx1 = s"$tmpDir/gen1"
+      val e = Tables(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+      val drift = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), driftShift(col("embedding")).as("embedding"))
+      val cent = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      graft.operators.AnnIndex.build(base, cent, idx0)
+      graft.operators.AnnIndex.recordFitStats(s, base, idx0, "build")
+      graft.operators.AnnIndex.append(s, drift, idx0)
+      graft.operators.AnnIndex.recordFitStats(s, drift, idx0, "b1_drift")
+      graft.operators.AnnIndex.remove(
+        e.filter(col("vec_id") % 7 === 2).select("vec_id"), idx0)
+      graft.operators.AnnIndex.reindex(s, idx0, idx1, k = 8)
+      val qs = base.unionByName(drift)
+        .filter(col("vec_id") < 20 && col("vec_id") % 7 =!= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.probe(s, qs, idx1)
+    }),
+
     // ---- SQ8 scalar quantization: reconstruction error per label ---------
     "q50_quantize" -> ((s: SparkSession, dir: String) => {
       val recon = aggregate(
@@ -1114,6 +1147,58 @@ object Similarity {
          |  CAST(CASE WHEN a.base_e4 - st.mean_assign_e4 >= $ReindexDropE4
          |       THEN 1 ELSE 0 END AS BIGINT) AS reindex_advised
          |FROM st, a ORDER BY st.batch_id""".stripMargin,
+
+    // q315: the reindexed generation re-derived from the slice
+    // definitions — live corpus (union minus tombstones), 8 lowest-id
+    // seeds, one cosine Lloyd step (means = exact f64 sums of floats,
+    // cast back to FLOAT), re-assignment under the retrained quantizer,
+    // then q51's probe chain over it
+    "q315_ann_reindex" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |drift AS (SELECT vec_id,
+         |    [CAST(x::DOUBLE * 0.5 + 0.25 AS FLOAT) for x in embedding] AS embedding
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |corpus AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM drift)
+         |           WHERE vec_id % 7 <> 2),
+         |seeds AS (SELECT vec_id AS scid, embedding AS scv FROM corpus
+         |          ORDER BY vec_id LIMIT 8),
+         |asg0 AS (SELECT vec_id, scid, embedding FROM (
+         |   SELECT c.vec_id, seeds.scid, c.embedding,
+         |     round(${dotSql("scv", "embedding")}
+         |           / (${normSql("scv")} * ${normSql("embedding")}), 4) AS ascore
+         |   FROM corpus c, seeds)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY ascore DESC, scid) = 1),
+         |cm AS (SELECT scid, pos, avg(embedding[pos]::DOUBLE) AS m
+         |       FROM asg0, (SELECT unnest(range(1, 65)) AS pos)
+         |       GROUP BY scid, pos),
+         |cent2 AS (SELECT scid AS centroid_id,
+         |           list(CAST(m AS FLOAT) ORDER BY pos) AS centv
+         |          FROM cm GROUP BY scid),
+         |asg2 AS (SELECT vec_id AS cid, ccid, embedding AS ce FROM (
+         |   SELECT c.vec_id, cent2.centroid_id AS ccid, c.embedding,
+         |     round(${dotSql("centv", "embedding")}
+         |           / (${normSql("centv")} * ${normSql("embedding")}), 4) AS ascore
+         |   FROM corpus c, cent2)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY ascore DESC, ccid) = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM corpus WHERE vec_id < 20),
+         |probes AS (SELECT qid, qe, centroid_id AS pcid FROM (
+         |   SELECT q.qid, q.qe, cent2.centroid_id,
+         |     round(${dotSql("centv", "qe")}
+         |           / (${normSql("centv")} * ${normSql("qe")}), 4) AS qscore
+         |   FROM q, cent2)
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |                             ORDER BY qscore DESC, centroid_id) <= 2),
+         |sc AS (SELECT qid, cid,
+         |  round(${dotSql("qe", "ce")} / (${normSql("qe")} * ${normSql("ce")}), 4) AS score
+         | FROM probes JOIN asg2 ON pcid = ccid AND qid <> cid)
+         |SELECT qid, rank, cid, score FROM (
+         | SELECT qid, cid, score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+         |       AS BIGINT) AS rank
+         | FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q50_quantize" ->
       """WITH t AS (SELECT label,

@@ -264,4 +264,60 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterEach {
     assert(m("drift").getLong(3) <= m("base").getLong(3), "centroid usage collapses")
     assert(m("base").getLong(8) == 1L, "the fixture drift fires the trigger")
   }
+
+  // ---- r18: the trigger's ACTION — reindex into a new generation ----------
+
+  test("reindex: retrained generation probes exactly like scratch-built on live vectors; ledger re-anchors") {
+    val base = emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val drift = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        graft.queries.Similarity.driftShift(col("embedding")).as("embedding"))
+    val idx0 = tmp(); val idx1 = tmp()
+    AnnIndex.build(base, cent, idx0)
+    AnnIndex.recordFitStats(spark, base, idx0, "build")
+    AnnIndex.append(spark, drift, idx0)
+    AnnIndex.recordFitStats(spark, drift, idx0, "b1_drift")
+    // tombstones spanning BOTH slices: the retrain must read live only
+    AnnIndex.remove(emb.filter(col("vec_id") % 7 === 2).select("vec_id"), idx0)
+    AnnIndex.reindex(spark, idx0, idx1, k = 8)
+
+    // scratch-built over the survivors with the same retrained quantizer
+    val live = base.unionByName(drift).filter(col("vec_id") % 7 =!= 2)
+    val scratchDir = tmp()
+    AnnIndex.build(live, AnnIndex.retrainCentroids(live, 8), scratchDir)
+    val got = probeRows(idx1)
+    assert(got.nonEmpty, "reindexed probe returned nothing")
+    assert(got == probeRows(scratchDir))
+
+    // the ledger RESET: exactly the fresh anchor, drop 0, not advised
+    val led = AnnIndex.fitLedger(spark, idx1).collect()
+    assert(led.length == 1 && led.head.getString(0) == "build")
+    assert(led.head.getLong(4) == 0L && led.head.getLong(5) == 0L)
+    // and the retrained anchor fits the live corpus BETTER than the old
+    // quantizer fit the drifted slice (the reindex's payoff)
+    val oldDrift = AnnIndex.fitLedger(spark, idx0).collect()
+      .find(_.getString(0) == "b1_drift").get
+    assert(led.head.getLong(2) > oldDrift.getLong(2),
+      s"retrained fit ${led.head.getLong(2)} must beat frozen ${oldDrift.getLong(2)}")
+
+    // in-place reindex is refused (generation discipline)
+    val e = intercept[IllegalArgumentException] { AnnIndex.reindex(spark, idx1, idx1) }
+    assert(e.getMessage.contains("must differ"))
+  }
+
+  test("reindex carries PQ codebooks; probePq parity vs scratch on live vectors") {
+    val pqDir = tmp(); val pqOut = tmp()
+    val cb = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    AnnIndex.build(emb, cent, pqDir, Some(cb))
+    AnnIndex.recordFitStats(spark, emb, pqDir, "build")
+    AnnIndex.remove(emb.filter(col("vec_id") % 5 === 1).select("vec_id"), pqDir)
+    AnnIndex.reindex(spark, pqDir, pqOut, k = 8)
+    val live = emb.filter(col("vec_id") % 5 =!= 1).select("vec_id", "embedding")
+    val scratchDir = tmp()
+    AnnIndex.build(live, AnnIndex.retrainCentroids(live, 8), scratchDir, Some(cb))
+    val a = AnnIndex.probePq(spark, queriesDf, pqOut).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == AnnIndex.probePq(spark, queriesDf, scratchDir).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -75,24 +75,49 @@ object CorpusMain {
     * paragraph mass is >= 50% duplicated in OTHER survivors — sub-document
     * boilerplate that whole-doc Jaccard misses when a fresh paragraph
     * dilutes the pairwise score under 0.7. CLI flag `paradedup`. */
+  /** `paraExactGate`: exact-paragraph trim (q311's operator, r18 —
+    * exact-FIRST: the digest trim measured ~1/10 the near-dup trim's
+    * cost at the 100× tier, so it runs right after exact doc dedup,
+    * before anything shingles): paragraphs duplicated ANYWHERE in the
+    * corpus keep their first (min-pid) copy; later copies are removed
+    * and the doc's text rebuilt from its kept paragraphs ([[graft.queries.
+    * Dedup.paraExactRebuild]] — untouched docs pass verbatim); a doc
+    * with zero novel paragraphs drops. CLI flag `paraexact`. */
   def curate(spark: SparkSession, docs: DataFrame,
              lmGateE6: Option[Long] = None,
              keepLongest: Boolean = false,
              decontam: Boolean = false,
-             paraGate: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
+             paraGate: Boolean = false,
+             paraExactGate: Boolean = false): (DataFrame, Seq[(String, Long)], () => Unit) = {
     val total = docs.count()
 
     // 1. exact dedup: keep the smallest doc_id per content digest.
     // Persisted: the minhash base, the anti-join probe side, and (until
     // nearDeduped materializes) everything downstream read it.
-    val keepExact = docs
+    val keepExact0 = docs
       .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
       .filter(col("doc_id") === col("keep_id"))
       .drop("text_hash", "keep_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nExact = keepExact.count()
+    val nExact = keepExact0.count()
+
+    // 1b. optional exact-paragraph trim (see the scaladoc) — the decision
+    // is checkpointed (the pipelineBatch discipline) so the rebuild and
+    // the funnel count never re-run the paragraph digest shuffle
+    val (keepExact, nParaExact) =
+      if (!paraExactGate) (keepExact0, nExact)
+      else {
+        val marked = Dedup.paraExactMark(
+          Dedup.paraDigested(keepExact0.select("doc_id", "text")), None)
+          .localCheckpoint(eager = true)
+        val t = Dedup.paraExactRebuild(marked, keepExact0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = t.count()
+        keepExact0.unpersist()
+        (t, n)
+      }
 
     // 2. near-dup removal: LSH pairs -> connected components -> keep each
     // cluster's minimum doc_id (transitively closed keep-first)
@@ -279,8 +304,9 @@ object CorpusMain {
     val curated = finalSplit.withColumn("text", Redaction.redactPii(col("text")))
 
     val funnel = Seq(
-      "input" -> total, "exact_dedup" -> nExact,
-      "near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
+      "input" -> total, "exact_dedup" -> nExact) ++
+      (if (paraExactGate) Seq("exact_para_trim" -> nParaExact) else Nil) ++
+      Seq("near_dup_clusters" -> nClusters, "largest_cluster" -> largest,
       "near_dedup" -> nNear) ++
       (if (paraGate) Seq("para_dedup" -> nPara) else Nil) ++
       Seq("quality" -> nQuality,
@@ -320,18 +346,20 @@ object CorpusMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam] [paradedup]")
+      "usage: CorpusMain <sfDir> <outDir> [lmGateE6] [keep=longest] [decontam] [paradedup] [paraexact]")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val keepLongest = args.drop(2).contains("keep=longest")
     val decontam = args.drop(2).contains("decontam")
     val paraGate = args.drop(2).contains("paradedup")
+    val paraExact = args.drop(2).contains("paraexact")
     val lmGate = args.drop(2)
-      .find(a => !a.startsWith("keep=") && a != "decontam" && a != "paradedup")
+      .find(a => !a.startsWith("keep=") && a != "decontam" &&
+        a != "paradedup" && a != "paraexact")
       .map(_.toLong)
     val (curated, funnel, release) =
       curate(spark, Tables(spark, args(0), "documents"), lmGate, keepLongest,
-        decontam, paraGate)
+        decontam, paraGate, paraExact)
     val gate = publishGate(curated)
     gate.foreach { case (c, v) => println(s"gate $c: $v") }
     require(gate.forall(_._2 == 0L),

@@ -77,6 +77,7 @@ object PipeScaleMain {
     val indexTable = s"$workDir/index"
     val clusterDir = s"$workDir/clusters"
     val corpusDir = s"$workDir/corpus"
+    val paraTable = s"$workDir/para"
     val ledgerPath = java.nio.file.Paths.get(s"$workDir/pipescale.jsonl")
 
     // task-metric capture, drained per wave
@@ -107,6 +108,9 @@ object PipeScaleMain {
 
     def mb(b: Long): String = Bench.jnum(b / 1048576.0, 1)
     var wallTotal = 0.0; var spillTotal = 0L
+    // exact-paragraph trim ledger is cumulative (1 row/batch); per-wave
+    // deltas come from differencing the running totals
+    var paraInPrev = 0L; var paraDropPrev = 0L
     val t0All = System.nanoTime()
     (0 until waves).foreach { w =>
       val wave = docs.filter(pmod(col("doc_id"), lit(waves.toLong)) === w)
@@ -139,7 +143,7 @@ object PipeScaleMain {
         .option("checkpointLocation", s"$workDir/checkpoint")
         .foreachBatch(streaming.CorpusStream.pipelineBatch(bloomTable,
           indexTable, clusterDir, corpusDir, optimizeEvery,
-          bloomBits = bloomBits) _)
+          bloomBits = bloomBits, paraTable = paraTable) _)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -165,6 +169,15 @@ object PipeScaleMain {
         graft.operators.AggState.bloomFill(spark, gen)
           .select("fill_bp").head().getLong(0)
       }.getOrElse(-1L)
+      // exact-paragraph trim stage: this wave's admission delta (paras
+      // probed/trimmed) + the standing digest state's footprint
+      val (paraInCum, paraDropCum) = scala.util.Try {
+        val r = spark.read.parquet(s"$paraTable/trim_ledger")
+          .agg(sum("paras_in"), sum("paras_dropped")).head()
+        (r.getLong(0), r.getLong(1))
+      }.getOrElse((0L, 0L))
+      val (paraIn, paraDrop) = (paraInCum - paraInPrev, paraDropCum - paraDropPrev)
+      paraInPrev = paraInCum; paraDropPrev = paraDropCum
       val line =
         s"""{"metric":"pipescale_wave","sf":"$sfDir","wave":$w,""" +
           s""""docs_in":$nIn,"wall_sec":${Bench.jnum(wall, 2)},""" +
@@ -174,6 +187,8 @@ object PipeScaleMain {
           s""""index_mb":${mb(dirBytes(indexTable))},""" +
           s""""bloom_mb":${mb(dirBytes(bloomTable))},""" +
           s""""bloom_fill_bp":$fillBp,""" +
+          s""""para_in":$paraIn,"para_trimmed":$paraDrop,""" +
+          s""""para_mb":${mb(dirBytes(paraTable))},""" +
           s""""clusters_mb":${mb(dirBytes(clusterDir))}}"""
       println(line)
       java.nio.file.Files.write(ledgerPath, (line + "\n").getBytes("UTF-8"),
@@ -191,6 +206,7 @@ object PipeScaleMain {
     val totalLine =
       s"""{"metric":"pipescale_total","sf":"$sfDir","waves":$waves,""" +
         s""""docs_in":$totalDocs,"corpus_docs":$corpusN,""" +
+        s""""paras_in":$paraInPrev,"paras_trimmed":$paraDropPrev,""" +
         s""""dup_clusters":$clustersN,""" +
         s""""wall_sec":${Bench.jnum(wallTotal, 2)},""" +
         s""""wall_with_setup_sec":${Bench.jnum((System.nanoTime() - t0All) / 1e9, 2)},""" +

@@ -10,6 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
   *     -> CorpusStream.curated   (quality/repetition gates, watermarked
   *                                exact dedup, PII scrub)
   *     -> CorpusStream.pipelineBatch
+  *          exact-paragraph trim (standing q312 digest state — exact-FIRST,
+  *                           the cheapest dedup op runs before every gate)
   *          novelty gate    (standing Bloom state, generation-managed)
   *          near-dup probe  (standing DedupIndex, generation-managed)
   *          cluster fold    (standing ClusterState — every duplicate edge
@@ -29,8 +31,9 @@ import org.apache.spark.sql.streaming.Trigger
   * nearly everything (the r15 scale-tier finding; PipeScaleMain sizes it
   * from the tier automatically).
   *
-  * `pipeDir` layout: `bloom/` + `index/` (generation-managed standing
-  * tables), `clusters/` (standing dup clusters), `corpus/` (admitted
+  * `pipeDir` layout: `bloom/` + `index/` + `para/` (generation-managed
+  * standing tables; `para/trim_ledger` holds the per-batch retention
+  * rows), `clusters/` (standing dup clusters), `corpus/` (admitted
   * docs), `checkpoint/` (streaming offsets — a rerun resumes, reprocessing
   * nothing already committed). Runs with `Trigger.AvailableNow`: one
   * invocation drains everything currently in `inDir` and exits — the cron
@@ -69,12 +72,13 @@ object PipelineMain {
     val indexTable = s"$pipeDir/index"
     val clusterDir = s"$pipeDir/clusters"
     val corpusDir = s"$pipeDir/corpus"
+    val paraTable = s"$pipeDir/para"
 
     val q = streaming.CorpusStream.curated(feed).writeStream
       .option("checkpointLocation", s"$pipeDir/checkpoint")
       .foreachBatch(streaming.CorpusStream.pipelineBatch(bloomTable,
         indexTable, clusterDir, corpusDir, optimizeEvery, keepLast,
-        retentionHours, minNovelBp, bloomBits) _)
+        retentionHours, minNovelBp, bloomBits, paraTable) _)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -93,8 +97,17 @@ object PipelineMain {
       else 0L
     val bloomGen = Generations.current(bloomTable).getOrElse("(unpublished)")
     val indexGen = Generations.current(indexTable).getOrElse("(unpublished)")
+    val paraGen = Generations.current(paraTable).getOrElse("(unpublished)")
+    // exact-paragraph retention totals (the trim ledger, 1 row/batch)
+    val (paraIn, paraDropped) = scala.util.Try {
+      val r = spark.read.parquet(s"$paraTable/trim_ledger")
+        .agg(sum("paras_in"), sum("paras_dropped")).head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
     println(s"""{"corpus_docs":$corpusN,"dup_clusters":$clustersN,""" +
-      s""""bloom_generation":"$bloomGen","index_generation":"$indexGen"}""")
+      s""""paras_in":$paraIn,"paras_trimmed":$paraDropped,""" +
+      s""""bloom_generation":"$bloomGen","index_generation":"$indexGen",""" +
+      s""""para_generation":"$paraGen"}""")
     spark.stop()
   }
 }

@@ -504,6 +504,71 @@ object Dedup {
     paraLedger(marked).localCheckpoint(eager = true)
   }
 
+  /** The digested paragraph relation (src_doc, pid, text, dig) — the unit
+    * the PRODUCTION exact-paragraph trim decides over (r18, VERDICT r17
+    * task 1: q311/q312 existed only as gate queries; this family wires
+    * them into [[graft.streaming.CorpusStream.pipelineBatch]] and
+    * [[graft.CorpusMain]]). Same [[paraRelation]] as every paragraph
+    * query, digest = md5 of the normalized paragraph text. */
+  private[graft] def paraDigested(docs: DataFrame): DataFrame =
+    paraRelation(docs)
+      .select(col("src_doc"), col("doc_id").as("pid"), col("text"))
+      .withColumn("dig", md5(col("text").cast("binary")))
+
+  /** The exact-paragraph trim DECISION over a digested frame: d = 1 for
+    * every paragraph that is a repeat — of an earlier (min-pid) copy
+    * within this frame, or of anything in `seenDigs` (the standing
+    * digest state's key set: content the corpus already shipped). The
+    * standing rule is first-ARRIVED wins — a later batch's copy trims
+    * regardless of pid order, because the state copy already landed —
+    * while within one frame the q311 min-pid keep-first applies. Scale:
+    * one dig-keyed partial-aggregated shuffle + the same-key join back
+    * (q311's skew argument), plus one equi join against the state's key
+    * set (delta × state; bucket the state table by dig at deployment —
+    * AQE broadcasts it while small). */
+  private[graft] def paraExactMark(digested: DataFrame,
+      seenDigs: Option[DataFrame]): DataFrame = {
+    val frameKeep = digested.groupBy("dig").agg(min(col("pid")).as("__keep"))
+    val m = digested.join(frameKeep, Seq("dig"))
+      .withColumn("d", (col("pid") =!= col("__keep")).cast("long"))
+      .drop("__keep")
+    seenDigs.fold(m)(sd =>
+      m.join(sd.select("dig").distinct().withColumn("__seen", lit(1L)),
+          Seq("dig"), "left")
+        .withColumn("d", greatest(col("d"), coalesce(col("__seen"), lit(0L))))
+        .drop("__seen"))
+  }
+
+  /** Rebuild the trimmed documents from a [[paraExactMark]] decision:
+    * docs with NO dropped paragraph pass VERBATIM (no rewrite, no
+    * normalization — the common case costs an anti join against the
+    * delta-sized touched set); docs that lost paragraphs are rebuilt as
+    * their KEPT paragraphs rejoined by a blank line (so a future
+    * [[paraRelation]] over the rebuilt text re-derives the same
+    * paragraphs — the boundary split is idempotent on normalized
+    * paragraphs, and block-fallback docs become boundary docs whose
+    * paragraphs are exactly the kept blocks); docs whose every paragraph
+    * was a repeat vanish — they carry zero novel content. `docs` may
+    * carry any extra columns; only `text` is replaced. The per-doc
+    * collect_list is bounded by one document's paragraphs (the
+    * paraLedger precedent). */
+  private[graft] def paraExactRebuild(marked: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val touched = marked.filter(col("d") === 1L).select("src_doc").distinct()
+    val rebuilt = marked.filter(col("d") === 0L)
+      .join(touched, Seq("src_doc"), "left_semi")
+      .groupBy("src_doc")
+      .agg(concat_ws("\n\n",
+        transform(array_sort(collect_list(struct(col("pid"), col("text")))),
+          s => s.getField("text"))).as("__text"))
+    val untouched =
+      docs.join(touched, docs("doc_id") === touched("src_doc"), "left_anti")
+    val rewritten = docs.join(rebuilt, docs("doc_id") === rebuilt("src_doc"))
+      .select(docs.columns.map(c =>
+        if (c == "text") col("__text").as("text") else docs(c)): _*)
+    untouched.unionByName(rewritten)
+  }
+
   /** q304's body over any (doc_id, text) frame — see the queries-map
     * scaladoc. Diagonal runs of matching 12-token windows are exact
     * maximal common substrings between two positions PROVIDED every

@@ -441,6 +441,32 @@ object CorpusStream {
     * the cluster fold precedes the drop from inside the index window
     * (edges derive from that window's validated probe).
     *
+    * EXACT-PARAGRAPH trim (r18, VERDICT r17 #1 — exact-FIRST: q311
+    * measured the digest trim at ~1/10 the near-dup trim's cost at the
+    * 100× tier, so production curation leads with it): when `paraTable`
+    * is non-empty, the batch's paragraphs are digested
+    * ([[Dedup.paraDigested]]) and checked against the standing
+    * (digest → first-seen pid) min-partial state (the q312 table,
+    * [[graft.operators.AggState]]) — a paragraph the corpus already
+    * shipped, or a within-batch repeat, is trimmed before ANY other gate
+    * sees the text ([[Dedup.paraExactRebuild]]; a doc with zero novel
+    * paragraphs vanishes). The digests of the FINAL survivors' kept
+    * paragraphs blind-append into the state in the para table's own lock
+    * window, AFTER the index window and BEFORE the corpus landing, so
+    * the state mirrors exactly the corpus's paragraph content (the
+    * keep-first contract "the first copy survives somewhere" holds:
+    * only shipped paragraphs block future copies) and a crash-replayed
+    * batch reads all its paragraphs as seen and under-admits (the
+    * noveltyBatch fail direction — never a double landing). The para
+    * window needs NO fingerprint fallback: min-partial appends are blind
+    * and commutative (no read-modify-write), and a probe gone stale
+    * against a concurrent writer only UNDER-trims — both shipped copies
+    * are real corpus content and the merged min is still a valid keeper.
+    * A 1-row trim ledger (paras in/dropped, tokens in/kept) appends to
+    * `paraTable/trim_ledger` per batch — the PipeScaleMain per-wave
+    * retention signal. Empty `paraTable` (the default) disables the
+    * stage — the A/B knob for measuring its cost.
+    *
     * `raceHook` is a test seam: invoked with "bloom"/"index" after each
     * optimistic compute, right before its lock window — specs mutate the
     * state there to prove the fingerprint fallback recomputes correctly. */
@@ -449,10 +475,52 @@ object CorpusStream {
       keepLast: Int = 1, retentionHours: Double = 0.0,
       minNovelBp: Long = 3000L,
       bloomBits: Long = graft.operators.AggState.BloomDefaultBits,
+      paraTable: String = "",
       raceHook: String => Unit = _ => ())(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch0: DataFrame, batchId: Long): Unit = {
     import graft.operators.{AggState, ClusterState, Generations}
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
+
+    // ---- exact-paragraph trim (exact-FIRST; see the scaladoc) ----------
+    // `marked` is the pinned trim DECISION (the r16 decision-pin
+    // discipline: one checkpoint job; the rebuild, the ledger row and
+    // the survivor digest slice all derive from it lazily)
+    var marked: DataFrame = null
+    val batch = if (paraTable.isEmpty) batch0 else {
+      val paraGen0 = currentGen(paraTable)
+      val seen =
+        if (AggState.exists(paraGen0))
+          Some(AggState.merged(spark, paraGen0, Seq("dig")).select("dig"))
+        else None
+      marked = Dedup.paraExactMark(
+        Dedup.paraDigested(batch0.select("doc_id", "text")), seen)
+        .localCheckpoint(eager = true)
+      Dedup.paraExactRebuild(marked, batch0)
+    }
+
+    // the para table's lock window — called after the index window (the
+    // survivor set exists) and before the corpus landing (crash contract)
+    def paraWindow(keptOfSurvivors: DataFrame): Unit =
+      Generations.withWriterLock(paraTable) {
+        val paraGen = currentGen(paraTable)
+        Generations.withWriterLock(paraGen) {
+          AggState.append(keptOfSurvivors, Seq("dig"), "pid", paraGen)
+          marked.withColumn("nt", size(split(col("text"), " ")).cast("long"))
+            .agg(count(lit(1)).as("paras_in"),
+              sum("d").as("paras_dropped"),
+              sum("nt").as("tokens_in"),
+              sum(when(col("d") === 0L, col("nt")).otherwise(0L))
+                .as("tokens_kept"))
+            .withColumn("batch_id", lit(batchId))
+            // an empty batch writes no row (the fitstats discipline)
+            .filter(col("paras_in") > 0)
+            .coalesce(1)
+            .write.mode("append").parquet(s"$paraTable/trim_ledger")
+          maintainGeneration(paraTable, paraGen, batchId, optimizeEvery,
+            keepLast, retentionHours, AggState.exists,
+            AggState.optimize(spark, _, _, Seq("dig")))
+        }
+      }
 
     // ---- bloom window ------------------------------------------------
     val bloomGen0 = currentGen(bloomTable)
@@ -549,12 +617,20 @@ object CorpusStream {
               DedupIndex.optimize(spark, _, _))
           }
         }
+        // para digest fold: the survivors' KEPT paragraphs — exactly the
+        // content about to land — enter the standing state before the
+        // corpus write (see the scaladoc's crash contract)
+        if (paraTable.nonEmpty)
+          paraWindow(marked.filter(col("d") === 0L)
+            .join(survivors.select(col("doc_id").as("src_doc")),
+              Seq("src_doc"), "left_semi")
+            .select(col("dig"), col("pid")))
         // the corpus landing needs no standing-table lock; the index
         // append still PRECEDES it (the ghost-entry crash contract)
         survivors.write.mode("append").parquet(outDir)
         ()
       } else {
-        // empty batch: only the maintain cadence needs the index locks
+        // empty batch: only the maintain cadences need the locks
         Generations.withWriterLock(indexTable) {
           val indexGen = currentGen(indexTable)
           Generations.withWriterLock(indexGen) {
@@ -563,6 +639,11 @@ object CorpusStream {
               DedupIndex.optimize(spark, _, _))
           }
         }
+        // nothing survived the gates, but the trim may still have run
+        // (its ledger row + cadence); the kept slice is empty
+        if (paraTable.nonEmpty)
+          paraWindow(marked.filter(col("d") === 0L)
+            .select(col("dig"), col("pid")).limit(0))
       }
     } finally {
       if (base != null) base.unpersist()

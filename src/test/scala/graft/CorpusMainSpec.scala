@@ -80,6 +80,34 @@ class CorpusMainSpec extends SparkSpec {
     relLong()
   }
 
+  test("paraexact stage trims cross-doc repeated paragraphs keep-first; untouched docs verbatim") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val pA = "the quick data row is a fine piece of text and it keeps going"
+    val pC = "soon the planner picks a narrow scan of the bright column store"
+    // 93000 carries [A, C]; 93001 carries [A] inside ITS OWN fresh text —
+    // A repeats across the two (keep-first keeps 93000's copy: lower pid),
+    // while whole-doc digests and shingle sets differ enough that neither
+    // exact-doc nor near-dup dedup touches the pair
+    val tail = "yet every broker holds a steady queue of small parts under it"
+    val injected = docs.unionByName(
+      Seq((93000L, s"$pA\n\n$pC", "en", "inj", 1L),
+        (93001L, s"$pA\n\n$tail", "en", "inj", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (curated, funnel, release) =
+      CorpusMain.curate(spark, injected, paraExactGate = true)
+    val f = funnel.toMap
+    assert(f.contains("exact_para_trim") && f("exact_para_trim") <= f("exact_dedup"))
+    val rows = curated.filter(col("doc_id") >= 93000L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(93000L, 93001L), s"kept ${rows.keySet}")
+    // the first copy's doc is untouched (verbatim, original casing and
+    // separator); the second loses A and is rebuilt from its kept paragraph
+    assert(rows(93000L) == s"$pA\n\n$pC", s"doc 93000: '${rows(93000L)}'")
+    assert(rows(93001L) == tail.toLowerCase, s"doc 93001: '${rows(93001L)}'")
+    release()
+  }
+
   test("repetition gate drops generator loops; PII is scrubbed; split attached") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     // a 40-token single-word loop: dup_token_frac ≈ 0.975 — the q80 gate's

@@ -475,6 +475,33 @@ class DedupSpec extends SparkSpec {
     assert(nd(1L) == 0L, s"near-dup must ignore within-doc repeats: $nd")
   }
 
+  test("paraExactMark/Rebuild: seen-state trim, within-frame keep-first, untouched verbatim (r18)") {
+    import spark.implicits._
+    val pA = "alpha beta gamma delta eps"
+    val pB = "zeta eta theta iota kappa"
+    val pC = "lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, s"$pA\n\n$pB", "en"),   // untouched (nothing seen, no repeat)
+      (2L, s"$pC\n\n$pC", "en"),   // within-frame repeat: second pC drops
+      (3L, s"SEEN ONE\n\n$pA", "en") // state-seen paragraph + frame repeat
+    ).toDF("doc_id", "text", "lang")
+    val seen = Seq("seen one").toDF("p")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("p")
+          .cast("binary")).as("dig"))
+    val marked = Dedup.paraExactMark(Dedup.paraDigested(docs), Some(seen))
+    val out = Dedup.paraExactRebuild(marked, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // doc 3 vanished: "seen one" trimmed by the STATE (note the case-
+    // insensitive normalized digest), its pA by doc 1's lower-pid frame
+    // copy — zero novel paragraphs
+    assert(out.keySet == Set(1L, 2L), s"kept ${out.keySet}")
+    // doc 1 passes VERBATIM — original casing/separator untouched
+    assert(out(1L) == ((s"$pA\n\n$pB", "en")))
+    // doc 2 rebuilt from its kept first copy only; extra columns carried
+    assert(out(2L) == ((pC, "en")))
+  }
+
   test("q312: standing digest state reproduces from-scratch exact paragraph dedup") {
     val dir = sf("sf0.001")
     val scratch = SparkEntry.queries("q311_para_exact")(spark, dir)

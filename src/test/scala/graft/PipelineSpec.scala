@@ -121,6 +121,83 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  // ---- r18 exact-paragraph trim: the standing q312 state in the loop -----
+
+  test("exact-paragraph stage: cross-batch repeated paragraph trimmed on second sight, doc survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_para").toString
+    val inDir = s"$root/in"
+    val pipe = s"$root/pipe"
+    val (bloomT, indexT, clusterD, corpusD, paraT) =
+      (s"$pipe/bloom", s"$pipe/index", s"$pipe/clusters", s"$pipe/corpus",
+        s"$pipe/para")
+
+    // three paragraphs; every doc passes the curated gates (>= 10 tokens,
+    // stopwords present)
+    val pA = "the quick data row is a fine piece of text and it keeps going"
+    val pB = "a curious model reads the long corpus and it notes every rare word"
+    val pC = "soon the planner picks a narrow scan of the bright column store"
+
+    def writeWave(docs: Doc*): Unit =
+      docs.toSeq.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(inDir).schema
+      val feed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = CorpusStream.curated(feed).writeStream
+        .option("checkpointLocation", s"$pipe/checkpoint")
+        .foreachBatch(CorpusStream.pipelineBatch(bloomT, indexT, clusterD,
+          corpusD, optimizeEvery = 1, paraTable = paraT) _)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    try {
+      // wave 1: doc 1 = [A, B] — both paragraphs novel, doc lands VERBATIM
+      // (untouched docs are never rewritten)
+      writeWave(Doc(1, s"$pA\n\n$pB", "en", "crawl", t("2024-01-01 10:00:00")))
+      drain()
+      val c1 = spark.read.parquet(corpusD).collect()
+      assert(c1.map(_.getLong(0)).toSeq == Seq(1L))
+      assert(c1.head.getString(1) == s"$pA\n\n$pB", "untouched doc was rewritten")
+
+      // wave 2: doc 2 = [A, C] — A repeats doc 1's paragraph (exact-DOC
+      // dedup and whole-doc LSH both miss it: C dilutes the signature);
+      // doc 3 = [B, A] REORDERED — a different doc digest carrying zero
+      // novel paragraphs
+      writeWave(
+        Doc(2, s"$pA\n\n$pC", "en", "crawl", t("2024-01-01 10:05:00")),
+        Doc(3, s"$pB\n\n$pA", "en", "crawl", t("2024-01-01 10:06:00")))
+      drain()
+      val c2 = spark.read.parquet(corpusD).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(c2.keySet == Set(1L, 2L), s"wave 2 landed ${c2.keySet}")
+      // doc 2 survived with A trimmed: its rebuilt text is the kept
+      // paragraph, normalized (lowercase + collapsed whitespace)
+      assert(c2(2L) == pC.toLowerCase, s"doc 2 text: '${c2(2L)}'")
+
+      // the standing state holds exactly the corpus's paragraph digests
+      val paraGen = Generations.resolve(paraT)
+      val st = graft.operators.AggState.merged(spark, paraGen, Seq("dig"))
+      assert(st.count() == 3L, "state must hold digests of A, B, C only")
+
+      // trim ledger: wave 2 probed 4 paragraphs, trimmed 3 (doc 2's A,
+      // doc 3's B and A)
+      val led = spark.read.parquet(s"$paraT/trim_ledger")
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(led.toSeq == Seq((2L, 0L), (4L, 3L)),
+        s"trim ledger (paras_in, paras_dropped) rows: ${led.toSeq}")
+
+      // generation maintenance rotated the para table too (optimizeEvery=1)
+      assert(graft.operators.Generations.history(paraT).size >= 2,
+        "para table generations never rotated")
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   // ---- r16 lock staging: the optimistic-compute fallback ------------------
   // pipelineBatch now computes probes/pairs/slices with NO lock held and
   // re-validates each generation (pointer + listing fingerprint) inside its

@@ -4,27 +4,41 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** Decoded-media metadata for one payload (the typed decode output). */
+/** Decoded-media metadata for one payload (the typed decode output).
+  * `codec` names the decoder that produced the dimensions: a real
+  * ImageIO format name (`png`, `bmp`, `gif`, `jpeg`, `tiff` — whatever
+  * the JDK registry recognized) or `"stub"` for payloads no available
+  * codec accepts (see [[MediaPipeline.decode]]). */
 case class MediaMeta(doc_id: Long, byte_len: Long, sha: String,
-                     width: Int, height: Int, n_frames: Int, ok: Boolean)
+                     width: Int, height: Int, n_frames: Int, ok: Boolean,
+                     codec: String)
 
 /** The multimodal decode pipeline: binary payload column → typed metadata
   * via `mapPartitions` (builder brief "multimodal columns").
   *
   * The partition-mapper shape is the real thing — per-partition codec
-  * initialization, row-batch iteration, typed `Dataset[MediaMeta]` output —
-  * while the codec itself is a clearly-marked deterministic STUB (this
-  * container ships no image/audio libraries): "dimensions" are derived from
-  * the payload digest exactly as in `q42_media_meta`, so the stub is
-  * cross-checked by that query's DuckDB oracle.
+  * initialization, row-batch iteration, typed `Dataset[MediaMeta]` output.
+  * The codec is REAL for every format the pure-JDK `javax.imageio`
+  * registry decodes (PNG/BMP/GIF/JPEG, plus TIFF on JDK 9+): header-only
+  * reads — width/height/frame count come from the image header, no pixel
+  * plane is materialized, so a 100 MB payload costs a few KB of reads
+  * (r18; VERDICT r17 #7 retired the all-stub codec). Payloads NO
+  * registered reader accepts (this container ships no audio/video
+  * libraries) fall back to the clearly-marked deterministic STUB:
+  * "dimensions" derived from the payload digest exactly as in
+  * `q42_media_meta`, so the fallback path stays cross-checked by that
+  * query's DuckDB oracle (the fixture payloads are text bytes — never a
+  * decodable image — which is what keeps the oracle parity exact).
   *
   * At 100 TB: decode is the rare case where `mapPartitions` beats
-  * expressions (per-partition native-codec reuse, zero-copy byte access);
-  * everything downstream of the typed output returns to Column algebra.
+  * expressions (per-partition codec-registry reuse, zero-copy byte
+  * access); everything downstream of the typed output returns to Column
+  * algebra.
   */
 object MediaPipeline {
 
-  /** STUB decode — replace with a real codec behind the same signature. */
+  /** STUB decode — the fallback for payloads no JDK codec accepts;
+    * deterministic so q42's oracle reproduces it. */
   private def decodeStub(payload: Array[Byte], digestHex: String): (Int, Int, Int) = {
     val width = (java.lang.Long.parseLong(digestHex.substring(0, 4), 16) % 240 + 16).toInt
     val height = (java.lang.Long.parseLong(digestHex.substring(4, 8), 16) % 240 + 16).toInt
@@ -32,19 +46,52 @@ object MediaPipeline {
     (width, height, frames)
   }
 
+  /** REAL header-only decode via the JDK ImageIO registry: the first
+    * reader that recognizes the byte stream supplies
+    * (width, height, n_frames, format). `getNumImages(true)` counts
+    * frames/pages (multi-frame GIF, multi-page TIFF); a reader that
+    * cannot count without a full scan still returns >= 1. Any parse
+    * failure (truncated header, lying magic bytes) degrades to None —
+    * the stub path — never an exception out of the task. */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, String)] =
+    scala.util.Try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true) // seekForward=false, ignoreMetadata
+            val n = math.max(1, r.getNumImages(true))
+            Some((r.getWidth(0), r.getHeight(0), n,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }.toOption.flatten
+
   /** payloads: (doc_id BIGINT, payload BINARY) → typed metadata. */
   def decode(payloads: DataFrame): Dataset[MediaMeta] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "codec" init — the expensive part a real decoder pools
+        // per-partition codec init — the digest instance and the ImageIO
+        // registry (scanForPlugins already ran in this JVM) are reused
+        // across the partition's rows
         val md = MessageDigest.getInstance("SHA-256")
         rows.map { case (id, payload) =>
           md.reset()
           val sha = md.digest(payload).map("%02x".format(_)).mkString
-          val (w, h, f) = decodeStub(payload, sha)
-          MediaMeta(id, payload.length.toLong, sha, w, h, f, ok = true)
+          decodeImage(payload) match {
+            case Some((w, h, f, fmt)) =>
+              MediaMeta(id, payload.length.toLong, sha, w, h, f, ok = true, fmt)
+            case None =>
+              val (w, h, f) = decodeStub(payload, sha)
+              MediaMeta(id, payload.length.toLong, sha, w, h, f, ok = true, "stub")
+          }
         }
       }
   }

@@ -37,4 +37,52 @@ class MediaPipelineSpec extends SparkSpec {
     val b = MediaPipeline.decode(payloads.repartition(7)).collect().sortBy(_.doc_id).toSeq
     assert(a == b)
   }
+
+  // ---- r18: the REAL codec path (VERDICT r17 #7) --------------------------
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real planted PNG/BMP bytes decode to true dimensions; text stays on the stub") {
+    import spark.implicits._
+    val png = imageBytes("png", 20, 14)
+    val bmp = imageBytes("bmp", 7, 5)
+    val txt = "not an image at all just plain words".getBytes("UTF-8")
+    val in = Seq((1L, png), (2L, bmp), (3L, txt))
+      .toDF("doc_id", "payload")
+    val out = MediaPipeline.decode(in).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).codec == "png" && out(1L).width == 20 &&
+      out(1L).height == 14 && out(1L).n_frames == 1, s"png: ${out(1L)}")
+    assert(out(2L).codec == "bmp" && out(2L).width == 7 &&
+      out(2L).height == 5, s"bmp: ${out(2L)}")
+    // the non-image payload takes the deterministic stub (q42 parity path)
+    assert(out(3L).codec == "stub" && out(3L).ok, s"text: ${out(3L)}")
+    // sha is the real digest on every path
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(png).map("%02x".format(_)).mkString
+    assert(out(1L).sha == sha)
+  }
+
+  test("a truncated image header degrades to the stub, never fails the task") {
+    import spark.implicits._
+    val broken = imageBytes("png", 20, 14).take(12) // magic intact, header cut
+    val out = MediaPipeline.decode(
+      Seq((9L, broken)).toDF("doc_id", "payload")).collect()
+    assert(out.length == 1 && out.head.ok && out.head.codec == "stub",
+      s"got ${out.toSeq}")
+  }
+
+  test("fixture payloads (text bytes) all stay on the stub codec — q42 parity preserved") {
+    val codecs = MediaPipeline.decode(payloads).toDF()
+      .select("codec").distinct().collect().map(_.getString(0)).toSet
+    assert(codecs == Set("stub"), s"fixture decoded as $codecs")
+  }
 }

@@ -421,7 +421,11 @@ object Bench {
     // cap-loss audit (superset rule: append-only)
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
     "q309_ann_fit_ledger", "q310_para_boundary", "q311_para_exact",
-    "q312_incr_para_exact")
+    "q312_incr_para_exact",
+    // r18 (superset rule: append-only, newest last so the driver tail
+    // retains them): the exact-paragraph boundary gate + takedown and the
+    // ANN reindex action
+    "q313_para_boundary_exact", "q314_para_takedown", "q315_ann_reindex")
 
   /** Streaming micro-bench (VERDICT r9 #8): rows/s + per-batch latency
     * for the two transformWithState processors (running quantiles, drift

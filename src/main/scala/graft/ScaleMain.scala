@@ -183,7 +183,13 @@ object ScaleMain {
     "q306_bpe_batch", "q307_ann_drift", "q308_span_cap_audit",
     "q309_ann_fit_ledger", "q310_para_boundary",
     // r17: exact paragraph dedup — one digest shuffle, the cheapest op here
-    "q311_para_exact")
+    "q311_para_exact",
+    // r18: the boundary-gated exact chain + standing-state forms — the
+    // takedown's affected-keys rebuild and the drift-advised ANN reindex
+    // (one Lloyd step + one assignment rebuild, both linear); q312 runs
+    // the same digest shuffle as q311 split into three blind appends
+    "q312_incr_para_exact", "q313_para_boundary_exact",
+    "q314_para_takedown", "q315_ann_reindex")
 
   def run(spark: SparkSession, dir: String, outPath: String,
       only: Option[Set[String]] = None): Unit = {

@@ -325,17 +325,59 @@ object Dedup {
   /** The paragraph relation (src_doc, doc_id = pid, text) shared by every
     * paragraph query — boundary split with block fallback and the
     * fail-loud pid guard (see [[paraDups]]' scaladoc). Un-checkpointed:
-    * callers pin it once before multi-consumer use. */
-  private[graft] def paraRelation(docs: DataFrame): DataFrame = {
-    // SINGLE-PASS (r18 — the r17 form drove two filtered scan branches,
-    // rlike and !rlike, each reading the full corpus; at 100 TB the
-    // second scan is real money): one projection computes a per-row array
-    // — the normalized paragraph list for boundary docs, the raw token
-    // list for block-fallback docs — one generator explodes the paragraph
-    // indexes, and the text projection branches per paragraph row. `arr`
-    // is a generator-child attribute, evaluated once per DOC row
-    // (Generate is a projection-collapse barrier — the q310 chunk-lambda
-    // recompute cannot happen here).
+    * callers pin it once before multi-consumer use.
+    *
+    * Two result-identical physical forms (both oracle-pinned at 3 SFs):
+    * the default SINGLE-PASS form (one documents scan, per-row branch)
+    * and the r17 DUAL-SCAN form (two rlike-filtered branches) behind
+    * `SPARK_GRAFT_PARA_SCAN=dual` — a DIAGNOSTIC A/B toggle kept because
+    * the r18 100x tier read the paragraph family slower after the
+    * single-pass rewrite on a cross-round comparison the host-calib
+    * lessons (r14/r16) say not to trust without an adjacent-run control;
+    * the toggle makes the A/B one env var on one host. */
+  private[graft] def paraRelation(docs: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_PARA_SCAN").contains("dual"))
+      paraRelationDual(docs)
+    else paraRelationSingle(docs)
+
+  /** The r17 dual-scan form: two filtered branches, each its own scan —
+    * simpler per-row work, twice the input I/O. See [[paraRelation]]. */
+  private[graft] def paraRelationDual(docs: DataFrame): DataFrame = {
+    val hasSep = col("text").rlike(ParaSepRe)
+    val bounded = docs.filter(hasSep)
+      .select(col("doc_id"),
+        posexplode(filter(
+          transform(split(col("text"), ParaSepRe),
+            p => regexp_replace(lower(trim(p)), "\\s+", " ")),
+          p => length(p) > 0)).as(Seq("pi", "text")))
+      .select(col("doc_id"), col("pi").cast("long").as("pi"), col("text"))
+    val blocks = docs.filter(!hasSep)
+      .select(col("doc_id"), TrainPrep.rawToks(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .withColumn("pi", explode(sequence(lit(0L), expr(s"(n + ${ParaW - 1}) div $ParaW") - 1)))
+      .select(col("doc_id"), col("pi"),
+        concat_ws(" ", expr(s"slice(w, CAST(pi * $ParaW + 1 AS INT), $ParaW)")).as("text"))
+    val guard = coalesce(
+      assert_true(col("pi") < ParaIdScale &&
+        col("doc_id").between(0L, MaxParaDocId - 1),
+        concat(lit("paragraph id out of range: doc_id="),
+          col("doc_id").cast("string"), lit(" pi="), col("pi").cast("string"))
+      ).cast("long"), lit(0L))
+    bounded.unionByName(blocks)
+      .select(col("doc_id").as("src_doc"),
+        (col("doc_id") * ParaIdScale + col("pi") + guard).as("doc_id"),
+        col("text"))
+  }
+
+  /** The single-pass form (r18): one projection computes a per-row array
+    * — the normalized paragraph list for boundary docs, the raw token
+    * list for block-fallback docs — one generator explodes the paragraph
+    * indexes, and the text projection branches per paragraph row. `arr`
+    * is a generator-child attribute, evaluated once per DOC row
+    * (Generate is a projection-collapse barrier — the q310 chunk-lambda
+    * recompute cannot happen here). */
+  private[graft] def paraRelationSingle(docs: DataFrame): DataFrame = {
     val hasSep = col("text").rlike(ParaSepRe)
     docs
       .select(col("doc_id"), hasSep.as("sep"),
@@ -514,6 +556,17 @@ object Dedup {
     paraRelation(docs)
       .select(col("src_doc"), col("doc_id").as("pid"), col("text"))
       .withColumn("dig", md5(col("text").cast("binary")))
+
+  /** The standing digest map's VALUE column: pid cast to DECIMAL(38,0).
+    * pid ≈ doc_id·2^20 reaches 2^57 on wide-id corpora (the 100x
+    * fixture's ids hit 9.9e10), and AggState's generic partials keep a
+    * SUM — a boilerplate digest with ≳2^6 copies overflows Σlong (caught
+    * by the r18 100x tier: ARITHMETIC_OVERFLOW in q312/q314). Decimal
+    * partials stay exact to 10^38 (~10^21 copies at pid 2^57), min/max
+    * order identically, and readers cast the min back to long. Applies
+    * at every AggState boundary of the para digest state (q312, q314,
+    * pipelineBatch's fold, Takedown's retraction). */
+  private[graft] def pidDecimal(c: Column): Column = c.cast("decimal(38,0)")
 
   /** The exact-paragraph trim DECISION over a digested frame: d = 1 for
     * every paragraph that is a repeat — of an earlier (min-pid) copy
@@ -1248,7 +1301,7 @@ object Dedup {
         .localCheckpoint(eager = true)
       val digested = paras.withColumn("dig", md5(col("text").cast("binary")))
       def slice(r: Int) = digested.filter(col("src_doc") % 3 === r)
-        .select(col("dig"), col("doc_id").as("pid"))
+        .select(col("dig"), pidDecimal(col("doc_id")).as("pid"))
       AggState.build(slice(0), Seq("dig"), "pid", stateDir)
       AggState.append(slice(1), Seq("dig"), "pid", stateDir)
       AggState.append(slice(2), Seq("dig"), "pid", stateDir)
@@ -1293,7 +1346,7 @@ object Dedup {
       val paras = paraRelation(Tables(s, dir, "documents"))
         .localCheckpoint(eager = true)
       val digested = paras.withColumn("dig", md5(col("text").cast("binary")))
-      def rel(df: DataFrame) = df.select(col("dig"), col("doc_id").as("pid"))
+      def rel(df: DataFrame) = df.select(col("dig"), pidDecimal(col("doc_id")).as("pid"))
       AggState.build(rel(digested.filter(col("src_doc") % 2 === 0)),
         Seq("dig"), "pid", stateDir)
       AggState.append(rel(digested.filter(col("src_doc") % 2 === 1)),

@@ -624,7 +624,7 @@ object CorpusStream {
           paraWindow(marked.filter(col("d") === 0L)
             .join(survivors.select(col("doc_id").as("src_doc")),
               Seq("src_doc"), "left_semi")
-            .select(col("dig"), col("pid")))
+            .select(col("dig"), Dedup.pidDecimal(col("pid")).as("pid")))
         // the corpus landing needs no standing-table lock; the index
         // append still PRECEDES it (the ghost-entry crash contract)
         survivors.write.mode("append").parquet(outDir)
@@ -643,7 +643,7 @@ object CorpusStream {
         // (its ledger row + cadence); the kept slice is empty
         if (paraTable.nonEmpty)
           paraWindow(marked.filter(col("d") === 0L)
-            .select(col("dig"), col("pid")).limit(0))
+            .select(col("dig"), Dedup.pidDecimal(col("pid")).as("pid")).limit(0))
       }
     } finally {
       if (base != null) base.unpersist()

@@ -92,7 +92,8 @@ class PlanLintSpec extends SparkSpec {
       "q293_bloom_audit", // 1-row n_ngrams total cross into the 3-row per-mBits aggregate
       "q297_semdedup", // 8-row trained-centroid cross (assignL2), the q78/q169 shape
       "q307_ann_drift", // 20-row query-set cross (q39's shape) + 8-row frozen-centroid cross
-      "q309_ann_fit_ledger") // 8-row frozen-centroid cross + 1-row build-anchor cross
+      "q309_ann_fit_ledger", // 8-row frozen-centroid cross + 1-row build-anchor cross
+      "q315_ann_reindex") // 8-row retrained-centroid cross (assignCosine) + 20-row probe set — q51's shape over the reindexed generation
     // (b) unpartitioned windows (and the SinglePartition exchange feeding
     // them) that run over post-aggregate domains — |days|, |sources|,
     // |deciles|, |clusters|, vocabulary heads — or over semantics that are

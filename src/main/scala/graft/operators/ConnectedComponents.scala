@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge set — the transitive
@@ -16,8 +17,8 @@ import org.apache.spark.storage.StorageLevel
   * collapses label chains, giving O(log diameter) rounds instead of
   * O(diameter), the difference between 6 and 60 shuffles on a long path at
   * 100 TB. Per round: two equi-join shuffles + one aggregation, all
-  * key-partitioned — no driver-side graph state; the driver sees only the
-  * changed count.
+  * key-partitioned — no driver-side graph state; the driver sees only a
+  * per-round label-sum scalar.
   *
   * Lineage is CUT every round (each iteration plans against the previous
   * round's persisted RDD, not its logical plan): the round plan references
@@ -26,10 +27,24 @@ import org.apache.spark.storage.StorageLevel
   * cut costs an InternalRow↔Row conversion per round over the (small)
   * label table, not the corpus.
   *
-  * Convergence: labels only decrease and are bounded below by the
-  * component minimum, so the fixpoint (every node labeled with its
-  * component's min id) is reached within maxIter rounds; capped LSH
-  * buckets (Dedup.LshBucketCap) keep real cluster diameters tiny.
+  * Convergence (r18 optimization): labels only DECREASE and the node set
+  * is fixed after the seed, so "no label changed" ⟺ "Σ label unchanged".
+  * The old per-round changed-count was a third keyed JOIN (next ⋈ cur) +
+  * filter + count; the sum is ONE aggregation over the just-persisted
+  * round — exact in DECIMAL(38,0) (labels ≤ 2^63, rows ≤ ~1e13 before the
+  * sum could even approach 10^38). Fixpoint and output are IDENTICAL: the
+  * loop exits on exactly the same round as the changed-count form
+  * (ConnectedComponentsSpec pins label equality on chain/star/merge
+  * shapes; every CC-consuming oracle is unchanged). The result also no
+  * longer pays a final copy: the label column is named `cluster_id` from
+  * the seed and the last round's persisted frame IS the returned one
+  * (one fewer full-table conversion + persist + count per call — CC runs
+  * ~11× per bench sweep across q70/q128/q275/q279/q291/q292/q294).
+  *
+  * Labels are bounded below by the component minimum, so the fixpoint
+  * (every node labeled with its component's min id) is reached within
+  * maxIter rounds; capped LSH buckets (Dedup.LshBucketCap) keep real
+  * cluster diameters tiny.
   */
 object ConnectedComponents {
 
@@ -43,6 +58,13 @@ object ConnectedComponents {
     // small-plan view of a persisted DF: downstream rounds read its RDD,
     // not its (growing) logical plan
     def cut(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    // exact Σ cluster_id of a persisted round — the monotone convergence
+    // statistic (None on an empty label table; equal Nones terminate)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
 
     // materialize the edge set ONCE before symmetrizing: the union
     // references it twice, which would re-execute the (expensive) pair
@@ -58,9 +80,9 @@ object ConnectedComponents {
     // the aggregate alone (no join), so the loop starts one round ahead;
     // sym is symmetrized, so every incident node appears as src
     var cur = sym.groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .select(col("id"), least(col("id"), col("nmin")).as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+    var curSum = labelSum(cur) // materializes the seed
     e.unpersist()
     var curView = cut(cur)
 
@@ -73,33 +95,29 @@ object ConnectedComponents {
       // subplans — without the persist the join+union+agg runs twice per
       // round.
       val hop = sym.join(curView, sym("src") === curView("id"))
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("cluster_id"))
         .union(curView)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: contract one level of label indirection
       val next = hop.as("h")
-        .join(hop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
-          col("h.label") === col("jid"), "left")
+        .join(hop.select(col("id").as("jid"), col("cluster_id").as("jlabel")).as("j"),
+          col("h.cluster_id") === col("jid"), "left")
         .select(col("h.id").as("id"),
-          least(col("h.label"), coalesce(col("jlabel"), col("h.label"))).as("label"))
+          least(col("h.cluster_id"),
+            coalesce(col("jlabel"), col("h.cluster_id"))).as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val changed = next.join(curView.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next) // materializes the round
       hop.unpersist()
       cur.unpersist()
       cur = next
       curView = cut(next)
-      done = changed == 0
+      done = nextSum == curSum
+      curSum = nextSum
       iters += 1
     }
-    // give the result its OWN cache, then release every internal one
-    val result = cut(cur).withColumnRenamed("label", "cluster_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    cur.unpersist()
     sym0.unpersist()
-    result
+    cur
   }
 }

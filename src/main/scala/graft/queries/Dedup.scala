@@ -266,17 +266,25 @@ object Dedup {
     * lockstep on the window construction. */
   private val SpanW = 12
   private def spanWindows(docs: DataFrame): DataFrame = {
-    def grams(w: Column): Column =
-      (2 to SpanW).foldLeft(slice(w, lit(1), size(w) - (SpanW - 1))) { (acc, k) =>
-        zip_with(acc, slice(w, lit(k), size(w) - (SpanW - 1)),
-          (a, b) => concat(a, lit(" "), b))
-      }
+    // r18 (optimization): the 12-token window hash as ONE native pass
+    // (TextHashes.hashed_ngrams_seq) instead of 11 chained zip_with string
+    // concats + an interpreted md5 transform per window — bit-parity incl.
+    // positions pinned in TextHashesSpec; SPARK_GRAFT_NGRAMS=hof restores
+    // the HOF form for A/B (result-identical)
+    def hashes(w: Column): Column =
+      if (sys.env.get("SPARK_GRAFT_NGRAMS").contains("hof")) {
+        def grams(c: Column): Column =
+          (2 to SpanW).foldLeft(slice(c, lit(1), size(c) - (SpanW - 1))) { (acc, k) =>
+            zip_with(acc, slice(c, lit(k), size(c) - (SpanW - 1)),
+              (a, b) => concat(a, lit(" "), b))
+          }
+        transform(grams(w), g => tokHash(g))
+      } else org.apache.spark.sql.graft.TextHashes.hashed_ngrams_seq(w, SpanW, P)
     docs
       .withColumn("w", TrainPrep.rawToks(col("text")))
       .filter(size(col("w")) >= SpanW)
       .select(col("doc_id"),
-        posexplode(transform(grams(col("w")), g => tokHash(g)))
-          .as(Seq("pos0", "h")))
+        posexplode(hashes(col("w"))).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
   }
 
@@ -730,7 +738,36 @@ object Dedup {
     * the distinct set equals MinHash over the multiset — min ignores
     * multiplicity — so we fold the deduped `hs`, which is also smaller.)
     */
-  def minhashBase(docs: DataFrame): DataFrame = {
+  def minhashBase(docs: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_MINHASH").contains("hof")) minhashBaseHof(docs)
+    else {
+      // r18 (optimization): the per-doc shingle→md5→distinct→sort→K-min
+      // chain as ONE native codegen'd pass (TextHashes.minhash_shingles —
+      // bit-parity with the HOF form pinned in TextHashesSpec; every LSH
+      // oracle unchanged). The empty/short-doc gate moves BEFORE the
+      // expensive projection as size(t) >= 3 — equivalent to the old
+      // size(w) > 0 (shingles3 is empty iff under 3 tokens; NULL sizes
+      // drop in both forms) and pushdown-safe, where a filter on the
+      // computed column would re-evaluate the expression below the
+      // projection (the q37 collapse lesson). hs/sz/sig extract in one
+      // Project whose subexpression elimination evaluates the struct once.
+      val t = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(lower(trim(col("text"))), "\\s+"))
+      docs
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TextHashes
+            .minhash_shingles(col("t"), AB.map(_._1), AB.map(_._2), P).as("m"))
+        .select(col("doc_id"), col("m.hs").as("hs"),
+          size(col("m.hs")).as("sz"), col("m.sig").as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The pre-r18 HOF form, kept for the bit-parity spec and as the
+    * `SPARK_GRAFT_MINHASH=hof` A/B toggle (result-identical by the spec's
+    * pin — never needed for Verify/oracle runs). */
+  private[graft] def minhashBaseHof(docs: DataFrame): DataFrame = {
     val consts = array(AB.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)

@@ -207,7 +207,19 @@ object TrainPrep {
     * construction the oracle-verified query does. The 8-gram build is
     * slice+zip_with (one walk per position), never indexed-transform
     * (which re-evaluates the child per index after projection collapse). */
-  def hashedNgrams8(text: Column): Column = {
+  def hashedNgrams8(text: Column): Column =
+    if (sys.env.get("SPARK_GRAFT_NGRAMS").contains("hof")) hashedNgrams8Hof(text)
+    // r18 (optimization): one native codegen'd pass — md5 digests token
+    // bytes directly, no gram string materializes, distinct folds in place
+    // (bit-parity incl. element ORDER pinned in TextHashesSpec; oracles
+    // unchanged)
+    else org.apache.spark.sql.graft.TextHashes.hashed_ngrams(
+      rawToks(text), 8, 2147483647L)
+
+  /** The pre-r18 HOF form, kept for the bit-parity spec and as the
+    * `SPARK_GRAFT_NGRAMS=hof` A/B toggle (result-identical by the spec's
+    * pin). */
+  private[graft] def hashedNgrams8Hof(text: Column): Column = {
     def ngrams8(w: Column): Column =
       when(size(w) < 8, array().cast("array<string>"))
         .otherwise((2 to 8).foldLeft(slice(w, lit(1), size(w) - 7)) { (acc, k) =>

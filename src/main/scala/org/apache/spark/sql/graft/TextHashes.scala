@@ -43,6 +43,316 @@ object TextHashes {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def bpe_merge(tokens: Column, pairs: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeMerge(ExpressionUtils.expression(tokens), pairs))
+  def minhash_shingles(tokens: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(MinHashShingles(ExpressionUtils.expression(tokens), a, b, p))
+  def hashed_ngrams(tokens: Column, n: Int, p: Long): Column =
+    ExpressionUtils.column(HashedNgrams(ExpressionUtils.expression(tokens), n, p))
+  def hashed_ngrams_seq(tokens: Column, n: Int, p: Long): Column =
+    ExpressionUtils.column(HashedNgramsSeq(ExpressionUtils.expression(tokens), n, p))
+}
+
+/** POSITIONAL md5-hashed word n-grams — one hash per window position
+  * (no distinct), exactly `transform(ngrams_n(w), g -> tokHash(g))` over
+  * the chained slice+zip_with gram build: element i = the hash of tokens
+  * [i, i+n). The span family's window relation (q287/q288/q304/q308 via
+  * [[graft.queries.Dedup]]'s spanWindows) posexplodes this. A gram
+  * containing a NULL token yields a NULL element at its position (concat
+  * propagation — never on tokenizer output). Fewer than n tokens → empty
+  * array (the HOF's empty-slice zip); NULL input → NULL. Bit-parity with
+  * the HOF form pinned in TextHashesSpec; oracles unchanged. */
+case class HashedNgramsSeq(child: Expression, n: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"hashed_ngrams_seq: bad n $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "hashed_ngrams_seq"
+
+  /** public (not protected nullSafeEval): the generated code calls it. */
+  def computeArr(input: Any): ArrayData =
+    HashedNgramsSeq.compute(input.asInstanceOf[ArrayData], n, p)
+
+  override def nullSafeEval(input: Any): Any = computeArr(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hngs", this, classOf[HashedNgramsSeq].getName)
+      s"${ev.value} = $ref.computeArr($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramsSeq =
+    copy(child = newChild)
+}
+
+object HashedNgramsSeq {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def compute(arr: ArrayData, n: Int, p: Long): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val md = md5Local.get()
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i + n <= len) {
+      var anyNull = false
+      var j = 0
+      while (!anyNull && j < n) { if (toks(i + j) == null) anyNull = true; j += 1 }
+      if (!anyNull) {
+        md.reset()
+        var q = 0
+        while (q < n) {
+          if (q > 0) md.update(' '.toByte)
+          md.update(toks(i + q))
+          q += 1
+        }
+        val d = md.digest()
+        out(i) = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Distinct md5-hashed word n-grams of a token array in ONE pass —
+  * `array<bigint>` in FIRST-OCCURRENCE order, exactly
+  * `array_distinct(transform(ngrams_n(w), g -> tokHash(g)))` where
+  * ngrams_n is the chained slice+zip_with build and tokHash =
+  * conv(substring(md5(cast(g AS BINARY)),1,8),16,10) % p.
+  *
+  * Replaces the HOF chain in [[graft.queries.TrainPrep.hashedNgrams8]]
+  * (the decontamination unit: q85/q277/q282/q293 + the CorpusStream
+  * novelty gate), which allocated every n-gram as n-1 progressively longer
+  * UTF8String concats and then md5'd it through an interpreted transform
+  * lambda. Here each gram's md5 digests the token bytes + separators
+  * directly — no gram string is ever materialized — and distinctness
+  * (first-occurrence order, array_distinct semantics, one NULL kept if a
+  * gram contains a NULL token) folds in the same pass. Bit-parity with
+  * the HOF form is pinned in TextHashesSpec; the DuckDB oracles are
+  * unchanged. Fewer than n tokens → empty array (the HOF's `size(w) < n`
+  * branch); NULL input → NULL.
+  */
+case class HashedNgrams(child: Expression, n: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"hashed_ngrams: bad n $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "hashed_ngrams"
+
+  /** public (not protected nullSafeEval): the generated code calls it. */
+  def computeArr(input: Any): ArrayData =
+    HashedNgrams.compute(input.asInstanceOf[ArrayData], n, p)
+
+  override def nullSafeEval(input: Any): Any = computeArr(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hng", this, classOf[HashedNgrams].getName)
+      s"${ev.value} = $ref.computeArr($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgrams =
+    copy(child = newChild)
+}
+
+object HashedNgrams {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def compute(arr: ArrayData, n: Int, p: Long): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val md = md5Local.get()
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    // LinkedHashSet: array_distinct keeps FIRST occurrence order (and one
+    // null, should a gram contain a null token — never on tokenizer output)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + n <= len) {
+      var anyNull = false
+      var j = 0
+      while (!anyNull && j < n) { if (toks(i + j) == null) anyNull = true; j += 1 }
+      if (anyNull) seen.add(null)
+      else {
+        md.reset()
+        var q = 0
+        while (q < n) {
+          if (q > 0) md.update(' '.toByte)
+          md.update(toks(i + q))
+          q += 1
+        }
+        val d = md.digest()
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        seen.add(java.lang.Long.valueOf(h))
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val v = it.next()
+      out(k) = if (v == null) null else v.longValue()
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The whole MinHash per-document pipeline — distinct 3-word shingles,
+  * 31-bit md5 token hash, sorted distinct hash set, K-permutation
+  * signature minima — as ONE pass over the token array inside whole-stage
+  * codegen: `struct<hs: array<bigint>, sig: array<bigint>>`.
+  *
+  * Replaces the HOF chain in [[graft.queries.Dedup.minhashBase]]
+  * (zip_with×2 shingling + transform(md5-conv) + array_distinct +
+  * array_sort + aggregate/zip_with K-min fold), which evaluated an
+  * interpreted lambda per shingle per permutation AND allocated every
+  * shingle as a fresh UTF8String — the dominant per-task cost of every
+  * LSH-family query (q37/q70/q101/.../q294: the corpus hash pass). Here
+  * each shingle's md5 is fed token bytes directly (no shingle string is
+  * ever materialized), hashes dedupe in one hash set, and the K minima
+  * fold in a primitive long loop.
+  *
+  * Semantics are IDENTICAL to the HOF form (pinned bit-for-bit in
+  * TextHashesSpec on the fixture corpus + edge cases; the DuckDB oracles
+  * are unchanged):
+  *  - shingle hash = conv(substring(md5(cast(s AS BINARY)),1,8),16,10) % p
+  *    — the first 4 digest bytes as an unsigned big-endian int, mod p;
+  *  - dedupe at HASH level ≡ array_distinct(shingles) then
+  *    array_distinct(hashes): equal strings hash equal, so the composed
+  *    distincts collapse;
+  *  - a shingle containing a NULL token propagates to one NULL element
+  *    sorted LAST (array_sort semantics) and is ignored by the sig fold
+  *    (least(m, NULL) = m) — never occurs on tokenizer output, kept for
+  *    exact parity;
+  *  - fewer than 3 tokens → hs = [], sig = [p]*K (the HOF's fold seed),
+  *    which callers filter out exactly like the old size(w) > 0 gate.
+  */
+case class MinHashShingles(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(a.nonEmpty && a.length == b.length, "minhash_shingles: bad a/b")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // element containsNull = true matches the HOF forms' schema (transform /
+  // aggregate produce nullable elements), so persisted state tables keep
+  // the exact pre-change parquet shape
+  override def dataType: DataType = StructType(Seq(
+    StructField("hs", ArrayType(LongType, containsNull = true), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = true), nullable = false)))
+  override def prettyName: String = "minhash_shingles"
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
+  /** public (not protected nullSafeEval): the generated code calls it. */
+  def computeRow(input: Any): org.apache.spark.sql.catalyst.InternalRow =
+    MinHashShingles.compute(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override def nullSafeEval(input: Any): Any = computeRow(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("mhs", this, classOf[MinHashShingles].getName)
+      s"${ev.value} = $ref.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+object MinHashShingles {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def compute(arr: ArrayData, a: Array[Long], b: Array[Long],
+      p: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val k = a.length
+    val md = md5Local.get()
+    val set = new java.util.HashSet[java.lang.Long]()
+    var sawNull = false
+    if (n >= 3) {
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      i = 0
+      while (i + 2 < n) {
+        if (toks(i) == null || toks(i + 1) == null || toks(i + 2) == null) {
+          sawNull = true
+        } else {
+          md.reset()
+          md.update(toks(i)); md.update(' '.toByte)
+          md.update(toks(i + 1)); md.update(' '.toByte)
+          md.update(toks(i + 2))
+          val d = md.digest()
+          // first 8 hex chars = first 4 digest bytes, unsigned big-endian
+          val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+          set.add(java.lang.Long.valueOf(h))
+        }
+        i += 1
+      }
+    }
+    val m = set.size()
+    val hs = new Array[Long](m)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { hs(j) = it.next().longValue(); j += 1 }
+    java.util.Arrays.sort(hs)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, p)
+    var x = 0
+    while (x < m) {
+      val hv = hs(x)
+      var kk = 0
+      while (kk < k) {
+        val v = (a(kk) * hv + b(kk)) % p
+        if (v < sig(kk)) sig(kk) = v
+        kk += 1
+      }
+      x += 1
+    }
+    val hsData: ArrayData =
+      if (sawNull) {
+        // one NULL element (array_distinct keeps one), sorted LAST
+        val boxed = new Array[Any](m + 1)
+        var q = 0
+        while (q < m) { boxed(q) = hs(q); q += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
+      } else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(hs)
+    val sigData = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sig)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hsData, sigData))
+  }
 }
 
 /** Leftmost-greedy non-overlapping BPE merge pass over a token array — the

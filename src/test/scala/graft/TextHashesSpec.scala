@@ -144,6 +144,141 @@ class TextHashesSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getLong(1) == hof(r.getLong(0))))
   }
 
+  test("minhash_shingles matches the HOF minhashBase bit-for-bit (real corpus + edges)") {
+    // the HOF form IS the semantics (it passed the DuckDB oracle since r1);
+    // the native pass must agree on hs AND sig for every doc, row count
+    // included (the size(t) >= 3 gate vs the old size(w) > 0 gate)
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val native = graft.queries.Dedup.minhashBase(docs)
+    val hof = graft.queries.Dedup.minhashBaseHof(docs)
+    try {
+      val n = native.select(col("doc_id"), col("hs"), col("sz").cast("long"), col("sig"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3)))).toMap
+      val h = hof.select(col("doc_id"), col("hs"), col("sz").cast("long"), col("sig"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3)))).toMap
+      assert(n.keySet == h.keySet, "row sets differ")
+      assert(n.nonEmpty)
+      n.foreach { case (id, (hs, sz, sig)) =>
+        val (hhs, hsz, hsig) = h(id)
+        assert(hs == hhs, s"hs differs for doc $id")
+        assert(sz == hsz, s"sz differs for doc $id")
+        assert(sig == hsig, s"sig differs for doc $id")
+      }
+    } finally { native.unpersist(); hof.unpersist() }
+    // edge rows through both forms: empty, < 3 tokens, exactly 3, repeats,
+    // unicode, whitespace-only, NULL text
+    import spark.implicits._
+    val edges = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, ""), (4L, "   "),
+      (5L, "a b c d e f g"), (6L, "same same same same"),
+      (7L, "café naïve über straße 日本 語 テスト"),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val ne = graft.queries.Dedup.minhashBase(edges)
+    val he = graft.queries.Dedup.minhashBaseHof(edges)
+    try {
+      val a = ne.orderBy("doc_id").collect().map(_.toString).toSeq
+      val b = he.orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(a == b, s"edge rows differ:\n$a\n$b")
+    } finally { ne.unpersist(); he.unpersist() }
+  }
+
+  test("minhash_shingles stays inside whole-stage codegen") {
+    val d = Tables(spark, sf("sf0.001"), "documents")
+    val t = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("text"))), "\\s+"))
+    val df = d.select(col("doc_id"),
+      TextHashes.minhash_shingles(t, Seq(3L, 5L), Seq(1L, 2L), 2147483647L).as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_shingles") && plan.contains("*(1) Project"),
+      s"no codegen span:\n$plan")
+    // NULL token elements: one null shingle element, sorted last, sig
+    // unaffected (least(m, NULL) = m in the HOF fold)
+    import spark.implicits._
+    val weird = Seq(Tuple1(Seq("a", null, "b", "c", "d"))).toDF("t")
+    val got = weird.select(TextHashes.minhash_shingles(
+      col("t"), Seq(3L), Seq(1L), 2147483647L).as("m")).selectExpr(
+      "m.hs AS hs", "m.sig AS sig").collect().head
+    val hs = got.getSeq[Any](0)
+    assert(hs.last == null && hs.init.forall(_ != null),
+      s"null shingle not sorted last: $hs")
+    // the two non-null shingles: ("b","c","d") only — ("a",null,"b") and
+    // (null,"b","c") are null; actually ("a",null,...)->null, (null,"b","c")
+    // ->null, ("b","c","d") non-null => 1 non-null hash + 1 null
+    assert(hs.size == 2, s"expected 1 hash + null: $hs")
+  }
+
+  test("hashed_ngrams matches the HOF hashedNgrams8 bit-for-bit (order included)") {
+    // real corpus: values AND element order (array_distinct keeps first
+    // occurrence) must agree — consumers only explode/size, but exact
+    // parity keeps even a future element_at consumer safe
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val both = docs.select(col("doc_id"),
+      graft.queries.TrainPrep.hashedNgrams8(col("text")).as("native"),
+      graft.queries.TrainPrep.hashedNgrams8Hof(col("text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"nullness differs: $r")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"ngram hashes differ for doc ${r.getLong(0)}")
+    }
+    // edges: empty text, < 8 tokens, exactly 8, repeats (distinct order),
+    // unicode, NULL text
+    import spark.implicits._
+    val edges = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c"), (3L, ""), (4L, "   "),
+      (5L, "a b c d e f g h i j k"),
+      (6L, "x x x x x x x x x x"), // repeated grams -> one distinct
+      (7L, "café naïve über a b c d e f"),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = edges.select(col("doc_id"),
+      graft.queries.TrainPrep.hashedNgrams8(col("text")).as("native"),
+      graft.queries.TrainPrep.hashedNgrams8Hof(col("text")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"nullness differs: $r")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"differ: $r")
+    }
+  }
+
+  test("hashed_ngrams_seq matches the positional HOF transform (12-token windows)") {
+    val W = 12
+    def grams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (2 to W).foldLeft(slice(c, lit(1), size(c) - (W - 1))) { (acc, k) =>
+        zip_with(acc, slice(c, lit(k), size(c) - (W - 1)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+    val hofHash = (g: org.apache.spark.sql.Column) =>
+      (conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % 2147483647L)
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .withColumn("w", graft.queries.TrainPrep.rawToks(col("text")))
+      .filter(size(col("w")) >= W)
+    val both = docs.select(col("doc_id"),
+      TextHashes.hashed_ngrams_seq(col("w"), W, 2147483647L).as("native"),
+      transform(grams(col("w")), g => hofHash(g)).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"window hashes differ for doc ${r.getLong(0)}")
+    }
+    // edges: exactly W tokens, < W tokens (empty), NULL array
+    import spark.implicits._
+    val edges = Seq(
+      Tuple1(Seq.fill(W)("tok")), Tuple1(Seq("a", "b")),
+      Tuple1(null.asInstanceOf[Seq[String]])).toDF("w")
+    val got = edges.select(
+      TextHashes.hashed_ngrams_seq(col("w"), W, 2147483647L).as("n")).collect()
+    assert(got(0).getSeq[Long](0).size == 1)
+    assert(got(1).getSeq[Long](0).isEmpty)
+    assert(got(2).isNullAt(0))
+  }
+
   test("sorted_intersect_size matches size(array_intersect) on sorted sets") {
     // real-corpus shingle-hash sets (the actual verify-join operand) plus
     // adversarial edges: empty, disjoint, identical, subset

@@ -428,18 +428,23 @@ object Dedup {
     * would collide with a scale-tier base doc_id >= 1e6 — identically in
     * both engines, invisible to the oracle gate). */
   private[graft] def paraBoundaryCorpus(docs: DataFrame): DataFrame = {
+    // r18 (optimization): the chunk rebuild is ONE native pass
+    // (TextHashes.chunk_join) — the old indexed-transform lambda re-read
+    // the inlined token array per chunk after projection collapse
+    // (O(tokens·chunks) re-tokenization per doc; q310 read 320 s at the
+    // 100x tier). Bit-parity pinned in TextHashesSpec;
+    // SPARK_GRAFT_PARA_CHUNK=hof restores the HOF form for A/B.
+    val chunked =
+      if (sys.env.get("SPARK_GRAFT_PARA_CHUNK").contains("hof"))
+        expr("concat_ws('\\n\\n', transform(" +
+          "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
+          "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")
+      else org.apache.spark.sql.graft.TextHashes.chunk_join(col("w"), 10, "\n\n")
     val base = docs
       .withColumn("w", TrainPrep.rawToks(col("text")))
-      // the chunk lambda re-reads w per chunk after projection collapse
-      // (~nc extra tokenizations per doc) — row-local and bounded by
-      // doc length / 10; acceptable for a gate query, noted on purpose
       .withColumn("text",
         when(col("doc_id") % 3 === 0,
-          when(size(col("w")) === 0, lit(""))
-            .otherwise(expr(
-              "concat_ws('\\n\\n', transform(" +
-                "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
-                "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")))
+          when(size(col("w")) === 0, lit("")).otherwise(chunked))
           .otherwise(col("text")))
       // the collision guard rides EVERY base doc's id (not just copied
       // ones): any base doc_id >= offset would collide with the copy of

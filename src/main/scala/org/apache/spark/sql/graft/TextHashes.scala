@@ -49,6 +49,67 @@ object TextHashes {
     ExpressionUtils.column(HashedNgrams(ExpressionUtils.expression(tokens), n, p))
   def hashed_ngrams_seq(tokens: Column, n: Int, p: Long): Column =
     ExpressionUtils.column(HashedNgramsSeq(ExpressionUtils.expression(tokens), n, p))
+  def chunk_join(tokens: Column, chunk: Int, chunkSep: String): Column =
+    ExpressionUtils.column(ChunkJoin(ExpressionUtils.expression(tokens), chunk, chunkSep))
+}
+
+/** Join a token array into chunks of `chunk` tokens (space-separated)
+  * with `chunkSep` between chunks — exactly
+  * `concat_ws(chunkSep, transform(sequence(0, ceil(n/chunk)-1),
+  *   i -> concat_ws(' ', slice(w, i*chunk+1, chunk))))`
+  * as ONE pass. The HOF form is the q310/q313 boundary-corpus trap on
+  * purpose avoided here: after projection collapse the indexed lambda
+  * re-evaluates the inlined token-array child PER CHUNK (the documented
+  * ~O(tokens·chunks) re-tokenization — 320 s at the 100× tier). NULL
+  * elements are skipped (concat_ws semantics, both levels); empty input
+  * → empty string; NULL input → NULL. Bit-parity pinned in
+  * TextHashesSpec; the oracle derives the same corpus its own way. */
+case class ChunkJoin(child: Expression, chunk: Int, chunkSep: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+  require(chunk >= 1, s"chunk_join: bad chunk $chunk")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chunk_join"
+
+  /** public (not protected nullSafeEval): the generated code calls it.
+    * Chunk strings build exactly like concat_ws(' ', slice) — NULL
+    * elements skipped within a chunk (no double space), an all-null
+    * chunk contributes an empty string between chunkSeps. */
+  def computeStr(input: Any): UTF8String = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder()
+    var c = 0
+    while (c * chunk < n) {
+      if (c > 0) sb.append(chunkSep)
+      val end = math.min((c + 1) * chunk, n)
+      var j = c * chunk
+      var firstTok = true
+      while (j < end) {
+        if (!arr.isNullAt(j)) {
+          if (!firstTok) sb.append(' ')
+          firstTok = false
+          sb.append(arr.getUTF8String(j).toString)
+        }
+        j += 1
+      }
+      c += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any = computeStr(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("cj", this, classOf[ChunkJoin].getName)
+      s"${ev.value} = $ref.computeStr($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkJoin =
+    copy(child = newChild)
 }
 
 /** POSITIONAL md5-hashed word n-grams — one hash per window position

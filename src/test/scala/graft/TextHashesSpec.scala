@@ -279,6 +279,30 @@ class TextHashesSpec extends SparkSpec {
     assert(got(2).isNullAt(0))
   }
 
+  test("chunk_join matches the indexed-transform concat_ws chain") {
+    val hof = expr("concat_ws('\\n\\n', transform(" +
+      "sequence(0, CAST((size(w) + 9) div 10 AS INT) - 1), " +
+      "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))))")
+    // real corpus tokens (and ragged-chunk edges below)
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .withColumn("w", graft.queries.TrainPrep.rawToks(col("text")))
+      .filter(size(col("w")) > 0)
+    val both = docs.select(col("doc_id"),
+      TextHashes.chunk_join(col("w"), 10, "\n\n").as("native"), hof.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"chunk text differs for doc ${r.getLong(0)}"))
+    import spark.implicits._
+    val edges = Seq(
+      Tuple1(Seq("a")), Tuple1((1 to 10).map(_.toString)),
+      Tuple1((1 to 11).map(_.toString)), Tuple1((1 to 25).map(_.toString)))
+      .toDF("w")
+    val got = edges.select(
+      TextHashes.chunk_join(col("w"), 10, "\n\n").as("n"), hof.as("h")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("sorted_intersect_size matches size(array_intersect) on sorted sets") {
     // real-corpus shingle-hash sets (the actual verify-join operand) plus
     // adversarial edges: empty, disjoint, identical, subset

@@ -19,6 +19,16 @@ import graft.Tables
   */
 object Text {
 
+  /** q231/q232's distinct-3-gram hash list: native one-pass form by
+    * default (TextHashes.hashed_ngrams_uniq — dedupe at the GRAM-STRING
+    * level, exactly `transform(array_distinct(shingles3(t)), tokHash)`;
+    * hash-level dedupe would miscount a string collision), HOF form under
+    * `SPARK_GRAFT_NGRAMS=hof` for A/B. Parity pinned in TextHashesSpec. */
+  private def gramHashes(t: Column): Column =
+    if (sys.env.get("SPARK_GRAFT_NGRAMS").contains("hof"))
+      transform(Dedup.shingles3(t), g => Dedup.tokHash(g))
+    else TextHashes.hashed_ngrams_uniq(t, 3, 2147483647L)
+
   /** q109's per-(doc, query-term) BM25 partial score (k1 = 1.2, b = 0.75),
     * ×1e6 floor-integerized — shared VERBATIM between the Spark plan and
     * the DuckDB oracle so both engines execute the identical IEEE op
@@ -1141,8 +1151,10 @@ object Text {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(Dedup.shingles3(col("t"))).as("g"))
-        .select(col("doc_id"), Dedup.tokHash(col("g")).as("h"))
+        // r18 (optimization): one native pass builds the distinct-gram
+        // hash list (string-level dedupe — hash-level would miscount on
+        // a collision); parity pinned in TextHashesSpec, toggle = hof
+        .select(col("doc_id"), explode(gramHashes(col("t"))).as("h"))
       val firstCarrier = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
       grams.join(firstCarrier, Seq("h"))
         .withColumn("decile", expr(s"least(doc_id * 10 div $nDocs, 9)"))
@@ -1168,8 +1180,8 @@ object Text {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(Dedup.shingles3(col("t"))).as("g"))
-        .select(col("doc_id"), Dedup.tokHash(col("g")).as("h"))
+        // r18 (optimization): same native distinct-gram pass as q231
+        .select(col("doc_id"), explode(gramHashes(col("t"))).as("h"))
       val perDecile = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
         .withColumn("decile", expr(s"least(first_doc * 10 div $nDocs, 9)"))
         .groupBy("decile").agg(count(lit(1)).as("new_vocab"))

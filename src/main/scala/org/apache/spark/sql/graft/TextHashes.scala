@@ -51,6 +51,99 @@ object TextHashes {
     ExpressionUtils.column(HashedNgramsSeq(ExpressionUtils.expression(tokens), n, p))
   def chunk_join(tokens: Column, chunk: Int, chunkSep: String): Column =
     ExpressionUtils.column(ChunkJoin(ExpressionUtils.expression(tokens), chunk, chunkSep))
+  def hashed_ngrams_uniq(tokens: Column, n: Int, p: Long): Column =
+    ExpressionUtils.column(HashedNgramsUniq(ExpressionUtils.expression(tokens), n, p))
+}
+
+/** md5-hashed word n-grams deduped at the GRAM-STRING level — exactly
+  * `transform(array_distinct(ngrams_n(w)), g -> tokHash(g))`: one hash
+  * per DISTINCT gram string in first-occurrence order. This is NOT
+  * [[HashedNgrams]] (which dedupes at hash level): two distinct strings
+  * colliding to one hash must stay two elements here, because consumers
+  * (q231/q232's novelty/Heaps grams) count exploded rows. A gram with a
+  * NULL token contributes one NULL element (array_distinct keeps one);
+  * fewer than n tokens → empty; NULL input → NULL. Bit-parity pinned in
+  * TextHashesSpec. */
+case class HashedNgramsUniq(child: Expression, n: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+  require(n >= 1, s"hashed_ngrams_uniq: bad n $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "hashed_ngrams_uniq"
+
+  /** public (not protected nullSafeEval): the generated code calls it. */
+  def computeArr(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var sawNull = false
+    var nullPos = -1
+    val order = new java.util.ArrayList[AnyRef](len - n + 1)
+    i = 0
+    while (i + n <= len) {
+      var anyNull = false
+      var j = 0
+      while (!anyNull && j < n) { if (toks(i + j) == null) anyNull = true; j += 1 }
+      if (anyNull) {
+        if (!sawNull) { sawNull = true; order.add(null) }
+      } else {
+        val parts = new Array[UTF8String](2 * n - 1)
+        var q = 0
+        while (q < n) {
+          parts(2 * q) = toks(i + q)
+          if (q < n - 1) parts(2 * q + 1) = space
+          q += 1
+        }
+        val g = UTF8String.concat(parts: _*)
+        if (seen.add(g)) order.add(g)
+      }
+      i += 1
+    }
+    val md = HashedNgramsUniq.md5Local.get()
+    val out = new Array[Any](order.size())
+    var k = 0
+    while (k < order.size()) {
+      val g = order.get(k).asInstanceOf[UTF8String]
+      if (g != null) {
+        md.reset()
+        md.update(g.getBytes)
+        val d = md.digest()
+        out(k) = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = computeArr(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hngu", this, classOf[HashedNgramsUniq].getName)
+      s"${ev.value} = $ref.computeArr($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramsUniq =
+    copy(child = newChild)
+}
+
+object HashedNgramsUniq {
+  private[graft] val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** Join a token array into chunks of `chunk` tokens (space-separated)

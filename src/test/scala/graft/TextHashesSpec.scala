@@ -303,6 +303,38 @@ class TextHashesSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("hashed_ngrams_uniq matches transform(array_distinct(shingles), tokHash)") {
+    def tg3(w: org.apache.spark.sql.Column) =
+      when(size(w) < 3, array().cast("array<string>"))
+        .otherwise(zip_with(
+          zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(w, lit(3), size(w) - 2),
+          (ab, c) => concat(ab, lit(" "), c)))
+    val hof = (w: org.apache.spark.sql.Column) =>
+      transform(array_distinct(tg3(w)), g =>
+        conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % 2147483647L)
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+    val both = docs.select(col("doc_id"),
+      TextHashes.hashed_ngrams_uniq(col("t"), 3, 2147483647L).as("native"),
+      hof(col("t")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"distinct-gram hashes differ for doc ${r.getLong(0)}"))
+    // repeats: the distinct keeps first occurrence, duplicates collapse
+    import spark.implicits._
+    val edges = Seq(Tuple1(Seq("a", "b", "a", "b", "a", "b")),
+      Tuple1(Seq("x", "y")), Tuple1(Seq("s", "s", "s", "s")))
+      .toDF("t")
+    val got = edges.select(
+      TextHashes.hashed_ngrams_uniq(col("t"), 3, 2147483647L).as("n"),
+      hof(col("t")).as("h")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("sorted_intersect_size matches size(array_intersect) on sorted sets") {
     // real-corpus shingle-hash sets (the actual verify-join operand) plus
     // adversarial edges: empty, disjoint, identical, subset
